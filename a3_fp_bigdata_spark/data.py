@@ -1,0 +1,66 @@
+"""Loaders for the driver test tables.
+
+One parquet file per table under ``{sf_dir}/{name}.parquet`` (TESTDATA.md).
+Loaded lazily; Catalyst prunes columns/pushes filters into the scan, so a
+query touching 2 of 11 lineitem columns reads only those column chunks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+#: Columns stored as parquet TIMESTAMP(NANOS), which Spark reads only as
+#: long nanos (spark.sql.legacy.parquet.nanosAsLong); converted to
+#: microsecond timestamps below. DuckDB coerces the same columns to
+#: micros natively, so both engines see identical values.
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+    "events": ("ts",),
+}
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one test table. Plain parquet scan — the vectorized reader's
+    native types flow through (the driver's DuckDB oracle reads the same
+    footers), except nano-timestamps which are widened to TimestampType."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf may be fixed on an externally-built session
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in _NANOS_TS_COLS.get(name, ()):
+        field = df.schema[col] if col in df.columns else None
+        if field is not None and isinstance(field.dataType, T.LongType):
+            # integer `div` keeps exactness (nanos exceed double's 2^53)
+            df = df.withColumn(
+                col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
+            )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all tables as temp views so ``spark.sql`` queries match the
+    oracle's pre-registered DuckDB view names."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

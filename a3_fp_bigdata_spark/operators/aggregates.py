@@ -1,0 +1,272 @@
+"""Aggregations — SURVEY.md §2.4 rows A1-A7 plus the generic agg surface.
+
+All hash aggregates with map-side partial aggregation (Spark's
+HashAggregate pairs): at 100 TB the shuffle carries only one partial row
+per (partition, group), so low-cardinality group-bys like these move
+kilobytes, not terabytes.
+
+Floating-point sums are rounded to 2 decimals on output — summation order
+varies with partitioning, so unrounded doubles are not reproducible on ANY
+distributed engine; 2 decimals is stable at these magnitudes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from a3_fp_bigdata_spark.data import table
+from a3_fp_bigdata_spark.registry import query
+
+
+@query(
+    "a1_groupby_count",
+    oracle="""
+    SELECT l_returnflag, count(*) AS cnt
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a1_groupby_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-by count histogram (A1; reference spark_script.py:80
+    cluster histogram)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query("a2_global_count", oracle="SELECT count(*) AS cnt FROM lineitem")
+def a2_global_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global count (A2; reference spark_script.py:47, app.py:115)."""
+    return table(spark, sf_dir, "lineitem").agg(F.count("*").alias("cnt"))
+
+
+@query(
+    "a3_distinct",
+    oracle="SELECT DISTINCT c_mktsegment FROM customer",
+)
+def a3_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection dedup (A3; reference app.py:161,173). Distinct is a hash
+    aggregate on all projected columns — partial map-side, tiny shuffle."""
+    return table(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+@query(
+    "a4_mean_surrogate",
+    oracle="""
+    SELECT event_id,
+           round(coalesce(value, avg(value) OVER ()), 2) AS value_imputed
+    FROM events
+    """,
+)
+def a4_mean_surrogate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean imputation (A4; the core agg inside the reference's Imputer,
+    spark_script.py:66,100): null values replaced by the global mean.
+    Implemented as a single-row mean agg cross-joined back (Spark
+    broadcasts the 1-row side automatically) — no full-table window."""
+    ev = table(spark, sf_dir, "events")
+    mean = ev.agg(F.avg("value").alias("_mean"))
+    return ev.crossJoin(F.broadcast(mean)).select(
+        "event_id",
+        F.round(F.coalesce(F.col("value"), F.col("_mean")), 2).alias(
+            "value_imputed"
+        ),
+    )
+
+
+@query(
+    "a5_stddev",
+    oracle="""
+    SELECT l_returnflag,
+           round(avg(l_quantity), 2) AS avg_qty,
+           round(stddev_samp(l_quantity), 2) AS std_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a5_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean/stddev moments (A5; core aggs of the reference's
+    StandardScaler fit, spark_script.py:70)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.stddev_samp("l_quantity"), 2).alias("std_qty"),
+        )
+    )
+
+
+@query(
+    "a6_freq_rank",
+    oracle="""
+    SELECT event_type,
+           CAST(row_number() OVER (ORDER BY count(*) DESC, event_type) - 1
+                AS BIGINT) AS freq_index
+    FROM events GROUP BY event_type
+    """,
+)
+def a6_freq_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency ranking (A6; the core agg of the reference's
+    StringIndexer with frequencyDesc order, spark_script.py:67,101).
+    Ties broken by the label itself so the index is total."""
+    from pyspark.sql import Window
+
+    counts = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("_cnt"))
+    )
+    w = Window.orderBy(F.desc("_cnt"), F.asc("event_type"))
+    return counts.select(
+        "event_type",
+        (F.row_number().over(w) - 1).cast("bigint").alias("freq_index"),
+    )
+
+
+@query(
+    "a7_rmse",
+    oracle="""
+    SELECT round(sqrt(avg(power(l_extendedprice * (1 - l_discount)
+                               - l_extendedprice, 2))), 2) AS rmse
+    FROM lineitem
+    """,
+)
+def a7_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RMSE as a relational aggregate (A7; reference
+    RegressionEvaluator(metricName='rmse'), spark_script.py:117-120)."""
+    li = table(spark, sf_dir, "lineitem")
+    err = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "l_extendedprice"
+    )
+    return li.agg(
+        F.round(F.sqrt(F.avg(F.pow(err, F.lit(2)))), 2).alias("rmse")
+    )
+
+
+@query(
+    "a8_tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+               AS sum_charge,
+           round(avg(l_quantity), 2) AS avg_qty,
+           round(avg(l_extendedprice), 2) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a8_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary — the engine's headline wide
+    aggregate: 8 aggregates over a filtered scan, 2-column group key.
+    One scan, one tiny shuffle; whole-stage codegen end to end."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(charge), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "a9_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a9_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (engine-generic; absent in the reference,
+    SURVEY.md §2.4 'no grouping sets' — added as part of the generic
+    surface). NULL group cells mark subtotal rows, as in ANSI."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "a10_pivot",
+    oracle="""
+    SELECT user_bucket,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'error') AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           count(*) FILTER (WHERE event_type = 'view') AS "view"
+    FROM (SELECT user_id % 4 AS user_bucket, event_type FROM events)
+    GROUP BY user_bucket
+    """,
+)
+def a10_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (engine-generic). Explicit pivot values keep it one pass —
+    without them Spark runs an extra distinct job to discover columns."""
+    ev = table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 4).alias("user_bucket"), "event_type"
+    )
+    return (
+        ev.groupBy("user_bucket")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0, ["click", "error", "purchase", "signup", "view"])
+    )
+
+
+@query(
+    "a11_distinct_count",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def a11_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregate (engine-generic; Spark expands this to a
+    two-phase aggregate). For 100 TB cardinality estimation prefer
+    a12_approx_distinct."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@query("a12_approx_distinct", oracle=None)
+def a12_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct + quantiles (HyperLogLog++ / KLL-style
+    sketches) — the scale path for cardinality/quantile estimation; no
+    SQL oracle because sketch internals are engine-specific (rows-only
+    check)."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx("value", 0.5, 10000).alias("approx_median"),
+        )
+    )

@@ -1,0 +1,247 @@
+"""Deduplication operators — exact and near-dup, the training-data path.
+
+The reference's only dedup is pandas drop_duplicates on icon_path
+(reference feature_extractor.py:53-54) and Spark .distinct() (app.py:161).
+A 100 TB corpus needs the full ladder:
+
+- exact (hash-groupBy) — one shuffle on the 128-bit fingerprint;
+- keep-first-per-key (deterministic dropDuplicates);
+- n-gram Jaccard — exact pairwise verification, quadratic candidate space
+  (correct at small scale, the oracle-checkable ground truth);
+- MinHash + LSH banding — the scale path: candidates come from equal
+  (band, signature) buckets, so the pair join only touches colliding
+  docs instead of all O(n^2) pairs;
+- SimHash — 32-bit locality-sensitive fingerprints via map-side agg.
+
+Embedding-cosine near-dup lives with its ANN twin in similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from a3_fp_bigdata_spark.data import table
+from a3_fp_bigdata_spark.functions import text as TX
+from a3_fp_bigdata_spark.operators.text_analysis import _SQL_TOKS
+from a3_fp_bigdata_spark.registry import query
+
+SHINGLE_N = 3
+JACCARD_THRESHOLD = 0.3
+MINHASH_HASHES = 32
+MINHASH_BANDS = 16  # 2 rows/band: ~78% recall at j=0.3, ~99% at j=0.5
+
+
+def shingles(text: Column, n: int = SHINGLE_N) -> Column:
+    """Distinct word n-gram shingles of normalized text (array<string>).
+    Docs shorter than n words yield an empty array (guarded: Spark's
+    sequence() would happily count DOWN for start>stop)."""
+    w = TX.tokens(text)
+    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(w, i + j) for j in range(n)]
+    )
+    return F.when(F.size(w) >= n, F.array_distinct(F.transform(idx, gram))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+# DuckDB rendering of shingles() — keep in sync (1-based list indexing;
+# range(a, b) is half-open so it's empty when len(w) < 3).
+_SQL_SHINGLES = (
+    "list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] "
+    "for i in range(1, len(w) - 1)])"
+)
+
+
+@query(
+    "d1_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS fp, min(doc_id) AS keeper_id, count(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: hash-groupBy on content, keep the smallest id.
+    The only shuffle key is the text itself (in production: its md5,
+    tx4_fingerprint), so partial aggregation collapses copies map-side."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies")
+    ).select(
+        F.md5(F.col("text").cast("binary")).alias("fp"),
+        "keeper_id",
+        "n_copies",
+    )
+
+
+@query(
+    "d2_dedup_keep_first",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM (SELECT doc_id, lang, source,
+                 row_number() OVER (PARTITION BY lang, source
+                                    ORDER BY doc_id) AS rn
+          FROM documents)
+    WHERE rn = 1
+    """,
+)
+def d2_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dropDuplicates: keep the lowest-id row per key.
+    Spark's dropDuplicates keeps an ARBITRARY row (partition-order
+    dependent); a window with an explicit order is the reproducible form."""
+    w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", "lang", "source")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", shingles(F.col("text")).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+
+
+def _exact_jaccard_pairs(sets: DataFrame, threshold: float) -> DataFrame:
+    """All-pairs word-shingle Jaccard >= threshold via an inverted index:
+    explode shingles, self-join on shingle, count common per pair."""
+    ex = sets.select("doc_id", F.explode("sh").alias("shingle"))
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    na = sets.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    nb = sets.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@query(
+    "d3_ngram_jaccard",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, {_SQL_TOKS} AS w FROM documents
+    ), sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS s FROM words
+    ), ex AS (
+      SELECT doc_id, unnest(s) AS shingle FROM sh
+    ), common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM ex a JOIN ex b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), cnt AS (
+      SELECT doc_id, len(s) AS n FROM sh
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 4) AS jaccard
+    FROM common
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= {JACCARD_THRESHOLD}
+    """,
+)
+def d3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs — the ground truth the LSH path
+    approximates. The inverted-index join is quadratic in the worst case;
+    at 100 TB use d4_minhash_lsh and keep this for verification samples."""
+    return _exact_jaccard_pairs(
+        _shingle_sets(spark, sf_dir), JACCARD_THRESHOLD
+    )
+
+
+@query("d4_minhash_lsh", oracle=None)
+def d4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup: shingle -> 32 minhashes -> 16 bands
+    of 2 -> candidate pairs from band-bucket collisions -> exact-Jaccard
+    verification of candidates only.
+
+    This is the 100 TB dedup path: the shuffle is on (band, signature)
+    buckets, so work scales with collisions, not with n^2. Recall at the
+    0.3 threshold is probabilistic (~78%) — no SQL oracle (hash-seed
+    specific); rows-only check + pytest against d3's exact pairs.
+    """
+    sets = _shingle_sets(spark, sf_dir).filter(F.col("n_sh") > 0)
+    ex = sets.select("doc_id", F.explode("sh").alias("shingle"))
+    # 32 seeded minhashes; xxhash64(seed, shingle) is Spark-deterministic.
+    mins = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            for i in range(MINHASH_HASHES)
+        ]
+    )
+    rows_per_band = MINHASH_HASHES // MINHASH_BANDS
+    band_sigs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)]
+                ).alias("sig"),
+            )
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    buckets = mins.select(
+        "doc_id", F.explode(band_sigs).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # Verify candidates exactly: recompute pairwise Jaccard restricted to
+    # the candidate set (left-semi keeps the join pruned).
+    exact = _exact_jaccard_pairs(sets, JACCARD_THRESHOLD)
+    return exact.join(candidates, ["doc_a", "doc_b"], "left_semi")
+
+
+@query("d5_simhash", oracle=None)
+def d5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints: per-token xxhash64, signed bit votes,
+    majority sign per bit. One map-side-combinable aggregate — the
+    cheapest near-dup signal at scale (hamming distance on fingerprints).
+    Rows-only check (hash internals are engine-specific)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(32)
+        ]
+    )
+    simhash = sum(
+        (F.col(f"b{j}") > 0).cast("long") * F.lit(2**j) for j in range(32)
+    )
+    return votes.select("doc_id", simhash.alias("simhash"))

@@ -1,0 +1,157 @@
+"""Joins — SURVEY.md §2.3 rows J1-J3 plus the generic surface.
+
+The reference's only Spark join is one big⋈small left-outer on appId
+(reference spark_script.py:24, 925k x 4.3k rows); its other "joins" are
+driver-side dict merges (app.py:55-65) and a genre->icon lookup with a
+default (producer.py:17-31). Here every shape is a declarative join:
+
+- small dimensions get an explicit `broadcast()` hint — at 100 TB the fact
+  side never shuffles for these joins (broadcast-hash, map-side);
+- semi/anti express EXISTS/NOT EXISTS without materializing the right side;
+- the lookup-with-default becomes a broadcast map literal + coalesce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from a3_fp_bigdata_spark.data import table
+from a3_fp_bigdata_spark.registry import query
+
+
+def left_outer_enrich(
+    fact: DataFrame, dim: DataFrame, on: str | list[str]
+) -> DataFrame:
+    """J1: fact left-outer-joined to a broadcast dimension (reference
+    spark_script.py:24 apps ⋈ image_features). Broadcast keeps the fact
+    side shuffle-free regardless of its size."""
+    return fact.join(broadcast(dim), on=on, how="left_outer")
+
+
+@query(
+    "j1_left_outer_broadcast",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+    FROM orders LEFT OUTER JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def j1_left_outer_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer equi-join, big fact x small dim (J1)."""
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    joined = left_outer_enrich(
+        orders, customer, on=[orders.o_custkey == customer.c_custkey]
+    )
+    return joined.select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+
+
+@query(
+    "j2_inner_join",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, p_name, p_retailprice
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size > 40
+    """,
+)
+def j2_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic inner equi-join with a pushed dimension predicate. The
+    p_size filter is applied before the join, shrinking the broadcast."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(F.col("p_size") > 40)
+    return li.join(broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_orderkey", "l_linenumber", "p_name", "p_retailprice"
+    )
+
+
+@query(
+    "j3_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def j3_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers with at least one big order.
+    Semi joins never duplicate or widen the left side — at scale this is
+    a broadcast of the distinct filtered keys."""
+    cust = table(spark, sf_dir, "customer")
+    big = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return cust.join(
+        big, cust.c_custkey == big.o_custkey, how="left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "j4_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j4_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no orders."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, how="left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "j5_multiway_join",
+    oracle="""
+    SELECT r_name, count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def j5_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiway star join + aggregate. Both dims broadcast; the only
+    shuffle is the final group-by on a 5-value key."""
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (
+        cust.join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@query(
+    "j6_lookup_with_default",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(CASE event_type
+                WHEN 'click' THEN 1.0 WHEN 'view' THEN 0.5
+                WHEN 'purchase' THEN 5.0 ELSE 0.1 END AS DOUBLE) AS weight
+    FROM events
+    """,
+)
+def j6_lookup_with_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension lookup with a default key (J3; reference producer.py:17-31
+    genre->icon-category map with 'default' fallback). A map literal is
+    evaluated per-row JVM-side — no join, no shuffle."""
+    weights = F.create_map(
+        F.lit("click"), F.lit(1.0),
+        F.lit("view"), F.lit(0.5),
+        F.lit("purchase"), F.lit(5.0),
+    )
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.coalesce(weights[F.col("event_type")], F.lit(0.1)).alias("weight"),
+    )

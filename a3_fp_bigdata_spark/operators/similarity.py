@@ -1,0 +1,199 @@
+"""Similarity search over the embedding column (array<float>).
+
+Two paths, as a 100 TB vector corpus demands:
+
+- sim1: brute-force cosine top-k — exact, one scan, no shuffle (the
+  query vector rides along as a broadcast 1-row side). Linear in corpus
+  size; the baseline and the verifier.
+- sim2: LSH-bucketed ANN (random-hyperplane signs) — candidates come
+  from one signature bucket, so the scan's cosine work drops by the
+  bucket fan-out (~2^n_planes). Hyperplanes here are data rows
+  (vec_id 1..8) so the oracle can reproduce the exact same buckets in
+  SQL; a production deployment uses fixed seeded planes (same algebra).
+- d6 twin: all-pairs cosine near-dup (the dedup ladder's last rung).
+
+All dot products run JVM-side via zip_with + aggregate over doubles —
+no Python, no UDF. Cosine is computed as dot/(sqrt(na)*sqrt(nb)) with
+the same association on both engines so rounded values match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from a3_fp_bigdata_spark.data import table
+from a3_fp_bigdata_spark.registry import query
+
+NEARDUP_COSINE = 0.4
+N_PLANES = 8
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i in double precision (float->double widening is exact)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+# DuckDB rendering: widen to double BEFORE list_dot_product so both
+# engines accumulate in f64 elementwise in index order.
+_SQL_D = "list_transform({col}, x -> CAST(x AS DOUBLE))"
+_SQL_DOT = "list_dot_product({a}, {b})"
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+@query(
+    "sim1_cosine_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT {_SQL_D.format(col='embedding')} AS qe
+      FROM embeddings WHERE vec_id = 0
+    ), s AS (
+      SELECT vec_id, {_SQL_D.format(col='embedding')} AS e
+      FROM embeddings WHERE vec_id <> 0
+    )
+    SELECT vec_id, round({_sql_cos('e', 'qe')}, 4) AS cosine
+    FROM s, q
+    ORDER BY round({_sql_cos('e', 'qe')}, 4) DESC, vec_id
+    LIMIT 10
+    """,
+)
+def sim1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against the vec_id=0 query vector.
+    TakeOrderedAndProject keeps it a distributed partial top-k; ordering
+    on the ROUNDED score + vec_id makes the cut deterministic across
+    engines."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    s = emb.filter(F.col("vec_id") != 0)
+    cos = F.round(cosine(F.col("embedding"), F.col("q_emb")), 4)
+    return (
+        s.crossJoin(F.broadcast(q))
+        .select("vec_id", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def _buckets(emb: DataFrame, planes: DataFrame) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector: bit i = sign of the
+    dot with plane i. planes is a tiny broadcast side (N_PLANES rows)."""
+    crossed = emb.crossJoin(F.broadcast(planes))
+    bit = F.when(
+        dot(F.col("embedding"), F.col("p_emb")) > 0,
+        F.pow(F.lit(2.0), F.col("pid") - 1).cast("long"),
+    ).otherwise(F.lit(0))
+    return crossed.groupBy("vec_id").agg(
+        F.sum(bit).cast("long").alias("bucket")
+    )
+
+
+@query(
+    "sim2_lsh_ann",
+    oracle=f"""
+    WITH planes AS (
+      SELECT vec_id AS pid, {_SQL_D.format(col='embedding')} AS pe
+      FROM embeddings WHERE vec_id BETWEEN 1 AND {N_PLANES}
+    ), vecs AS (
+      SELECT vec_id, {_SQL_D.format(col='embedding')} AS e FROM embeddings
+    ), bucketed AS (
+      SELECT v.vec_id,
+             CAST(sum(CASE WHEN list_dot_product(v.e, p.pe) > 0
+                           THEN CAST(power(2, p.pid - 1) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS bucket
+      FROM vecs v CROSS JOIN planes p
+      GROUP BY v.vec_id
+    ), q AS (
+      SELECT b.bucket AS qbucket, v.e AS qe
+      FROM bucketed b JOIN vecs v USING (vec_id) WHERE b.vec_id = 0
+    )
+    SELECT b.vec_id, round({_sql_cos('v.e', 'q.qe')}, 4) AS cosine
+    FROM bucketed b
+    JOIN vecs v USING (vec_id)
+    CROSS JOIN q
+    WHERE b.bucket = q.qbucket AND b.vec_id <> 0
+    ORDER BY round({_sql_cos('v.e', 'q.qe')}, 4) DESC, b.vec_id
+    LIMIT 5
+    """,
+)
+def sim2_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH: bucket every vector by the sign
+    pattern of {N_PLANES} hyperplane dots, then rank only the query's
+    bucket. At scale the bucket id is a partition key — the candidate
+    scan touches ~corpus/2^planes vectors instead of all of them."""
+    emb = table(spark, sf_dir, "embeddings")
+    planes = emb.filter(
+        (F.col("vec_id") >= 1) & (F.col("vec_id") <= N_PLANES)
+    ).select(F.col("vec_id").alias("pid"), F.col("embedding").alias("p_emb"))
+    buckets = _buckets(emb, planes)
+    with_bucket = emb.join(buckets, "vec_id")
+    qside = with_bucket.filter(F.col("vec_id") == 0).select(
+        F.col("bucket").alias("qbucket"), F.col("embedding").alias("q_emb")
+    )
+    cos = F.round(cosine(F.col("embedding"), F.col("q_emb")), 4)
+    return (
+        with_bucket.filter(F.col("vec_id") != 0)
+        .join(
+            F.broadcast(qside), F.col("bucket") == F.col("qbucket"), "inner"
+        )
+        .select("vec_id", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+@query(
+    "d6_embedding_neardup",
+    oracle=f"""
+    WITH vecs AS (
+      SELECT vec_id, {_SQL_D.format(col='embedding')} AS e FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_sql_cos('a.e', 'b.e')}, 4) AS cosine
+    FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+    WHERE {_sql_cos('a.e', 'b.e')} >= {NEARDUP_COSINE}
+    """,
+)
+def d6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs embedding cosine near-dup (threshold {NEARDUP_COSINE}).
+    Quadratic — correct at verification scale; the 100 TB path runs
+    sim2-style bucketing first and this only within buckets."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(cos, 4))
+        .filter(cos >= NEARDUP_COSINE)
+        .select("vec_a", "vec_b", "cosine")
+    )

@@ -1,0 +1,174 @@
+"""Text-analysis operators over the documents table.
+
+Covers the reference's text logic (F1 keyword extraction app.py:81-96,
+F2 token-overlap matching app_scraper.py:13-39) and the training-data
+pipeline primitives: language id, quality scoring, token counting,
+fingerprinting. All pure Column expressions (functions/text.py) — no
+Python UDFs, so at 100 TB these run at parquet scan speed inside
+whole-stage codegen with zero shuffle (except the explode in F1, which
+is a narrow transformation anyway).
+
+Oracle parity: the DuckDB SQL embeds the exact same normalization
+pipeline (lower -> punct->space -> squeeze -> trim -> split) and the same
+vocabulary literals, so value hashes match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from a3_fp_bigdata_spark.data import table
+from a3_fp_bigdata_spark.functions import text as TX
+from a3_fp_bigdata_spark.registry import query
+
+# DuckDB rendering of functions.text.normalize / tokens — keep in sync.
+_SQL_NORM = (
+    r"trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),"
+    r" '\s+', ' ', 'g'))"
+)
+_SQL_TOKS = f"list_filter(string_split({_SQL_NORM}, ' '), t -> length(t) > 0)"
+
+_QUERY_TOKENS = ("spark", "shuffle", "merge", "sort", "hash")
+
+
+@query(
+    "f1_extract_keywords",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+    )
+    SELECT doc_id, tok AS keyword
+    FROM toks
+    WHERE length(tok) >= 3 AND tok NOT IN ({TX.sql_quoted_list(TX.STOPWORDS)})
+    """,
+)
+def f1_extract_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: per-document keyword stream (normalize -> tokenize -> drop
+    stopwords/short tokens -> explode). Reference app.py:93-96 did this
+    row-at-a-time in Python; here it's one codegen'd expression."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(TX.keywords(F.col("text"))).alias("keyword")
+    )
+
+
+@query(
+    "f2_token_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct({_SQL_TOKS}) AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_intersect(t, [{TX.sql_quoted_list(_QUERY_TOKENS)}]))
+                AS INT) AS common_cnt
+    FROM toks
+    WHERE len(list_intersect(t, [{TX.sql_quoted_list(_QUERY_TOKENS)}])) >= 3
+    """,
+)
+def f2_token_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: token-set overlap matching (reference compare_titles,
+    app_scraper.py:13-39: >= 3 common tokens). The probe token set is a
+    literal array, so the predicate is a broadcast-free scan filter."""
+    docs = table(spark, sf_dir, "documents")
+    probe = F.array(*[F.lit(t) for t in _QUERY_TOKENS])
+    common = TX.token_overlap_count(TX.tokens(F.col("text")), probe)
+    return (
+        docs.select("doc_id", common.alias("common_cnt"))
+        .filter(F.col("common_cnt") >= 3)
+    )
+
+
+@query(
+    "tx1_lang_id",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+    ), scored AS (
+      SELECT doc_id,
+             CAST(len(list_filter(t, w -> w IN
+                  ({TX.sql_quoted_list(TX.EN_FUNCTION_WORDS)}))) AS DOUBLE)
+             / greatest(len(t), 1) AS ratio
+      FROM toks
+    )
+    SELECT doc_id, round(ratio, 4) AS en_ratio,
+           CASE WHEN ratio >= 0.12 THEN 'en' ELSE 'other' END AS lang_guess
+    FROM scored
+    """,
+)
+def tx1_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language id via function-word ratio (n-gram heuristic). Exact
+    rational arithmetic -> reproducible on any engine."""
+    docs = table(spark, sf_dir, "documents")
+    ratio = TX.stopword_ratio(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.round(ratio, 4).alias("en_ratio"),
+        TX.lang_guess(F.col("text")).alias("lang_guess"),
+    )
+
+
+@query(
+    "tx2_quality_score",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text, {_SQL_TOKS} AS t FROM documents
+    ), comps AS (
+      SELECT doc_id,
+             least(len(t) / 50.0, 1.0) AS len_c,
+             CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                  AS DOUBLE) / greatest(length(text), 1) AS alpha_c,
+             least(4 * CAST(len(list_filter(t, w -> w IN
+                  ({TX.sql_quoted_list(TX.EN_FUNCTION_WORDS)}))) AS DOUBLE)
+                  / greatest(len(t), 1), 1.0) AS stop_c
+      FROM base
+    )
+    SELECT doc_id,
+           round(len_c / 3 + alpha_c / 3 + stop_c / 3, 4) AS quality
+    FROM comps
+    """,
+)
+def tx2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length saturation + alphabetic purity + stopword
+    presence (the filter stage of a pretraining data pipeline)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(TX.quality_score(F.col("text")), 4).alias("quality"),
+    )
+
+
+@query(
+    "tx3_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_SQL_TOKS}) AS INT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(lower(text),
+                '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def tx3_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex count (letter
+    runs / digit runs / lone symbols) — the cost model for tokenizer
+    budgeting over a corpus."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.ws_token_count(F.col("text")).alias("n_ws_tokens"),
+        TX.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+@query(
+    "tx4_fingerprint",
+    oracle=f"""
+    SELECT doc_id, md5({_SQL_NORM}) AS fp
+    FROM documents
+    """,
+)
+def tx4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over normalized text — the exact-dedup
+    key (128-bit, collision-safe at 100 TB)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))

@@ -1,0 +1,97 @@
+"""Replicates the driver's correctness gate: run every registered query
+on Spark AND its DuckDB oracle on the same parquet, then compare
+row counts, column names, and order-insensitive values.
+
+This is the test that must stay green — it is exactly what
+CORRECTNESS_r{N}.json measures.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from a3_fp_bigdata_spark import registry
+from tests.conftest import SF0001
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 6)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def as_sorted_rows(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(normalize_cell(r[i]) for i in idx) for r in rows]
+    return sorted(out, key=repr)
+
+
+ALL = registry.all_queries()
+ORACLES = registry.all_oracles()
+
+
+@pytest.mark.parametrize("name", [n for n in ALL if n in ORACLES])
+def test_query_matches_oracle(spark, name):
+    sf_dir = SF0001
+    sdf = ALL[name](spark, sf_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duck_con(sf_dir)
+    res = con.execute(ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    con.close()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    s_sorted = as_sorted_rows(spark_cols, spark_rows)
+    d_sorted = as_sorted_rows(duck_cols, duck_rows)
+    mismatches = [
+        (a, b) for a, b in zip(s_sorted, d_sorted) if a != b
+    ][:5]
+    assert s_sorted == d_sorted, f"{name}: value mismatch, first diffs: {mismatches}"
+
+
+@pytest.mark.parametrize("name", [n for n in ALL if n not in ORACLES])
+def test_rows_only_queries_run(spark, name):
+    sdf = ALL[name](spark, SF0001)
+    assert sdf.count() >= 0
+    assert len(sdf.columns) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema) > 0
+
+
+def test_oracle_keys_subset():
+    assert set(ORACLES) <= set(ALL)
