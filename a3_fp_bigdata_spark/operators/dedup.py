@@ -18,7 +18,7 @@ Embedding-cosine near-dup lives with its ANN twin in similarity.py.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from a3_fp_bigdata_spark.data import table
@@ -32,21 +32,7 @@ MINHASH_HASHES = 32
 MINHASH_BANDS = 16  # 2 rows/band: ~78% recall at j=0.3, ~99% at j=0.5
 
 
-def shingles(text: Column, n: int = SHINGLE_N) -> Column:
-    """Distinct word n-gram shingles of normalized text (array<string>).
-    Docs shorter than n words yield an empty array (guarded: Spark's
-    sequence() would happily count DOWN for start>stop)."""
-    w = TX.tokens(text)
-    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(w, i + j) for j in range(n)]
-    )
-    return F.when(F.size(w) >= n, F.array_distinct(F.transform(idx, gram))).otherwise(
-        F.array().cast("array<string>")
-    )
-
-
-# DuckDB rendering of shingles() — keep in sync (1-based list indexing;
+# DuckDB rendering of _shingle_rows() — keep in sync (1-based list indexing;
 # range(a, b) is half-open so it's empty when len(w) < 3).
 _SQL_SHINGLES = (
     "list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] "
@@ -100,17 +86,43 @@ def d2_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingle_rows(spark: SparkSession, sf_dir: str, n: int = SHINGLE_N) -> DataFrame:
+    """Distinct (doc_id, shingle) rows via posexplode + window lead.
+
+    Deliberately relational instead of array-typed: an array-of-shingles
+    column tempts Catalyst to push `size(...) > 0` filters below the
+    projection, re-inlining the tokenizer inside a per-element lambda
+    (measured 100x slower). Rows + lead() keep every expression cheap
+    and the plan codegen-friendly; the doc_id window shuffle is tiny
+    (token rows, not pairs) and at scale it's a standard repartition.
+    """
     docs = table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", shingles(F.col("text")).alias("sh")
-    ).withColumn("n_sh", F.size("sh"))
+    toks = docs.select(
+        "doc_id", F.posexplode(TX.tokens(F.col("text"))).alias("pos", "word")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    lead1, lead2 = F.lead("word", 1).over(w), F.lead("word", 2).over(w)
+    return (
+        toks.select(
+            "doc_id",
+            F.concat_ws(" ", "word", lead1, lead2).alias("shingle"),
+            lead2.alias("_tail"),
+        )
+        .filter(F.col("_tail").isNotNull())  # full n-grams only
+        .select("doc_id", "shingle")
+        .distinct()
+    )
 
 
-def _exact_jaccard_pairs(sets: DataFrame, threshold: float) -> DataFrame:
+def _shingle_counts(ex: DataFrame) -> DataFrame:
+    return ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+
+
+def _exact_jaccard_pairs(ex: DataFrame, threshold: float) -> DataFrame:
     """All-pairs word-shingle Jaccard >= threshold via an inverted index:
-    explode shingles, self-join on shingle, count common per pair."""
-    ex = sets.select("doc_id", F.explode("sh").alias("shingle"))
+    self-join the distinct (doc_id, shingle) rows on shingle, count
+    common shingles per pair."""
+    sets = _shingle_counts(ex)
     a, b = ex.alias("a"), ex.alias("b")
     common = (
         a.join(
@@ -165,7 +177,7 @@ def d3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximates. The inverted-index join is quadratic in the worst case;
     at 100 TB use d4_minhash_lsh and keep this for verification samples."""
     return _exact_jaccard_pairs(
-        _shingle_sets(spark, sf_dir), JACCARD_THRESHOLD
+        _shingle_rows(spark, sf_dir), JACCARD_THRESHOLD
     )
 
 
@@ -180,8 +192,7 @@ def d4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.3 threshold is probabilistic (~78%) — no SQL oracle (hash-seed
     specific); rows-only check + pytest against d3's exact pairs.
     """
-    sets = _shingle_sets(spark, sf_dir).filter(F.col("n_sh") > 0)
-    ex = sets.select("doc_id", F.explode("sh").alias("shingle"))
+    ex = _shingle_rows(spark, sf_dir)
     # 32 seeded minhashes; xxhash64(seed, shingle) is Spark-deterministic.
     mins = ex.groupBy("doc_id").agg(
         *[
@@ -219,7 +230,7 @@ def d4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Verify candidates exactly: recompute pairwise Jaccard restricted to
     # the candidate set (left-semi keeps the join pruned).
-    exact = _exact_jaccard_pairs(sets, JACCARD_THRESHOLD)
+    exact = _exact_jaccard_pairs(ex, JACCARD_THRESHOLD)
     return exact.join(candidates, ["doc_a", "doc_b"], "left_semi")
 
 

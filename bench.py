@@ -1,0 +1,81 @@
+"""Benchmark harness — one JSON line for the driver (BENCH_r{N}.json).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS], forcing full execution through the noop sink
+(count() would let Catalyst prune the compute we want to measure).
+
+Usage: python bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from a3_fp_bigdata_spark import registry
+from a3_fp_bigdata_spark.session import local_session
+
+#: Headline set: one per operator family, covering scan/filter/top-k,
+#: broadcast + multiway joins, wide aggs, windows, sessionization,
+#: event-time windows, text analysis, dedup (exact + near-dup), and
+#: vector similarity.
+HEADLINE = [
+    "a8_tpch_q1",
+    "t1_topk_multikey",
+    "j1_left_outer_broadcast",
+    "j5_multiway_join",
+    "w1_topk_per_group",
+    "w5_sessionize",
+    "st1_tumbling_window",
+    "f1_extract_keywords",
+    "tx2_quality_score",
+    "d1_exact_dedup",
+    "d3_ngram_jaccard",
+    "d4_minhash_lsh",
+    "sim1_cosine_topk",
+    "srv_top_apps",
+]
+
+
+def force(df) -> None:
+    """Execute the full plan without collecting to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = local_session(app_name="a3-bench")
+    queries = registry.all_queries()
+
+    # Warm the JVM/IO path once with a cheap query so the first timed
+    # query doesn't pay session spin-up costs.
+    force(queries["t1_topk_multikey"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        force(queries[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
