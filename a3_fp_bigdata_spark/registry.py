@@ -67,6 +67,7 @@ def _load_all_modules() -> None:
         windows,
     )
     from a3_fp_bigdata_spark import serving  # noqa: F401
+    from a3_fp_bigdata_spark.ml import pipelines  # noqa: F401
     from a3_fp_bigdata_spark.streaming import batch_windows  # noqa: F401
 
 

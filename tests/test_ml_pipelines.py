@@ -1,0 +1,86 @@
+"""ML pipeline invariants (SURVEY §2.11 M1-M9).
+
+KMeans/RF outputs are seed/impl-specific, so these tests pin structural
+invariants rather than exact floats (SURVEY §5): stage composition, full
+row coverage on transform, k distinct clusters, a finite RMSE bound, and
+PipelineModel save/load round-trip (reference spark_script.py:145-149).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from a3_fp_bigdata_spark.data import table
+from a3_fp_bigdata_spark.ml import pipelines as P
+from tests.conftest import SF0001
+
+
+@pytest.fixture(scope="module")
+def fitted(spark):
+    return P.fit_transform(spark, SF0001)
+
+
+def test_feature_frame_keeps_all_customers(spark):
+    feats = P.customer_features(spark, SF0001)
+    n_cust = table(spark, SF0001, "customer").count()
+    assert feats.count() == n_cust  # left-outer keeps orderless customers
+
+
+def test_transform_covers_all_rows(spark, fitted):
+    final, _, _, _ = fitted
+    n_cust = table(spark, SF0001, "customer").count()
+    assert final.count() == n_cust  # fit on subset, transform on ALL rows
+
+
+def test_kmeans_k_clusters(fitted):
+    final, _, _, _ = fitted
+    clusters = {r.cluster for r in final.select("cluster").distinct().collect()}
+    assert clusters <= set(range(P.KMEANS_K))
+    assert len(clusters) >= 2  # degenerate single-cluster fit would be a bug
+
+
+def test_rmse_finite_and_bounded(spark, fitted):
+    _, _, _, rmse = fitted
+    assert math.isfinite(rmse) and rmse >= 0
+    # RF must beat the trivial predict-the-mean model's RMSE (= stddev).
+    train = P.customer_features(spark, SF0001).filter(
+        F.col(P.RF_LABEL).isNotNull()
+    )
+    stddev = train.agg(F.stddev_pop(P.RF_LABEL)).first()[0]
+    assert rmse < stddev
+
+
+def test_pipeline_stage_composition():
+    km = [type(s).__name__ for s in P.build_kmeans_pipeline().getStages()]
+    rf = [type(s).__name__ for s in P.build_rf_pipeline().getStages()]
+    assert km == [
+        "Imputer", "StringIndexer", "VectorAssembler", "StandardScaler", "KMeans"
+    ]
+    assert rf == ["Imputer", "StringIndexer", "VectorAssembler",
+                  "RandomForestRegressor"]
+
+
+def test_model_save_load_roundtrip(spark, fitted, tmp_path):
+    """S6: model sink/source (spark_script.py:145-149; app.py:7)."""
+    from pyspark.ml import PipelineModel
+
+    _, km_model, _, _ = fitted
+    path = str(tmp_path / "km_model")
+    km_model.write().overwrite().save(path)
+    reloaded = PipelineModel.load(path)
+    df = P.customer_features(spark, SF0001).limit(50)
+    a = {r.c_custkey: r.cluster for r in km_model.transform(df).collect()}
+    b = {r.c_custkey: r.cluster for r in reloaded.transform(df).collect()}
+    assert a == b
+
+
+def test_final_schema_shape(fitted):
+    final, _, _, _ = fitted
+    assert final.columns == [
+        "c_custkey", "c_acctbal", "c_mktsegment", "order_cnt",
+        "total_spent", "avg_order", "cluster", "PredictedRating",
+    ]
+    assert dict(final.dtypes)["cluster"] == "int"
