@@ -1,0 +1,79 @@
+"""Kafka edge (S7, S8) + the JSON payload codec both directions share.
+
+The reference's producer/consumer are row-at-a-time Python Kafka clients
+(producer.py:34-48 json.dumps per row; consumer.py:74-95 poll loop +
+json.loads). Spark-first, both collapse into DataFrame transforms around
+the built-in kafka connector:
+
+    stream = kafka_source(spark, "broker:9092", "topic")      # S8
+    parsed = parse_payload(stream, schema)                     # from_json
+    ...
+    to_payload(df, key_col="appId").write.format("kafka")...   # S7
+
+``to_payload`` / ``parse_payload`` are pure column transforms — they work
+identically on batch and streaming frames, so the codec is unit-testable
+without a broker (and IS, in tests + the src2 registry query). The broker
+round-trip itself needs the kafka connector JAR + a broker, neither of
+which exists in this container; ``kafka_source``/``kafka_sink_options``
+only construct the plan/options and raise a clear error if the connector
+is absent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+#: to_json's default timestamp format is millisecond-precision; pin a
+#: microsecond format on BOTH directions so the codec is lossless for
+#: TimestampType (micros is Spark's native resolution).
+_JSON_OPTS = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}
+
+
+def to_payload(df: DataFrame, key_col: str | None = None) -> DataFrame:
+    """S7 codec: one JSON message per row — ``value`` is the whole row as
+    JSON (NaN/None serialize to JSON null, matching producer.py:84's
+    NaN-scrub), ``key`` an optional partitioning column cast to string."""
+    cols: list[Column] = [
+        F.to_json(F.struct(*df.columns), _JSON_OPTS).alias("value")
+    ]
+    if key_col is not None:
+        cols.insert(0, F.col(key_col).cast("string").alias("key"))
+    return df.select(*cols)
+
+
+def parse_payload(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """S8 codec: JSON ``value`` -> typed columns via ``from_json``.
+    Unparseable messages yield a row of nulls (PERMISSIVE) rather than
+    killing the stream — the reference's consumer likewise skips bad
+    records (consumer.py:80-83)."""
+    return df.select(
+        F.from_json(F.col("value").cast("string"), schema, _JSON_OPTS).alias("r")
+    ).select("r.*")
+
+
+def kafka_source(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    *,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """S8: streaming Kafka source (consumer.py:74-79 re-expressed).
+    ``earliest`` mirrors the reference's auto_offset_reset."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+
+
+def kafka_sink_options(brokers: str, topic: str) -> dict[str, str]:
+    """S7: writer options for ``df.write/writeStream.format('kafka')``.
+    Delivery is at-least-once like the reference's retries=3 producer
+    (producer.py:43-48); exactly-once needs idempotent downstream keys."""
+    return {"kafka.bootstrap.servers": brokers, "topic": topic}

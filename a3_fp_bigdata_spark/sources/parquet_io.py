@@ -1,0 +1,59 @@
+"""Parquet scan/sink + versioned-path discovery (S2-S5, S12).
+
+Reference behavior re-expressed:
+- S2/S3: ``spark.read.parquet(...)`` (+ ``.cache()`` for the serving
+  table, reference app.py:114).
+- S4: ``find_latest_data_path`` — pick the most recent timestamped
+  ``api_app_info_*`` output dir (app.py:98-108). Kept as a tiny driver
+  util; on a real lake this is a catalog/Delta-version lookup, so the
+  scan stays O(#versions), never O(data).
+- S5: overwrite-mode parquet sink (spark_script.py:153), snappy default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S2: plain parquet scan — vectorized reader, pushdown-capable."""
+    return spark.read.parquet(path)
+
+
+def read_serving_table(spark: SparkSession, path: str) -> DataFrame:
+    """S3: serving-table load pinned in memory (app.py:114). The eager
+    count materializes the cache so first-query latency is paid once at
+    startup, exactly like the reference's warm-up."""
+    df = spark.read.parquet(path).cache()
+    df.count()
+    return df
+
+
+def find_latest_data_path(base_dir: str, prefix: str) -> str | None:
+    """S4: newest ``{prefix}*`` subdirectory by mtime (app.py:98-108).
+    Driver-side listing of version dirs only — never lists data files."""
+    try:
+        candidates = [
+            os.path.join(base_dir, d)
+            for d in os.listdir(base_dir)
+            if d.startswith(prefix)
+            and os.path.isdir(os.path.join(base_dir, d))
+        ]
+    except FileNotFoundError:
+        return None
+    return max(candidates, key=os.path.getmtime) if candidates else None
+
+
+def write_parquet_overwrite(
+    df: DataFrame, path: str, *, partition_by: tuple[str, ...] = ()
+) -> None:
+    """S5: overwrite parquet sink. ``partition_by`` is the scale lever the
+    reference lacked: partitioned layout gives downstream readers
+    partition pruning (a date/category predicate skips whole directories
+    at 100 TB)."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

@@ -1,0 +1,74 @@
+"""Registry queries exercising the source/sink edge (SURVEY §2.1).
+
+Each runs a real write+read round-trip through a sources/ codec and is
+checked against a DuckDB oracle reading the ORIGINAL parquet — so a bug
+in either direction of the codec shows up as a value-hash mismatch.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from a3_fp_bigdata_spark.data import table
+from a3_fp_bigdata_spark.registry import query
+from a3_fp_bigdata_spark.schemas import TESTDATA
+from a3_fp_bigdata_spark.sources import csv_io, kafka_io
+
+
+def _scratch(name: str, sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), f"a3_src_{name}_{tag}")
+
+
+@query(
+    "src1_csv_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    """,
+)
+def src1_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S9: customer -> CSV directory (distributed append writer) ->
+    schema-declared permissive scan (spark_script.py:168 re-expressed).
+    Exactness of the double column proves the writer emits round-trip-safe
+    representations; the oracle reads the original parquet."""
+    path = _scratch("csv1", sf_dir)
+    cust = table(spark, sf_dir, "customer")
+    cust.write.mode("overwrite").option("header", True).csv(path)
+    return csv_io.read_csv_dir(spark, path, TESTDATA["customer"]).select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+
+
+@query(
+    "src2_json_roundtrip",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS total_value,
+           max(ts) AS max_ts,
+           count(user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def src2_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7+S8 codec: events -> to_json payload (producer.py:45's
+    json.dumps analog) -> from_json back to typed columns
+    (consumer.py:77's json.loads analog) -> aggregate. Checks the full
+    type surface survives the codec: long, timestamp, double, string,
+    nested-JSON-in-string."""
+    import pyspark.sql.functions as F
+
+    ev = table(spark, sf_dir, "events")
+    payload = kafka_io.to_payload(ev, key_col="event_id")
+    parsed = kafka_io.parse_payload(payload, TESTDATA["events"])
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.max("ts").alias("max_ts"),
+        F.count("user_id").alias("n_users"),
+    )

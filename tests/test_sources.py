@@ -1,0 +1,115 @@
+"""Source/sink edge tests (SURVEY §2.1 S1-S12)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from a3_fp_bigdata_spark.data import table
+from a3_fp_bigdata_spark.schemas import TESTDATA
+from a3_fp_bigdata_spark.sources import csv_io, kafka_io, parquet_io
+from tests.conftest import SF0001
+
+
+def test_csv_roundtrip_exact(spark, tmp_path):
+    path = str(tmp_path / "csv")
+    nation = table(spark, SF0001, "nation")
+    nation.write.option("header", True).csv(path)
+    back = csv_io.read_csv_dir(spark, path, TESTDATA["nation"])
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, nation.collect())
+    )
+
+
+def test_csv_permissive_malformed_row(spark, tmp_path):
+    """A malformed numeric field nulls out, never kills the scan."""
+    p = tmp_path / "bad"
+    p.mkdir()
+    (p / "part.csv").write_text(
+        "n_nationkey,n_name,n_regionkey\n1,FRANCE,0\nnotanint,GERMANY,1\n"
+    )
+    rows = csv_io.read_csv_dir(spark, str(p), TESTDATA["nation"]).collect()
+    assert len(rows) == 2
+    bad = [r for r in rows if r.n_name == "GERMANY"][0]
+    assert bad.n_nationkey is None
+
+
+def test_csv_append_batches(spark, tmp_path):
+    path = str(tmp_path / "batches")
+    nation = table(spark, SF0001, "nation")
+    csv_io.append_csv_batch(nation, path)
+    csv_io.append_csv_batch(nation, path)
+    back = csv_io.read_csv_dir(spark, path, TESTDATA["nation"])
+    assert back.count() == 2 * nation.count()
+
+
+def test_parquet_overwrite_and_partitioning(spark, tmp_path):
+    path = str(tmp_path / "pq")
+    ev = table(spark, SF0001, "events")
+    parquet_io.write_parquet_overwrite(
+        ev, path, partition_by=("event_type",)
+    )
+    # partitioned layout -> one subdir per event_type (partition pruning)
+    subdirs = {d for d in os.listdir(path) if d.startswith("event_type=")}
+    n_types = ev.select("event_type").distinct().count()
+    assert len(subdirs) == n_types
+    back = parquet_io.read_parquet(spark, path)
+    assert back.count() == ev.count()
+    # overwrite replaces, not appends
+    parquet_io.write_parquet_overwrite(ev.limit(10), path)
+    assert parquet_io.read_parquet(spark, path).count() == 10
+
+
+def test_latest_path_discovery(tmp_path):
+    assert parquet_io.find_latest_data_path(str(tmp_path), "api_") is None
+    old = tmp_path / "api_20250101"
+    new = tmp_path / "api_20250201"
+    other = tmp_path / "model_x"
+    for d in (old, new, other):
+        d.mkdir()
+    os.utime(old, (time.time() - 100, time.time() - 100))
+    assert parquet_io.find_latest_data_path(str(tmp_path), "api_") == str(new)
+
+
+def test_kafka_payload_codec_roundtrip(spark):
+    ev = table(spark, SF0001, "events").limit(200)
+    payload = kafka_io.to_payload(ev, key_col="event_id")
+    assert payload.columns == ["key", "value"]
+    parsed = kafka_io.parse_payload(payload, TESTDATA["events"])
+    a = sorted(map(tuple, parsed.collect()))
+    b = sorted(map(tuple, ev.collect()))
+    assert a == b
+
+
+def test_payload_null_handling(spark):
+    """Nulls survive the codec as JSON nulls (producer.py:84 analog)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, 3.5)], "id long, value double"
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("value", T.DoubleType())]
+    )
+    parsed = kafka_io.parse_payload(kafka_io.to_payload(df), schema)
+    got = {r.id: r.value for r in parsed.collect()}
+    assert got == {1: None, 2: 3.5}
+
+
+def test_parse_payload_malformed_json(spark):
+    bad = spark.createDataFrame([("{not json",), ('{"event_id": 7}',)], "value string")
+    parsed = kafka_io.parse_payload(bad, TESTDATA["events"])
+    rows = parsed.collect()
+    assert len(rows) == 2
+    assert {r.event_id for r in rows} == {None, 7}
+
+
+def test_kafka_source_plan_or_clear_error(spark):
+    """Without the kafka connector JAR, constructing the source raises a
+    clear AnalysisException mentioning the missing data source — not an
+    obscure failure later at runtime."""
+    try:
+        kafka_io.kafka_source(spark, "localhost:9092", "t")
+    except Exception as e:  # pragma: no cover - depends on classpath
+        assert "kafka" in str(e).lower()
