@@ -69,7 +69,7 @@ def _load_all_modules() -> None:
     from a3_fp_bigdata_spark import serving  # noqa: F401
     from a3_fp_bigdata_spark.ml import pipelines  # noqa: F401
     from a3_fp_bigdata_spark.sources import queries as source_queries  # noqa: F401
-    from a3_fp_bigdata_spark.streaming import batch_windows  # noqa: F401
+    from a3_fp_bigdata_spark.streaming import batch_windows, ingest  # noqa: F401
 
 
 def all_queries() -> dict[str, QueryFn]:

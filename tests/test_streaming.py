@@ -1,0 +1,60 @@
+"""Structured Streaming tests (SURVEY §2.9) — all Trigger.AvailableNow
+over the finite driver parquet, so results are deterministic and equal
+their batch twins (SURVEY §7: never wall clock in tests)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from a3_fp_bigdata_spark.data import table
+from a3_fp_bigdata_spark.schemas import TESTDATA
+from a3_fp_bigdata_spark.sources import csv_io
+from a3_fp_bigdata_spark.streaming import batch_windows, ingest
+from tests.conftest import SF0001
+
+
+def test_stream_tumbling_equals_batch_twin(spark):
+    streamed = ingest.run_available_now(
+        ingest.windowed_counts(ingest.stream_events(spark, SF0001))
+    )
+    batch = batch_windows.tumbling_counts(table(spark, SF0001, "events"))
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+
+def test_stream_dedup_keys_equal_distinct(spark):
+    streamed = ingest.run_available_now(
+        ingest.dedup_keys(ingest.stream_events(spark, SF0001)),
+        output_mode="append",
+    )
+    batch = table(spark, SF0001, "events").select("user_id", "event_type").distinct()
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+
+def test_micro_batch_csv_sink_roundtrip(spark, tmp_path):
+    """The consumer loop analog (ST2-ST5): stream -> foreachBatch CSV
+    batches -> scan back; no row lost or duplicated (exactly-once via
+    checkpoint)."""
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    ev = ingest.stream_events(spark, SF0001)
+    q = ingest.micro_batch_csv_sink(ev, out, cp)
+    q.awaitTermination()
+    assert not q.isActive  # ST4: drained and stopped
+
+    batch_dirs = glob.glob(os.path.join(out, "batch=*"))
+    assert batch_dirs  # at least one non-empty micro-batch written
+    back = csv_io.read_csv_dir(spark, os.path.join(out, "batch=*"), TESTDATA["events"])
+    n_src = table(spark, SF0001, "events").count()
+    assert back.count() == n_src
+    # restart with the same checkpoint: no new input -> no new batches
+    q2 = ingest.micro_batch_csv_sink(ingest.stream_events(spark, SF0001), out, cp)
+    q2.awaitTermination()
+    back2 = csv_io.read_csv_dir(
+        spark, os.path.join(out, "batch=*"), TESTDATA["events"]
+    )
+    assert back2.count() == n_src
