@@ -68,6 +68,7 @@ def _load_all_modules() -> None:
     )
     from a3_fp_bigdata_spark import serving  # noqa: F401
     from a3_fp_bigdata_spark.ml import pipelines  # noqa: F401
+    from a3_fp_bigdata_spark.multimodal import images  # noqa: F401
     from a3_fp_bigdata_spark.sources import queries as source_queries  # noqa: F401
     from a3_fp_bigdata_spark.streaming import batch_windows, ingest  # noqa: F401
 
