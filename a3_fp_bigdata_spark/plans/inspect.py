@@ -1,0 +1,73 @@
+"""Helpers for reading a DataFrame's optimized/physical plan.
+
+Usage (tests and perf triage)::
+
+    from a3_fp_bigdata_spark.plans import inspect as PI
+    plan = PI.physical_plan(df)
+    assert PI.uses_broadcast_join(df)
+    assert "l_shipdate" in PI.pushed_filters(df)[0]
+
+All helpers read Spark's own queryExecution through the DataFrame's
+JVM handle — no private APIs beyond the stable toString surfaces that
+``df.explain()`` itself prints.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame) -> str:
+    """The executed (post-AQE-prepare) physical plan as text."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """`explain('formatted')` as a string (scan details incl. PushedFilters
+    and ReadSchema live here, not in executedPlan's tree dump)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def uses_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in physical_plan(df)
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Number of exchange (shuffle) operators in the physical plan.
+    Broadcast exchanges don't count — they move only the small side."""
+    plan = physical_plan(df)
+    return len(re.findall(r"\bExchange (?:hashpartitioning|rangepartitioning|RoundRobinPartitioning|SinglePartition)", plan))
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Filter predicates pushed into file scans (PushedFilters: [...])."""
+    return [
+        m.group(1)
+        for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", formatted_plan(df))
+        if m.group(1).strip()
+    ]
+
+
+def scan_read_schemas(df: DataFrame) -> list[str]:
+    """ReadSchema of every file scan — the columns actually read.
+    A scan reading all columns for a 2-column projection is a pruning
+    regression."""
+    return [
+        m.group(1)
+        for m in re.finditer(r"ReadSchema: (struct<[^\n]*)", formatted_plan(df))
+    ]
+
+
+def has_take_ordered(df: DataFrame) -> bool:
+    """orderBy+limit compiled to distributed top-k, not a full sort."""
+    return "TakeOrderedAndProject" in physical_plan(df)
+
+
+def wholestage_codegen_ids(df: DataFrame) -> int:
+    """Count of whole-stage-codegen spans; 0 means everything fell out of
+    codegen (e.g. a row-at-a-time Python UDF in the hot path)."""
+    return len(set(re.findall(r"\*\((\d+)\)", physical_plan(df))))

@@ -1,0 +1,102 @@
+"""Physical-plan regression tests — the scale contract (SURVEY §4).
+
+Correctness tests prove the numbers; these prove the PLAN: broadcasts
+stay broadcasts, filters reach the parquet scan, projections prune the
+read schema, top-k never becomes a full sort. A failure here is a 100 TB
+incident caught at sf0.001."""
+
+from __future__ import annotations
+
+import pytest
+
+from a3_fp_bigdata_spark import registry
+from a3_fp_bigdata_spark.plans import inspect as PI
+from tests.conftest import SF0001
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return registry.all_queries()
+
+
+def test_small_dim_join_broadcasts_no_shuffle(spark, qs):
+    """J1: the 25-row nation dim must broadcast; the big side must not
+    shuffle (reference's only join, spark_script.py:24)."""
+    df = qs["j1_left_outer_broadcast"](spark, SF0001)
+    assert PI.uses_broadcast_join(df)
+    assert PI.shuffle_count(df) == 0
+
+
+def test_multiway_join_broadcasts_all_dims(spark, qs):
+    """J5: star-schema multiway join — every dim side broadcast, never a
+    shuffled sort-merge join against a tiny table."""
+    df = qs["j5_multiway_join"](spark, SF0001)
+    assert PI.uses_broadcast_join(df)
+    assert "SortMergeJoin" not in PI.physical_plan(df)
+
+
+def test_topk_compiles_to_take_ordered(spark, qs):
+    """T1-T5: orderBy+limit must be TakeOrderedAndProject (distributed
+    top-k), not a global sort (SURVEY §2.6)."""
+    for name in ("t1_topk_multikey", "t3_topk_dynamic_key", "srv_top_apps"):
+        df = qs[name](spark, SF0001)
+        assert PI.has_take_ordered(df), name
+        assert "Sort [" not in PI.physical_plan(df).replace(
+            "TakeOrderedAndProject", ""
+        ), name
+
+
+def test_point_filter_pushed_into_scan(spark, qs):
+    """P4: equality predicate reaches the parquet reader as a pushed
+    filter — row-group/page skipping at scale."""
+    pushed = PI.pushed_filters(qs["p4_eq_predicate"](spark, SF0001))
+    assert pushed and "EqualTo(c_custkey" in pushed[0]
+
+
+def test_projection_prunes_read_schema(spark, qs):
+    """P1: a narrow projection must narrow the scan itself."""
+    schemas = PI.scan_read_schemas(qs["p1_projection"](spark, SF0001))
+    assert schemas
+    # lineitem has 11 columns; the projection reads far fewer
+    assert all(s.count(",") + 1 <= 4 for s in schemas), schemas
+
+
+def test_groupby_is_single_shuffle_partial_agg(spark, qs):
+    """A1: groupBy count = partial (map-side) agg + ONE shuffle + final
+    agg. Two shuffles would mean a planning regression."""
+    df = qs["a1_groupby_count"](spark, SF0001)
+    assert PI.shuffle_count(df) == 1
+    assert "partial_count" in PI.physical_plan(df)
+
+
+def test_window_topk_single_shuffle(spark, qs):
+    """W1: per-group top-k = one hash-partition exchange on the group
+    key, and Spark's WindowGroupLimit pushes the rank filter below the
+    sort so no full per-group materialization."""
+    df = qs["w1_topk_per_group"](spark, SF0001)
+    assert PI.shuffle_count(df) == 1
+
+
+def test_exact_dedup_partial_agg(spark, qs):
+    """D1: exact dedup is hash-aggregate shaped (map-side partial, one
+    shuffle) — never a global distinct-sort."""
+    df = qs["d1_exact_dedup"](spark, SF0001)
+    assert PI.shuffle_count(df) <= 2  # agg + optional AQE reshuffle
+    plan = PI.physical_plan(df)
+    assert "HashAggregate" in plan
+
+
+def test_jvm_only_hot_paths(spark, qs):
+    """Text analysis and similarity stay JVM-side: no Python eval nodes
+    (BatchEvalPython / ArrowEvalPython) outside the multimodal module."""
+    for name in (
+        "f1_extract_keywords", "tx1_lang_id", "tx2_quality_score",
+        "sim1_cosine_topk", "d3_ngram_jaccard", "d4_minhash_lsh",
+    ):
+        plan = PI.physical_plan(qs[name](spark, SF0001))
+        assert "EvalPython" not in plan, name
+
+
+def test_streaming_batch_twins_are_single_shuffle(spark, qs):
+    for name in ("st1_tumbling_window", "st4_stream_dedup"):
+        assert PI.shuffle_count(qs[name](spark, SF0001)) == 1, name
