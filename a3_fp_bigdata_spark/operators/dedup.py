@@ -102,10 +102,16 @@ def _shingle_rows(spark: SparkSession, sf_dir: str, n: int = SHINGLE_N) -> DataF
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
     lead1, lead2 = F.lead("word", 1).over(w), F.lead("word", 2).over(w)
+    # Shingles are carried as 64-bit xxhash64 values, never as strings:
+    # the distinct + inverted-index self-join shuffle 8-byte keys instead
+    # of ~20-byte text, and d4's 32 seeded minhashes re-hash a long
+    # instead of re-hashing the full string 32x. Collisions (~n^2/2^64)
+    # are far below the oracle's resolution. Spark's multi-arg xxhash64
+    # chains per-field, so word boundaries stay significant.
     return (
         toks.select(
             "doc_id",
-            F.concat_ws(" ", "word", lead1, lead2).alias("shingle"),
+            F.xxhash64("word", lead1, lead2).alias("shingle"),
             lead2.alias("_tail"),
         )
         .filter(F.col("_tail").isNotNull())  # full n-grams only
@@ -176,8 +182,10 @@ def d3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs — the ground truth the LSH path
     approximates. The inverted-index join is quadratic in the worst case;
     at 100 TB use d4_minhash_lsh and keep this for verification samples."""
+    # persist: the pairs computation references the shingle frame three
+    # times (per-doc counts + both self-join sides) — see d4's note.
     return _exact_jaccard_pairs(
-        _shingle_rows(spark, sf_dir), JACCARD_THRESHOLD
+        _shingle_rows(spark, sf_dir).persist(), JACCARD_THRESHOLD
     )
 
 
@@ -192,7 +200,13 @@ def d4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.3 threshold is probabilistic (~78%) — no SQL oracle (hash-seed
     specific); rows-only check + pytest against d3's exact pairs.
     """
-    ex = _shingle_rows(spark, sf_dir)
+    # The shingle frame feeds the minhash agg, the candidate pruning and
+    # the exact verification; without persist, Spark INLINES the whole
+    # subtree at every reference (a ~22x plan blowup measured at sf0.01 —
+    # DataFrames share no common subexpressions across an unshared DAG).
+    # Persisting is also the production shape: stage the shingle table
+    # once, reuse it across the LSH and verify passes.
+    ex = _shingle_rows(spark, sf_dir).persist()
     # 32 seeded minhashes; xxhash64(seed, shingle) is Spark-deterministic.
     mins = ex.groupBy("doc_id").agg(
         *[
@@ -227,10 +241,19 @@ def d4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+        .persist()  # referenced 3x below (two union arms + final semi)
     )
-    # Verify candidates exactly: recompute pairwise Jaccard restricted to
-    # the candidate set (left-semi keeps the join pruned).
-    exact = _exact_jaccard_pairs(ex, JACCARD_THRESHOLD)
+    # Verify candidates exactly — but only over docs that appear in some
+    # candidate pair. The broadcast semi-join prunes the shingle rows
+    # BEFORE the quadratic inverted-index join, so verification cost
+    # scales with LSH collisions, not with the corpus.
+    cand_docs = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .union(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    ex_cand = ex.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    exact = _exact_jaccard_pairs(ex_cand, JACCARD_THRESHOLD)
     return exact.join(candidates, ["doc_a", "doc_b"], "left_semi")
 
 

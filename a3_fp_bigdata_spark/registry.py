@@ -60,6 +60,7 @@ def _load_all_modules() -> None:
         dedup,
         filters,
         joins,
+        scalars,
         setops,
         similarity,
         text_analysis,
