@@ -161,6 +161,65 @@ def sim2_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_CELLS = 16
+IVF_NPROBE = 4
+IVF_SEED = 7
+
+
+@query("sim3_ivf_ann", oracle=None)
+def sim3_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN — the cell-probing scale path FAISS-style:
+
+    1. coarse quantizer: spark.ml KMeans (k={IVF_CELLS}, seed pinned)
+       over the embeddings;
+    2. assignment: one narrow transform maps every vector to its cell —
+       at 100 TB this becomes the partition key of the vector table, so
+       a probe reads only nprobe/k of the corpus (partition pruning);
+    3. probe: rank exact cosine inside the {IVF_NPROBE} cells nearest to
+       the query vector (centroids are a k-row driver-local list — the
+       only driver-side data, O(k*dim)).
+
+    Rows-only: centroid positions are impl/seed-specific; pytest pins
+    recall against sim1's exact top-k.
+    """
+    from pyspark.ml.clustering import KMeans as MLKMeans
+    from pyspark.ml.functions import array_to_vector
+
+    import numpy as np
+
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "vec", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    km = MLKMeans(
+        k=IVF_CELLS, seed=IVF_SEED, featuresCol="vec", predictionCol="cell"
+    ).fit(emb)
+    assigned = km.transform(emb)
+
+    centers = np.vstack(km.clusterCenters())
+    qvec = np.array(
+        emb.filter(F.col("vec_id") == 0).select("embedding").first()[0],
+        dtype=np.float64,
+    )
+    # nprobe nearest cells by euclidean distance to the query (driver-side
+    # over k centroids only)
+    d2 = ((centers - qvec) ** 2).sum(axis=1)
+    probe_cells = [int(c) for c in np.argsort(d2)[:IVF_NPROBE]]
+
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    cos = F.round(cosine(F.col("embedding"), F.col("q_emb")), 4)
+    return (
+        assigned.filter(
+            F.col("cell").isin(probe_cells) & (F.col("vec_id") != 0)
+        )
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
 @query(
     "d6_embedding_neardup",
     oracle=f"""
