@@ -155,3 +155,61 @@ def j6_lookup_with_default(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.coalesce(weights[F.col("event_type")], F.lit(0.1)).alias("weight"),
     )
+
+
+SALT_BUCKETS = 8
+
+
+def salted_join(
+    big: DataFrame,
+    skewed_dim: DataFrame,
+    big_key: str,
+    dim_key: str,
+    *,
+    buckets: int = SALT_BUCKETS,
+) -> DataFrame:
+    """Skew-mitigating equi-join: the big side gets a random-but-
+    deterministic salt in [0, buckets); the dim side is exploded into
+    `buckets` replicas, one per salt value. The shuffle key becomes
+    (key, salt), so a hot key's rows spread over `buckets` reducers
+    instead of melting one.
+
+    This is the manual form of what AQE skew-join does at runtime
+    (session.py enables it); keep the manual operator for engines-off
+    debugging and for sinks that pre-date AQE stats (first write of a
+    new table). Salt is derived from xxhash64 of the big row's full key
+    column — deterministic, so re-runs partition identically.
+    """
+    salted_big = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(big_key)), F.lit(buckets))
+    )
+    salted_dim = skewed_dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+    )
+    return salted_big.join(
+        salted_dim,
+        (F.col(big_key) == F.col(dim_key)) & (salted_big["_salt"] == salted_dim["_salt"]),
+    ).drop("_salt")
+
+
+@query(
+    "j7_salted_skew_join",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def j7_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-extension: the salted join produces byte-identical results to
+    the plain join (oracle = plain SQL join) while spreading each join
+    key over SALT_BUCKETS shuffle partitions. The merge-join hint forces
+    the shuffle path so the salt actually exercises (broadcast would
+    bypass it at this scale)."""
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer").hint("merge")
+    joined = salted_join(orders, customer, "o_custkey", "c_custkey")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

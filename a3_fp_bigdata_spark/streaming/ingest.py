@@ -156,6 +156,33 @@ def micro_batch_csv_sink(
     return writer.start()
 
 
+def rate_source(spark: SparkSession, rows_per_second: int = 500) -> DataFrame:
+    """ST1: the reference throttles its producer to ~200-1000 rows/s
+    (producer.py:116 sleep-per-row). Spark's rate source generates the
+    same load shape for tests/soak runs without a broker; swap for
+    sources.kafka_io.kafka_source in production."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )
+
+
+def enrich_events(events: DataFrame) -> DataFrame:
+    """ST6: stateless per-record enrichment on the stream — the
+    reference's genre->icon mapping before send (producer.py:87-106) as
+    a map-literal lookup with a default. Identical expression works on
+    batch and streaming frames (tested equal)."""
+    weights = F.create_map(
+        F.lit("click"), F.lit(1.0),
+        F.lit("view"), F.lit(0.5),
+        F.lit("purchase"), F.lit(5.0),
+    )
+    return events.withColumn(
+        "weight", F.coalesce(weights[F.col("event_type")], F.lit(0.1))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registered queries — REAL streaming runs, DuckDB-oracled.
 # ---------------------------------------------------------------------------

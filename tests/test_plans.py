@@ -100,3 +100,32 @@ def test_jvm_only_hot_paths(spark, qs):
 def test_streaming_batch_twins_are_single_shuffle(spark, qs):
     for name in ("st1_tumbling_window", "st4_stream_dedup"):
         assert PI.shuffle_count(qs[name](spark, SF0001)) == 1, name
+
+
+def test_partitioned_write_enables_partition_pruning(spark, tmp_path):
+    """S5 partition_by: a predicate on the partition column must prune
+    directories at planning time (PartitionFilters), reading only the
+    matching partition — the 100 TB date-filter path."""
+    from a3_fp_bigdata_spark.data import table
+    from a3_fp_bigdata_spark.sources import parquet_io
+
+    path = str(tmp_path / "pq")
+    ev = table(spark, SF0001, "events")
+    parquet_io.write_parquet_overwrite(ev, path, partition_by=("event_type",))
+    back = parquet_io.read_parquet(spark, path).filter("event_type = 'click'")
+    fp = PI.formatted_plan(back)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", fp)
+    assert m and "event_type" in m.group(1), fp[:500]
+    n_click = ev.filter("event_type = 'click'").count()
+    assert back.count() == n_click
+
+
+def test_salted_join_spreads_shuffle_keys(spark, qs):
+    """J7: the salted join's exchange partitions on (key, salt), so a
+    hot key occupies SALT_BUCKETS reducers."""
+    df = qs["j7_salted_skew_join"](spark, SF0001)
+    plan = PI.physical_plan(df)
+    assert "_salt" in plan
+    assert PI.shuffle_count(df) >= 2  # both sides repartition on (key,salt)

@@ -58,3 +58,28 @@ def test_micro_batch_csv_sink_roundtrip(spark, tmp_path):
         spark, os.path.join(out, "batch=*"), TESTDATA["events"]
     )
     assert back2.count() == n_src
+
+
+def test_stream_enrichment_equals_batch(spark):
+    """ST6: the same enrichment expression on stream and batch frames
+    yields identical rows."""
+    streamed = ingest.run_available_now(
+        ingest.enrich_events(ingest.stream_events(spark, SF0001)).select(
+            "event_id", "weight"
+        ),
+        output_mode="append",
+    )
+    batch = ingest.enrich_events(table(spark, SF0001, "events")).select(
+        "event_id", "weight"
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+
+def test_rate_source_is_streaming(spark):
+    """ST1: the rate source builds a streaming frame with the documented
+    (timestamp, value) schema — no broker needed."""
+    src = ingest.rate_source(spark, rows_per_second=10)
+    assert src.isStreaming
+    assert [f.name for f in src.schema.fields] == ["timestamp", "value"]
