@@ -36,7 +36,7 @@ def p1_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
            CAST(o_linenum_str AS INT) AS linenum_int,
-           CAST(o_orderdate AS DATE) AS order_date
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date
     FROM (SELECT o_orderkey, o_totalprice, o_orderdate,
                  CAST(o_orderkey % 7 AS VARCHAR) AS o_linenum_str
           FROM orders)
@@ -53,7 +53,11 @@ def p2_cast_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.floor("o_totalprice").alias("price_floor"),
         (F.col("o_orderkey") % 7).cast("string").cast("int").alias("linenum_int"),
-        F.to_date("o_orderdate").alias("order_date"),
+        # date -> ISO string on BOTH sides: engines agree on DATE
+        # semantics but clients disagree on how DATE crosses the wire
+        # (DuckDB's pandas client widens to midnight timestamps), so the
+        # portable cast target for a value-hash compare is the string.
+        F.to_date("o_orderdate").cast("string").alias("order_date"),
     )
 
 
