@@ -62,6 +62,7 @@ def _load_all_modules() -> None:
         joins,
         scalars,
         setops,
+        temporal,
         similarity,
         text_analysis,
         topk,
