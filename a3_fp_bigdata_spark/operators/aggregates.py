@@ -270,3 +270,90 @@ def a12_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile_approx("value", 0.5, 10000).alias("approx_median"),
         )
     )
+
+
+@query(
+    "a13_tpch_q6",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def a13_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change): pure filter + global agg.
+    Every predicate pushes into the parquet scan (date range on the
+    sort-friendly shipdate column prunes row groups); the agg is a
+    map-side partial + single-row final — the cheapest possible shape
+    at 100 TB."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "a14_tpch_q3_shape",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR) AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def a14_tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): selective dim filter -> broadcast
+    join chain -> grouped revenue -> top-k. The c_mktsegment filter
+    shrinks customer before broadcasting; lineitem (the 100 TB fact)
+    joins shuffle-free; TakeOrderedAndProject caps the sort at k.
+    orderdate emitted as ISO string (see p2: DATE crosses pandas fetch
+    paths as midnight timestamps)."""
+    cust = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-01-01"
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-01-01"
+    )
+    joined = li.join(
+        F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+        li.l_orderkey == orders.o_orderkey,
+    )
+    return (
+        joined.groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.min(F.col("o_orderdate")).cast("date").cast("string").alias(
+                "orderdate"
+            ),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )

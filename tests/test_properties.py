@@ -1,0 +1,82 @@
+"""Property-based tests (hypothesis) for the expression library.
+
+The Column functions in functions/text.py are pure; these tests check
+them against straight Python reimplementations on arbitrary unicode
+input — the SURVEY §5 upgrade the reference never had. One Spark job
+per example is too slow, so each property collects a BATCH of examples
+into one DataFrame and compares all rows at once.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from a3_fp_bigdata_spark.functions import text as TX
+
+TEXTS = st.lists(
+    st.text(max_size=80), min_size=1, max_size=24
+)
+
+
+def _py_normalize(s: str) -> str:
+    cleaned = re.sub(r"[^a-z0-9\s]", " ", s.lower())
+    return re.sub(r"\s+", " ", cleaned).strip()
+
+
+def _py_tokens(s: str) -> list[str]:
+    n = _py_normalize(s)
+    return [t for t in n.split(" ") if t]
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(TEXTS)
+def test_tokens_match_python(spark, texts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    got = {
+        r.i: list(r.toks)
+        for r in df.select("i", TX.tokens(F.col("t")).alias("toks")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _py_tokens(t), repr(t)
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(TEXTS)
+def test_keywords_subset_of_tokens_and_filtered(spark, texts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    got = {
+        r.i: list(r.kw)
+        for r in df.select("i", TX.keywords(F.col("t")).alias("kw")).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = _py_tokens(t)
+        expected = [
+            w for w in toks if len(w) >= 3 and w not in TX.STOPWORDS
+        ]
+        assert got[i] == expected, repr(t)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(st.lists(st.tuples(st.integers(0, 10**9), st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False, width=32))), min_size=1, max_size=16, unique_by=lambda x: x[0]))
+def test_json_codec_roundtrip_property(spark, rows):
+    """to_payload/parse_payload round-trips arbitrary (id, value) rows,
+    nulls included."""
+    from pyspark.sql import types as T
+
+    from a3_fp_bigdata_spark.sources import kafka_io
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    back = kafka_io.parse_payload(kafka_io.to_payload(df), schema)
+    got = sorted(map(tuple, back.collect()))
+    want = sorted((i, float(v) if v is not None else None) for i, v in rows)
+    assert got == want
