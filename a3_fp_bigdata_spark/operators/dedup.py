@@ -86,7 +86,13 @@ def d2_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingle_rows(spark: SparkSession, sf_dir: str, n: int = SHINGLE_N) -> DataFrame:
+def _shingle_rows(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = SHINGLE_N,
+    *,
+    distinct: bool = True,
+) -> DataFrame:
     """Distinct (doc_id, shingle) rows via posexplode + window lead.
 
     Deliberately relational instead of array-typed: an array-of-shingles
@@ -108,7 +114,7 @@ def _shingle_rows(spark: SparkSession, sf_dir: str, n: int = SHINGLE_N) -> DataF
     # instead of re-hashing the full string 32x. Collisions (~n^2/2^64)
     # are far below the oracle's resolution. Spark's multi-arg xxhash64
     # chains per-field, so word boundaries stay significant.
-    return (
+    out = (
         toks.select(
             "doc_id",
             F.xxhash64("word", lead1, lead2).alias("shingle"),
@@ -116,8 +122,12 @@ def _shingle_rows(spark: SparkSession, sf_dir: str, n: int = SHINGLE_N) -> DataF
         )
         .filter(F.col("_tail").isNotNull())  # full n-grams only
         .select("doc_id", "shingle")
-        .distinct()
     )
+    # Jaccard counting needs set semantics; minhash does NOT (min over
+    # duplicates is the min) — and skipping the distinct lets the
+    # doc_id aggregation reuse the window's partitioning, erasing a
+    # full-corpus shuffle.
+    return out.distinct() if distinct else out
 
 
 def _shingle_counts(ex: DataFrame) -> DataFrame:
@@ -205,7 +215,10 @@ def d4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtree at every reference (a ~22x plan blowup measured at sf0.01 —
     # DataFrames share no common subexpressions across an unshared DAG).
     # Persisting is also the production shape: stage the shingle table
-    # once, reuse it across the LSH and verify passes.
+    # once, reuse it across the LSH and verify passes. Distinct-first:
+    # although min() wouldn't need set semantics, deduping BEFORE the
+    # 32-hash agg measured faster than skipping the shuffle (fewer rows
+    # to hash 32x beats one saved exchange at this shape).
     ex = _shingle_rows(spark, sf_dir).persist()
     # 32 seeded minhashes; xxhash64(seed, shingle) is Spark-deterministic.
     mins = ex.groupBy("doc_id").agg(

@@ -8,6 +8,7 @@ incident caught at sf0.001."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from a3_fp_bigdata_spark import registry
 from a3_fp_bigdata_spark.plans import inspect as PI
@@ -129,3 +130,34 @@ def test_salted_join_spreads_shuffle_keys(spark, qs):
     plan = PI.physical_plan(df)
     assert "_salt" in plan
     assert PI.shuffle_count(df) >= 2  # both sides repartition on (key,salt)
+
+
+def test_bucketed_join_skips_both_exchanges(spark, tmp_path):
+    """Co-located bucketed join: orders and lineitem bucketed on the
+    same key join with ZERO exchanges — the recurring-fact-join answer
+    at 100 TB (one up-front bucketed write, then every join is local)."""
+    from a3_fp_bigdata_spark.data import table
+    from a3_fp_bigdata_spark.sources import parquet_io
+
+    orders = table(spark, SF0001, "orders")
+    li = table(spark, SF0001, "lineitem")
+    parquet_io.write_bucketed_table(
+        orders.select("o_orderkey", "o_totalprice"), spark,
+        "b_orders", "o_orderkey", 4,
+    )
+    parquet_io.write_bucketed_table(
+        li.select("l_orderkey", "l_quantity"), spark,
+        "b_lineitem", "l_orderkey", 4,
+    )
+    try:
+        j = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        assert PI.shuffle_count(j) == 0, PI.physical_plan(j)[:800]
+        # and the result is still correct
+        expect = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+        assert j.count() == expect
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
