@@ -357,3 +357,32 @@ def a14_tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+           AS sum_charge,
+       round(avg(l_quantity), 2) AS avg_qty,
+       round(avg(l_extendedprice), 2) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("sql1_spark_sql_surface", oracle=_Q1_SQL)
+def sql1_spark_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL entry point: the SAME ANSI text runs through
+    spark.sql over registered temp views AND through the DuckDB oracle —
+    proof the SQL surface (not just the DataFrame API) is ANSI-portable.
+    Catalyst compiles this to the identical plan as a8_tpch_q1."""
+    from a3_fp_bigdata_spark.data import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q1_SQL)
