@@ -59,6 +59,7 @@ def _load_all_modules() -> None:
         aggregates,
         dedup,
         filters,
+        grouped_map,
         joins,
         scalars,
         setops,

@@ -217,3 +217,48 @@ def st6_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         dedup_keys(stream_events(spark, sf_dir)), output_mode="append"
     )
+
+
+@query(
+    "st7_stream_stream_join",
+    oracle=f"""
+    SELECT a.event_id AS purchase_id, b.event_id AS click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+    JOIN (SELECT * FROM events WHERE event_type = 'click') b
+      ON a.user_id = b.user_id
+     AND b.ts BETWEEN a.ts - INTERVAL 10 MINUTE AND a.ts
+    """,
+)
+def st7_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (absent in the reference — SURVEY §2.9
+    'no stream-stream joins'): purchases joined to the same user's
+    clicks in the preceding 10 minutes. Watermarks on BOTH sides plus
+    the time-range predicate bound the join state (Spark evicts rows
+    older than watermark - range), so state is O(rate x window), not
+    O(stream). Oracle: the equivalent batch interval join."""
+    ev = stream_events(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES")),
+    ).select("purchase_id", "click_id")
+    return run_available_now(joined, output_mode="append")
