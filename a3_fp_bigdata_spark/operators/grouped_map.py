@@ -79,3 +79,47 @@ def g1_zscore_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zscore_per_group(
         ev.select("event_id", "event_type", "value"), "event_type", "value"
     )
+
+
+@query(
+    "g2_cogroup_conversion",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+           count(*) FILTER (WHERE event_type = 'click') AS n_clicks
+    FROM events
+    WHERE event_type IN ('purchase', 'click')
+    GROUP BY user_id
+    """,
+)
+def g2_cogroup_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map (two frames, one Python function per key): per-user
+    purchase/click counts via cogroup().applyInPandas — the two-sided
+    UDF shape for per-key reconciliation/custom joins. Users appearing
+    on either side emit a row (cogroup is full-outer over keys), which
+    the oracle's IN-filtered groupBy reproduces. As with g1, chosen to
+    be SQL-checkable so the cogroup plumbing itself is verified."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id"
+    )
+
+    def conv(key: tuple, p: pd.DataFrame, c: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_purchases": [len(p)],
+                "n_clicks": [len(c)],
+            }
+        )
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            conv, schema="user_id long, n_purchases long, n_clicks long"
+        )
+    )
