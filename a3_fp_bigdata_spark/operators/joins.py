@@ -177,11 +177,14 @@ def salted_join(
     This is the manual form of what AQE skew-join does at runtime
     (session.py enables it); keep the manual operator for engines-off
     debugging and for sinks that pre-date AQE stats (first write of a
-    new table). Salt is derived from xxhash64 of the big row's full key
-    column — deterministic, so re-runs partition identically.
+    new table). The salt MUST be independent of the key (a key-derived
+    salt is constant per key and would leave the hot key in one
+    bucket): round-robin within each input partition spreads even a
+    single hot key evenly. The join result is salt-invariant, so the
+    salt needs no cross-run determinism.
     """
     salted_big = big.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col(big_key)), F.lit(buckets))
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(buckets))
     )
     salted_dim = skewed_dim.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))

@@ -1,0 +1,92 @@
+"""Empty-input and skew robustness.
+
+Empty frames: every operator family must survive a filter that matches
+nothing (at 100 TB, whole partitions — and whole date ranges — are
+routinely empty). Skew: the salted join must actually flatten the
+per-partition row distribution, not just produce correct rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from a3_fp_bigdata_spark.data import table
+from a3_fp_bigdata_spark.functions import text as TX
+from a3_fp_bigdata_spark.operators.joins import SALT_BUCKETS, salted_join
+from tests.conftest import SF0001
+
+
+def _empty_docs(spark):
+    return table(spark, SF0001, "documents").filter(F.lit(False))
+
+
+def test_empty_input_aggregate(spark):
+    ev = table(spark, SF0001, "events").filter(F.lit(False))
+    out = ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    assert out == []
+    # global agg on empty input yields one row of neutral elements
+    row = ev.agg(F.count("*").alias("n"), F.sum("value").alias("s")).first()
+    assert row.n == 0 and row.s is None
+
+
+def test_empty_input_window_and_text(spark):
+    docs = _empty_docs(spark)
+    toks = docs.select(F.explode(TX.tokens(F.col("text"))).alias("t"))
+    assert toks.count() == 0
+
+
+def test_empty_input_dedup_pipeline(spark, monkeypatch):
+    """The full MinHash pipeline on an empty corpus returns zero pairs
+    (no division-by-zero in jaccard, no explode of empty aggs)."""
+    from a3_fp_bigdata_spark.operators import dedup as D
+
+    real_table = D.table
+
+    def patched(spark_, sf_dir_, name):
+        df = real_table(spark_, sf_dir_, name)
+        return df.filter(F.lit(False)) if name == "documents" else df
+
+    monkeypatch.setattr(D, "table", patched)
+    assert D.d3_ngram_jaccard(spark, SF0001).count() == 0
+    assert D.d4_minhash_lsh(spark, SF0001).count() == 0
+
+
+def test_empty_join_sides(spark):
+    orders = table(spark, SF0001, "orders")
+    none = orders.filter(F.lit(False))
+    cust = table(spark, SF0001, "customer")
+    assert none.join(F.broadcast(cust), none.o_custkey == cust.c_custkey).count() == 0
+    assert orders.join(
+        F.broadcast(cust.filter(F.lit(False))),
+        orders.o_custkey == cust.c_custkey,
+        "left_outer",
+    ).count() == orders.count()
+
+
+def test_salted_join_flattens_hot_key(spark):
+    """A corpus where ONE key holds half the rows: the salted join must
+    spread that key's rows over SALT_BUCKETS shuffle keys (a key-derived
+    salt would leave them in one bucket — the bug this test pins), while
+    producing exactly the plain join's rows."""
+    n = 20_000
+    hot = spark.range(n // 2).select(
+        F.lit(7).alias("k"), F.col("id").alias("payload")
+    )
+    rest = spark.range(n // 2).select(
+        (F.col("id") % 1000 + 100).alias("k"), F.col("id").alias("payload")
+    )
+    big = hot.union(rest)
+    dim = spark.range(1200).select(
+        F.col("id").alias("dk"), F.lit("x").alias("attr")
+    )
+    joined = salted_join(big, dim.hint("merge"), "k", "dk")
+    assert joined.count() == n  # correctness: every row matched once
+
+    # distribution: replicate the operator's salting and check the hot
+    # key occupies every bucket with no bucket holding > 2x its share
+    salted = big.withColumn(
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(SALT_BUCKETS))
+    )
+    spread = salted.filter(F.col("k") == 7).groupBy("_salt").count().collect()
+    assert len(spread) == SALT_BUCKETS
+    assert max(r["count"] for r in spread) < (n // 2) * 2 / SALT_BUCKETS
