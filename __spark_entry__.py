@@ -2,11 +2,15 @@
 
 ``entry(spark)`` runs the flagship /top_apps-shaped query at sf0.001;
 ``queries()``/``oracle_sql()`` expose the full operator inventory from
-SURVEY.md §2 (plus the scale extensions: dedup, similarity search, text
-analysis, streaming window algebra) backed by
-``a3_fp_bigdata_spark.registry``. Each query is a pure
-(spark, sf_dir) -> DataFrame function; oracles are DuckDB-ANSI SQL over
-the same parquet tables with matching column aliases.
+SURVEY.md §2 plus the scale extensions — dedup ladder (exact/
+MinHash-LSH/SimHash), similarity search (brute-force/LSH/IVF), text
+analysis, Structured Streaming (incl. stream-stream join), ML pipelines,
+multimodal mapInPandas, as-of/range/salted joins, upsert — backed by
+``a3_fp_bigdata_spark.registry`` (91 queries, ~82 with oracles). Each
+query is a pure (spark, sf_dir) -> DataFrame function; oracles are
+DuckDB-ANSI SQL over the same parquet tables with matching column
+aliases. Non-SQL-expressible ops (seeded ML fits, hash sketches) omit
+the oracle and get the driver's rows-only check.
 """
 
 from __future__ import annotations

@@ -64,6 +64,7 @@ def _load_all_modules() -> None:
         scalars,
         setops,
         temporal,
+        upsert,
         similarity,
         text_analysis,
         topk,
