@@ -62,6 +62,7 @@ def _load_all_modules() -> None:
         grouped_map,
         joins,
         scalars,
+        semistructured,
         setops,
         temporal,
         upsert,
