@@ -292,3 +292,47 @@ def d5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col(f"b{j}") > 0).cast("long") * F.lit(2**j) for j in range(32)
     )
     return votes.select("doc_id", simhash.alias("simhash"))
+
+
+@query("d7_ml_minhash_lsh", oracle=None)
+def d7_ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library-native near-dup via spark.ml MinHashLSH +
+    approxSimilarityJoin (SURVEY §7 phase-7 alternative to the
+    hand-rolled d4): 3-gram shingle vectors (HashingTF binary, same
+    feature space as d3/d4 modulo 2^18 bucket collisions), LSH-bucketed
+    candidate join, exact Jaccard distance on candidates; pytest checks
+    the pairs against d3's exact shingle pairs. Rows-only (hash-seed
+    specific).
+
+    Scale: same banding math as d4 inside the library; vectors ride
+    VectorUDT (sparse), candidates come from an exploded hash-bucket
+    join. Prefer d4 when the pipeline already materializes shingles;
+    prefer this when staying inside spark.ml pipelines.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    # Feature space = the same 3-gram shingles as d3/d4 (token SETS are
+    # not discriminative on natural text — shared vocabulary pushes
+    # every pair's token-Jaccard high; measured 48k/125k pairs above
+    # 0.7 on this corpus vs 25 shingle pairs above 0.3).
+    sh = _shingle_rows(spark, sf_dir).groupBy("doc_id").agg(
+        F.collect_list(F.col("shingle").cast("string")).alias("toks")
+    )
+    tf = HashingTF(
+        inputCol="toks", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    feats = tf.transform(sh)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=11
+    ).fit(feats)
+    pairs = lsh.approxSimilarityJoin(
+        feats, feats, threshold=1 - JACCARD_THRESHOLD, distCol="jaccard_dist"
+    )
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(1 - F.col("jaccard_dist"), 4).alias("jaccard"),
+        )
+    )

@@ -30,3 +30,13 @@ def test_lsh_results_subset_of_corpus_scores(spark):
     for r in qs["sim2_lsh_ann"](spark, SF001).collect():
         if r.vec_id in exact_all:
             assert abs(r.cosine - exact_all[r.vec_id]) < 1e-9
+
+
+def test_ml_minhash_matches_exact_pairs(spark):
+    """d7 (spark.ml MinHashLSH over shingle vectors) recovers d3's exact
+    pairs — same feature space, library-native path."""
+    qs = registry.all_queries()
+    d3 = {(r.doc_a, r.doc_b) for r in qs["d3_ngram_jaccard"](spark, SF001).collect()}
+    d7 = {(r.doc_a, r.doc_b) for r in qs["d7_ml_minhash_lsh"](spark, SF001).collect()}
+    assert d7 <= d3  # approx candidates, exactly verified -> subset
+    assert len(d7) >= len(d3) * 0.8  # 8 OR-ed hash tables: high recall
