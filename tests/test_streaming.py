@@ -83,3 +83,42 @@ def test_rate_source_is_streaming(spark):
     src = ingest.rate_source(spark, rows_per_second=10)
     assert src.isStreaming
     assert [f.name for f in src.schema.fields] == ["timestamp", "value"]
+
+
+def test_materialized_view_incremental_merge(spark, tmp_path):
+    """Streaming materialized view: the parquet table equals the batch
+    aggregate after the stream drains, and a restart with the same
+    checkpoint leaves it unchanged (idempotent merge)."""
+    from pyspark.sql import functions as F
+
+    from a3_fp_bigdata_spark.streaming import materialized as MV
+
+    out = str(tmp_path / "mv")
+    cp = str(tmp_path / "cp")
+    agg = MV.event_type_counts_stream(ingest.stream_events(spark, SF0001))
+    q = MV.materialized_view_sink(agg, spark, "event_type", out, cp)
+    q.awaitTermination()
+
+    got = {
+        r.event_type: (r.cnt, r.sum_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r.event_type: (r.cnt, r.sum_value)
+        for r in table(spark, SF0001, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .collect()
+    }
+    assert got == want
+
+    q2 = MV.materialized_view_sink(
+        MV.event_type_counts_stream(ingest.stream_events(spark, SF0001)),
+        spark, "event_type", out, cp,
+    )
+    q2.awaitTermination()
+    got2 = {
+        r.event_type: (r.cnt, r.sum_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got2 == want
