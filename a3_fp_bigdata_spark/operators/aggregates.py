@@ -386,3 +386,69 @@ def sql1_spark_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_Q1_SQL)
+
+
+@query(
+    "a15_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS cnt
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def a15_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two keys (completes the grouping-sets family beside
+    a9's ROLLUP): all 4 grouping combinations in ONE pass — Spark
+    expands the grouping sets scan-side, so the fact is read once."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "a16_exact_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+           round(quantile_cont(l_quantity, 0.95), 4) AS p95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a16_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles per group (interpolating, matching
+    SQL's PERCENTILE_CONT). Exact quantiles sort within groups — at
+    100 TB prefer a12's KLL-style approx unless exactness is
+    contractual."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("l_quantity", F.lit(0.95)), 4).alias("p95"),
+        )
+    )
+
+
+@query(
+    "a17_corr_covar",
+    oracle="""
+    SELECT round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_samp(l_discount, l_tax), 6) AS disc_tax_covar
+    FROM lineitem
+    """,
+)
+def a17_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation/covariance moments — single-pass streaming aggregates
+    (Welford-style partials combine associatively, so map-side partial
+    aggregation works exactly like sum/count)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_corr"
+        ),
+        F.round(F.covar_samp("l_discount", "l_tax"), 6).alias(
+            "disc_tax_covar"
+        ),
+    )
