@@ -30,6 +30,7 @@ SHINGLE_N = 3
 JACCARD_THRESHOLD = 0.3
 MINHASH_HASHES = 32
 MINHASH_BANDS = 16  # 2 rows/band: ~78% recall at j=0.3, ~99% at j=0.5
+MAX_BUCKET_DOCS = 64  # super-bucket cap: an s-doc bucket emits s^2 pairs
 
 
 # DuckDB rendering of _shingle_rows() — keep in sync (1-based list indexing;
@@ -242,6 +243,19 @@ def d4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = mins.select(
         "doc_id", F.explode(band_sigs).alias("bs")
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    # Super-bucket guard: a bucket of s docs emits s^2 candidate pairs,
+    # so one boilerplate cluster (cookie banners, templated pages — or
+    # plain exact copies, which belong to d1's ladder rung anyway) can
+    # quadratically explode the join. Cap the bucket size; a window
+    # count over (band, sig) costs one pass over the already-shuffled
+    # bucket rows. Near-dups lost to the cap in ONE band still collide
+    # in the other 15.
+    w_bucket = Window.partitionBy("band", "sig")
+    buckets = (
+        buckets.withColumn("_bsize", F.count("*").over(w_bucket))
+        .filter(F.col("_bsize") <= MAX_BUCKET_DOCS)
+        .drop("_bsize")
+    )
     a, b = buckets.alias("a"), buckets.alias("b")
     candidates = (
         a.join(

@@ -90,3 +90,29 @@ def test_salted_join_flattens_hot_key(spark):
     spread = salted.filter(F.col("k") == 7).groupBy("_salt").count().collect()
     assert len(spread) == SALT_BUCKETS
     assert max(r["count"] for r in spread) < (n // 2) * 2 / SALT_BUCKETS
+
+
+def test_lsh_super_bucket_cap(spark, monkeypatch):
+    """A boilerplate cluster (200 identical docs) must NOT quadratically
+    explode d4's candidate join: hot buckets above MAX_BUCKET_DOCS are
+    dropped, genuine near-dups elsewhere still surface."""
+    from a3_fp_bigdata_spark.operators import dedup as D
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away "
+    rows = [(i, base * 3) for i in range(200)]  # boilerplate cluster
+    # one genuine near-dup pair, distinct from the cluster
+    t1 = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    t2 = t1 + "iota kappa"
+    rows += [(1000, t1), (1001, t2)]
+    hot = spark.createDataFrame(rows, "doc_id long, text string")
+
+    real_table = D.table
+
+    def patched(spark_, sf_dir_, name):
+        return hot if name == "documents" else real_table(spark_, sf_dir_, name)
+
+    monkeypatch.setattr(D, "table", patched)
+    pairs = {(r.doc_a, r.doc_b) for r in D.d4_minhash_lsh(spark, "unused").collect()}
+    assert (1000, 1001) in pairs  # real near-dup survives
+    # no pair from the capped boilerplate cluster (d1's rung, not d4's)
+    assert not any(a < 200 and b < 200 for a, b in pairs)
