@@ -1,0 +1,91 @@
+"""Driver-simulation parity checker.
+
+Runs registered queries in a PLAIN SparkSession (no engine configs — the
+real driver won't set ours; data.table() must self-heal) against their
+DuckDB oracles over the same parquet, comparing sorted column names, row
+counts and normalized values.
+
+Usage:
+    python tools/check_parity.py                 # every query
+    python tools/check_parity.py q1 q2 ...       # named subset
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python tools/check_parity.py
+"""
+import datetime
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+names = sys.argv[1:]
+
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+import duckdb
+
+import __spark_entry__ as E
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+con = duckdb.connect()
+for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+queries, oracles = E.queries(), E.oracle_sql()
+if not names:
+    names = sorted(queries)
+
+
+def norm(v):
+    try:
+        import pandas as pd
+
+        if v is None or (not isinstance(v, (list, tuple)) and pd.isna(v)):
+            return (0, "")
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, float):
+        if math.isnan(v):
+            return (1, "nan")
+        r = round(v, 6)
+        # pandas widens nullable int columns to float64; render integral
+        # floats as ints so 1534.0 == 1534 across fetch paths
+        return (1, str(int(r)) if r == int(r) else str(r))
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return (1, v.isoformat())
+    if isinstance(v, list):
+        return (1, str([norm(x) for x in v]))
+    return (1, str(v))
+
+
+fail = False
+for name in names:
+    sdf = queries[name](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(norm(r[c]) for c in cols) for r in sdf.collect())
+    if name not in oracles:
+        print(f"  rows-only {name}: {len(srows)} rows")
+        continue
+    ores = con.execute(oracles[name]).fetchdf()
+    ocols = sorted(ores.columns)
+    orows = sorted(
+        tuple(norm(v) for v in (row[c] for c in ocols))
+        for _, row in ores.iterrows()
+    )
+    if cols != ocols:
+        print(f"FAIL {name}: cols {cols} vs {ocols}"); fail = True
+    elif srows != orows:
+        diffs = [i for i, (a, b) in enumerate(zip(srows, orows)) if a != b]
+        msg = f"rows {len(srows)} vs {len(orows)}"
+        if diffs:
+            i = diffs[0]
+            msg += f"; first diff @{i}: {srows[i]} vs {orows[i]}"
+        print(f"FAIL {name}: {msg}"); fail = True
+    else:
+        print(f"  ok {name}: {len(srows)} rows")
+sys.exit(1 if fail else 0)
