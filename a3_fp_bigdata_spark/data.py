@@ -42,6 +42,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     footers), except nano-timestamps which are widened to TimestampType."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # registry determinism rules compare timestamps under UTC; a plain
+        # (driver-built) session on a non-UTC host would otherwise collect
+        # TimestampType shifted to local time while DuckDB returns the
+        # stored naive micros
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass  # conf may be fixed on an externally-built session
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

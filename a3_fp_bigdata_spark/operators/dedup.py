@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from a3_fp_bigdata_spark.data import table
 from a3_fp_bigdata_spark.functions import text as TX
 from a3_fp_bigdata_spark.operators.text_analysis import _SQL_TOKS
-from a3_fp_bigdata_spark.registry import query
+from a3_fp_bigdata_spark.registry import pin, query
 
 SHINGLE_N = 3
 JACCARD_THRESHOLD = 0.3
@@ -193,10 +193,11 @@ def d3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs — the ground truth the LSH path
     approximates. The inverted-index join is quadratic in the worst case;
     at 100 TB use d4_minhash_lsh and keep this for verification samples."""
-    # persist: the pairs computation references the shingle frame three
+    # pin: the pairs computation references the shingle frame three
     # times (per-doc counts + both self-join sides) — see d4's note.
+    # registry.release_pinned() unpersists after materialization.
     return _exact_jaccard_pairs(
-        _shingle_rows(spark, sf_dir).persist(), JACCARD_THRESHOLD
+        pin(_shingle_rows(spark, sf_dir)), JACCARD_THRESHOLD
     )
 
 
@@ -216,11 +217,12 @@ def d4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtree at every reference (a ~22x plan blowup measured at sf0.01 —
     # DataFrames share no common subexpressions across an unshared DAG).
     # Persisting is also the production shape: stage the shingle table
-    # once, reuse it across the LSH and verify passes. Distinct-first:
-    # although min() wouldn't need set semantics, deduping BEFORE the
-    # 32-hash agg measured faster than skipping the shuffle (fewer rows
-    # to hash 32x beats one saved exchange at this shape).
-    ex = _shingle_rows(spark, sf_dir).persist()
+    # once, reuse it across the LSH and verify passes; sweep tools call
+    # registry.release_pinned() so 97-query sessions don't accumulate
+    # cache. Distinct-first: although min() wouldn't need set semantics,
+    # deduping BEFORE the 32-hash agg measured faster than skipping the
+    # shuffle (fewer rows to hash 32x beats one saved exchange).
+    ex = pin(_shingle_rows(spark, sf_dir))
     # 32 seeded minhashes; xxhash64(seed, shingle) is Spark-deterministic.
     mins = ex.groupBy("doc_id").agg(
         *[
@@ -268,8 +270,8 @@ def d4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
-        .persist()  # referenced 3x below (two union arms + final semi)
     )
+    candidates = pin(candidates)  # referenced 3x (two union arms + semi)
     # Verify candidates exactly — but only over docs that appear in some
     # candidate pair. The broadcast semi-join prunes the shingle rows
     # BEFORE the quadratic inverted-index join, so verification cost

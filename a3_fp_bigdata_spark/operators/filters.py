@@ -112,14 +112,17 @@ def p5_ci_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p6_substring_predicate",
     oracle="""
     SELECT doc_id, lang, n_chars
-    FROM documents WHERE contains(lower(text), 'shuffle')
+    FROM documents WHERE contains(lower(text), 'merge batch')
     """,
 )
 def p6_substring_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Substring/LIKE predicate (P6; reference app.py:170 autocomplete)."""
+    """Substring/LIKE predicate (P6; reference app.py:170 autocomplete).
+    Probe phrase 'merge batch' occurs in ~5% of the synthetic corpus at
+    every SF, so the oracle compare is selective AND non-vacuous (the
+    round-1 probe matched 0 rows — a 0=0 compare can't catch bugs)."""
     return (
         table(spark, sf_dir, "documents")
-        .filter(F.lower(F.col("text")).contains("shuffle"))
+        .filter(F.lower(F.col("text")).contains("merge batch"))
         .select("doc_id", "lang", "n_chars")
     )
 

@@ -43,12 +43,19 @@ def zscore_per_group(df: DataFrame, key: str, value: str) -> DataFrame:
     def norm(pdf: pd.DataFrame) -> pd.DataFrame:
         v = pdf[value]
         std = v.std(ddof=1)
-        z = (v - v.mean()) / std if std and std > 0 else v * 0.0
+        if pd.isna(std) or std == 0:
+            # match SQL: (x-avg)/stddev_samp is NULL when the divisor is
+            # NULL (single-row group) or zero (constant group)
+            z = pd.Series([None] * len(v), index=v.index, dtype=object)
+        else:
+            z = ((v - v.mean()) / std).round(4)
+            mask = z.notna()
+            z = z.astype(object).where(mask, None)
         return pd.DataFrame(
             {
                 "event_id": pdf["event_id"],
                 key: pdf[key],
-                "z": z.round(4),
+                "z": z,
             }
         )
 

@@ -58,17 +58,20 @@ def so2_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "so3_except",
     oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
+    SELECT c_custkey % 7 AS shard FROM customer
     EXCEPT
-    SELECT s_nationkey FROM supplier
+    SELECT s_suppkey % 5 FROM supplier
     """,
 )
 def so3_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set difference: nations with customers but no suppliers."""
+    """Set difference over shard ids: customer shards (mod 7) minus
+    supplier shards (mod 5) — always exactly {5, 6}, at every SF. (The
+    round-1 form, customer nations minus supplier nations, was empty —
+    every nation has suppliers — so the 0=0 compare was vacuous.)"""
     cust = table(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nationkey")
+        (F.col("c_custkey") % 7).alias("shard")
     )
     supp = table(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey")
+        (F.col("s_suppkey") % 5).alias("shard")
     )
     return cust.subtract(supp)

@@ -25,9 +25,33 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+
+#: Frames persisted by query bodies (multi-referenced subtrees). Sweep
+#: tools (bench.py, tools/check_parity.py, tests) call release_pinned()
+#: after materializing each query so a 97-query session doesn't
+#: accumulate cached RDDs. A driver that never calls it only risks disk
+#: spill, not OOM: pin() uses MEMORY_AND_DISK.
+_PINNED: list[DataFrame] = []
+
+
+def pin(df: DataFrame) -> DataFrame:
+    """persist(MEMORY_AND_DISK) + track for later release_pinned()."""
+    _PINNED.append(df.persist(StorageLevel.MEMORY_AND_DISK))
+    return df
+
+
+def release_pinned() -> None:
+    """Unpersist every pin()ed frame (safe to call anytime; lazy frames
+    simply drop their storage flag)."""
+    while _PINNED:
+        try:
+            _PINNED.pop().unpersist()
+        except Exception:
+            pass
 
 
 @dataclass(frozen=True)

@@ -120,7 +120,11 @@ def build_app(spark: SparkSession, sf_dir: str) -> "Flask":
     @app.get("/top_apps")
     def top_apps():
         sort_by = request.args.get("sort_by", "o_totalprice")
-        limit = min(int(request.args.get("limit", 10)), 50)  # UI cap
+        try:
+            limit = int(request.args.get("limit", 10))
+        except ValueError:
+            return jsonify({"error": "limit must be an integer"}), 400
+        limit = max(1, min(limit, 50))  # UI clamp, 1..50
         category = request.args.get("category")
         try:
             df = top_records(

@@ -116,3 +116,29 @@ def test_lsh_super_bucket_cap(spark, monkeypatch):
     assert (1000, 1001) in pairs  # real near-dup survives
     # no pair from the capped boilerplate cluster (d1's rung, not d4's)
     assert not any(a < 200 and b < 200 for a, b in pairs)
+
+
+def test_zscore_degenerate_groups_emit_null(spark):
+    """Single-row and constant-valued groups must z-score to NULL —
+    matching g1's SQL oracle ((x-avg)/stddev_samp: NULL divisor for a
+    single row, zero divisor for a constant group) instead of 0.0."""
+    from a3_fp_bigdata_spark.operators.grouped_map import zscore_per_group
+
+    df = spark.createDataFrame(
+        [
+            (1, "single", 5.0),
+            (2, "const", 3.0),
+            (3, "const", 3.0),
+            (4, "vary", 1.0),
+            (5, "vary", 3.0),
+        ],
+        "event_id long, grp string, v double",
+    )
+    rows = {
+        r.event_id: r.z
+        for r in zscore_per_group(df, "grp", "v").collect()
+    }
+    assert rows[1] is None  # single-row group: stddev_samp is NULL
+    assert rows[2] is None and rows[3] is None  # constant group: std == 0
+    assert rows[4] is not None and rows[5] is not None
+    assert abs(rows[4] + 0.7071) < 1e-3 and abs(rows[5] - 0.7071) < 1e-3

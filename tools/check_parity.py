@@ -63,11 +63,14 @@ def norm(v):
     return (1, str(v))
 
 
+from a3_fp_bigdata_spark import registry
+
 fail = False
 for name in names:
     sdf = queries[name](spark, SF)
     cols = sorted(sdf.columns)
     srows = sorted(tuple(norm(r[c]) for c in cols) for r in sdf.collect())
+    registry.release_pinned()  # drop per-query persisted frames
     if name not in oracles:
         print(f"  rows-only {name}: {len(srows)} rows")
         continue
