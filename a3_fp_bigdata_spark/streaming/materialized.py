@@ -2,21 +2,28 @@
 
 The reference recomputes its serving table from scratch on every
 training run (spark_script.py:153 full overwrite). The streaming
-version maintains it incrementally: each micro-batch's UPDATED aggregate
-rows merge into the parquet base (operators.upsert.merge_upsert), so
-the serving table stays fresh at micro-batch latency and the write cost
-tracks CHANGED keys, not table size.
+version maintains it incrementally: the base table is PARTITIONED on a
+hash bucket of the merge key (``_kb = pmod(xxhash64(key), n)``), and
+each micro-batch merges its UPDATED aggregate rows into only the
+bucket partitions that batch touches, via Spark's dynamic partition
+overwrite. Write cost therefore tracks TOUCHED BUCKETS (bounded by
+changed keys), not table size — at 100 TB with n=4096 buckets a batch
+that changes 50 keys rewrites at most 50 partitions.
 
-On Delta/Iceberg the merge is transactional MERGE INTO; on plain
-parquet we stage-and-swap the directory (atomic at the rename level,
-crash-safe together with the streaming checkpoint: a replayed batch
-re-merges idempotently because merge_upsert is keyed).
+Crash story: ``out_dir`` is never renamed or removed — dynamic
+overwrite stages new files per partition and swaps them in at commit,
+leaving untouched partitions alone. The per-partition commit is
+rename-based, not transactional across partitions; if a crash lands
+mid-commit the streaming checkpoint replays the batch, and because
+update-mode aggregates emit ABSOLUTE values (not deltas) the keyed
+re-merge converges to the same state. The production-grade form of
+this operator on a transactional table format is Delta/Iceberg
+``MERGE INTO``; this is the engine-portable plain-parquet equivalent.
 """
 
 from __future__ import annotations
 
 import os
-import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -25,6 +32,73 @@ from pyspark.sql.streaming import StreamingQuery
 
 from a3_fp_bigdata_spark.operators.upsert import merge_upsert
 
+#: Default key-bucket count. Small here (tests touch few keys); at
+#: production scale size it so one bucket's rows fit an executor task
+#: (e.g. 4096 for a multi-TB view).
+DEFAULT_BUCKETS = 64
+
+_BUCKET_COL = "_kb"
+_META_FILE = "_mv_buckets"  # underscore-prefixed: ignored by readers
+
+
+def _bucket_count(out_dir: str, requested: int) -> int:
+    """The layout's bucket count is fixed at view creation; later
+    merges must use the same n or keys would hash to the wrong
+    partition. A tiny manifest inside the view dir records it."""
+    meta = os.path.join(out_dir, _META_FILE)
+    if os.path.isfile(meta):
+        with open(meta) as fh:
+            return int(fh.read().strip())
+    return requested
+
+
+def _write_meta(out_dir: str, num_buckets: int) -> None:
+    with open(os.path.join(out_dir, _META_FILE), "w") as fh:
+        fh.write(str(num_buckets))
+
+
+def merge_batch_into(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    key: str,
+    out_dir: str,
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> None:
+    """Merge one batch of keyed rows into the bucketed view at
+    ``out_dir``, rewriting only the bucket partitions the batch
+    touches. Public so batch jobs can maintain the same view layout
+    the streaming sink does."""
+    if batch_df.isEmpty():
+        return
+    n = _bucket_count(out_dir, num_buckets)
+    batch = batch_df.withColumn(
+        _BUCKET_COL, F.pmod(F.xxhash64(F.col(key)), F.lit(n)).cast("int")
+    )
+    if os.path.isdir(out_dir) and os.path.isfile(
+        os.path.join(out_dir, _META_FILE)
+    ):
+        # Which buckets does this batch touch? At most n tiny rows —
+        # the one deliberate driver-side collect, needed to prune the
+        # base read down to the touched partitions.
+        touched = [
+            r[0] for r in batch.select(_BUCKET_COL).distinct().collect()
+        ]
+        base = spark.read.parquet(out_dir).filter(
+            F.col(_BUCKET_COL).isin(touched)  # partition-pruned scan
+        )
+        merged = merge_upsert(base, batch.select(*base.columns), key)
+    else:
+        merged = batch
+    (
+        merged.write.mode("overwrite")
+        # replace only the partitions present in `merged` (the touched
+        # buckets); untouched partition dirs are left as-is
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(_BUCKET_COL)
+        .parquet(out_dir)
+    )
+    _write_meta(out_dir, n)
+
 
 def materialized_view_sink(
     agg_stream: DataFrame,
@@ -32,6 +106,7 @@ def materialized_view_sink(
     key: str,
     out_dir: str,
     checkpoint_dir: str | None = None,
+    num_buckets: int = DEFAULT_BUCKETS,
 ) -> StreamingQuery:
     """Maintain ``out_dir`` as the materialized result of a streaming
     aggregate. ``agg_stream`` must be a keyed aggregation; update output
@@ -39,20 +114,7 @@ def materialized_view_sink(
     cp = checkpoint_dir or tempfile.mkdtemp(prefix="a3_mv_cp_")
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        if os.path.isdir(out_dir):
-            base = spark.read.parquet(out_dir)
-            merged = merge_upsert(base, batch_df.select(*base.columns), key)
-        else:
-            merged = batch_df
-        staged = f"{out_dir}.staging-{batch_id}"
-        merged.write.mode("overwrite").parquet(staged)
-        old = f"{out_dir}.old-{batch_id}"
-        if os.path.isdir(out_dir):
-            os.rename(out_dir, old)
-        os.rename(staged, out_dir)
-        shutil.rmtree(old, ignore_errors=True)
+        merge_batch_into(spark, batch_df, key, out_dir, num_buckets)
 
     return (
         agg_stream.writeStream.foreachBatch(merge_batch)
@@ -61,6 +123,11 @@ def materialized_view_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def read_view(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read the view without its internal bucket column."""
+    return spark.read.parquet(out_dir).drop(_BUCKET_COL)
 
 
 def event_type_counts_stream(events: DataFrame) -> DataFrame:

@@ -122,3 +122,61 @@ def test_materialized_view_incremental_merge(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got2 == want
+
+
+def _parquet_files(d):
+    """{path: mtime_ns} for every parquet data file under d."""
+    state = {}
+    for root, _, fs in os.walk(d):
+        for f in fs:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                state[p] = os.stat(p).st_mtime_ns
+    return state
+
+
+def test_materialized_view_rewrites_only_touched_buckets(spark, tmp_path):
+    """The bucketed view's merge is partition-scoped: a batch touching
+    one key rewrites only that key's bucket partition — every other
+    partition's files survive byte-identical (same paths, same mtimes),
+    unlike a full overwrite which would replace them all."""
+    from pyspark.sql import functions as F
+
+    from a3_fp_bigdata_spark.streaming import materialized as MV
+
+    out = str(tmp_path / "mv")
+    b1 = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(40)], "k string, v long"
+    )
+    MV.merge_batch_into(spark, b1, "k", out, num_buckets=8)
+    part_dirs = [
+        d for d in os.listdir(out) if d.startswith(MV._BUCKET_COL + "=")
+    ]
+    assert len(part_dirs) > 2  # 40 keys spread over several buckets
+    before = _parquet_files(out)
+
+    b2 = spark.createDataFrame([("k3", 999)], "k string, v long")
+    MV.merge_batch_into(spark, b2, "k", out, num_buckets=8)
+    after = _parquet_files(out)
+
+    touched_bucket = (
+        b2.select(
+            F.pmod(F.xxhash64(F.col("k")), F.lit(8)).cast("int").alias("b")
+        ).first().b
+    )
+    touched_prefix = os.path.join(out, f"{MV._BUCKET_COL}={touched_bucket}")
+    for p, mtime in before.items():
+        if not p.startswith(touched_prefix):
+            # untouched partitions: identical file set, never rewritten
+            assert after.get(p) == mtime
+    # the touched bucket WAS rewritten
+    assert not any(
+        p.startswith(touched_prefix) and after.get(p) == m
+        for p, m in before.items()
+    )
+
+    got = {
+        (r.k, r.v) for r in MV.read_view(spark, out).collect()
+    }
+    want = {(f"k{i}", i) for i in range(40) if i != 3} | {("k3", 999)}
+    assert got == want
