@@ -59,7 +59,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     spark = local_session(app_name="a3-bench")
-    queries = registry.all_queries()
+    # driver-facing (two-tier) names so BENCH keys line up with the
+    # CORRECTNESS artifact; HEADLINE names are all canonical (stable)
+    queries = registry.exposed_queries()
 
     headline = [n for n in HEADLINE if n in queries]
     if os.environ.get("SPARK_GRAFT_BENCH_HEADLINE_ONLY"):
