@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from a3_fp_bigdata_spark.data import table
+from a3_fp_bigdata_spark.multimodal.png_codec import decode_png
 from a3_fp_bigdata_spark.registry import query
 
 try:  # pragma: no cover - not installed in this container
@@ -77,13 +78,14 @@ def decode_image(payload: bytes, media_type: str = "image/fake") -> np.ndarray:
         h = 16 + (len(payload) % 48)
         w = 16 + (payload[0] % 48)
         return np.resize(np.frombuffer(payload, dtype=np.uint8), (h, w, 3))
-    if not HAVE_PIL:
-        raise NotImplementedError(
-            f"decoding {media_type!r} requires PIL, which is not installed; "
-            "only the 'image/fake' deterministic stub is available here"
-        )
-    return np.asarray(  # pragma: no cover
-        Image.open(io.BytesIO(payload)).convert("RGB")
+    if HAVE_PIL:  # pragma: no cover - preferred path when installed
+        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+    if media_type == "image/png":
+        # real decode, no image libs: stdlib zlib + the PNG spec
+        return decode_png(payload)
+    raise NotImplementedError(
+        f"decoding {media_type!r} requires PIL, which is not installed; "
+        "'image/png' (pure-python codec) and 'image/fake' work without it"
     )
 
 

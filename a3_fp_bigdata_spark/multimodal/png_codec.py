@@ -1,0 +1,138 @@
+"""Minimal PNG codec — pure stdlib+numpy, no image libraries.
+
+The container ships no PIL, but PNG baseline (8-bit, non-interlaced)
+is decodable with zlib + the five scanline filters from the public PNG
+spec (RFC 2083). This gives the binaryFile image source a REAL decode
+path for the committed fixture set (reference feature_extractor.py:20
+does ``Image.open(path).convert('RGB')``; when PIL exists it is still
+preferred — see images.decode_image).
+
+Supported: bit depth 8, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
+6 (RGBA), interlace 0. That covers everything the encoder here emits
+and the overwhelming majority of real-world icons; anything else
+raises ValueError rather than guessing.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# Ship by value inside Arrow-UDF closures (see images.py: executors may
+# not have the repo on sys.path when the driver imports us by file path).
+try:
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # pragma: no cover - older cloudpickle
+    pass
+
+_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> HxWx3 uint8 RGB (alpha dropped, gray broadcast)."""
+    if payload[:8] != _SIGNATURE:
+        raise ValueError("not a PNG (bad signature)")
+    pos, idat = 8, []
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(payload):
+        (length,), ctype_b = (
+            struct.unpack(">I", payload[pos : pos + 4]),
+            payload[pos + 4 : pos + 8],
+        )
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype_b == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif ctype_b == b"IDAT":
+            idat.append(data)
+        elif ctype_b == b"IEND":
+            break
+        pos += 12 + length  # len + type + data + crc
+    if w is None:
+        raise ValueError("no IHDR chunk")
+    if depth != 8 or interlace != 0 or ctype not in _CHANNELS:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color={ctype}, "
+            f"interlace={interlace}); codec handles 8-bit non-interlaced"
+        )
+    ch = _CHANNELS[ctype]
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT length mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=off + 1
+        ).copy()
+        if ftype == 0:  # None
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (int(line[i]) + int(line[i - ch])) & 0xFF
+        elif ftype == 2:  # Up
+            line += prev  # uint8 wraps, exactly the spec's mod-256
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = int(line[i - ch]) if i >= ch else 0
+                line[i] = (int(line[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = int(line[i - ch]) if i >= ch else 0
+                ul = int(prev[i - ch]) if i >= ch else 0
+                line[i] = (
+                    int(line[i]) + _paeth(left, int(prev[i]), ul)
+                ) & 0xFF
+        else:
+            raise ValueError(f"bad filter type {ftype}")
+        out[y] = line
+        prev = line
+    arr = out.reshape(h, w, ch)
+    if ctype == 0:
+        return np.repeat(arr, 3, axis=2)
+    if ctype == 4:
+        return np.repeat(arr[:, :, :1], 3, axis=2)
+    return arr[:, :, :3]  # RGB / RGBA sans alpha
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """HxWx3 uint8 RGB -> PNG bytes (filter 0 scanlines). Used to build
+    test fixtures; decode_png(encode_png(a)) == a exactly."""
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_png expects HxWx3 uint8")
+    h, w = arr.shape[:2]
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        _SIGNATURE
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(raw, 9))
+        + _chunk(b"IEND", b"")
+    )

@@ -22,8 +22,13 @@ def test_decode_stub_deterministic():
 def test_decode_real_format_raises_without_pil():
     if M.HAVE_PIL:
         pytest.skip("PIL installed; stub gate not reachable")
+    # PNG decodes for real via the pure-python codec; formats beyond it
+    # (JPEG etc.) still need PIL and must say so, not guess
     with pytest.raises(NotImplementedError):
-        M.decode_image(b"\x89PNG...", "image/png")
+        M.decode_image(b"\xff\xd8\xff\xe0jpegish", "image/jpeg")
+    # corrupt PNG bytes fail loudly in the codec, not silently
+    with pytest.raises(ValueError):
+        M.decode_image(b"\x89PNG\r\n\x1a\njunk", "image/png")
 
 
 def test_feature_extraction_matches_local_math(spark):
@@ -76,3 +81,86 @@ def test_feature_table_is_broadcast_joinable(spark):
     joined = media.join(F.broadcast(feats), "media_id", "left_outer")
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_png_codec_roundtrip_and_filters():
+    """decode(encode(a)) == a, and all five PNG scanline filter types
+    unfilter correctly (hand-built IDAT streams per the spec)."""
+    import struct
+    import zlib
+
+    from a3_fp_bigdata_spark.multimodal import png_codec as C
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 256, (23, 17, 3), dtype=np.uint8)
+    assert np.array_equal(C.decode_png(C.encode_png(a)), a)
+
+    def build(filters, arr):
+        h, w = arr.shape[:2]
+        ch, stride = 3, arr.shape[1] * 3
+        prev = np.zeros(stride, dtype=np.int32)
+        raw = b""
+        for y in range(h):
+            line = arr[y].reshape(-1).astype(np.int32)
+            f = filters[y % len(filters)]
+            enc = line.copy()
+            if f == 1:
+                for i in range(stride - 1, ch - 1, -1):
+                    enc[i] = (line[i] - line[i - ch]) % 256
+            elif f == 2:
+                enc = (line - prev) % 256
+            elif f == 3:
+                for i in range(stride):
+                    left = line[i - ch] if i >= ch else 0
+                    enc[i] = (line[i] - ((left + prev[i]) >> 1)) % 256
+            elif f == 4:
+                for i in range(stride):
+                    left = line[i - ch] if i >= ch else 0
+                    ul = prev[i - ch] if i >= ch else 0
+                    enc[i] = (line[i] - C._paeth(left, prev[i], ul)) % 256
+            raw += bytes([f]) + enc.astype(np.uint8).tobytes()
+            prev = line
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + C._chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + C._chunk(b"IDAT", zlib.compress(raw))
+            + C._chunk(b"IEND", b"")
+        )
+
+    b = rng.integers(0, 256, (10, 9, 3), dtype=np.uint8)
+    for filters in ([1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        assert np.array_equal(C.decode_png(build(filters, b)), b), filters
+
+
+def test_binaryfile_image_dir_features(spark):
+    """mm4: binaryFile scan of the committed PNG fixtures -> REAL decode
+    -> channel means/dims pinned to the generator's known patterns."""
+    from a3_fp_bigdata_spark.multimodal import binary_files as B
+
+    feats = {}
+    media = B.image_dir_source(spark, B.FIXTURE_DIR)
+    assert media.schema["payload"].dataType.typeName() == "binary"
+    named = media.join(
+        B.extract_features(media), "media_id"
+    ).select("meta.origin", "img_avg_red", "img_avg_green",
+             "img_avg_blue", "img_width", "img_height")
+    for r in named.collect():
+        feats[r.origin] = (
+            round(r.img_avg_red, 4), round(r.img_avg_green, 4),
+            round(r.img_avg_blue, 4), r.img_width, r.img_height,
+        )
+    assert feats["icon_solid_red.png"] == (200.0, 10.0, 30.0, 16, 16)
+    assert feats["icon_grad_small.png"] == (66.5, 88.5, 166.6, 20, 12)
+    assert feats["icon_grad_large.png"] == (56.5, 90.5, 146.0, 32, 48)
+    assert feats["icon_checker.png"] == (127.5, 127.5, 127.5, 24, 24)
+    assert feats["icon_dark.png"] == (5.0, 5.0, 5.0, 40, 8)
+    assert len(feats) == 5
+
+
+def test_mm4_registered_and_deterministic(spark):
+    from a3_fp_bigdata_spark import registry
+
+    q = registry.all_queries()["mm4_image_dir_features"]
+    a = [tuple(r) for r in q(spark, SF0001).collect()]
+    b = [tuple(r) for r in q(spark, SF0001).collect()]
+    assert a == b and len(a) == 5
