@@ -216,3 +216,38 @@ def j7_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@query(
+    "j10_salted_hotkey",
+    oracle="""
+    WITH skewed AS (
+      SELECT CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE o_custkey END AS k,
+             o_totalprice
+      FROM orders
+    )
+    SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM skewed JOIN customer ON k = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def j10_salted_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join under GENUINE skew: half of all orders collapse onto
+    customer key 1 (a deterministic derivation the oracle reproduces),
+    so an unsalted shuffle join would melt one reducer with 50% of the
+    fact table. salted_join spreads the hot key over SALT_BUCKETS
+    shuffle partitions; the result is salt-invariant (oracle = plain
+    join). bench.py times this at sf0.1 every round, putting a number
+    on the skew path rather than leaving it a claim."""
+    orders = table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit(1))
+        .otherwise(F.col("o_custkey"))
+        .alias("k"),
+        "o_totalprice",
+    )
+    customer = table(spark, sf_dir, "customer").hint("merge")
+    joined = salted_join(orders, customer, "k", "c_custkey")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

@@ -43,6 +43,20 @@ def shuffle_count(df: DataFrame) -> int:
     return len(re.findall(r"\bExchange (?:hashpartitioning|rangepartitioning|RoundRobinPartitioning|SinglePartition)", plan))
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """Partition-pruning predicates on file scans (PartitionFilters:
+    [...]). Non-empty means the scan reads only matching partition
+    directories — the difference between touching one bucket and the
+    whole table."""
+    return [
+        m.group(1)
+        for m in re.finditer(
+            r"PartitionFilters: \[([^\]]*)\]", formatted_plan(df)
+        )
+        if m.group(1).strip()
+    ]
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """Filter predicates pushed into file scans (PushedFilters: [...])."""
     return [

@@ -84,3 +84,27 @@ def test_final_schema_shape(fitted):
         "total_spent", "avg_order", "cluster", "PredictedRating",
     ]
     assert dict(final.dtypes)["cluster"] == "int"
+
+
+def test_unseen_category_kept_not_dropped(spark, fitted):
+    """The deliberate reference deviation (SURVEY §7 risk register):
+    handleInvalid='keep' scores rows whose category was never seen in
+    training, where the reference's 'skip' (spark_script.py:67) would
+    silently drop them. An unseen segment must come back with a cluster
+    for EVERY row, indexed to the extra 'unseen' bucket."""
+    from pyspark.sql import functions as F
+
+    _, km_model, _, _ = fitted
+    df = P.customer_features(spark, SF0001).limit(20).withColumn(
+        "c_mktsegment", F.lit("NEVER_SEEN_SEGMENT")
+    )
+    scored = km_model.transform(df)
+    assert scored.count() == 20  # nothing silently dropped
+    n_seen = (
+        P.customer_features(spark, SF0001)
+        .select("c_mktsegment").distinct().count()
+    )
+    # 'keep' indexes unknowns to the one-past-the-end bucket
+    assert {r[0] for r in scored.select("cat_idx").distinct().collect()} == {
+        float(n_seen)
+    }

@@ -161,3 +161,23 @@ def test_bucketed_join_skips_both_exchanges(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_bucketed_ann_probe_is_partition_pruned(spark, tmp_path, qs):
+    """sim4: the materialized ANN index is partitioned on the LSH bucket
+    id, and a probe's candidate scan must carry a PartitionFilter on the
+    bucket literal — reading ONE bucket directory, not the corpus. The
+    probe's answer equals sim2's on-the-fly ranking exactly."""
+    from a3_fp_bigdata_spark.operators import similarity as S
+
+    idx = str(tmp_path / "ann_idx")
+    S.build_bucketed_ann_index(spark, SF0001, idx)
+    probe = S.probe_bucketed_ann(spark, idx)
+    pfs = PI.partition_filters(probe)
+    assert any("bucket" in f for f in pfs), pfs
+    got = [(r.vec_id, r.cosine) for r in probe.collect()]
+    want = [
+        (r.vec_id, r.cosine)
+        for r in qs["sim2_lsh_ann"](spark, SF0001).collect()
+    ]
+    assert got == want
