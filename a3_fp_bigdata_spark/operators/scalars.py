@@ -107,3 +107,28 @@ def f6_rename_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name").alias("title"),
         F.col("c_acctbal").alias("score"),
     )
+
+
+@query(
+    "f7_display_format",
+    oracle="""
+    SELECT o_orderpriority,
+           format('{:,}', CAST(count(*) AS BIGINT)) AS n_display,
+           printf('%.2f', round(avg(o_totalprice), 2)) AS avg_display
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def f7_display_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 (index.html:684-691): toLocaleString/toFixed display
+    formatting, in-engine — thousands-separated counts
+    (format_number, 0 dp) and fixed-2-decimal averages. Rounding to 2
+    decimals BEFORE formatting keeps Java's HALF_UP and C's
+    round-half-even printf from ever seeing a digit-5 midpoint, so the
+    strings agree exactly across engines."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.format_number(F.count("*"), 0).alias("n_display"),
+        F.format_string(
+            "%.2f", F.round(F.avg("o_totalprice"), 2)
+        ).alias("avg_display"),
+    )

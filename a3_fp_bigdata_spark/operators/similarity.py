@@ -351,3 +351,40 @@ def d6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= NEARDUP_COSINE)
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+@query(
+    "sim5_label_centroids",
+    oracle="""
+    WITH e AS (
+      SELECT label,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x,
+             unnest(range(1, len(embedding) + 1)) AS i
+      FROM embeddings
+    )
+    SELECT label, i - 1 AS dim_i,
+           round(avg(x), 4) + 0.0 AS centroid_val,  -- +0.0: never -0.0
+           count(*) AS n
+    FROM e GROUP BY label, i
+    """,
+)
+def sim5_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid — the vector-algebra aggregate
+    behind IVF training, class prototypes, and centroid-based dedup.
+    posexplode flattens (vector, dim) so the centroid is ONE shuffled
+    partial-agg groupBy (avg per (label, dim)); no UDF, no driver
+    math. Output is flattened (label, dim_i, value) — scalar doubles
+    hash robustly across engines where float-list reprs would not."""
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim_i", "x"))
+        .groupBy("label", "dim_i")
+        .agg(
+            # +0.0 collapses IEEE -0.0 (a mean that rounds to zero can
+            # carry either sign depending on summation order) so both
+            # engines emit the same normalized zero
+            (F.round(F.avg(F.col("x").cast("double")), 4) + F.lit(0.0))
+            .alias("centroid_val"),
+            F.count("*").alias("n"),
+        )
+    )

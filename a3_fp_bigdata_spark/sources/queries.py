@@ -72,3 +72,39 @@ def src2_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("max_ts"),
         F.count("user_id").alias("n_users"),
     )
+
+
+@query(
+    "src3_json_cache",
+    oracle="""
+    SELECT p_partkey, p_name,
+           'https://img.example/p/' || CAST(p_partkey AS VARCHAR) || '=s512'
+             AS icon_url
+    FROM part WHERE p_partkey % 3 = 0
+    """,
+)
+def src3_json_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13: the scraper's icon-URL JSON cache (app_scraper.py:57-70)
+    as an engine source/sink: derive the cache table (1/3 of parts get
+    a URL — the deterministic stand-in for scraped entries), write it
+    as JSON files, re-read with a declared schema, then broadcast-join
+    the cache onto the part table (J2's dict-merge, in-engine:
+    app.py:55-65). The oracle reproduces the derivation without the
+    file round-trip, so any codec loss shows as a hash mismatch."""
+    import pyspark.sql.functions as F
+
+    path = _scratch("jcache", sf_dir)
+    part = table(spark, sf_dir, "part")
+    cache = part.filter(F.col("p_partkey") % 3 == 0).select(
+        F.col("p_partkey").alias("app_id"),
+        F.concat(
+            F.lit("https://img.example/p/"),
+            F.col("p_partkey").cast("string"),
+            F.lit("=s512"),
+        ).alias("icon_url"),
+    )
+    cache.write.mode("overwrite").json(path)
+    cached = spark.read.schema("app_id long, icon_url string").json(path)
+    return part.join(
+        F.broadcast(cached), part.p_partkey == cached.app_id, "inner"
+    ).select("p_partkey", "p_name", "icon_url")

@@ -262,3 +262,100 @@ def st7_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES")),
     ).select("purchase_id", "click_id")
     return run_available_now(joined, output_mode="append")
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running event count + value total held in explicit keyed state,
+    re-emitted on every update. This is the API for stateful logic the
+    built-in operators can't express (session scoring, CUSUM detectors,
+    decaying counters); here the state transition is a running sum so
+    the finite-stream result has an exact SQL twin.
+
+    Scale: state lives in the per-key state store (RocksDB-backed on a
+    cluster), partitioned by the grouping key — no driver state. Arrow
+    batches cross to Python per key-group, not per row.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    def update_fn(key, pdfs, state: GroupState):
+        cnt, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((cnt, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "cnt": [cnt], "total": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update_fn,
+        outputStructType="user_id long, cnt long, total double",
+        stateStructType="cnt long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@query(
+    "st8_stateful_op",
+    oracle="""
+    SELECT user_id, count(*) AS cnt, round(sum(value), 2) AS total
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def st8_stateful_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState end-to-end: the stream re-emits each
+    user's running totals per micro-batch; the LAST emission per key
+    (max cnt) is the final state and must equal the batch aggregate.
+    struct-max picks the final (cnt, total) pair atomically, so the
+    check is batch-count-invariant."""
+    ev = stream_events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    emitted = run_available_now(
+        stateful_user_totals(ev), output_mode="update"
+    )
+    final = (
+        emitted.groupBy("user_id")
+        .agg(F.max(F.struct("cnt", "total")).alias("s"))
+        .select(
+            "user_id",
+            F.col("s.cnt").alias("cnt"),
+            F.round(F.col("s.total"), 2).alias("total"),
+        )
+    )
+    return final
+
+
+@query(
+    "st9_materialized_view",
+    oracle="""
+    SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def st9_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming materialized view end-to-end as a driver-checkable
+    query: stream the events table through the bucket-partitioned
+    incremental-merge sink (streaming/materialized.py), then read the
+    maintained parquet back. The view must equal the batch aggregate —
+    the invariant the partition-scoped merge preserves batch after
+    batch."""
+    import tempfile
+
+    from a3_fp_bigdata_spark.streaming import materialized as MV
+
+    out = tempfile.mkdtemp(prefix="a3_mv_q_") + "/view"
+    q = MV.materialized_view_sink(
+        MV.event_type_counts_stream(stream_events(spark, sf_dir)),
+        spark,
+        "event_type",
+        out,
+    )
+    q.awaitTermination()
+    return MV.read_view(spark, out)
