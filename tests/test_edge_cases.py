@@ -8,6 +8,7 @@ per-partition row distribution, not just produce correct rows.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from a3_fp_bigdata_spark.data import table
@@ -35,7 +36,20 @@ def test_empty_input_window_and_text(spark):
     assert toks.count() == 0
 
 
-def test_empty_input_dedup_pipeline(spark, monkeypatch):
+@pytest.fixture
+def clean_shingle_stage():
+    """Monkeypatching dedup inputs must not read or leave a cached
+    shingle stage keyed to the real (session, sf) — clear both ways."""
+    from a3_fp_bigdata_spark.operators import dedup as D
+
+    D.release_shingle_stage()
+    D._SHINGLE_STAGE.clear()
+    yield
+    D.release_shingle_stage()
+    D._SHINGLE_STAGE.clear()
+
+
+def test_empty_input_dedup_pipeline(spark, monkeypatch, clean_shingle_stage):
     """The full MinHash pipeline on an empty corpus returns zero pairs
     (no division-by-zero in jaccard, no explode of empty aggs)."""
     from a3_fp_bigdata_spark.operators import dedup as D
@@ -92,7 +106,7 @@ def test_salted_join_flattens_hot_key(spark):
     assert max(r["count"] for r in spread) < (n // 2) * 2 / SALT_BUCKETS
 
 
-def test_lsh_super_bucket_cap(spark, monkeypatch):
+def test_lsh_super_bucket_cap(spark, monkeypatch, clean_shingle_stage):
     """A boilerplate cluster (200 identical docs) must NOT quadratically
     explode d4's candidate join: hot buckets above MAX_BUCKET_DOCS are
     dropped, genuine near-dups elsewhere still surface."""
