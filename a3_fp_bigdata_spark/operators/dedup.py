@@ -400,15 +400,12 @@ WINNOW_MIN_SHARED = 5 # pairs must share >= this many fingerprints
 _WEIGHTS = [WINNOW_B ** (WINNOW_K - 1 - j) for j in range(WINNOW_K)]
 _W_LIST = ", ".join(str(w) for w in _WEIGHTS)
 
-#: identical hash/fingerprint pipeline, rendered per engine. `{t}` is a
-#: normalized-text column reference.
-_SPARK_HASHES = (
-    f"transform(sequence(1, char_length({{t}}) - {WINNOW_K} + 1), i -> "
-    f"aggregate(transform(sequence(0, {WINNOW_K} - 1), j -> "
-    f"ascii(substring({{t}}, CAST(i + j AS INT), 1)) * "
-    f"element_at(array({_W_LIST}), CAST(j + 1 AS INT))), "
-    f"0L, (acc, x) -> acc + x) % {WINNOW_M})"
-)
+#: DuckDB rendering of the hash pipeline; its C++ list kernels run this
+#: fine. The Spark side deliberately does NOT use the equivalent
+#: transform/aggregate lambdas: Catalyst materializes the index array
+#: and an inner accumulator per char position (no true rolling state),
+#: which measured 858 s at sf0.1 — the one case in this engine where a
+#: built-in-expression formulation loses to an Arrow-vectorized UDF.
 _DUCK_HASHES = (
     f"list_transform(range(1, length({{t}}) - {WINNOW_K} + 2), i -> "
     f"list_sum(list_transform(range(0, {WINNOW_K}), j -> "
@@ -453,27 +450,52 @@ def d8_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape mirrors d4: candidates come from the fingerprint
     inverted index (work ∝ collisions), and ubiquitous fingerprints
     (> {WINNOW_FP_CAP} docs — boilerplate) are dropped before the
-    self-join, the same super-bucket guard as MAX_BUCKET_DOCS. All
-    hashing is JVM whole-stage codegen (transform/aggregate over
-    chars); no Python."""
+    self-join, the same super-bucket guard as MAX_BUCKET_DOCS.
+
+    The hash/winnow step is a narrow Arrow mapInPandas: sliding-window
+    char math has per-position state that Catalyst's transform/
+    aggregate lambdas can only express by materializing an index array
+    per position (measured 858 s at sf0.1 vs ~2 s vectorized). numpy's
+    sliding_window_view + int64 dot runs the SAME integer arithmetic
+    the DuckDB oracle runs, so parity stays bit-exact. Normalization
+    stays JVM-side, shared with the oracle's regex pipeline."""
+    import numpy as np
+    import pandas as pd
+
+    weights = np.array(_WEIGHTS, dtype=np.int64)
+
+    def winnow_batches(it):
+        for pdf in it:
+            ids: list[int] = []
+            fps_out: list[int] = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["t"]):
+                codes = np.frombuffer(
+                    t.encode("ascii"), dtype=np.uint8
+                ).astype(np.int64)
+                if len(codes) < WINNOW_K:
+                    continue
+                grams = np.lib.stride_tricks.sliding_window_view(
+                    codes, WINNOW_K
+                )
+                hs = (grams @ weights) % WINNOW_M
+                if len(hs) < WINNOW_W:
+                    continue
+                fp = np.unique(
+                    np.lib.stride_tricks.sliding_window_view(
+                        hs, WINNOW_W
+                    ).min(axis=1)
+                )
+                ids.extend([doc_id] * len(fp))
+                fps_out.extend(fp.tolist())
+            yield pd.DataFrame({"doc_id": ids, "fp": fps_out})
+
     t = TX.normalize(F.col("text"))
     docs = (
         table(spark, sf_dir, "documents")
         .select("doc_id", t.alias("t"))
         .filter(F.char_length("t") >= WINNOW_K)
     )
-    hashed = docs.select(
-        "doc_id", F.expr(_SPARK_HASHES.format(t="t")).alias("hs")
-    ).filter(F.size("hs") >= WINNOW_W)
-    fps = hashed.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(hs) - {WINNOW_W} + 1), "
-                f"i -> array_min(slice(hs, CAST(i AS INT), {WINNOW_W})))"
-            )
-        ).alias("fp"),
-    ).distinct()
+    fps = docs.mapInPandas(winnow_batches, schema="doc_id long, fp long")
     kept = fps.join(
         fps.groupBy("fp")
         .agg(F.count("*").alias("n_docs"))

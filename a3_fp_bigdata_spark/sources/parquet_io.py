@@ -77,3 +77,49 @@ def write_bucketed_table(
     if sort_col:
         w = w.sortBy(sort_col)
     w.saveAsTable(name)
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_col: str | None = None,
+) -> int:
+    """Small-file compaction — the lakehouse maintenance operator every
+    streaming sink eventually needs (micro-batches leave one-file-per-
+    trigger litter; a 100 TB table accumulates millions of tiny files
+    and scan planning drowns in footer reads). Rewrites ``path`` into
+    ceil(bytes / target_file_bytes) files, optionally sorted so
+    parquet min/max row-group stats become selective for later
+    predicate pushdown. Returns the new file count.
+
+    Stage-and-swap keeps readers working until the atomic rename; the
+    transactional form of this op on Delta/Iceberg is OPTIMIZE."""
+    import math
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    compacted = (
+        df.repartitionByRange(n_files, sort_col).sortWithinPartitions(sort_col)
+        if sort_col
+        else df.coalesce(n_files)
+    )
+    staged = f"{path}.compacting"
+    compacted.write.mode("overwrite").parquet(staged)
+    old = f"{path}.precompact"
+    os.rename(path, old)
+    os.rename(staged, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return sum(
+        1
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )

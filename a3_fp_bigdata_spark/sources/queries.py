@@ -108,3 +108,34 @@ def src3_json_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.join(
         F.broadcast(cached), part.p_partkey == cached.app_id, "inner"
     ).select("p_partkey", "p_name", "icon_url")
+
+
+@query(
+    "src4_compaction_roundtrip",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def src4_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction round-trip: shatter events into 64 tiny
+    files (micro-batch litter), compact the directory down (sorted by
+    ts so row-group stats turn selective), then aggregate the result.
+    The oracle reads the ORIGINAL table — compaction must be a pure
+    layout change, never a data change."""
+    import pyspark.sql.functions as F
+
+    from a3_fp_bigdata_spark.sources.parquet_io import compact_parquet_dir
+
+    path = _scratch("compact", sf_dir)
+    ev = table(spark, sf_dir, "events")
+    ev.repartition(64).write.mode("overwrite").parquet(path)
+    compact_parquet_dir(spark, path, sort_col="ts")
+    return (
+        spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+    )

@@ -146,3 +146,20 @@ def test_kafka_broker_roundtrip_when_available(spark):
     want = sorted(map(tuple, ev.collect()))
     got = sorted(map(tuple, back.select(*ev.columns).collect()))
     assert got == want
+
+
+def test_compaction_reduces_files_keeps_data(spark, tmp_path):
+    """compact_parquet_dir: 64-file litter becomes a handful of files,
+    rows and values unchanged, sorted layout within files."""
+    from a3_fp_bigdata_spark.sources.parquet_io import compact_parquet_dir
+
+    path = str(tmp_path / "litter")
+    ev = table(spark, SF0001, "events")
+    before = sorted(map(tuple, ev.collect()))
+    ev.repartition(64).write.mode("overwrite").parquet(path)
+    n_before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert n_before >= 32
+    n_after = compact_parquet_dir(spark, path, sort_col="ts")
+    assert n_after < n_before / 4
+    back = spark.read.parquet(path)
+    assert sorted(map(tuple, back.collect())) == before
