@@ -174,7 +174,16 @@ def build_bucketed_ann_index(
         (F.col("vec_id") >= 1) & (F.col("vec_id") <= N_PLANES)
     ).select(F.col("vec_id").alias("pid"), F.col("embedding").alias("p_emb"))
     with_bucket = emb.join(_buckets(emb, planes), "vec_id")
-    with_bucket.write.mode("overwrite").partitionBy("bucket").parquet(out_dir)
+    # cluster rows by bucket BEFORE the partitioned write: without it
+    # every shuffle partition writes a sliver into every bucket dir
+    # (up to 2^planes x shuffle.partitions files); with it each bucket
+    # is one file — the layout a probe wants to open
+    (
+        with_bucket.repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(out_dir)
+    )
 
 
 def probe_bucketed_ann(

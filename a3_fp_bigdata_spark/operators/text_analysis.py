@@ -172,3 +172,62 @@ def tx4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     key (128-bit, collision-safe at 100 TB)."""
     docs = table(spark, sf_dir, "documents")
     return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+
+
+@query(
+    "tx5_curation_pipeline",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source, text, {_SQL_TOKS} AS t FROM documents
+    ), feats AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(t, w -> w IN
+                  ({TX.sql_quoted_list(TX.EN_FUNCTION_WORDS)}))) AS DOUBLE)
+               / greatest(len(t), 1) AS en_ratio,
+             least(len(t) / 50.0, 1.0) / 3
+               + (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                       AS DOUBLE) / greatest(length(text), 1)) / 3
+               + least(4 * CAST(len(list_filter(t, w -> w IN
+                  ({TX.sql_quoted_list(TX.EN_FUNCTION_WORDS)}))) AS DOUBLE)
+                  / greatest(len(t), 1), 1.0) / 3 AS quality,
+             md5(array_to_string(t, ' ')) AS fp
+      FROM scored
+    ), kept AS (
+      SELECT * FROM feats
+      WHERE en_ratio >= 0.12 AND quality >= 0.5
+    ), deduped AS (
+      SELECT source, fp, min(doc_id) AS keeper,
+             count(*) AS n_copies
+      FROM kept GROUP BY source, fp
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_copies) - count(*) AS BIGINT) AS n_dropped_dups
+    FROM deduped GROUP BY source
+    """,
+)
+def tx5_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-curation shape every LLM data pipeline
+    runs, composed from this engine's own operators: language gate
+    (tx1's function-word ratio) -> quality gate (tx2's score) -> exact
+    near-copy collapse (d1's content-fingerprint groupBy, keyed per
+    source) -> per-source yield stats. One declarative plan: Catalyst
+    fuses the gates into the scan filter and the dedup+stats into two
+    aggregations; nothing materializes between stages."""
+    docs = table(spark, sf_dir, "documents")
+    kept = docs.select(
+        "doc_id",
+        "source",
+        TX.stopword_ratio(F.col("text")).alias("en_ratio"),
+        TX.quality_score(F.col("text")).alias("quality"),
+        F.md5(F.concat_ws(" ", TX.tokens(F.col("text")))).alias("fp"),
+    ).filter((F.col("en_ratio") >= 0.12) & (F.col("quality") >= 0.5))
+    deduped = kept.groupBy("source", "fp").agg(
+        F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies")
+    )
+    return deduped.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("n_copies") - F.count("*"))
+        .cast("long")
+        .alias("n_dropped_dups"),
+    )
