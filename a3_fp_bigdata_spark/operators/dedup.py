@@ -28,6 +28,17 @@ from pyspark import StorageLevel
 
 from a3_fp_bigdata_spark.registry import pin, query
 
+# Ship this module by value in Arrow-UDF closures (executors may lack
+# the repo on sys.path when the driver imports by file path).
+try:
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # pragma: no cover - older cloudpickle
+    pass
+
 SHINGLE_N = 3
 JACCARD_THRESHOLD = 0.3
 MINHASH_HASHES = 32
@@ -400,6 +411,28 @@ WINNOW_MIN_SHARED = 5 # pairs must share >= this many fingerprints
 _WEIGHTS = [WINNOW_B ** (WINNOW_K - 1 - j) for j in range(WINNOW_K)]
 _W_LIST = ", ".join(str(w) for w in _WEIGHTS)
 
+def winnow_fingerprints(t: str) -> list[int]:
+    """Distinct winnowing fingerprints of ASCII-normalized text `t`:
+    int64 polynomial hash of every K-gram (sliding dot with the B^j
+    weight vector), then the min of each W-hash window. Pure function
+    of the text — the per-doc unit the d8 pipeline and the property
+    tests share."""
+    import numpy as np
+
+    codes = np.frombuffer(t.encode("ascii"), dtype=np.uint8).astype(
+        np.int64
+    )
+    if len(codes) < WINNOW_K:
+        return []
+    grams = np.lib.stride_tricks.sliding_window_view(codes, WINNOW_K)
+    hs = (grams @ np.array(_WEIGHTS, dtype=np.int64)) % WINNOW_M
+    if len(hs) < WINNOW_W:
+        return []
+    return np.unique(
+        np.lib.stride_tricks.sliding_window_view(hs, WINNOW_W).min(axis=1)
+    ).tolist()
+
+
 #: DuckDB rendering of the hash pipeline; its C++ list kernels run this
 #: fine. The Spark side deliberately does NOT use the equivalent
 #: transform/aggregate lambdas: Catalyst materializes the index array
@@ -459,34 +492,16 @@ def d8_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     sliding_window_view + int64 dot runs the SAME integer arithmetic
     the DuckDB oracle runs, so parity stays bit-exact. Normalization
     stays JVM-side, shared with the oracle's regex pipeline."""
-    import numpy as np
     import pandas as pd
-
-    weights = np.array(_WEIGHTS, dtype=np.int64)
 
     def winnow_batches(it):
         for pdf in it:
             ids: list[int] = []
             fps_out: list[int] = []
             for doc_id, t in zip(pdf["doc_id"], pdf["t"]):
-                codes = np.frombuffer(
-                    t.encode("ascii"), dtype=np.uint8
-                ).astype(np.int64)
-                if len(codes) < WINNOW_K:
-                    continue
-                grams = np.lib.stride_tricks.sliding_window_view(
-                    codes, WINNOW_K
-                )
-                hs = (grams @ weights) % WINNOW_M
-                if len(hs) < WINNOW_W:
-                    continue
-                fp = np.unique(
-                    np.lib.stride_tricks.sliding_window_view(
-                        hs, WINNOW_W
-                    ).min(axis=1)
-                )
+                fp = winnow_fingerprints(t)
                 ids.extend([doc_id] * len(fp))
-                fps_out.extend(fp.tolist())
+                fps_out.extend(fp)
             yield pd.DataFrame({"doc_id": ids, "fp": fps_out})
 
     t = TX.normalize(F.col("text"))

@@ -80,3 +80,43 @@ def test_json_codec_roundtrip_property(spark, rows):
     got = sorted(map(tuple, back.collect()))
     want = sorted((i, float(v) if v is not None else None) for i, v in rows)
     assert got == want
+
+
+@settings(max_examples=25, deadline=None, derandomize=True)
+@given(
+    st.integers(1, 40),
+    st.integers(1, 40),
+    st.integers(0, 2**31 - 1),
+)
+def test_png_codec_roundtrip_property(h, w, seed):
+    """decode(encode(a)) == a for arbitrary RGB arrays — the codec is
+    lossless at every size, including 1x1."""
+    import numpy as np
+
+    from a3_fp_bigdata_spark.multimodal import png_codec as C
+
+    arr = (
+        np.random.default_rng(seed)
+        .integers(0, 256, (h, w, 3))
+        .astype(np.uint8)
+    )
+    assert np.array_equal(C.decode_png(C.encode_png(arr)), arr)
+
+
+@settings(max_examples=30, deadline=None, derandomize=True)
+@given(st.text(alphabet="abc 01", min_size=0, max_size=120), st.integers(0, 50))
+def test_winnow_fingerprint_properties(t, pad):
+    """Winnowing invariants: deterministic; identical text -> identical
+    fingerprint set; a shared run longer than K+W-1 chars guarantees at
+    least one shared fingerprint (the winnowing coverage theorem)."""
+    from a3_fp_bigdata_spark.operators import dedup as D
+
+    a = D.winnow_fingerprints(t)
+    assert a == D.winnow_fingerprints(t)
+    assert a == sorted(set(a))
+    if len(t) >= D.WINNOW_K + D.WINNOW_W - 1:
+        assert a, "text long enough must yield at least one fingerprint"
+        # embed t in unrelated context: the shared run keeps >=1 common
+        # fingerprint because some window inside t is fully contained
+        wrapped = "z" * pad + t + "z" * pad
+        assert set(a) & set(D.winnow_fingerprints(wrapped))
