@@ -452,3 +452,28 @@ def a17_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
             "disc_tax_covar"
         ),
     )
+
+
+@query(
+    "a18_grouping_sets",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def a18_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (beyond a9 rollup / a15 cube): priority
+    totals, status totals, and the grand total in ONE pass — Spark
+    expands the sets into a single Expand + partial-agg plan, so the
+    fact table is scanned once however many sets are requested."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )

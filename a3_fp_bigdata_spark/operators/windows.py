@@ -164,3 +164,31 @@ def w5_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "session_id")
         .agg(F.count("*").alias("n_events"))
     )
+
+
+@query(
+    "w6_ntile_percent_rank",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ntile(4) OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal, c_custkey) AS quartile,
+           round(percent_rank() OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal, c_custkey), 6) AS pr
+    FROM customer
+    """,
+)
+def w6_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: balance quartile + percentile
+    position per market segment. The unique (acctbal, custkey) order
+    makes rank positions — and therefore ntile/percent_rank — engine-
+    independent. One hash shuffle on the partition key, like w1-w5."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    cust = table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )
