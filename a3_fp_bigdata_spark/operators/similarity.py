@@ -469,3 +469,55 @@ def sim5_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+@query(
+    "sim6_int8_quantize",
+    oracle="""
+    WITH stats AS (
+      SELECT vec_id, embedding,
+             greatest(list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))), 1e-12) AS mx
+      FROM embeddings
+    )
+    SELECT vec_id,
+           round(mx, 6) AS scale,
+           unnest(range(1, 9)) AS pos,
+           unnest(list_transform(embedding[1:8],
+               x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / mx)
+                         AS BIGINT))) AS q
+    FROM stats
+    """,
+)
+def sim6_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    vector-storage op that cuts an ANN corpus 4x (float32 -> int8 +
+    one scale per vector). Pure column algebra (no UDF): per-vector
+    max-abs scale, transform to round(x*127/scale). Output pins the
+    scale and the first 8 quantized values so the oracle compare stays
+    scalar-friendly; both engines run identical double arithmetic and
+    round-half-even via round(), so values match exactly."""
+    emb = table(spark, sf_dir, "embeddings")
+    mx = F.greatest(
+        F.array_max(
+            F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+        ),
+        F.lit(1e-12),
+    )
+    q = F.transform(
+        F.slice(F.col("embedding"), 1, 8),
+        lambda x: F.round(x.cast("double") * 127.0 / F.col("_mx")).cast(
+            "long"
+        ),
+    )
+    return (
+        emb.withColumn("_mx", mx)
+        .select(
+            "vec_id",
+            F.round(F.col("_mx"), 6).alias("scale"),
+            F.posexplode(q).alias("pos0", "q"),
+        )
+        .select(
+            "vec_id", "scale", (F.col("pos0") + 1).alias("pos"), "q"
+        )
+    )

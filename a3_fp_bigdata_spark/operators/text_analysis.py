@@ -231,3 +231,29 @@ def tx5_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_dropped_dups"),
     )
+
+
+SAMPLE_PCT = 10
+SAMPLE_MULT = 2654435761  # Knuth multiplicative hash constant
+
+
+@query(
+    "tx6_systematic_sample",
+    oracle=f"""
+    SELECT doc_id, source, lang
+    FROM documents
+    WHERE (doc_id * {SAMPLE_MULT}) % 100 < {SAMPLE_PCT}
+    """,
+)
+def tx6_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic {SAMPLE_PCT}% corpus sample via multiplicative-hash
+    arithmetic on the key — the reproducible subsampling every training
+    run needs (df.sample() is seed+partitioning dependent; key
+    arithmetic is stable across engines, partitionings, and reruns, so
+    the sample is auditable and the oracle reproduces it exactly). The
+    predicate is scan-pushable: sampling costs a filter, not a
+    shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.filter(
+        (F.col("doc_id") * SAMPLE_MULT) % 100 < SAMPLE_PCT
+    ).select("doc_id", "source", "lang")
