@@ -40,15 +40,23 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one test table. Plain parquet scan — the vectorized reader's
     native types flow through (the driver's DuckDB oracle reads the same
     footers), except nano-timestamps which are widened to TimestampType."""
+    # Two session-level self-heals, tried INDEPENDENTLY so one being
+    # locked on an externally-built session can't silently skip the
+    # other. Both are part of the engine's session contract (see
+    # session.local_session, which sets them at build time); applying
+    # them here too means a plain driver-built session still reads
+    # nano-timestamps correctly and compares timestamps under UTC.
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # registry determinism rules compare timestamps under UTC; a plain
-        # (driver-built) session on a non-UTC host would otherwise collect
-        # TimestampType shifted to local time while DuckDB returns the
-        # stored naive micros
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass  # conf may be fixed on an externally-built session
+    try:
+        # registry determinism rules compare timestamps under UTC; a plain
+        # session on a non-UTC host would otherwise collect TimestampType
+        # shifted to local time while DuckDB returns stored naive micros
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANOS_TS_COLS.get(name, ()):
         field = df.schema[col] if col in df.columns else None

@@ -37,26 +37,16 @@ from a3_fp_bigdata_spark.data import table
 from a3_fp_bigdata_spark.multimodal.png_codec import decode_png
 from a3_fp_bigdata_spark.registry import query
 
+from a3_fp_bigdata_spark.pickling import ship_by_value
+
+ship_by_value(__name__)  # Arrow closures must not need repo on sys.path
+
 try:  # pragma: no cover - not installed in this container
     from PIL import Image
 
     HAVE_PIL = True
 except ImportError:
     HAVE_PIL = False
-
-# Ship this module's functions BY VALUE inside mapInPandas closures:
-# executors are plain Python workers that may not have the repo on
-# sys.path (the driver harness imports us by file path). Registering the
-# module makes cloudpickle embed the helper code in the serialized task
-# instead of emitting an import that would fail worker-side.
-try:
-    import sys as _sys
-
-    from pyspark import cloudpickle as _cp
-
-    _cp.register_pickle_by_value(_sys.modules[__name__])
-except Exception:  # pragma: no cover - older cloudpickle: fall back to
-    pass  # import-by-reference (works when workers share sys.path)
 
 
 # ---------------------------------------------------------------------------

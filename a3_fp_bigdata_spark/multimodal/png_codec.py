@@ -20,16 +20,9 @@ import zlib
 
 import numpy as np
 
-# Ship by value inside Arrow-UDF closures (see images.py: executors may
-# not have the repo on sys.path when the driver imports us by file path).
-try:
-    import sys as _sys
+from a3_fp_bigdata_spark.pickling import ship_by_value
 
-    from pyspark import cloudpickle as _cp
-
-    _cp.register_pickle_by_value(_sys.modules[__name__])
-except Exception:  # pragma: no cover - older cloudpickle
-    pass
+ship_by_value(__name__)  # Arrow closures must not need repo on sys.path
 
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}

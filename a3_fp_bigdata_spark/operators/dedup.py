@@ -28,16 +28,9 @@ from pyspark import StorageLevel
 
 from a3_fp_bigdata_spark.registry import pin, query
 
-# Ship this module by value in Arrow-UDF closures (executors may lack
-# the repo on sys.path when the driver imports by file path).
-try:
-    import sys as _sys
+from a3_fp_bigdata_spark.pickling import ship_by_value
 
-    from pyspark import cloudpickle as _cp
-
-    _cp.register_pickle_by_value(_sys.modules[__name__])
-except Exception:  # pragma: no cover - older cloudpickle
-    pass
+ship_by_value(__name__)  # Arrow closures must not need repo on sys.path
 
 SHINGLE_N = 3
 JACCARD_THRESHOLD = 0.3
@@ -191,6 +184,11 @@ _SHINGLE_STAGE: dict[tuple[int, str], DataFrame] = {}
 
 def staged_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir)
+    # the cached frame strongly references its session, so a live id()
+    # can't be reused — but a caller may have STOPPED that session and
+    # built a new one at the same address; validate before reuse
+    if key in _SHINGLE_STAGE and _SHINGLE_STAGE[key].sparkSession is not spark:
+        del _SHINGLE_STAGE[key]
     if key not in _SHINGLE_STAGE:
         _SHINGLE_STAGE[key] = _shingle_rows(spark, sf_dir).persist(
             StorageLevel.MEMORY_AND_DISK

@@ -23,16 +23,10 @@ from pyspark.sql import functions as F
 from a3_fp_bigdata_spark.data import table
 from a3_fp_bigdata_spark.registry import query
 
-# Ship closures by value — executors may not have the repo on sys.path
-# (same rationale as multimodal/images.py).
-try:
-    import sys as _sys
 
-    from pyspark import cloudpickle as _cp
+from a3_fp_bigdata_spark.pickling import ship_by_value
 
-    _cp.register_pickle_by_value(_sys.modules[__name__])
-except Exception:  # pragma: no cover
-    pass
+ship_by_value(__name__)  # Arrow closures must not need repo on sys.path
 
 
 def zscore_per_group(df: DataFrame, key: str, value: str) -> DataFrame:

@@ -199,6 +199,10 @@ def probe_bucketed_ann(
         .select("bucket", "embedding")
         .first()
     )
+    if qrow is None:
+        raise ValueError(
+            f"query vector {query_vec_id} not present in index {index_dir}"
+        )
     q = spark.createDataFrame(
         [(list(qrow["embedding"]),)], "q_emb array<float>"
     )

@@ -235,6 +235,7 @@ def tx5_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SAMPLE_PCT = 10
 SAMPLE_MULT = 2654435761  # Knuth multiplicative hash constant
+SAMPLE_PREMOD = 1_000_003  # pre-reduce the key so the product fits int64
 
 
 @query(
@@ -242,7 +243,7 @@ SAMPLE_MULT = 2654435761  # Knuth multiplicative hash constant
     oracle=f"""
     SELECT doc_id, source, lang
     FROM documents
-    WHERE (doc_id * {SAMPLE_MULT}) % 100 < {SAMPLE_PCT}
+    WHERE ((doc_id % {SAMPLE_PREMOD}) * {SAMPLE_MULT}) % 100 < {SAMPLE_PCT}
     """,
 )
 def tx6_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -252,8 +253,10 @@ def tx6_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic is stable across engines, partitionings, and reruns, so
     the sample is auditable and the oracle reproduces it exactly). The
     predicate is scan-pushable: sampling costs a filter, not a
-    shuffle."""
+    shuffle. The key is pre-reduced mod {SAMPLE_PREMOD} so the product
+    can never overflow int64 (a raw doc_id * constant wraps negative
+    past ~3.5e9 ids — exactly the scale this sampler targets)."""
     docs = table(spark, sf_dir, "documents")
     return docs.filter(
-        (F.col("doc_id") * SAMPLE_MULT) % 100 < SAMPLE_PCT
+        ((F.col("doc_id") % SAMPLE_PREMOD) * SAMPLE_MULT) % 100 < SAMPLE_PCT
     ).select("doc_id", "source", "lang")

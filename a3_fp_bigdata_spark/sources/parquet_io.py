@@ -94,10 +94,23 @@ def compact_parquet_dir(
     parquet min/max row-group stats become selective for later
     predicate pushdown. Returns the new file count.
 
-    Stage-and-swap keeps readers working until the atomic rename; the
+    Stage-and-swap: the rewrite lands in a sibling dir and swaps in via
+    two renames. The swap is NOT atomic — there is a brief window with
+    no directory at ``path`` (a concurrent reader would error and
+    retry), and a crash inside it strands the table at
+    ``path.precompact``; this function RECOVERS that state on entry
+    (restores the precompact dir, clears staging litter). The
     transactional form of this op on Delta/Iceberg is OPTIMIZE."""
     import math
     import shutil
+
+    staged = f"{path}.compacting"
+    old = f"{path}.precompact"
+    # crash recovery from a previous interrupted swap
+    if not os.path.isdir(path) and os.path.isdir(old):
+        os.rename(old, path)
+    shutil.rmtree(staged, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
 
     total = sum(
         os.path.getsize(os.path.join(root, f))
@@ -112,9 +125,7 @@ def compact_parquet_dir(
         if sort_col
         else df.coalesce(n_files)
     )
-    staged = f"{path}.compacting"
     compacted.write.mode("overwrite").parquet(staged)
-    old = f"{path}.precompact"
     os.rename(path, old)
     os.rename(staged, path)
     shutil.rmtree(old, ignore_errors=True)

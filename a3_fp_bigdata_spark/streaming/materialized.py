@@ -57,6 +57,13 @@ def _write_meta(out_dir: str, num_buckets: int) -> None:
         fh.write(str(num_buckets))
 
 
+def _has_parquet_data(out_dir: str) -> bool:
+    for root, _dirs, files in os.walk(out_dir):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
 def merge_batch_into(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -67,16 +74,32 @@ def merge_batch_into(
     """Merge one batch of keyed rows into the bucketed view at
     ``out_dir``, rewriting only the bucket partitions the batch
     touches. Public so batch jobs can maintain the same view layout
-    the streaming sink does."""
+    the streaming sink does.
+
+    Freshness is decided by DATA PRESENCE, never by the meta file
+    alone: a crash between the first parquet commit and the meta write
+    must not let a replayed batch re-initialize the view (dynamic
+    overwrite would then replace touched buckets with just the batch's
+    keys). The meta file is also written BEFORE the initial data
+    commit, so an existing-data-without-meta state can only mean a
+    foreign/legacy directory — refused loudly rather than mis-merged
+    under a guessed bucket count."""
     if batch_df.isEmpty():
         return
+    has_data = os.path.isdir(out_dir) and _has_parquet_data(out_dir)
+    has_meta = os.path.isfile(os.path.join(out_dir, _META_FILE))
+    if has_data and not has_meta:
+        raise ValueError(
+            f"{out_dir} contains parquet but no {_META_FILE} manifest — "
+            "not a view this sink created; refusing to merge (the bucket "
+            "count would be a guess and keys would land in wrong "
+            "partitions)"
+        )
     n = _bucket_count(out_dir, num_buckets)
     batch = batch_df.withColumn(
         _BUCKET_COL, F.pmod(F.xxhash64(F.col(key)), F.lit(n)).cast("int")
     )
-    if os.path.isdir(out_dir) and os.path.isfile(
-        os.path.join(out_dir, _META_FILE)
-    ):
+    if has_data:
         # Which buckets does this batch touch? At most n tiny rows —
         # the one deliberate driver-side collect, needed to prune the
         # base read down to the touched partitions.
@@ -89,6 +112,12 @@ def merge_batch_into(
         merged = merge_upsert(base, batch.select(*base.columns), key)
     else:
         merged = batch
+    # meta BEFORE data: a crash after this point replays into the
+    # merge path (meta present, data maybe partial) and converges;
+    # the reverse order had a window where replay saw data-without-
+    # meta and re-initialized the view from one batch
+    os.makedirs(out_dir, exist_ok=True)
+    _write_meta(out_dir, n)
     (
         merged.write.mode("overwrite")
         # replace only the partitions present in `merged` (the touched
@@ -97,7 +126,6 @@ def merge_batch_into(
         .partitionBy(_BUCKET_COL)
         .parquet(out_dir)
     )
-    _write_meta(out_dir, n)
 
 
 def materialized_view_sink(

@@ -180,3 +180,21 @@ def test_materialized_view_rewrites_only_touched_buckets(spark, tmp_path):
     }
     want = {(f"k{i}", i) for i in range(40) if i != 3} | {("k3", 999)}
     assert got == want
+
+
+def test_materialized_view_refuses_foreign_dir(spark, tmp_path):
+    """A directory with parquet but no bucket manifest is NOT a view
+    this sink created — merging under a guessed bucket count would put
+    keys in wrong partitions, so it must refuse loudly. (Also pins the
+    meta-first crash ordering: data-without-meta can only be foreign.)"""
+    import pytest
+
+    from a3_fp_bigdata_spark.streaming import materialized as MV
+
+    foreign = str(tmp_path / "foreign")
+    spark.createDataFrame([("a", 1)], "k string, v long").write.parquet(
+        foreign
+    )
+    batch = spark.createDataFrame([("b", 2)], "k string, v long")
+    with pytest.raises(ValueError, match="manifest"):
+        MV.merge_batch_into(spark, batch, "k", foreign, num_buckets=4)
