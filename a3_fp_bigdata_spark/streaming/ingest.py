@@ -30,6 +30,7 @@ from __future__ import annotations
 import itertools
 import os
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -105,23 +106,52 @@ def dedup_keys(events: DataFrame, delay: str = "2 hours") -> DataFrame:
     )
 
 
+@contextmanager
+def streaming_shuffle(spark, n: int | None):
+    """Temporarily set spark.sql.shuffle.partitions for a streaming
+    start. A stateful query materializes one state store PER shuffle
+    partition per operator per micro-batch — partitions must track
+    STATE SIZE, not the session's batch default (32 stores for a
+    finite test stream measured 13.3 s vs 2.9 s at 8 on st7). At real
+    scale pass None and size the session setting to the key space.
+    The conf is read at query START, so restoring after
+    awaitTermination is safe."""
+    if n is None:
+        yield
+        return
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
 def run_available_now(
-    stream: DataFrame, *, output_mode: str = "complete"
+    stream: DataFrame,
+    *,
+    output_mode: str = "complete",
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Run a streaming frame to completion over all currently-available
     input (Trigger.AvailableNow) into a memory sink; return the result
     as a batch DataFrame. Deterministic test/driver harness — the
-    production path would run the same frame with a real trigger+sink."""
+    production path would run the same frame with a real trigger+sink.
+    ``state_partitions`` sizes the state stores for the finite test
+    stream (see streaming_shuffle); results are partition-invariant
+    (the oracles prove it), only setup cost changes."""
     name = f"a3_stream_{next(_qname_counter)}"
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream.sparkSession.table(name)
+    spark = stream.sparkSession
+    with streaming_shuffle(spark, state_partitions):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
 
 
 def micro_batch_csv_sink(
@@ -351,11 +381,12 @@ def st9_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     from a3_fp_bigdata_spark.streaming import materialized as MV
 
     out = tempfile.mkdtemp(prefix="a3_mv_q_") + "/view"
-    q = MV.materialized_view_sink(
-        MV.event_type_counts_stream(stream_events(spark, sf_dir)),
-        spark,
-        "event_type",
-        out,
-    )
-    q.awaitTermination()
+    with streaming_shuffle(spark, 8):
+        q = MV.materialized_view_sink(
+            MV.event_type_counts_stream(stream_events(spark, sf_dir)),
+            spark,
+            "event_type",
+            out,
+        )
+        q.awaitTermination()
     return MV.read_view(spark, out)
