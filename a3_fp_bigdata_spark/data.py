@@ -40,6 +40,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one test table. Plain parquet scan — the vectorized reader's
     native types flow through (the driver's DuckDB oracle reads the same
     footers), except nano-timestamps which are widened to TimestampType."""
+    # CONTRACT: reading through the engine pins the session to the
+    # engine's timestamp semantics (nanos widened, UTC comparisons) —
+    # the driver's oracle compare depends on it. An application that
+    # needs a different session timezone for its own queries should
+    # not share a session with engine reads.
     # Two session-level self-heals, tried INDEPENDENTLY so one being
     # locked on an externally-built session can't silently skip the
     # other. Both are part of the engine's session contract (see

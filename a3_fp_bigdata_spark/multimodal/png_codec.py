@@ -40,6 +40,15 @@ def decode_png(payload: bytes) -> np.ndarray:
     """PNG bytes -> HxWx3 uint8 RGB (alpha dropped, gray broadcast)."""
     if payload[:8] != _SIGNATURE:
         raise ValueError("not a PNG (bad signature)")
+    try:
+        return _decode_png_body(payload)
+    except (struct.error, zlib.error, IndexError) as e:
+        # truncated/corrupt chunks surface as the documented ValueError,
+        # not as raw worker-side struct/zlib errors
+        raise ValueError(f"corrupt PNG: {e}") from e
+
+
+def _decode_png_body(payload: bytes) -> np.ndarray:
     pos, idat = 8, []
     w = h = depth = ctype = interlace = None
     while pos + 8 <= len(payload):

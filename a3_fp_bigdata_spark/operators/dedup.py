@@ -184,11 +184,17 @@ _SHINGLE_STAGE: dict[tuple[int, str], DataFrame] = {}
 
 def staged_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir)
-    # the cached frame strongly references its session, so a live id()
-    # can't be reused — but a caller may have STOPPED that session and
-    # built a new one at the same address; validate before reuse
-    if key in _SHINGLE_STAGE and _SHINGLE_STAGE[key].sparkSession is not spark:
-        del _SHINGLE_STAGE[key]
+    # the cached frame strongly references its session, so a matching
+    # key always belongs to THIS live session. But entries made under a
+    # session the caller has since stopped would otherwise pin dead
+    # plans forever — drop everything not owned by the current session
+    # (single-session processes, i.e. every harness here, lose nothing).
+    stale = [k for k, df in _SHINGLE_STAGE.items() if df.sparkSession is not spark]
+    for k in stale:
+        try:
+            _SHINGLE_STAGE.pop(k).unpersist()
+        except Exception:
+            pass
     if key not in _SHINGLE_STAGE:
         _SHINGLE_STAGE[key] = _shingle_rows(spark, sf_dir).persist(
             StorageLevel.MEMORY_AND_DISK

@@ -402,6 +402,10 @@ def d6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 A /= np.linalg.norm(A, axis=1, keepdims=True)
                 Bm /= np.linalg.norm(Bm, axis=1, keepdims=True)
                 C = A @ Bm.T
+                if same:
+                    # same-block: upper triangle only, so each pair is
+                    # emitted exactly once and no dedup pass is needed
+                    C = np.triu(C, k=1)
                 ii, jj = np.nonzero(C >= cut)
                 pa, pb = ia[ii], ib[jj]
                 lo = np.minimum(pa, pb)
@@ -411,9 +415,9 @@ def d6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out_b.extend(hi[keep].tolist())
             yield pd.DataFrame({"vec_a": out_a, "vec_b": out_b})
 
-    cand = bpairs.mapInPandas(
-        gemm, schema="vec_a long, vec_b long"
-    ).distinct()  # same-block pairs surface twice (upper+lower triangle)
+    # each unordered pair appears in exactly one block pair (blk_a <=
+    # blk_b; upper triangle within a block), so no distinct() shuffle
+    cand = bpairs.mapInPandas(gemm, schema="vec_a long, vec_b long")
 
     # exact re-score of the (tiny) candidate set with the SAME JVM
     # expression the oracle mirrors — GEMM only prunes, never decides

@@ -124,7 +124,9 @@ def build_app(spark: SparkSession, sf_dir: str) -> "Flask":
             limit = int(request.args.get("limit", 10))
         except ValueError:
             return jsonify({"error": "limit must be an integer"}), 400
-        limit = max(1, min(limit, 50))  # UI clamp, 1..50
+        if limit < 0:
+            return jsonify({"error": "limit must be >= 0"}), 400
+        limit = min(limit, 50)  # UI cap; limit=0 legitimately means none
         category = request.args.get("category")
         try:
             df = top_records(

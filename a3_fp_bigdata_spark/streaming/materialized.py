@@ -12,13 +12,15 @@ that changes 50 keys rewrites at most 50 partitions.
 
 Crash story: ``out_dir`` is never renamed or removed — dynamic
 overwrite stages new files per partition and swaps them in at commit,
-leaving untouched partitions alone. The per-partition commit is
-rename-based, not transactional across partitions; if a crash lands
-mid-commit the streaming checkpoint replays the batch, and because
-update-mode aggregates emit ABSOLUTE values (not deltas) the keyed
-re-merge converges to the same state. The production-grade form of
-this operator on a transactional table format is Delta/Iceberg
-``MERGE INTO``; this is the engine-portable plain-parquet equivalent.
+leaving untouched partitions alone, and checkpoint replay re-merges
+update-mode aggregates (ABSOLUTE values, not deltas) idempotently.
+The residual window plain parquet cannot close: the per-partition
+commit deletes a bucket directory before renaming staged files in, so
+a crash INSIDE that instant can lose the touched bucket's OTHER keys
+(replay restores only the batch's own keys). Closing that window
+needs a transactional table format — Delta/Iceberg ``MERGE INTO`` is
+the production form; this is the engine-portable plain-parquet
+equivalent with the failure mode stated rather than hidden.
 """
 
 from __future__ import annotations
@@ -86,8 +88,13 @@ def merge_batch_into(
     under a guessed bucket count."""
     if batch_df.isEmpty():
         return
-    has_data = os.path.isdir(out_dir) and _has_parquet_data(out_dir)
     has_meta = os.path.isfile(os.path.join(out_dir, _META_FILE))
+    # meta presence decides merge-vs-init (it is written before the
+    # first data commit); the recursive walk runs only in the
+    # exceptional meta-absent case, never on the per-batch hot path
+    has_data = has_meta or (
+        os.path.isdir(out_dir) and _has_parquet_data(out_dir)
+    )
     if has_data and not has_meta:
         raise ValueError(
             f"{out_dir} contains parquet but no {_META_FILE} manifest — "
