@@ -529,3 +529,81 @@ def sim6_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "scale", (F.col("pos0") + 1).alias("pos"), "q"
         )
     )
+
+
+BATCH_QUERY_IDS = (0, 9, 10)
+
+
+@query(
+    "sim7_batch_ann",
+    oracle=f"""
+    WITH planes AS (
+      SELECT vec_id AS pid, {_SQL_D.format(col='embedding')} AS pe
+      FROM embeddings WHERE vec_id BETWEEN 1 AND {N_PLANES}
+    ), vecs AS (
+      SELECT vec_id, {_SQL_D.format(col='embedding')} AS e FROM embeddings
+    ), bucketed AS (
+      SELECT v.vec_id,
+             CAST(sum(CASE WHEN list_dot_product(v.e, p.pe) > 0
+                           THEN CAST(power(2, p.pid - 1) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS bucket
+      FROM vecs v CROSS JOIN planes p
+      GROUP BY v.vec_id
+    ), q AS (
+      SELECT b.vec_id AS query_id, b.bucket AS qbucket, v.e AS qe
+      FROM bucketed b JOIN vecs v USING (vec_id)
+      WHERE b.vec_id IN {BATCH_QUERY_IDS}
+    ), scored AS (
+      SELECT q.query_id, b.vec_id,
+             round({_sql_cos('v.e', 'q.qe')}, 4) AS cosine
+      FROM bucketed b
+      JOIN vecs v USING (vec_id)
+      JOIN q ON b.bucket = q.qbucket AND b.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cosine
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def sim7_batch_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN: {len(BATCH_QUERY_IDS)} query vectors answered in ONE
+    pass — the corpus is bucketed once, the (tiny) query side broadcast
+    onto its buckets, and a per-query window takes top-3. Amortization
+    is the point: the bucket computation (the expensive part) is shared
+    across the whole query batch instead of recomputed per lookup,
+    which is how nearest-neighbor assignment joins run at corpus scale.
+    Ranking on the ROUNDED cosine + vec_id keeps the cut deterministic
+    across engines."""
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    planes = emb.filter(
+        (F.col("vec_id") >= 1) & (F.col("vec_id") <= N_PLANES)
+    ).select(F.col("vec_id").alias("pid"), F.col("embedding").alias("p_emb"))
+    with_bucket = emb.join(_buckets(emb, planes), "vec_id")
+    qside = with_bucket.filter(
+        F.col("vec_id").isin(list(BATCH_QUERY_IDS))
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("bucket").alias("qbucket"),
+        F.col("embedding").alias("q_emb"),
+    )
+    cos = F.round(cosine(F.col("embedding"), F.col("q_emb")), 4)
+    scored = (
+        with_bucket.join(
+            F.broadcast(qside),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "vec_id", "cosine")
+    )

@@ -192,3 +192,37 @@ def w6_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pr"),
     )
+
+
+@query(
+    "w7_time_range_rolling",
+    oracle="""
+    SELECT event_id,
+           round(sum(value) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+               RANGE BETWEEN 600 PRECEDING AND CURRENT ROW
+           ), 4) AS roll_10m
+    FROM events
+    """,
+)
+def w7_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval rolling aggregate: per-user 10-minute trailing sum
+    via rangeBetween over epoch seconds — the RANGE frame the w1-w6
+    row-frame windows don't exercise. BOTH engines order by truncated
+    epoch seconds: RANGE includes ALL peers of the current order value,
+    so the order key must be identical down to its resolution (ordering
+    one side by raw micro-timestamps silently changes which same-second
+    rows are peers — measured as wildly different sums, not epsilons).
+    One shuffle on user_id."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", F.round(F.sum("value").over(w), 4).alias("roll_10m")
+    )
