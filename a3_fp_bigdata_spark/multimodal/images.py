@@ -7,13 +7,14 @@ row-at-a-time. This mirrors the reference's offline feature extraction
 (reference feature_extractor.py:15-34: decode -> per-channel mean ->
 width/height -> parquet side table) re-expressed distributed.
 
-DECODE IS STUBBED: this container ships no image/audio libs, so
-``decode_image`` uses a deterministic fake decoder (payload bytes tiled
-into an HxWx3 uint8 array — stable across runs/machines); the PIL path
-is gated behind an import-try and raises NotImplementedError when
-requested but unavailable. Everything AROUND the decode — schema,
-Arrow batch iteration, UDF signatures, resize/frame-sample math,
-partitioning — is real and tested.
+Decode paths, in preference order: PIL when installed (any format);
+the pure-python PNG codec (png_codec.py — REAL baseline-PNG decode,
+no image libs needed, exercised by the committed icon fixtures via
+binary_files.image_dir_source); and the deterministic ``image/fake``
+stub used by the synthetic media_table so the Arrow plumbing (schema,
+batch iteration, UDF signatures, resize/frame-sample math,
+partitioning) is testable on text-derived payloads. Other real
+formats without PIL raise NotImplementedError rather than guessing.
 
 Scale notes: mapInPandas streams Arrow record batches (bounded by
 spark.sql.execution.arrow.maxRecordsPerBatch), so executor memory is
