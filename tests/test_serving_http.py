@@ -73,3 +73,12 @@ def test_similar_and_cluster(client):
     rows = client.get(f"/apps_in_cluster/{k}").get_json()
     assert rows and all(row["label"] == k for row in rows)
     assert client.get("/recommend_similar_app_by_name/999999").status_code == 404
+
+
+def test_top_apps_limit_edge_cases(client):
+    """limit=0 means zero rows (a count-free param probe), not one;
+    negative and non-integer limits are 400; oversized limits clamp."""
+    assert client.get("/top_apps?limit=0").get_json() == []
+    assert client.get("/top_apps?limit=-3").status_code == 400
+    assert client.get("/top_apps?limit=abc").status_code == 400
+    assert len(client.get("/top_apps?limit=999").get_json()) <= 50

@@ -163,3 +163,21 @@ def test_compaction_reduces_files_keeps_data(spark, tmp_path):
     assert n_after < n_before / 4
     back = spark.read.parquet(path)
     assert sorted(map(tuple, back.collect())) == before
+
+
+def test_compaction_recovers_crashed_swap(spark, tmp_path):
+    """A crash between the two swap renames strands the table at
+    path.precompact with nothing at path; the next compaction call must
+    restore it before doing anything else."""
+    from a3_fp_bigdata_spark.sources.parquet_io import compact_parquet_dir
+
+    path = str(tmp_path / "tbl")
+    ev = table(spark, SF0001, "events").limit(100)
+    want = sorted(map(tuple, ev.collect()))
+    ev.write.parquet(path)
+    os.rename(path, path + ".precompact")  # simulate the crash window
+    assert not os.path.isdir(path)
+    compact_parquet_dir(spark, path, sort_col="ts")
+    got = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert got == want
+    assert not os.path.isdir(path + ".precompact")
