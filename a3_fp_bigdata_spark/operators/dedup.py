@@ -332,12 +332,14 @@ def d4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(candidates, ["doc_a", "doc_b"], "left_semi")
 
 
-@query("d5_simhash", oracle=None)
-def d5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash fingerprints: per-token xxhash64, signed bit votes,
-    majority sign per bit. One map-side-combinable aggregate — the
-    cheapest near-dup signal at scale (hamming distance on fingerprints).
-    Rows-only check (hash internals are engine-specific)."""
+def simhash_frame(
+    spark: SparkSession, sf_dir: str, nbits: int = 32
+) -> DataFrame:
+    """(doc_id, simhash): per-token xxhash64, signed bit votes, majority
+    sign per bit. One map-side-combinable aggregate — the cheapest
+    near-dup signal at scale. ``nbits`` trades resolution (short docs
+    need more bits — one changed token flips several) against agg
+    width; d5 keeps the 32-bit form, d9's pair finder uses 48."""
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
@@ -347,13 +349,20 @@ def d5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"b{j}")
-            for j in range(32)
+            for j in range(nbits)
         ]
     )
     simhash = sum(
-        (F.col(f"b{j}") > 0).cast("long") * F.lit(2**j) for j in range(32)
+        (F.col(f"b{j}") > 0).cast("long") * F.lit(2**j) for j in range(nbits)
     )
     return votes.select("doc_id", simhash.alias("simhash"))
+
+
+@query("d5_simhash", oracle=None)
+def d5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints (see simhash_frame). Rows-only check
+    (hash internals are engine-specific)."""
+    return simhash_frame(spark, sf_dir, 32)
 
 
 @query("d7_ml_minhash_lsh", oracle=None)
@@ -530,4 +539,67 @@ def d8_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("shared"))
         .filter(F.col("shared") >= WINNOW_MIN_SHARED)
+    )
+
+
+SIMHASH_PAIR_BITS = 48     # d9 resolution: short docs need > 32 bits
+SIMHASH_BANDS = 6          # 6 bands x 8 bits over the 48-bit fingerprint
+SIMHASH_MAX_HAMMING = 5    # = bands-1: the pigeonhole GUARANTEE — a pair
+                           # within this distance must share >= 1 band
+
+
+@query("d9_simhash_pairs", oracle=None)
+def d9_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS — the rung d5's signatures feed.
+    Pigeonhole banding: split the {SIMHASH_PAIR_BITS}-bit fingerprint
+    into {SIMHASH_BANDS} 8-bit bands; any pair within hamming distance
+    {SIMHASH_MAX_HAMMING} (= bands-1) must agree EXACTLY on at least
+    one band, so candidates from equal (band_idx, band_value) buckets
+    provably cover that radius — work ∝ collisions, like d4. Then
+    bit_count(xor) verifies the true distance, all JVM-side.
+
+    This rung targets NEAR-IDENTICAL documents (small hamming radius);
+    0.3-Jaccard near-dups are d4's job — their simhashes routinely
+    differ by 10+ bits. Rows-only: fingerprints are xxhash-seeded
+    (engine-specific); pytest pins the pigeonhole contract against
+    d3's exact pairs."""
+    sh = simhash_frame(spark, sf_dir, SIMHASH_PAIR_BITS)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright("simhash", i * 8)
+                        .bitwiseAND(F.lit(0xFF))
+                        .alias("band_val"),
+                    )
+                    for i in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sh_a"),
+        "band_idx",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sh_b"),
+        "band_idx",
+        "band_val",
+    )
+    hamming = F.bit_count(
+        F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+    )
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .distinct()  # a pair may collide in several bands
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
     )

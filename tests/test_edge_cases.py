@@ -156,3 +156,36 @@ def test_zscore_degenerate_groups_emit_null(spark):
     assert rows[2] is None and rows[3] is None  # constant group: std == 0
     assert rows[4] is not None and rows[5] is not None
     assert abs(rows[4] + 0.7071) < 1e-3 and abs(rows[5] - 0.7071) < 1e-3
+
+
+def test_simhash_pairs_pigeonhole_contract(spark):
+    """d9's banding GUARANTEE: every pair whose simhash hamming
+    distance is <= bands-1 MUST surface (such a pair shares at least
+    one exact band — the pigeonhole theorem, deterministic). Checked
+    against d3's true pairs; farther pairs are d4's job, not d9's."""
+    from a3_fp_bigdata_spark import registry
+    from a3_fp_bigdata_spark.operators import dedup as D
+
+    qs = registry.all_queries()
+    d9 = {
+        (r.doc_a, r.doc_b)
+        for r in qs["d9_simhash_pairs"](spark, SF0001).collect()
+    }
+    assert d9  # non-vacuous
+    sh = {
+        r.doc_id: r.simhash
+        for r in D.simhash_frame(
+            spark, SF0001, D.SIMHASH_PAIR_BITS
+        ).collect()
+    }
+    d3 = {
+        (r.doc_a, r.doc_b)
+        for r in qs["d3_ngram_jaccard"](spark, SF0001).collect()
+    }
+    within = {
+        (a, b)
+        for a, b in d3
+        if bin(sh[a] ^ sh[b]).count("1") <= D.SIMHASH_MAX_HAMMING
+    }
+    assert within  # the radius is meaningful on this corpus
+    assert within <= d9, f"pigeonhole violation: {within - d9}"
