@@ -7,14 +7,14 @@ row-at-a-time. This mirrors the reference's offline feature extraction
 (reference feature_extractor.py:15-34: decode -> per-channel mean ->
 width/height -> parquet side table) re-expressed distributed.
 
-Decode paths, in preference order: PIL when installed (any format);
-the pure-python PNG codec (png_codec.py — REAL baseline-PNG decode,
-no image libs needed, exercised by the committed icon fixtures via
-binary_files.image_dir_source); and the deterministic ``image/fake``
-stub used by the synthetic media_table so the Arrow plumbing (schema,
-batch iteration, UDF signatures, resize/frame-sample math,
-partitioning) is testable on text-derived payloads. Other real
-formats without PIL raise NotImplementedError rather than guessing.
+Decode dispatch is keyed on media_type: ``image/fake`` always uses
+the deterministic stub (synthetic media_table payloads are text bytes
+PIL could never open — the stub exists so the Arrow plumbing is
+testable on them); real formats prefer PIL when installed; PNG
+additionally decodes for REAL without PIL via the pure-python codec
+(png_codec.py, exercised by the committed icon fixtures through
+binary_files.image_dir_source); other real formats without PIL raise
+NotImplementedError rather than guessing.
 
 Scale notes: mapInPandas streams Arrow record batches (bounded by
 spark.sql.execution.arrow.maxRecordsPerBatch), so executor memory is

@@ -560,10 +560,19 @@ def d9_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This rung targets NEAR-IDENTICAL documents (small hamming radius);
     0.3-Jaccard near-dups are d4's job — their simhashes routinely
-    differ by 10+ bits. Rows-only: fingerprints are xxhash-seeded
+    differ by 10+ bits. Hot band-buckets above MAX_BUCKET_DOCS are
+    dropped, exactly like d4's super-bucket cap: an oversized bucket is
+    a boilerplate/exact-copy cluster (s docs -> s^2 pairs), which is
+    d1's rung to collapse, not this one's to enumerate — the pigeonhole
+    guarantee pinned in tests therefore holds for pairs outside capped
+    buckets. Rows-only: fingerprints are xxhash-seeded
     (engine-specific); pytest pins the pigeonhole contract against
     d3's exact pairs."""
     sh = simhash_frame(spark, sf_dir, SIMHASH_PAIR_BITS)
+    # the 48-column simhash agg feeds BOTH self-join sides: pin it, or
+    # the tokenize+explode+agg subtree runs twice (dedup.py's measured
+    # multi-reference rule; released by sweeps via release_pinned)
+    sh = pin(sh)
     bands = sh.select(
         "doc_id",
         "simhash",
@@ -581,6 +590,15 @@ def d9_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
+    # super-bucket cap (see docstring): count docs per band bucket and
+    # drop the hot ones before the self-join
+    bands = bands.join(
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") <= MAX_BUCKET_DOCS)
+        .select("band_idx", "band_val"),
+        ["band_idx", "band_val"],
+    )
     a = bands.select(
         F.col("doc_id").alias("doc_a"),
         F.col("simhash").alias("sh_a"),

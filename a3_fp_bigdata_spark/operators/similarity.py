@@ -52,6 +52,24 @@ _SQL_D = "list_transform({col}, x -> CAST(x AS DOUBLE))"
 _SQL_DOT = "list_dot_product({a}, {b})"
 
 
+#: shared oracle preamble (f-string fragment): hyperplanes, f64
+#: vectors, and the LSH bucket id per vector — the SQL twin of
+#: _planes() + _buckets(); used by the sim2/sim4/sim7 oracles.
+_SQL_BUCKETED_CTE = f"""WITH planes AS (
+      SELECT vec_id AS pid, {_SQL_D.format(col='embedding')} AS pe
+      FROM embeddings WHERE vec_id BETWEEN 1 AND {N_PLANES}
+    ), vecs AS (
+      SELECT vec_id, {_SQL_D.format(col='embedding')} AS e FROM embeddings
+    ), bucketed AS (
+      SELECT v.vec_id,
+             CAST(sum(CASE WHEN list_dot_product(v.e, p.pe) > 0
+                           THEN CAST(power(2, p.pid - 1) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS bucket
+      FROM vecs v CROSS JOIN planes p
+      GROUP BY v.vec_id
+    )"""
+
+
 def _sql_cos(a: str, b: str) -> str:
     return (
         f"list_dot_product({a}, {b}) / "
@@ -94,6 +112,15 @@ def sim1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _planes(emb: DataFrame) -> DataFrame:
+    """The N_PLANES hyperplane rows (vec_id 1..N_PLANES) — shared by
+    sim2/sim4/sim7 so the bucketing scheme has exactly one definition
+    per engine (its SQL twin is _SQL_BUCKETED_CTE)."""
+    return emb.filter(
+        (F.col("vec_id") >= 1) & (F.col("vec_id") <= N_PLANES)
+    ).select(F.col("vec_id").alias("pid"), F.col("embedding").alias("p_emb"))
+
+
 def _buckets(emb: DataFrame, planes: DataFrame) -> DataFrame:
     """Random-hyperplane LSH bucket id per vector: bit i = sign of the
     dot with plane i. planes is a tiny broadcast side (N_PLANES rows)."""
@@ -110,19 +137,7 @@ def _buckets(emb: DataFrame, planes: DataFrame) -> DataFrame:
 @query(
     "sim2_lsh_ann",
     oracle=f"""
-    WITH planes AS (
-      SELECT vec_id AS pid, {_SQL_D.format(col='embedding')} AS pe
-      FROM embeddings WHERE vec_id BETWEEN 1 AND {N_PLANES}
-    ), vecs AS (
-      SELECT vec_id, {_SQL_D.format(col='embedding')} AS e FROM embeddings
-    ), bucketed AS (
-      SELECT v.vec_id,
-             CAST(sum(CASE WHEN list_dot_product(v.e, p.pe) > 0
-                           THEN CAST(power(2, p.pid - 1) AS BIGINT)
-                           ELSE 0 END) AS BIGINT) AS bucket
-      FROM vecs v CROSS JOIN planes p
-      GROUP BY v.vec_id
-    ), q AS (
+    {_SQL_BUCKETED_CTE}, q AS (
       SELECT b.bucket AS qbucket, v.e AS qe
       FROM bucketed b JOIN vecs v USING (vec_id) WHERE b.vec_id = 0
     )
@@ -141,9 +156,7 @@ def sim2_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket. At scale the bucket id is a partition key — the candidate
     scan touches ~corpus/2^planes vectors instead of all of them."""
     emb = table(spark, sf_dir, "embeddings")
-    planes = emb.filter(
-        (F.col("vec_id") >= 1) & (F.col("vec_id") <= N_PLANES)
-    ).select(F.col("vec_id").alias("pid"), F.col("embedding").alias("p_emb"))
+    planes = _planes(emb)
     buckets = _buckets(emb, planes)
     with_bucket = emb.join(buckets, "vec_id")
     qside = with_bucket.filter(F.col("vec_id") == 0).select(
@@ -170,9 +183,7 @@ def build_bucketed_ann_index(
     scan of ~corpus/2^{N_PLANES} vectors (PartitionFilters, asserted in
     tests/test_plans.py), not a full-table pass."""
     emb = table(spark, sf_dir, "embeddings")
-    planes = emb.filter(
-        (F.col("vec_id") >= 1) & (F.col("vec_id") <= N_PLANES)
-    ).select(F.col("vec_id").alias("pid"), F.col("embedding").alias("p_emb"))
+    planes = _planes(emb)
     with_bucket = emb.join(_buckets(emb, planes), "vec_id")
     # cluster rows by bucket BEFORE the partitioned write: without it
     # every shuffle partition writes a sliver into every bucket dir
@@ -228,19 +239,7 @@ _SIM4_INDEX: dict[str, str] = {}
 @query(
     "sim4_bucketed_ann",
     oracle=f"""
-    WITH planes AS (
-      SELECT vec_id AS pid, {_SQL_D.format(col='embedding')} AS pe
-      FROM embeddings WHERE vec_id BETWEEN 1 AND {N_PLANES}
-    ), vecs AS (
-      SELECT vec_id, {_SQL_D.format(col='embedding')} AS e FROM embeddings
-    ), bucketed AS (
-      SELECT v.vec_id,
-             CAST(sum(CASE WHEN list_dot_product(v.e, p.pe) > 0
-                           THEN CAST(power(2, p.pid - 1) AS BIGINT)
-                           ELSE 0 END) AS BIGINT) AS bucket
-      FROM vecs v CROSS JOIN planes p
-      GROUP BY v.vec_id
-    ), q AS (
+    {_SQL_BUCKETED_CTE}, q AS (
       SELECT b.bucket AS qbucket, v.e AS qe
       FROM bucketed b JOIN vecs v USING (vec_id) WHERE b.vec_id = 0
     )
@@ -537,19 +536,7 @@ BATCH_QUERY_IDS = (0, 9, 10)
 @query(
     "sim7_batch_ann",
     oracle=f"""
-    WITH planes AS (
-      SELECT vec_id AS pid, {_SQL_D.format(col='embedding')} AS pe
-      FROM embeddings WHERE vec_id BETWEEN 1 AND {N_PLANES}
-    ), vecs AS (
-      SELECT vec_id, {_SQL_D.format(col='embedding')} AS e FROM embeddings
-    ), bucketed AS (
-      SELECT v.vec_id,
-             CAST(sum(CASE WHEN list_dot_product(v.e, p.pe) > 0
-                           THEN CAST(power(2, p.pid - 1) AS BIGINT)
-                           ELSE 0 END) AS BIGINT) AS bucket
-      FROM vecs v CROSS JOIN planes p
-      GROUP BY v.vec_id
-    ), q AS (
+    {_SQL_BUCKETED_CTE}, q AS (
       SELECT b.vec_id AS query_id, b.bucket AS qbucket, v.e AS qe
       FROM bucketed b JOIN vecs v USING (vec_id)
       WHERE b.vec_id IN {BATCH_QUERY_IDS}
@@ -579,9 +566,7 @@ def sim7_batch_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = table(spark, sf_dir, "embeddings")
-    planes = emb.filter(
-        (F.col("vec_id") >= 1) & (F.col("vec_id") <= N_PLANES)
-    ).select(F.col("vec_id").alias("pid"), F.col("embedding").alias("p_emb"))
+    planes = _planes(emb)
     with_bucket = emb.join(_buckets(emb, planes), "vec_id")
     qside = with_bucket.filter(
         F.col("vec_id").isin(list(BATCH_QUERY_IDS))
