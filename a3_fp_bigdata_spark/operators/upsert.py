@@ -76,3 +76,109 @@ def u1_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("c_acctbal", 2).alias("c_acctbal"),
         "c_mktsegment",
     )
+
+
+#: "row is current" sentinel for SCD2 valid_to. An int sentinel instead
+#: of NULL keeps the history table's version columns non-nullable —
+#: NULLs in integer columns widen to float64 in pandas-based clients
+#: (see the repo's oracle-parity notes) and break BETWEEN predicates.
+SCD_OPEN = 999_999
+
+
+def scd2_merge(
+    base: DataFrame, updates: DataFrame, key: str, batch_id: int
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 merge: instead of overwriting
+    changed rows (merge_upsert), close the current version
+    (valid_to = batch_id) and append the new one — the full change
+    history stays queryable ("balance as of batch N" is a BETWEEN
+    filter). ``base`` carries (key, tracked..., valid_from, valid_to);
+    ``updates`` carries (key, tracked...).
+
+    One shuffle on the key (the left join); closed history passes
+    through untouched, so at scale the work tracks the CURRENT
+    partition plus the update batch, not accumulated history. On
+    Delta/Iceberg the same logic is a MERGE with WHEN MATCHED/NOT
+    MATCHED branches."""
+    from functools import reduce
+    from operator import or_
+
+    tracked = [
+        c for c in updates.columns if c != key
+    ]
+    open_rows = base.filter(F.col("valid_to") == SCD_OPEN)
+    closed_rows = base.filter(F.col("valid_to") != SCD_OPEN)
+    u = updates.select(
+        key,
+        F.lit(True).alias("_u_present"),
+        *[F.col(c).alias(f"_u_{c}") for c in tracked],
+    )
+    j = open_rows.join(u, key, "left")
+    present = F.coalesce(F.col("_u_present"), F.lit(False))
+    changed = present & reduce(
+        or_,
+        [~F.col(c).eqNullSafe(F.col(f"_u_{c}")) for c in tracked],
+    )
+    base_cols = [key, *tracked, "valid_from", "valid_to"]
+    untouched = j.filter(~changed).select(*base_cols)
+    expired = j.filter(changed).select(
+        key, *tracked, "valid_from", F.lit(batch_id).alias("valid_to")
+    )
+    new_versions = j.filter(changed).select(
+        F.col(key),
+        *[F.col(f"_u_{c}").alias(c) for c in tracked],
+        F.lit(batch_id).alias("valid_from"),
+        F.lit(SCD_OPEN).alias("valid_to"),
+    )
+    inserts = (
+        updates.join(open_rows, key, "left_anti")
+        .select(
+            F.col(key),
+            *tracked,
+            F.lit(batch_id).alias("valid_from"),
+            F.lit(SCD_OPEN).alias("valid_to"),
+        )
+    )
+    return (
+        closed_rows.select(*base_cols)
+        .unionByName(untouched)
+        .unionByName(expired)
+        .unionByName(new_versions)
+        .unionByName(inserts)
+    )
+
+
+@query(
+    "u2_scd2_history",
+    oracle=f"""
+    SELECT c_custkey,
+           round(c_acctbal, 2) AS acctbal,
+           c_mktsegment,
+           0 AS valid_from,
+           CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE {SCD_OPEN} END
+             AS valid_to
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, round(c_acctbal + 1000, 2), c_mktsegment,
+           1, {SCD_OPEN}
+    FROM customer WHERE c_custkey % 10 = 0
+    """,
+)
+def u2_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 demo round: initial load is every customer at version 0;
+    batch 1 bumps every 10th customer's balance. Changed keys must show
+    BOTH versions (old closed at batch 1, new open), unchanged keys
+    exactly one open row — the oracle enumerates that history directly.
+    Deterministic derivation, like u1."""
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        "c_mktsegment",
+    )
+    base = cust.withColumn("valid_from", F.lit(0)).withColumn(
+        "valid_to", F.lit(SCD_OPEN)
+    )
+    updates = cust.filter(F.col("c_custkey") % 10 == 0).withColumn(
+        "acctbal", F.round(F.col("acctbal") + 1000, 2)
+    )
+    return scd2_merge(base, updates, "c_custkey", batch_id=1)

@@ -120,3 +120,53 @@ def test_winnow_fingerprint_properties(t, pad):
         # fingerprint because some window inside t is fully contained
         wrapped = "z" * pad + t + "z" * pad
         assert set(a) & set(D.winnow_fingerprints(wrapped))
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(
+    st.dictionaries(st.integers(0, 30), st.integers(-5, 5), max_size=12),
+    st.dictionaries(st.integers(0, 30), st.integers(-5, 5), max_size=12),
+)
+def test_merge_upsert_properties(spark, base_kv, upd_kv):
+    """merge_upsert invariants for arbitrary key/value frames: result
+    keys = base ∪ updates, updates win collisions, no duplicate keys."""
+    from a3_fp_bigdata_spark.operators.upsert import merge_upsert
+
+    schema = "k long, v long"
+    base = spark.createDataFrame(list(base_kv.items()) or [(99, 0)], schema)
+    upd = spark.createDataFrame(list(upd_kv.items()) or [(98, 0)], schema)
+    base_kv = base_kv or {99: 0}
+    upd_kv = upd_kv or {98: 0}
+    got = {r.k: r.v for r in merge_upsert(base, upd, "k").collect()}
+    want = {**base_kv, **upd_kv}
+    assert got == want
+    assert merge_upsert(base, upd, "k").count() == len(want)
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(
+    st.dictionaries(st.integers(0, 20), st.integers(0, 3), min_size=1, max_size=10),
+    st.dictionaries(st.integers(0, 25), st.integers(0, 3), min_size=1, max_size=10),
+)
+def test_scd2_merge_properties(spark, base_kv, upd_kv):
+    """SCD2 invariants for arbitrary dimensions: exactly one OPEN row
+    per key; changed keys carry a closed old version; unchanged update
+    rows add nothing; brand-new keys insert as open version batch 1."""
+    from a3_fp_bigdata_spark.operators.upsert import SCD_OPEN, scd2_merge
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [(k, v, 0, SCD_OPEN) for k, v in base_kv.items()],
+        "k long, v long, valid_from int, valid_to int",
+    )
+    upd = spark.createDataFrame(list(upd_kv.items()), "k long, v long")
+    out = scd2_merge(base, upd, "k", batch_id=1).collect()
+    open_rows = {r.k: r.v for r in out if r.valid_to == SCD_OPEN}
+    closed = [(r.k, r.v, r.valid_to) for r in out if r.valid_to != SCD_OPEN]
+    want_current = {**base_kv, **upd_kv}
+    assert open_rows == want_current  # one open row per key, updates win
+    changed = {
+        k for k, v in upd_kv.items() if k in base_kv and base_kv[k] != v
+    }
+    assert {k for k, _, _ in closed} == changed  # only real changes expire
+    assert all(t == 1 and base_kv[k] == v for k, v, t in closed)
