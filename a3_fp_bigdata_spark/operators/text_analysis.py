@@ -260,3 +260,97 @@ def tx6_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(
         ((F.col("doc_id") % SAMPLE_PREMOD) * SAMPLE_MULT) % 100 < SAMPLE_PCT
     ).select("doc_id", "source", "lang")
+
+
+PROFILE_K = 20  # trigrams per language profile
+
+
+@query(
+    "tx7_ngram_lang_confusion",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, lang, {_SQL_NORM} AS t FROM documents
+    ), tri AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, length(t) - 1),
+                    i -> substr(t, CAST(i AS INT), 3))) AS tri
+      FROM norm WHERE length(t) >= 3
+    ), prof AS (
+      SELECT lang, tri FROM (
+        SELECT lang, tri, row_number() OVER (
+                 PARTITION BY lang
+                 ORDER BY count(*) DESC, tri) AS rn
+        FROM tri GROUP BY lang, tri
+      ) WHERE rn <= {PROFILE_K}
+    ), doc_tri AS (
+      SELECT DISTINCT doc_id, lang, tri FROM tri
+    ), overlap AS (
+      SELECT d.doc_id, d.lang, p.lang AS cand,
+             count(*) AS n_common
+      FROM doc_tri d JOIN prof p USING (tri)
+      GROUP BY 1, 2, 3
+    ), pred AS (
+      SELECT doc_id, lang, cand AS predicted FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY doc_id
+                 ORDER BY n_common DESC, cand) AS rn
+        FROM overlap
+      ) WHERE rn = 1
+    )
+    SELECT lang, predicted, count(*) AS n
+    FROM pred GROUP BY lang, predicted
+    """,
+)
+def tx7_ngram_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-n-gram language ID, trained and applied in ONE relational
+    plan: per-language trigram profiles (top {PROFILE_K} by frequency,
+    deterministic ties) built from the corpus, every document scored by
+    profile overlap, argmax prediction, confusion matrix out. The whole
+    thing is three aggregations and a broadcast-sized profile join — a
+    'fit + transform' expressed as a plan, no ML library, fully
+    oracle-checkable because every step is count/rank arithmetic on
+    ASCII-normalized text."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    t = TX.normalize(F.col("text"))
+    norm = docs.select("doc_id", "lang", t.alias("t")).filter(
+        F.char_length("t") >= 3
+    )
+    tri = norm.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, char_length(t) - 2), "
+                "i -> substring(t, CAST(i AS INT), 3))"
+            )
+        ).alias("tri"),
+    )
+    wp = Window.partitionBy("lang").orderBy(
+        F.desc("cnt"), F.asc("tri")
+    )
+    prof = (
+        tri.groupBy("lang", "tri")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= PROFILE_K)
+        .select(F.col("lang").alias("cand"), "tri")
+    )
+    doc_tri = tri.select("doc_id", "lang", "tri").distinct()
+    overlap = (
+        doc_tri.join(F.broadcast(prof), "tri")
+        .groupBy("doc_id", "lang", "cand")
+        .agg(F.count("*").alias("n_common"))
+    )
+    wd = Window.partitionBy("doc_id").orderBy(
+        F.desc("n_common"), F.asc("cand")
+    )
+    pred = (
+        overlap.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select("lang", F.col("cand").alias("predicted"))
+    )
+    return pred.groupBy("lang", "predicted").agg(
+        F.count("*").alias("n")
+    )
