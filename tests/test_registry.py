@@ -32,6 +32,19 @@ def test_canonical_fits_driver_window():
     assert sorted(registry.CANONICAL) == window
 
 
+def test_driver_window_in_insertion_order():
+    """The driver consumes the first 50 entries in dict-INSERTION order
+    (it never re-sorts), so insertion order itself must put the canonical
+    tier first. Round 2 regression: sorting by original name before
+    renaming left the window at the first 50 *original* names."""
+    names = list(registry.exposed_queries())
+    assert names[:DRIVER_WINDOW] == sorted(registry.CANONICAL)
+    assert names == sorted(names), "exposure dict must be sorted by exposure name"
+    # same contract for the oracle map
+    onames = list(registry.exposed_oracles())
+    assert onames == sorted(onames)
+
+
 def test_every_family_has_oracle_backed_canonical_entry():
     oracles = registry.all_oracles()
     for fam in FAMILIES:
