@@ -35,6 +35,9 @@ _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {
     "events": ("ts",),
 }
 
+#: one warning per process when table() overrides a non-UTC timezone
+_TZ_WARNED = False
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one test table. Plain parquet scan — the vectorized reader's
@@ -58,8 +61,25 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     try:
         # registry determinism rules compare timestamps under UTC; a plain
         # session on a non-UTC host would otherwise collect TimestampType
-        # shifted to local time while DuckDB returns stored naive micros
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # shifted to local time while DuckDB returns stored naive micros.
+        # Overriding an app's explicit non-UTC timezone is a visible
+        # event, not a silent one: warn once per process.
+        current = spark.conf.get("spark.sql.session.timeZone", None)
+        if current not in (None, "UTC", "Etc/UTC", "GMT"):
+            global _TZ_WARNED
+            if not _TZ_WARNED:
+                _TZ_WARNED = True
+                import warnings
+
+                warnings.warn(
+                    "a3_fp_bigdata_spark.data.table(): overriding session "
+                    f"timeZone {current!r} with 'UTC' (engine timestamp "
+                    "contract; see module docstring). Use a separate "
+                    "SparkSession for non-UTC application queries.",
+                    stacklevel=2,
+                )
+        if current != "UTC":
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -467,8 +467,13 @@ def d6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm(F.col("embedding")).alias("nb"),
     )
     cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    # no broadcast hint on the candidate side: with the default
+    # threshold it is tiny and AQE picks a broadcast join at runtime
+    # anyway, but on a near-duplicate-heavy corpus (or a lowered
+    # NEARDUP_COSINE) the candidate set can be large, and a forced
+    # broadcast would OOM the driver at scale where AQE would shuffle
     return (
-        F.broadcast(cand)
+        cand
         .join(a, "vec_a")
         .join(b, "vec_b")
         .select("vec_a", "vec_b", cos.alias("_cos"))

@@ -89,12 +89,15 @@ def merge_batch_into(
     if batch_df.isEmpty():
         return
     has_meta = os.path.isfile(os.path.join(out_dir, _META_FILE))
-    # meta presence decides merge-vs-init (it is written before the
-    # first data commit); the recursive walk runs only in the
-    # exceptional meta-absent case, never on the per-batch hot path
-    has_data = has_meta or (
-        os.path.isdir(out_dir) and _has_parquet_data(out_dir)
-    )
+    # The walk short-circuits at the first parquet file (normally the
+    # first bucket dir), so the per-batch cost is one small listing —
+    # and it is REQUIRED in both directions: data-without-meta means a
+    # foreign directory (refuse), meta-without-data means a crash
+    # landed between the meta write and the first data commit (the
+    # replayed batch must re-run the INITIAL load, not a merge — the
+    # merge path would try to read a parquet-less directory and fail
+    # permanently on every replay).
+    has_data = os.path.isdir(out_dir) and _has_parquet_data(out_dir)
     if has_data and not has_meta:
         raise ValueError(
             f"{out_dir} contains parquet but no {_META_FILE} manifest — "

@@ -198,3 +198,35 @@ def test_materialized_view_refuses_foreign_dir(spark, tmp_path):
     batch = spark.createDataFrame([("b", 2)], "k string, v long")
     with pytest.raises(ValueError, match="manifest"):
         MV.merge_batch_into(spark, batch, "k", foreign, num_buckets=4)
+
+
+def test_materialized_view_meta_only_dir_reinitializes(spark, tmp_path):
+    """Crash window: meta is written BEFORE the first data commit, so a
+    crash in between leaves a meta-only directory. Replay must treat
+    that as the initial load (merge path would read a parquet-less dir
+    and error permanently) — and must honour the recorded bucket count,
+    not the caller's."""
+    from a3_fp_bigdata_spark.streaming import materialized as MV
+
+    out = str(tmp_path / "mv")
+    os.makedirs(out)
+    MV._write_meta(out, 8)  # simulate: meta committed, data commit lost
+
+    batch = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(10)], "k string, v long"
+    )
+    MV.merge_batch_into(spark, batch, "k", out, num_buckets=4)  # replay
+    got = {(r.k, r.v) for r in MV.read_view(spark, out).collect()}
+    assert got == {(f"k{i}", i) for i in range(10)}
+    # layout used the manifest's count (8), not the caller's 4
+    assert MV._bucket_count(out, 4) == 8
+    # and a follow-up merge converges normally
+    MV.merge_batch_into(
+        spark,
+        spark.createDataFrame([("k3", 999)], "k string, v long"),
+        "k",
+        out,
+        num_buckets=4,
+    )
+    got = {(r.k, r.v) for r in MV.read_view(spark, out).collect()}
+    assert got == {(f"k{i}", i) for i in range(10) if i != 3} | {("k3", 999)}
