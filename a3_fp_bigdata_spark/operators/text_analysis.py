@@ -15,7 +15,7 @@ vocabulary literals, so value hashes match bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from a3_fp_bigdata_spark.data import table
@@ -238,12 +238,23 @@ SAMPLE_MULT = 2654435761  # Knuth multiplicative hash constant
 SAMPLE_PREMOD = 1_000_003  # pre-reduce the key so the product fits int64
 
 
+def sample_predicate(key: Column, pct: int = SAMPLE_PCT) -> Column:
+    """tx6's deterministic multiplicative-hash sample as a reusable,
+    scan-pushable predicate (engine-portable: plain int64 arithmetic)."""
+    return ((key % SAMPLE_PREMOD) * SAMPLE_MULT) % 100 < pct
+
+
+def sample_predicate_sql(key: str, pct: int = SAMPLE_PCT) -> str:
+    """The same predicate in ANSI SQL for oracle mirroring."""
+    return f"((({key}) % {SAMPLE_PREMOD}) * {SAMPLE_MULT}) % 100 < {pct}"
+
+
 @query(
     "tx6_systematic_sample",
     oracle=f"""
     SELECT doc_id, source, lang
     FROM documents
-    WHERE ((doc_id % {SAMPLE_PREMOD}) * {SAMPLE_MULT}) % 100 < {SAMPLE_PCT}
+    WHERE {sample_predicate_sql('doc_id')}
     """,
 )
 def tx6_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -257,12 +268,19 @@ def tx6_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     can never overflow int64 (a raw doc_id * constant wraps negative
     past ~3.5e9 ids — exactly the scale this sampler targets)."""
     docs = table(spark, sf_dir, "documents")
-    return docs.filter(
-        ((F.col("doc_id") % SAMPLE_PREMOD) * SAMPLE_MULT) % 100 < SAMPLE_PCT
-    ).select("doc_id", "source", "lang")
+    return docs.filter(sample_predicate(F.col("doc_id"))).select(
+        "doc_id", "source", "lang"
+    )
 
 
 PROFILE_K = 20  # trigrams per language profile
+#: Profiles are FIT on a deterministic sample (tx6's predicate), not the
+#: full corpus: trigram frequency ranks converge long before full-corpus
+#: counts, so at 100 TB the fit stage reads ~1/4 of the data while the
+#: classify stage still scores every document. 25% here keeps per-lang
+#: sample sizes honest at test scale; at production scale drop it to ~1%
+#: — the constant is the only knob, both engines share it.
+PROFILE_SAMPLE_PCT = 25
 
 
 @query(
@@ -280,7 +298,9 @@ PROFILE_K = 20  # trigrams per language profile
         SELECT lang, tri, row_number() OVER (
                  PARTITION BY lang
                  ORDER BY count(*) DESC, tri) AS rn
-        FROM tri GROUP BY lang, tri
+        FROM tri
+        WHERE {sample_predicate_sql('doc_id', PROFILE_SAMPLE_PCT)}
+        GROUP BY lang, tri
       ) WHERE rn <= {PROFILE_K}
     ), doc_tri AS (
       SELECT DISTINCT doc_id, lang, tri FROM tri
@@ -309,7 +329,10 @@ def tx7_ngram_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     thing is three aggregations and a broadcast-sized profile join — a
     'fit + transform' expressed as a plan, no ML library, fully
     oracle-checkable because every step is count/rank arithmetic on
-    ASCII-normalized text."""
+    ASCII-normalized text. The fit stage reads only tx6's deterministic
+    {PROFILE_SAMPLE_PCT}% sample (see PROFILE_SAMPLE_PCT) — the scan-
+    pushable predicate keeps profile building sublinear in the corpus
+    while classification stays full-coverage."""
     from pyspark.sql import Window
 
     docs = table(spark, sf_dir, "documents")
@@ -331,7 +354,8 @@ def tx7_ngram_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("cnt"), F.asc("tri")
     )
     prof = (
-        tri.groupBy("lang", "tri")
+        tri.filter(sample_predicate(F.col("doc_id"), PROFILE_SAMPLE_PCT))
+        .groupBy("lang", "tri")
         .agg(F.count("*").alias("cnt"))
         .withColumn("rn", F.row_number().over(wp))
         .filter(F.col("rn") <= PROFILE_K)
