@@ -54,6 +54,23 @@ def parse_payload(df: DataFrame, schema: T.StructType) -> DataFrame:
     ).select("r.*")
 
 
+def kafka_source_options(
+    brokers: str, topic: str, *, starting_offsets: str = "earliest"
+) -> dict[str, str]:
+    """S8: the exact reader option set, constructible (and testable)
+    without the connector JAR or a broker. ``startingOffsets=earliest``
+    mirrors the reference consumer's auto_offset_reset='earliest'
+    (consumer.py:76); ``subscribe`` (not assign) lets the connector
+    spread the topic's partitions — 3 in the reference's compose file
+    (docker-compose.yml:13-31) — across executors, one Kafka partition
+    per Spark input partition."""
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+
+
 def kafka_source(
     spark: SparkSession,
     brokers: str,
@@ -61,15 +78,13 @@ def kafka_source(
     *,
     starting_offsets: str = "earliest",
 ) -> DataFrame:
-    """S8: streaming Kafka source (consumer.py:74-79 re-expressed).
-    ``earliest`` mirrors the reference's auto_offset_reset."""
-    return (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .load()
-    )
+    """S8: streaming Kafka source (consumer.py:74-79 re-expressed)."""
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_source_options(
+        brokers, topic, starting_offsets=starting_offsets
+    ).items():
+        reader = reader.option(k, v)
+    return reader.load()
 
 
 def kafka_sink_options(brokers: str, topic: str) -> dict[str, str]:

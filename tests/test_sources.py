@@ -117,6 +117,34 @@ def test_kafka_source_plan_or_clear_error(spark):
         assert "kafka" in str(e).lower()
 
 
+def test_kafka_option_sets_match_reference_semantics(spark):
+    """Broker-free pin of the EXACT reader/writer option sets against
+    the reference's deployment semantics: auto_offset_reset='earliest'
+    (consumer.py:76) -> startingOffsets=earliest; subscribe-by-topic so
+    the connector maps the reference's 3 topic partitions
+    (docker-compose.yml:13-31) to 3 Spark input partitions; producer
+    keyed by appId (producer.py:41) -> key column first, string-typed,
+    so Kafka's key-hash partitioner distributes identically."""
+    assert kafka_io.kafka_source_options("b:9092", "apps") == {
+        "kafka.bootstrap.servers": "b:9092",
+        "subscribe": "apps",
+        "startingOffsets": "earliest",
+    }
+    assert kafka_io.kafka_sink_options("b:9092", "apps") == {
+        "kafka.bootstrap.servers": "b:9092",
+        "topic": "apps",
+    }
+    ev = table(spark, SF0001, "events").limit(3)
+    payload = kafka_io.to_payload(ev, key_col="event_id")
+    # connector contract: optional `key` (string/binary) then `value`
+    assert payload.columns == ["key", "value"]
+    types = dict(payload.dtypes)
+    assert types["key"] == "string" and types["value"] == "string"
+    # keys survive the cast losslessly (partitioning is key-hash-stable)
+    keys = {r.key for r in payload.collect()}
+    assert keys == {str(r.event_id) for r in ev.collect()}
+
+
 def test_kafka_broker_roundtrip_when_available(spark):
     """Full produce->consume round-trip through a real broker. The
     container ships neither the kafka connector JAR nor a broker, so
