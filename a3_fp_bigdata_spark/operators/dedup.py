@@ -248,28 +248,20 @@ def d3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("d4_minhash_lsh", oracle=None)
-def d4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH banding near-dup: shingle -> 32 minhashes -> 16 bands
-    of 2 -> candidate pairs from band-bucket collisions -> exact-Jaccard
-    verification of candidates only.
+def minhash_band_buckets(ex: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) LSH bucket rows from (doc_id, shingle) rows:
+    32 seeded minhashes -> 16 bands of 2, with the super-bucket cap
+    applied. Shared by d4 (full self-join) and d11 (incremental probe).
 
-    This is the 100 TB dedup path: the shuffle is on (band, signature)
-    buckets, so work scales with collisions, not with n^2. Recall at the
-    0.3 threshold is probabilistic (~78%) — no SQL oracle (hash-seed
-    specific); rows-only check + pytest against d3's exact pairs.
+    Super-bucket guard: a bucket of s docs emits s^2 candidate pairs,
+    so one boilerplate cluster (cookie banners, templated pages — or
+    plain exact copies, which belong to d1's ladder rung anyway) can
+    quadratically explode the join. Cap the bucket size; a window
+    count over (band, sig) costs one pass over the already-shuffled
+    bucket rows. Near-dups lost to the cap in ONE band still collide
+    in the other 15.
     """
-    # The shingle frame feeds the minhash agg, the candidate pruning and
-    # the exact verification; without persist, Spark INLINES the whole
-    # subtree at every reference (a ~22x plan blowup measured at sf0.01 —
-    # DataFrames share no common subexpressions across an unshared DAG).
-    # Persisting is also the production shape: the _SHINGLE_STAGE
-    # cache holds the table once per session, shared with d3/d5.
-    # Distinct-first: although min() wouldn't need set semantics,
-    # deduping BEFORE the 32-hash agg measured faster than skipping the
-    # shuffle (fewer rows to hash 32x beats one saved exchange).
-    ex = staged_shingles(spark, sf_dir)
-    # 32 seeded minhashes; xxhash64(seed, shingle) is Spark-deterministic.
+    # xxhash64(seed, shingle) is Spark-deterministic across sessions.
     mins = ex.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
@@ -291,19 +283,36 @@ def d4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = mins.select(
         "doc_id", F.explode(band_sigs).alias("bs")
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-    # Super-bucket guard: a bucket of s docs emits s^2 candidate pairs,
-    # so one boilerplate cluster (cookie banners, templated pages — or
-    # plain exact copies, which belong to d1's ladder rung anyway) can
-    # quadratically explode the join. Cap the bucket size; a window
-    # count over (band, sig) costs one pass over the already-shuffled
-    # bucket rows. Near-dups lost to the cap in ONE band still collide
-    # in the other 15.
     w_bucket = Window.partitionBy("band", "sig")
-    buckets = (
+    return (
         buckets.withColumn("_bsize", F.count("*").over(w_bucket))
         .filter(F.col("_bsize") <= MAX_BUCKET_DOCS)
         .drop("_bsize")
     )
+
+
+@query("d4_minhash_lsh", oracle=None)
+def d4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup: shingle -> 32 minhashes -> 16 bands
+    of 2 -> candidate pairs from band-bucket collisions -> exact-Jaccard
+    verification of candidates only.
+
+    This is the 100 TB dedup path: the shuffle is on (band, signature)
+    buckets, so work scales with collisions, not with n^2. Recall at the
+    0.3 threshold is probabilistic (~78%) — no SQL oracle (hash-seed
+    specific); rows-only check + pytest against d3's exact pairs.
+    """
+    # The shingle frame feeds the minhash agg, the candidate pruning and
+    # the exact verification; without persist, Spark INLINES the whole
+    # subtree at every reference (a ~22x plan blowup measured at sf0.01 —
+    # DataFrames share no common subexpressions across an unshared DAG).
+    # Persisting is also the production shape: the _SHINGLE_STAGE
+    # cache holds the table once per session, shared with d3/d5.
+    # Distinct-first: although min() wouldn't need set semantics,
+    # deduping BEFORE the 32-hash agg measured faster than skipping the
+    # shuffle (fewer rows to hash 32x beats one saved exchange).
+    ex = staged_shingles(spark, sf_dir)
+    buckets = minhash_band_buckets(ex)
     a, b = buckets.alias("a"), buckets.alias("b")
     candidates = (
         a.join(
@@ -621,3 +630,143 @@ def d9_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()  # a pair may collide in several bands
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
     )
+
+
+# --- d10/d11: cross-snapshot incremental dedup --------------------------
+#
+# The shape production corpora run NIGHTLY: the corpus snapshot is
+# already deduplicated; a new batch arrives and must be checked against
+# the corpus AND against itself — without ever re-pairing
+# corpus-vs-corpus. The batch/corpus split here is deterministic
+# (tx6's multiplicative-hash predicate on doc_id) so both engines and
+# every rerun agree on it exactly.
+
+INCR_BATCH_PCT = 20  # the "new batch" = 20% of documents, by id hash
+
+
+def _incr_split(spark: SparkSession, sf_dir: str):
+    """(corpus_df, batch_df) under the deterministic id-hash split."""
+    from a3_fp_bigdata_spark.operators.text_analysis import sample_predicate
+
+    docs = table(spark, sf_dir, "documents")
+    is_new = sample_predicate(F.col("doc_id"), INCR_BATCH_PCT)
+    return docs.filter(~is_new), docs.filter(is_new)
+
+
+def _incr_split_sql() -> tuple[str, str]:
+    from a3_fp_bigdata_spark.operators.text_analysis import (
+        sample_predicate_sql,
+    )
+
+    pred = sample_predicate_sql("doc_id", INCR_BATCH_PCT)
+    return f"NOT ({pred})", pred
+
+
+_SQL_NOT_NEW, _SQL_NEW = _incr_split_sql()
+
+
+@query(
+    "d10_incremental_dedup",
+    oracle=f"""
+    WITH batch AS (
+      SELECT doc_id, text FROM documents WHERE {_SQL_NEW}
+    ), corpus_fp AS (
+      SELECT text, min(doc_id) AS corpus_keeper
+      FROM documents WHERE {_SQL_NOT_NEW} GROUP BY text
+    ), j AS (
+      SELECT b.doc_id, c.corpus_keeper,
+             min(b.doc_id) OVER (PARTITION BY b.text) AS batch_keeper
+      FROM batch b LEFT JOIN corpus_fp c USING (text)
+    )
+    SELECT doc_id,
+           CASE WHEN corpus_keeper IS NOT NULL THEN 'dup_corpus'
+                WHEN doc_id <> batch_keeper THEN 'dup_batch'
+                ELSE 'kept' END AS status,
+           coalesce(corpus_keeper, batch_keeper) AS keeper_id
+    FROM j
+    """,
+)
+def d10_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rung of nightly incremental dedup: classify every NEW doc
+    as a duplicate of the corpus ('dup_corpus', keeper = lowest corpus
+    doc id with identical content), a duplicate within the batch
+    ('dup_batch', keeper = lowest batch doc id of the content), or
+    'kept'. Never touches corpus-vs-corpus pairs.
+
+    Scale shape: the corpus side reduces to its content-fingerprint
+    table — exactly d1's materialized output, O(distinct contents) and
+    maintained incrementally — and the join key is content (in
+    production its 128-bit md5, tx4_fingerprint). Work per night is
+    O(batch + matched fingerprints): the batch side is the small side
+    (AQE broadcasts it), the corpus fingerprint scan prunes to matching
+    keys, and nothing quadratic exists anywhere. The within-batch
+    keep-first window repartitions only batch rows."""
+    corpus, batch = _incr_split(spark, sf_dir)
+    corpus_fp = corpus.groupBy("text").agg(
+        F.min("doc_id").alias("corpus_keeper")
+    )
+    w_batch = Window.partitionBy("text")
+    j = (
+        batch.select("doc_id", "text")
+        .join(corpus_fp, "text", "left")
+        .withColumn("batch_keeper", F.min("doc_id").over(w_batch))
+    )
+    status = (
+        F.when(F.col("corpus_keeper").isNotNull(), F.lit("dup_corpus"))
+        .when(F.col("doc_id") != F.col("batch_keeper"), F.lit("dup_batch"))
+        .otherwise(F.lit("kept"))
+    )
+    return j.select(
+        "doc_id",
+        status.alias("status"),
+        F.coalesce("corpus_keeper", "batch_keeper").alias("keeper_id"),
+    )
+
+
+@query("d11_incremental_lsh", oracle=None)
+def d11_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup rung of nightly incremental dedup: d4's MinHash+LSH
+    banding, restricted to candidate pairs that involve at least one
+    NEW doc — corpus-vs-corpus pairs are never formed, so nightly work
+    scales with the batch, not the corpus.
+
+    Scale shape: corpus band buckets are precomputed (partition the
+    bucket table by (band, sig) and this probe partition-prunes); the
+    nightly job computes signatures only for new docs, semi-joins the
+    bucket table down to buckets a new doc touches, and verifies exact
+    Jaccard only on surviving pairs. Rows-only (hash-seeded bands);
+    pytest pins result == d4's pairs filtered to new-doc involvement.
+    """
+    _, batch = _incr_split(spark, sf_dir)
+    new_ids = batch.select("doc_id")
+    ex = staged_shingles(spark, sf_dir)
+    buckets = pin(minhash_band_buckets(ex))  # probe + bucket sides
+    # the batch's own bucket rows — the small probe side. Joining it
+    # against the full bucket table on (band, sig) yields exactly the
+    # pairs with >= 1 new member: corpus-vs-corpus pairs are never
+    # formed. least/greatest normalizes the pair (new-new pairs arrive
+    # in both orders; distinct collapses them).
+    new_buckets = buckets.join(F.broadcast(new_ids), "doc_id", "left_semi")
+    a, b = new_buckets.alias("a"), buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    candidates = pin(candidates)  # referenced 3x (two union arms + semi)
+    cand_docs = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .union(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    ex_cand = ex.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    exact = _exact_jaccard_pairs(ex_cand, JACCARD_THRESHOLD)
+    return exact.join(candidates, ["doc_a", "doc_b"], "left_semi")
