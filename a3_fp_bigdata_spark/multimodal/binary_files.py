@@ -26,8 +26,9 @@ from pyspark.sql import functions as F
 from a3_fp_bigdata_spark.multimodal.images import extract_features
 from a3_fp_bigdata_spark.registry import query
 
-#: Committed icon fixture set (5 deterministic PNGs, generated by
-#: png_codec.encode_png; pytest pins their exact channel means).
+#: Committed icon fixture set (5 deterministic PNGs + 2 deterministic
+#: baseline JPEGs — one 4:4:4, one 4:2:0 with restart markers; see
+#: tools/make_jpeg_fixtures.py). pytest pins their exact channel means.
 FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "fixtures")
 
 
@@ -57,9 +58,10 @@ def image_dir_source(
 @query("mm4_image_dir_features")
 def mm4_image_dir_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end reference shape (feature_extractor.py:15-34): scan an
-    image directory, decode every PNG for real (png_codec; PIL when
-    present), emit per-image channel means + dimensions. Rows-only: the
-    input is the committed fixture directory, not a parquet table, so
-    there is no DuckDB twin; pytest pins the exact feature values."""
-    media = image_dir_source(spark, FIXTURE_DIR)
+    image directory, decode every PNG and JPEG for real (png_codec /
+    jpeg_codec; PIL when present), emit per-image channel means +
+    dimensions. Rows-only: the input is the committed fixture
+    directory, not a parquet table, so there is no DuckDB twin; pytest
+    pins the exact feature values."""
+    media = image_dir_source(spark, FIXTURE_DIR, glob="*.{png,jpg,jpeg}")
     return extract_features(media).orderBy("media_id")

@@ -74,9 +74,15 @@ def decode_image(payload: bytes, media_type: str = "image/fake") -> np.ndarray:
     if media_type == "image/png":
         # real decode, no image libs: stdlib zlib + the PNG spec
         return decode_png(payload)
+    if media_type in ("image/jpeg", "image/jpg"):
+        # real decode, no image libs: baseline sequential per ITU T.81
+        from a3_fp_bigdata_spark.multimodal.jpeg_codec import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
         f"decoding {media_type!r} requires PIL, which is not installed; "
-        "'image/png' (pure-python codec) and 'image/fake' work without it"
+        "'image/png', 'image/jpeg' (pure-python codecs) and 'image/fake' "
+        "work without it"
     )
 
 

@@ -22,13 +22,15 @@ def test_decode_stub_deterministic():
 def test_decode_real_format_raises_without_pil():
     if M.HAVE_PIL:
         pytest.skip("PIL installed; stub gate not reachable")
-    # PNG decodes for real via the pure-python codec; formats beyond it
-    # (JPEG etc.) still need PIL and must say so, not guess
+    # PNG and JPEG decode for real via the pure-python codecs; formats
+    # beyond them (webp etc.) still need PIL and must say so, not guess
     with pytest.raises(NotImplementedError):
-        M.decode_image(b"\xff\xd8\xff\xe0jpegish", "image/jpeg")
-    # corrupt PNG bytes fail loudly in the codec, not silently
+        M.decode_image(b"RIFF....WEBP", "image/webp")
+    # corrupt bytes fail loudly in the codecs, not silently
     with pytest.raises(ValueError):
         M.decode_image(b"\x89PNG\r\n\x1a\njunk", "image/png")
+    with pytest.raises(ValueError):
+        M.decode_image(b"\xff\xd8\xff\xe0jpegish", "image/jpeg")
 
 
 def test_feature_extraction_matches_local_math(spark):
@@ -163,4 +165,63 @@ def test_mm4_registered_and_deterministic(spark):
     q = registry.all_queries()["mm4_image_dir_features"]
     a = [tuple(r) for r in q(spark, SF0001).collect()]
     b = [tuple(r) for r in q(spark, SF0001).collect()]
-    assert a == b and len(a) == 5
+    assert a == b and len(a) == 7  # 5 PNGs + 2 JPEGs
+
+
+def test_binaryfile_jpeg_fixture_features(spark):
+    """The two committed JPEG fixtures (one 4:4:4, one 4:2:0 with
+    restart markers — tools/make_jpeg_fixtures.py) decode through the
+    pure-python baseline codec inside the Spark pipeline; channel means
+    pinned to the decoder's deterministic output."""
+    from a3_fp_bigdata_spark.multimodal import binary_files as B
+
+    media = B.image_dir_source(spark, B.FIXTURE_DIR, glob="*.jpg")
+    named = B.extract_features(media).join(media, "media_id").select(
+        "meta.origin", "img_avg_red", "img_avg_green", "img_avg_blue",
+        "img_width", "img_height",
+    )
+    feats = {
+        r.origin: (
+            round(r.img_avg_red, 4), round(r.img_avg_green, 4),
+            round(r.img_avg_blue, 4), r.img_width, r.img_height,
+        )
+        for r in named.collect()
+    }
+    assert feats["photo_grad.jpg"] == (127.0052, 127.0729, 127.0273, 32, 24)
+    assert feats["photo_rings.jpg"] == (133.554, 121.3848, 64.0046, 48, 32)
+    assert len(feats) == 2
+
+
+def test_jpeg_codec_roundtrip_modes():
+    """decode(encode(img)) stays within baseline-JPEG quantization error
+    across 4:4:4 / 4:2:0 / restart-interval encodings, odd dims included."""
+    from a3_fp_bigdata_spark.multimodal import jpeg_codec as J
+
+    h, w = 29, 45
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            (yy * 255 // (h - 1)).astype(np.uint8),
+            (xx * 255 // (w - 1)).astype(np.uint8),
+            ((yy + xx) * 255 // (h + w - 2)).astype(np.uint8),
+        ],
+        axis=2,
+    )
+    for kw, tol in [
+        ({}, 8),
+        ({"subsample": True}, 16),
+        ({"restart_interval": 2}, 8),
+        ({"subsample": True, "restart_interval": 1}, 16),
+    ]:
+        dec = J.decode_jpeg(J.encode_jpeg(img, quality=90, **kw))
+        assert dec.shape == img.shape
+        err = np.abs(dec.astype(int) - img.astype(int))
+        assert err.max() <= tol, (kw, err.max())
+    # solid color survives exactly (DC-only blocks)
+    solid = np.full((16, 16, 3), (200, 10, 30), np.uint8)
+    assert np.array_equal(J.decode_jpeg(J.encode_jpeg(solid)), solid)
+    # unsupported shapes refuse loudly
+    with pytest.raises(ValueError):
+        J.encode_jpeg(np.zeros((4, 4), np.uint8))
+    with pytest.raises(ValueError):
+        J.decode_jpeg(b"not a jpeg")
