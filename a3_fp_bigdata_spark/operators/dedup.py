@@ -114,7 +114,7 @@ def _shingle_rows(
         "doc_id", F.posexplode(TX.tokens(F.col("text"))).alias("pos", "word")
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
-    lead1, lead2 = F.lead("word", 1).over(w), F.lead("word", 2).over(w)
+    leads = [F.lead("word", i).over(w) for i in range(1, n)]
     # Shingles are carried as 64-bit xxhash64 values, never as strings:
     # the distinct + inverted-index self-join shuffle 8-byte keys instead
     # of ~20-byte text, and d4's 32 seeded minhashes re-hash a long
@@ -124,8 +124,8 @@ def _shingle_rows(
     out = (
         toks.select(
             "doc_id",
-            F.xxhash64("word", lead1, lead2).alias("shingle"),
-            lead2.alias("_tail"),
+            F.xxhash64("word", *leads).alias("shingle"),
+            leads[-1].alias("_tail"),
         )
         .filter(F.col("_tail").isNotNull())  # full n-grams only
         .select("doc_id", "shingle")

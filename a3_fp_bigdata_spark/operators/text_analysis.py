@@ -273,6 +273,105 @@ def tx6_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_ngrams(n: int) -> str:
+    """DuckDB rendering of space-joined word n-grams over token list
+    ``w`` (1-based; empty when len(w) < n) — the string twin of the
+    hashed shingles dedup._shingle_rows emits."""
+    terms = " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(n))
+    return f"list_transform(range(1, len(w) - {n - 2}), i -> {terms})"
+
+
+REP_NGRAM = 3  # repetition measured over word trigrams (Gopher-style)
+
+
+@query(
+    "tx8_repetition_ngrams",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, {_SQL_TOKS} AS w FROM documents
+    ), g AS (
+      SELECT doc_id, unnest({_sql_ngrams(REP_NGRAM)}) AS g
+      FROM words WHERE len(w) >= {REP_NGRAM}
+    )
+    SELECT doc_id,
+           count(*) AS n_ngrams,
+           count(DISTINCT g) AS n_distinct,
+           round(1 - count(DISTINCT g) / CAST(count(*) AS DOUBLE), 4) + 0.0
+             AS rep_ratio
+    FROM g GROUP BY doc_id
+    """,
+)
+def tx8_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition score — the Gopher-style quality
+    filter: fraction of a doc's word {REP_NGRAM}-grams that are
+    repeats (1 - distinct/total). Templated/spammy text scores high
+    and gets dropped by a downstream threshold; the score itself stays
+    a pure per-doc aggregate so the filter composes with any pipeline.
+
+    Scale: one map-side-combinable aggregation over the shingle rows
+    the dedup ladder already stages — no new shuffle shape anywhere;
+    at 100 TB this rides the same (doc_id-partitioned) pass that
+    builds minhashes."""
+    from a3_fp_bigdata_spark.operators.dedup import _shingle_rows
+
+    ex_all = _shingle_rows(spark, sf_dir, REP_NGRAM, distinct=False)
+    ratio = F.lit(1.0) - F.count_distinct("shingle") / F.count("*")
+    return ex_all.groupBy("doc_id").agg(
+        F.count("*").alias("n_ngrams"),
+        F.count_distinct("shingle").alias("n_distinct"),
+        (F.round(ratio, 4) + F.lit(0.0)).alias("rep_ratio"),
+    )
+
+
+DECON_NGRAM = 8      # benchmark-overlap n-gram width (decontamination)
+DECON_BENCH_PCT = 10  # the held-out "benchmark" = 10% of docs, by id hash
+
+
+@query(
+    "tx9_decontaminate",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, {_SQL_TOKS} AS w FROM documents
+    ), g AS (
+      SELECT DISTINCT doc_id, unnest({_sql_ngrams(DECON_NGRAM)}) AS g
+      FROM words WHERE len(w) >= {DECON_NGRAM}
+    ), bench AS (
+      SELECT DISTINCT g FROM g
+      WHERE {sample_predicate_sql('doc_id', DECON_BENCH_PCT)}
+    ), train AS (
+      SELECT doc_id, g FROM g
+      WHERE NOT ({sample_predicate_sql('doc_id', DECON_BENCH_PCT)})
+    )
+    SELECT doc_id, count(*) AS n_hits
+    FROM train JOIN bench USING (g)
+    GROUP BY doc_id
+    """,
+)
+def tx9_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — flag training documents sharing at
+    least one word {DECON_NGRAM}-gram with the held-out benchmark set
+    (tx6's deterministic {DECON_BENCH_PCT}% split stands in for a real
+    eval suite). Output: contaminated doc -> number of distinct shared
+    {DECON_NGRAM}-grams; a downstream filter anti-joins this.
+
+    Scale: the benchmark n-gram set is tiny relative to the corpus
+    (eval suites are MBs against TBs), so it BROADCASTS — the corpus
+    side is one scan + broadcast-hash join + per-doc count, no corpus
+    shuffle at all. Long n-grams keep false positives out (a shared
+    {DECON_NGRAM}-gram is quotation, not coincidence)."""
+    from a3_fp_bigdata_spark.operators.dedup import _shingle_rows
+
+    ex = _shingle_rows(spark, sf_dir, DECON_NGRAM)  # distinct rows
+    is_bench = sample_predicate(F.col("doc_id"), DECON_BENCH_PCT)
+    bench_grams = ex.filter(is_bench).select("shingle").distinct()
+    train = ex.filter(~is_bench)
+    return (
+        train.join(F.broadcast(bench_grams), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
 PROFILE_K = 20  # trigrams per language profile
 #: Profiles are FIT on a deterministic sample (tx6's predicate), not the
 #: full corpus: trigram frequency ranks converge long before full-corpus
