@@ -200,19 +200,57 @@ def build_bucketed_ann_index(
     )
 
 
+#: index DataFrames per (session, dir): creating spark.read.parquet on
+#: a 2^{N_PLANES}-directory layout re-lists every partition dir; a probe
+#: should pay that once per session, not per query.
+_SIM4_IDX_DF: dict[tuple[int, str], DataFrame] = {}
+
+
+def _index_frame(spark: SparkSession, index_dir: str) -> DataFrame:
+    for k in [k for k, df in _SIM4_IDX_DF.items() if df.sparkSession is not spark]:
+        _SIM4_IDX_DF.pop(k)
+    key = (id(spark), index_dir)
+    if key not in _SIM4_IDX_DF:
+        _SIM4_IDX_DF[key] = spark.read.parquet(index_dir)
+    return _SIM4_IDX_DF[key]
+
+
 def probe_bucketed_ann(
-    spark: SparkSession, index_dir: str, query_vec_id: int = 0, k: int = 5
+    spark: SparkSession,
+    index_dir: str,
+    query_vec_id: int = 0,
+    k: int = 5,
+    *,
+    sf_dir: str | None = None,
 ) -> DataFrame:
     """Top-k cosine inside the query vector's bucket partition. The
-    query row lookup collects ONE row; the candidate scan filters on
-    the partition column with a literal, so Catalyst prunes every other
-    bucket directory before any bytes are read."""
-    idx = spark.read.parquet(index_dir)
-    qrow = (
-        idx.filter(F.col("vec_id") == query_vec_id)
-        .select("bucket", "embedding")
-        .first()
-    )
+    candidate scan filters on the partition column with a literal, so
+    Catalyst prunes every other bucket directory before any bytes are
+    read.
+
+    With ``sf_dir`` given (the production shape), the query vector's
+    bucket is computed from the LSH planes over the single-file
+    embeddings table (pushed ``vec_id`` filter) — the index is never
+    scanned to locate the query. Without it, the lookup falls back to
+    scanning the index itself (self-contained, but reads all buckets
+    for the one row)."""
+    idx = _index_frame(spark, index_dir)
+    if sf_dir is not None:
+        emb = table(spark, sf_dir, "embeddings")
+        qdf = emb.filter(F.col("vec_id") == query_vec_id)
+        # same _buckets expression the index was built with -> the
+        # computed bucket is bit-identical to the stored partition key
+        qrow = (
+            qdf.join(_buckets(qdf, _planes(emb)), "vec_id")
+            .select("bucket", "embedding")
+            .first()
+        )
+    else:
+        qrow = (
+            idx.filter(F.col("vec_id") == query_vec_id)
+            .select("bucket", "embedding")
+            .first()
+        )
     if qrow is None:
         raise ValueError(
             f"query vector {query_vec_id} not present in index {index_dir}"
@@ -255,6 +293,7 @@ def release_sim4_index() -> None:
     """Delete every cached sim4 index dir (also runs via atexit)."""
     import shutil
 
+    _SIM4_IDX_DF.clear()
     while _SIM4_INDEX:
         _, path = _SIM4_INDEX.popitem()
         shutil.rmtree(path, ignore_errors=True)
@@ -301,7 +340,9 @@ def sim4_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL oracle is identical — what changes is the PLAN: the probe scan
     carries PartitionFilters on the bucket literal and reads one bucket
     directory."""
-    return probe_bucketed_ann(spark, warm_sim4_index(spark, sf_dir))
+    return probe_bucketed_ann(
+        spark, warm_sim4_index(spark, sf_dir), sf_dir=sf_dir
+    )
 
 
 IVF_CELLS = 16

@@ -99,7 +99,11 @@ def _load_all_modules() -> None:
     from a3_fp_bigdata_spark.ml import pipelines  # noqa: F401
     from a3_fp_bigdata_spark.multimodal import binary_files, images  # noqa: F401
     from a3_fp_bigdata_spark.sources import queries as source_queries  # noqa: F401
-    from a3_fp_bigdata_spark.streaming import batch_windows, ingest  # noqa: F401
+    from a3_fp_bigdata_spark.streaming import (  # noqa: F401
+        batch_windows,
+        incremental_dedup,
+        ingest,
+    )
 
 
 def all_queries() -> dict[str, QueryFn]:

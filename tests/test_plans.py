@@ -172,7 +172,9 @@ def test_bucketed_ann_probe_is_partition_pruned(spark, tmp_path, qs):
 
     idx = str(tmp_path / "ann_idx")
     S.build_bucketed_ann_index(spark, SF0001, idx)
-    probe = S.probe_bucketed_ann(spark, idx)
+    # production path: query bucket computed from the planes over the
+    # embeddings table — the index is only touched partition-pruned
+    probe = S.probe_bucketed_ann(spark, idx, sf_dir=SF0001)
     pfs = PI.partition_filters(probe)
     assert any("bucket" in f for f in pfs), pfs
     got = [(r.vec_id, r.cosine) for r in probe.collect()]
@@ -181,3 +183,6 @@ def test_bucketed_ann_probe_is_partition_pruned(spark, tmp_path, qs):
         for r in qs["sim2_lsh_ann"](spark, SF0001).collect()
     ]
     assert got == want
+    # self-contained fallback (no sf_dir) answers identically
+    fallback = S.probe_bucketed_ann(spark, idx)
+    assert [(r.vec_id, r.cosine) for r in fallback.collect()] == want

@@ -103,6 +103,44 @@ def test_png_codec_roundtrip_property(h, w, seed):
     assert np.array_equal(C.decode_png(C.encode_png(arr)), arr)
 
 
+@settings(max_examples=15, deadline=None, derandomize=True)
+@given(
+    st.integers(1, 33),
+    st.integers(1, 33),
+    st.integers(0, 2**31 - 1),
+    st.booleans(),
+    st.integers(0, 3),
+)
+def test_jpeg_codec_roundtrip_property(h, w, seed, subsample, ri):
+    """JPEG is lossy but BOUNDED: for arbitrary sizes (1x1 up, odd
+    dims, any subsample/restart combination) decode(encode(a, q=95))
+    stays within coarse quantization error of a, and shape/dtype are
+    exact. Noise images are the worst case for DCT coding; the bound
+    is loose on purpose (correctness here = no structural corruption,
+    desync, or block misplacement — those show up as errors of 100+)."""
+    import numpy as np
+
+    from a3_fp_bigdata_spark.multimodal import jpeg_codec as J
+
+    arr = (
+        np.random.default_rng(seed)
+        .integers(0, 256, (h, w, 3))
+        .astype(np.uint8)
+    )
+    dec = J.decode_jpeg(
+        J.encode_jpeg(arr, quality=95, subsample=subsample, restart_interval=ri)
+    )
+    assert dec.shape == arr.shape and dec.dtype == np.uint8
+    err = np.abs(dec.astype(int) - arr.astype(int))
+    # luma is coded much more finely than chroma; project both sides
+    # onto Y and bound the luma error (chroma-only error on noise can
+    # legitimately reach ~60 under 4:2:0 averaging)
+    wts = np.array([0.299, 0.587, 0.114])
+    y_err = np.abs((dec.astype(float) - arr.astype(float)) @ wts)
+    assert y_err.max() <= 35, y_err.max()
+    assert err.mean() <= 40
+
+
 @settings(max_examples=30, deadline=None, derandomize=True)
 @given(st.text(alphabet="abc 01", min_size=0, max_size=120), st.integers(0, 50))
 def test_winnow_fingerprint_properties(t, pad):

@@ -200,6 +200,38 @@ def test_materialized_view_refuses_foreign_dir(spark, tmp_path):
         MV.merge_batch_into(spark, batch, "k", foreign, num_buckets=4)
 
 
+def test_incremental_dedup_stream_combines_across_batches(spark, tmp_path):
+    """st10's machinery on crafted input: duplicates that SPAN
+    micro-batches must combine (min keeper id, summed copies) exactly
+    as if the whole corpus arrived at once — batch boundaries must be
+    invisible in the drained fingerprint table."""
+    from a3_fp_bigdata_spark.streaming import incremental_dedup as ID
+
+    stage = str(tmp_path / "stage")
+    out = str(tmp_path / "out")
+    # batch 1: docs 1,2 ("aa" twice); batch 2: docs 3 ("aa" again), 4
+    b1 = spark.createDataFrame([(1, "aa"), (2, "aa")], "doc_id long, text string")
+    b2 = spark.createDataFrame([(3, "aa"), (4, "bb")], "doc_id long, text string")
+    b1.coalesce(1).write.parquet(stage + "/f1")
+    b2.coalesce(1).write.parquet(stage + "/f2")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+    q = ID.incremental_dedup_sink(stream, spark, out)
+    q.awaitTermination()
+    got = {
+        r.fp: (r.keeper_id, r.n_copies)
+        for r in spark.read.parquet(out).collect()
+    }
+    aa = {v for k, v in got.items()}
+    assert (1, 3) in aa  # "aa": keeper 1, three copies across batches
+    assert (4, 1) in aa  # "bb": unique
+    assert len(got) == 2
+
+
 def test_materialized_view_meta_only_dir_reinitializes(spark, tmp_path):
     """Crash window: meta is written BEFORE the first data commit, so a
     crash in between leaves a meta-only directory. Replay must treat
