@@ -62,9 +62,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # registry determinism rules compare timestamps under UTC; a plain
         # session on a non-UTC host would otherwise collect TimestampType
         # shifted to local time while DuckDB returns stored naive micros.
-        # Overriding an app's explicit non-UTC timezone is a visible
-        # event, not a silent one: warn once per process.
+        # Repinning a non-UTC timezone is a visible event, not a silent
+        # one: warn once per process — AFTER the conf set, so a
+        # warnings-as-errors filter can never skip the pin itself.
+        # (conf.get returns the RESOLVED zone — JVM default included —
+        # so the warning cannot tell 'explicitly set' from 'host
+        # default'; the message is phrased accordingly.)
         current = spark.conf.get("spark.sql.session.timeZone", None)
+        if current != "UTC":
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
         if current not in (None, "UTC", "Etc/UTC", "GMT"):
             global _TZ_WARNED
             if not _TZ_WARNED:
@@ -72,14 +78,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 import warnings
 
                 warnings.warn(
-                    "a3_fp_bigdata_spark.data.table(): overriding session "
-                    f"timeZone {current!r} with 'UTC' (engine timestamp "
-                    "contract; see module docstring). Use a separate "
+                    "a3_fp_bigdata_spark.data.table(): pinning session "
+                    f"timeZone to 'UTC' (was {current!r} — an explicit "
+                    "setting or the host default; engine timestamp "
+                    "contract, see module docstring). Use a separate "
                     "SparkSession for non-UTC application queries.",
                     stacklevel=2,
                 )
-        if current != "UTC":
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

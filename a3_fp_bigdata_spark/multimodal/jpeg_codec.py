@@ -413,8 +413,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         raise ValueError("not a JPEG (bad SOI)")
     try:
         return _decode_jpeg_body(payload)
-    except (struct.error, IndexError) as e:
-        raise ValueError(f"corrupt JPEG: {e}") from e
+    except (struct.error, IndexError, KeyError, TypeError) as e:
+        # truncated/inconsistent streams surface as the documented
+        # ValueError (KeyError: SOS referencing an undeclared table;
+        # TypeError: SOS before SOF), never as raw internal errors
+        raise ValueError(f"corrupt JPEG: {e!r}") from e
 
 
 def _decode_jpeg_body(payload: bytes) -> np.ndarray:
@@ -555,7 +558,8 @@ def _decode_scan(
             plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
         full.append(plane[:h, :w])
     if len(full) == 1:
-        y = np.clip(full[0], 0, 255).astype(np.uint8)
+        # rint like the color path: truncation would bias ~0.5 down
+        y = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
         return np.repeat(y[:, :, None], 3, axis=2)
     y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
     rgb = np.stack(

@@ -764,9 +764,43 @@ def d11_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates = pin(candidates)  # referenced 3x (two union arms + semi)
     cand_docs = (
         candidates.select(F.col("doc_a").alias("doc_id"))
-        .union(candidates.select(F.col("doc_b").alias("doc_id")))
+        .union(candidates.select(F.col("doc_b").alias("doc_id"))
+        )
         .distinct()
     )
-    ex_cand = ex.join(F.broadcast(cand_docs), "doc_id", "left_semi")
-    exact = _exact_jaccard_pairs(ex_cand, JACCARD_THRESHOLD)
+    ex_cand = pin(ex.join(F.broadcast(cand_docs), "doc_id", "left_semi"))
+    # Asymmetric exact verification: the inverted-index join keeps the
+    # NEW docs' shingles as the probe side, so — like candidate
+    # generation above — corpus-vs-corpus pairs are never formed, not
+    # even transiently (_exact_jaccard_pairs would pair any two corpus
+    # docs that each collided with some new doc). distinct() collapses
+    # the two arrival orders of new-new pairs before counting.
+    ex_new = ex_cand.join(F.broadcast(new_ids), "doc_id", "left_semi")
+    a, b = ex_new.alias("a"), ex_cand.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+            F.col("a.shingle").alias("shingle"),
+        )
+        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    sets = _shingle_counts(ex_cand)
+    na_cnt = sets.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    nb_cnt = sets.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    exact = (
+        common.join(na_cnt, "doc_a")
+        .join(nb_cnt, "doc_b")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
     return exact.join(candidates, ["doc_a", "doc_b"], "left_semi")

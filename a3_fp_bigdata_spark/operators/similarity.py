@@ -185,6 +185,11 @@ def build_bucketed_ann_index(
     up-front bucketing pass; every later probe is a partition-pruned
     scan of ~corpus/2^{N_PLANES} vectors (PartitionFilters, asserted in
     tests/test_plans.py), not a full-table pass."""
+    # a rebuild at the same path invalidates any cached index frame —
+    # its file listing was taken at creation and is stale after the
+    # overwrite (FileNotFoundException or stale rows on the next probe)
+    for k in [k for k in _SIM4_IDX_DF if k[1] == out_dir]:
+        _SIM4_IDX_DF.pop(k)
     emb = table(spark, sf_dir, "embeddings")
     planes = _planes(emb)
     with_bucket = emb.join(_buckets(emb, planes), "vec_id")

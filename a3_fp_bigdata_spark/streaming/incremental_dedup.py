@@ -21,6 +21,9 @@ pipeline actually runs.
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -39,6 +42,24 @@ from a3_fp_bigdata_spark.streaming.materialized import (
 #: micro-batch granularity for the staged stream (files per trigger = 1)
 STAGE_FILES = 4
 
+#: scratch dirs created by st10 runs, removed at interpreter exit so
+#: repeated sweeps/bench rounds don't leak a corpus copy per invocation
+_SCRATCH_DIRS: list[str] = []
+
+
+def _scratch_dir(prefix: str) -> str:
+    path = tempfile.mkdtemp(prefix=prefix)
+    _SCRATCH_DIRS.append(path)
+    return path
+
+
+def _cleanup_scratch() -> None:
+    while _SCRATCH_DIRS:
+        shutil.rmtree(_SCRATCH_DIRS.pop(), ignore_errors=True)
+
+
+atexit.register(_cleanup_scratch)
+
 
 def fingerprint_frame(docs: DataFrame) -> DataFrame:
     """(fp, keeper_id, n_copies) — d1's aggregate, reusable per batch."""
@@ -51,6 +72,25 @@ def fingerprint_frame(docs: DataFrame) -> DataFrame:
     )
 
 
+_WATERMARK_FILE = "_last_batch"  # underscore-prefixed: ignored by readers
+
+
+def _read_watermark(out_dir: str) -> int:
+    path = os.path.join(out_dir, _WATERMARK_FILE)
+    if os.path.isfile(path):
+        with open(path) as fh:
+            return int(fh.read().strip())
+    return -1
+
+
+def _write_watermark(out_dir: str, batch_id: int) -> None:
+    path = os.path.join(out_dir, _WATERMARK_FILE)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(str(batch_id))
+    os.replace(tmp, path)  # atomic on POSIX
+
+
 def incremental_dedup_sink(
     doc_stream: DataFrame,
     spark: SparkSession,
@@ -60,12 +100,23 @@ def incremental_dedup_sink(
     """Maintain ``out_dir`` as the corpus fingerprint table while
     documents stream in. Combine semantics are associative+commutative
     (min keeper, sum copies), so batch boundaries and arrival order
-    cannot change the drained result."""
-    cp = checkpoint_dir or tempfile.mkdtemp(prefix="a3_incdedup_cp_")
+    cannot change the drained result.
+
+    Replay: foreachBatch is at-least-once, and the copy-count combine
+    is a DELTA (summing), so a re-delivered batch must not re-merge. A
+    batch-id watermark written atomically AFTER each data commit makes
+    replays of committed batches no-ops. Residual window: a crash
+    BETWEEN the data commit and the watermark write replays one batch
+    into an already-merged base and double-counts its copies — the
+    same plain-parquet residue materialized.py documents; closing it
+    needs a transactional table format (Delta/Iceberg MERGE)."""
+    cp = checkpoint_dir or _scratch_dir("a3_incdedup_cp_")
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if batch_id <= _read_watermark(out_dir):
+            return  # replay of a committed batch: already merged
         batch_fp = fingerprint_frame(batch_df)
         if _has_parquet_data(out_dir):
             # combine with existing rows for the touched fingerprints
@@ -83,6 +134,7 @@ def incremental_dedup_sink(
                 )
             )
         merge_batch_into(spark, batch_fp, "fp", out_dir)
+        _write_watermark(out_dir, batch_id)
 
     return (
         doc_stream.writeStream.foreachBatch(merge)
@@ -107,8 +159,8 @@ def st10_incremental_dedup_stream(
     incremental_dedup_sink, then read the drained fingerprint table.
     The oracle is d1's one-shot SQL over the full corpus — streaming
     accumulation must converge to exactly the batch answer."""
-    stage = tempfile.mkdtemp(prefix="a3_incdedup_stage_")
-    out = tempfile.mkdtemp(prefix="a3_incdedup_out_")
+    stage = _scratch_dir("a3_incdedup_stage_")
+    out = _scratch_dir("a3_incdedup_out_")
     docs = table(spark, sf_dir, "documents")
     docs.repartition(STAGE_FILES, "doc_id").write.mode("overwrite").parquet(
         stage

@@ -175,6 +175,12 @@ def test_binaryfile_jpeg_fixture_features(spark):
     pinned to the decoder's deterministic output."""
     from a3_fp_bigdata_spark.multimodal import binary_files as B
 
+    if M.HAVE_PIL:
+        # JPEG is lossy and decode_image prefers PIL when present;
+        # libjpeg's integer IDCT differs from jpeg_codec's float path
+        # by fractions per channel, so the exact pins below are
+        # pure-python-decoder-specific (PNG pins are PIL-safe: lossless)
+        pytest.skip("PIL installed; pins target the pure-python decoder")
     media = B.image_dir_source(spark, B.FIXTURE_DIR, glob="*.jpg")
     named = B.extract_features(media).join(media, "media_id").select(
         "meta.origin", "img_avg_red", "img_avg_green", "img_avg_blue",

@@ -138,7 +138,9 @@ def test_jpeg_codec_roundtrip_property(h, w, seed, subsample, ri):
     wts = np.array([0.299, 0.587, 0.114])
     y_err = np.abs((dec.astype(float) - arr.astype(float)) @ wts)
     assert y_err.max() <= 35, y_err.max()
-    assert err.mean() <= 40
+    # RGB mean folds in chroma, which 4:2:0 legitimately averages away
+    # on noise (worst at tiny sizes: a 1x2 image's two chromas merge)
+    assert err.mean() <= (60 if subsample else 25), err.mean()
 
 
 @settings(max_examples=30, deadline=None, derandomize=True)
