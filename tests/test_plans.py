@@ -163,6 +163,28 @@ def test_bucketed_join_skips_both_exchanges(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_decontaminate_broadcasts_benchmark_grams(spark, qs):
+    """tx9: the benchmark n-gram set must broadcast — the corpus side
+    of the contamination check may never shuffle on the join key (at
+    100 TB the eval suite is MBs; a sort-merge join there would shuffle
+    the whole corpus's n-grams)."""
+    df = qs["tx9_decontaminate"](spark, SF0001)
+    assert PI.uses_broadcast_join(df)
+    assert "SortMergeJoin" not in PI.physical_plan(df)
+
+
+def test_incremental_dedup_exact_stays_jvm(spark, qs):
+    """d10: the nightly exact rung is pure Column algebra — no Python
+    crossings, and the corpus side reduces to one aggregation before
+    the join (no quadratic or UDF stage anywhere)."""
+    df = qs["d10_incremental_dedup"](spark, SF0001)
+    plan = PI.physical_plan(df)
+    for marker in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+        assert marker not in plan
+    # exactly the join+window+agg shuffles, bounded small
+    assert PI.shuffle_count(df) <= 4, PI.shuffle_count(df)
+
+
 def test_bucketed_ann_probe_is_partition_pruned(spark, tmp_path, qs):
     """sim4: the materialized ANN index is partitioned on the LSH bucket
     id, and a probe's candidate scan must carry a PartitionFilter on the
