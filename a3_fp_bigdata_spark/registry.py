@@ -97,7 +97,11 @@ def _load_all_modules() -> None:
     )
     from a3_fp_bigdata_spark import serving  # noqa: F401
     from a3_fp_bigdata_spark.ml import pipelines  # noqa: F401
-    from a3_fp_bigdata_spark.multimodal import binary_files, images  # noqa: F401
+    from a3_fp_bigdata_spark.multimodal import (  # noqa: F401
+        audio,
+        binary_files,
+        images,
+    )
     from a3_fp_bigdata_spark.sources import queries as source_queries  # noqa: F401
     from a3_fp_bigdata_spark.streaming import (  # noqa: F401
         batch_windows,

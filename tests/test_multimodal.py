@@ -198,6 +198,43 @@ def test_binaryfile_jpeg_fixture_features(spark):
     assert len(feats) == 2
 
 
+def test_audio_dir_features_pinned(spark):
+    """mm5: binaryFile scan of the committed WAV fixtures -> stdlib
+    decode -> features pinned against the generator's analytic
+    waveforms (sine RMS = A/sqrt(2), square RMS = A, silence = 0)."""
+    import math
+
+    from a3_fp_bigdata_spark import registry
+    from a3_fp_bigdata_spark.multimodal import audio as A
+    from a3_fp_bigdata_spark.multimodal.binary_files import image_dir_source
+
+    media = image_dir_source(spark, A.FIXTURE_DIR, glob="*.wav")
+    named = A.extract_audio_features(media).join(media, "media_id").select(
+        "meta.origin", "duration_s", "sample_rate", "n_channels", "rms", "peak"
+    )
+    feats = {
+        r.origin: (r.duration_s, r.sample_rate, r.n_channels, r.rms, r.peak)
+        for r in named.collect()
+    }
+    assert len(feats) == 3
+    d, sr, nch, rms, peak = feats["tone_440.wav"]
+    assert (d, sr, nch) == (1.0, 8000, 1)
+    assert abs(rms - 0.5 / math.sqrt(2)) < 1e-3 and abs(peak - 0.5) < 1e-3
+    d, sr, nch, rms, peak = feats["silence.wav"]
+    assert (d, rms, peak) == (0.5, 0.0, 0.0)
+    d, sr, nch, rms, peak = feats["square_220.wav"]
+    assert d == 0.75 and abs(rms - 0.25) < 1e-3 and abs(peak - 0.25) < 1e-3
+
+    # registered and deterministic
+    q = registry.all_queries()["mm5_audio_dir_features"]
+    a = [tuple(r) for r in q(spark, SF0001).collect()]
+    assert a == [tuple(r) for r in q(spark, SF0001).collect()] and len(a) == 3
+
+    # codec error contract
+    with pytest.raises(ValueError):
+        A.decode_wav(b"RIFFjunkWAVE")
+
+
 def test_jpeg_codec_roundtrip_modes():
     """decode(encode(img)) stays within baseline-JPEG quantization error
     across 4:4:4 / 4:2:0 / restart-interval encodings, odd dims included."""
