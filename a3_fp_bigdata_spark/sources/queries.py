@@ -111,6 +111,47 @@ def src3_json_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "src5_latest_snapshot",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def src5_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4+S5 driver-attested: write TWO timestamped serving snapshots —
+    an older DECOY holding only a third of the rows, then the full
+    current one — discover the newest via find_latest_data_path
+    (app.py:98-108's mtime pick), and aggregate what it returns. The
+    oracle aggregates the full orders table, so discovering the WRONG
+    snapshot (decoy rows) is a value-hash mismatch, not a silent pass."""
+    import pyspark.sql.functions as F
+
+    from a3_fp_bigdata_spark.sources.parquet_io import (
+        find_latest_data_path,
+        write_parquet_overwrite,
+    )
+
+    base = _scratch("snapshots", sf_dir)
+    orders = table(spark, sf_dir, "orders")
+    decoy = orders.filter(F.col("o_orderkey") % 3 == 0)
+    write_parquet_overwrite(decoy, os.path.join(base, "api_app_info_001"))
+    write_parquet_overwrite(orders, os.path.join(base, "api_app_info_002"))
+    # mtime order must match version order even on coarse-grained
+    # filesystem clocks: bump the newer dir explicitly
+    now = os.path.getmtime(os.path.join(base, "api_app_info_001")) + 10
+    os.utime(os.path.join(base, "api_app_info_002"), (now, now))
+    latest = find_latest_data_path(base, "api_app_info_")
+    return (
+        spark.read.parquet(latest)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@query(
     "src4_compaction_roundtrip",
     oracle="""
     SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
