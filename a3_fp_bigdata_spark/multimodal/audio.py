@@ -115,5 +115,7 @@ def mm5_audio_dir_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     known waveforms (tools/make_wav_fixtures.py)."""
     from a3_fp_bigdata_spark.multimodal.binary_files import image_dir_source
 
-    media = image_dir_source(spark, FIXTURE_DIR, glob="*.wav")
+    media = image_dir_source(spark, FIXTURE_DIR, glob="*.wav").withColumn(
+        "media_type", F.lit("audio/wav")  # source labels by extension
+    )
     return extract_audio_features(media).orderBy("media_id")
