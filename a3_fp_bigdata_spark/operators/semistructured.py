@@ -70,3 +70,38 @@ def x2_array_agg_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.collect_set("event_type")).alias("n_types"),
         )
     )
+
+
+@query(
+    "x3_array_flatten_positional",
+    oracle="""
+    SELECT user_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) - 1 AS pos,
+           event_id, event_type
+    FROM events
+    """,
+)
+def x3_array_flatten_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested round-trip: rows -> per-user event array -> positional
+    flatten. collect_list's element order is partition-arrival order
+    (non-deterministic), so the array is sorted by a struct whose field
+    order (ts, event_id) IS the sort key before posexplode re-indexes
+    it — the oracle states the same contract as a window rank. At scale
+    this is one map-side-combinable agg + one generator, no extra
+    shuffle beyond the groupBy."""
+    ev = table(spark, sf_dir, "events")
+    arr = F.sort_array(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(arr.alias("evs"))
+        .select("user_id", F.posexplode("evs").alias("pos", "e"))
+        .select(
+            "user_id",
+            "pos",
+            F.col("e.event_id").alias("event_id"),
+            F.col("e.event_type").alias("event_type"),
+        )
+    )
