@@ -26,7 +26,7 @@ from a3_fp_bigdata_spark.functions import text as TX
 from a3_fp_bigdata_spark.operators.text_analysis import _SQL_NORM, _SQL_TOKS
 from pyspark import StorageLevel
 
-from a3_fp_bigdata_spark.registry import pin, query
+from a3_fp_bigdata_spark.registry import _PINNED, pin, query
 
 from a3_fp_bigdata_spark.pickling import ship_by_value
 
@@ -211,10 +211,9 @@ def release_shingle_stage() -> None:
             pass
 
 
-@query(
-    "d3_ngram_jaccard",
-    oracle=f"""
-    WITH words AS (
+# d3's oracle, split into composable pieces so d12's recursive-CTE
+# oracle can reuse the exact same pair derivation.
+_D3_CTES = f"""words AS (
       SELECT doc_id, {_SQL_TOKS} AS w FROM documents
     ), sh AS (
       SELECT doc_id, {_SQL_SHINGLES} AS s FROM words
@@ -227,13 +226,21 @@ def release_shingle_stage() -> None:
       GROUP BY 1, 2
     ), cnt AS (
       SELECT doc_id, len(s) AS n FROM sh
-    )
-    SELECT doc_a, doc_b,
+    )"""
+
+_D3_SELECT = f"""SELECT doc_a, doc_b,
            round(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 4) AS jaccard
     FROM common
     JOIN cnt ca ON ca.doc_id = doc_a
     JOIN cnt cb ON cb.doc_id = doc_b
-    WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= {JACCARD_THRESHOLD}
+    WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= {JACCARD_THRESHOLD}"""
+
+
+@query(
+    "d3_ngram_jaccard",
+    oracle=f"""
+    WITH {_D3_CTES}
+    {_D3_SELECT}
     """,
 )
 def d3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -804,3 +811,95 @@ def d11_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "jaccard")
     )
     return exact.join(candidates, ["doc_a", "doc_b"], "left_semi")
+
+
+# --- d12: near-dup pairs -> dedup CLUSTERS (connected components) -------
+
+CC_MAX_ITERS = 25  # propagation rounds; components here have tiny diameter
+
+
+@query(
+    "d12_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_D3_CTES}, pairs AS (
+      {_D3_SELECT}
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ), reach(doc_id, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc_id = e.dst
+    )
+    SELECT doc_id, min(lab) AS cluster_id
+    FROM reach GROUP BY doc_id
+    """,
+)
+def d12_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup GROUPS from near-dup pairs: connected components of d3's
+    pair graph via iterative min-label propagation — the step every
+    production dedup actually needs (pairs alone over-delete: A~B and
+    B~C must collapse to ONE keeper even when A~C was never scored).
+    Output: (doc_id, cluster_id = smallest doc id in the component)
+    for every doc that appears in some pair; the keeper policy
+    downstream is 'keep cluster_id, drop the rest'.
+
+    Spark shape: labels start as each node's own id; each round every
+    node takes min(own label, neighbors' labels) through one join +
+    one aggregation over the (tiny) edge list; a driver-side one-row
+    convergence check ends the loop. Rounds needed = component
+    diameter — near-dup clusters are cliques-ish (diameter 1-3), so
+    this terminates in a few rounds even at 100 TB, and each round is
+    edge-partitioned joins, nothing driver-side but the empty-check.
+    The oracle is the same closure as a DuckDB recursive CTE."""
+    pairs = pin(
+        d3_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    edges = pin(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("lab", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(CC_MAX_ITERS):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("lab").alias("nlab"))
+        )
+        new_labels = (
+            labels.join(
+                neighbor_min, labels.doc_id == neighbor_min.src, "left"
+            )
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))
+                ).alias("lab"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:  # pragma: no cover - diameter exceeded the cap
+        raise RuntimeError(f"label propagation not converged in {CC_MAX_ITERS}")
+    _PINNED.append(labels)  # release with the sweep's release_pinned()
+    return labels.select("doc_id", F.col("lab").alias("cluster_id"))

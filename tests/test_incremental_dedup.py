@@ -53,6 +53,41 @@ def test_d10_matches_bruteforce(spark):
     assert len(got) == sum(1 for d, _ in docs if _is_new(d))
 
 
+def test_d12_clusters_match_union_find(spark):
+    """d12's distributed label propagation equals a plain python
+    union-find over the same d3 pairs: identical membership AND the
+    canonical (minimum) id per component."""
+    qs = registry.all_queries()
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in qs["d3_ngram_jaccard"](spark, SF001).collect()
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+
+    got = {
+        r.doc_id: r.cluster_id
+        for r in qs["d12_dedup_clusters"](spark, SF001).collect()
+    }
+    assert got == want
+    assert pairs and got  # non-vacuous
+    # canonical id is a member of its own cluster
+    for doc, cid in got.items():
+        assert got[cid] == cid
+
+
 def test_d11_equals_d4_restricted_to_new(spark):
     """The incremental LSH rung finds EXACTLY the full-corpus d4 pairs
     that involve >= 1 new doc: same bucket table (same caps), same
