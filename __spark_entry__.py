@@ -7,7 +7,7 @@ MinHash-LSH/SimHash), similarity search (brute-force/LSH/IVF), text
 analysis, Structured Streaming (incl. stream-stream join), ML pipelines,
 multimodal mapInPandas, as-of/range/salted joins, upsert, incremental
 (new-batch-vs-corpus) dedup, repetition/decontamination curation — backed
-by ``a3_fp_bigdata_spark.registry`` (126 queries, 112 with oracles). Each
+by ``a3_fp_bigdata_spark.registry`` (127 queries, 113 with oracles). Each
 query is a pure (spark, sf_dir) -> DataFrame function; oracles are
 DuckDB-ANSI SQL over the same parquet tables with matching column
 aliases. Non-SQL-expressible ops (seeded ML fits, hash sketches) omit

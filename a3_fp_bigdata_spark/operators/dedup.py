@@ -903,3 +903,43 @@ def d12_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(f"label propagation not converged in {CC_MAX_ITERS}")
     _PINNED.append(labels)  # release with the sweep's release_pinned()
     return labels.select("doc_id", F.col("lab").alias("cluster_id"))
+
+
+@query(
+    "d13_dedup_corpus",
+    oracle=f"""
+    WITH RECURSIVE {_D3_CTES}, pairs AS (
+      {_D3_SELECT}
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ), reach(doc, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc = e.dst
+    ), dropped AS (
+      SELECT doc FROM reach GROUP BY doc HAVING doc <> min(lab)
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc FROM dropped)
+    """,
+)
+def d13_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ladder's end product: the DEDUPLICATED corpus. Keep every
+    document that is its cluster's canonical representative (cluster_id
+    == doc_id) or belongs to no near-dup pair at all; drop the rest.
+    pairs -> clusters (d12) -> one anti-join against the drop set.
+
+    Scale: the drop set is tiny relative to the corpus (near-dup
+    members only), so the anti-join broadcasts it — the corpus is
+    scanned once, never shuffled."""
+    clusters = d12_dedup_clusters(spark, sf_dir)
+    dropped = clusters.filter(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select("doc_id")
+    docs = table(spark, sf_dir, "documents")
+    return docs.join(F.broadcast(dropped), "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )
