@@ -870,7 +870,7 @@ def d12_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("lab", F.col("doc_id"))
         .persist()
     )
-    for _ in range(CC_MAX_ITERS):
+    for it in range(CC_MAX_ITERS):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
@@ -899,6 +899,11 @@ def d12_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+        if it % 5 == 4:
+            # iterative plans nest one join per round; truncate lineage
+            # periodically or stage recovery recomputes the whole loop
+            # (at scale: reliable checkpoint dir instead of local)
+            labels = labels.localCheckpoint(eager=True)
     else:  # pragma: no cover - diameter exceeded the cap
         raise RuntimeError(f"label propagation not converged in {CC_MAX_ITERS}")
     _PINNED.append(labels)  # release with the sweep's release_pinned()
