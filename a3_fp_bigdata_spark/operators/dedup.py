@@ -870,7 +870,7 @@ def d12_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("lab", F.col("doc_id"))
         .persist()
     )
-    for it in range(CC_MAX_ITERS):
+    for _ in range(CC_MAX_ITERS):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
@@ -886,7 +886,14 @@ def d12_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))
                 ).alias("lab"),
             )
-            .persist()
+            # Checkpoint EVERY round, eagerly: each round's frame
+            # references the previous one twice (neighbor agg + the
+            # least() join), so without truncation the LOGICAL plan
+            # doubles per round — 2^rounds analysis blowup even though
+            # persist would cap execution. Checkpointing keeps plan
+            # size and stage-recovery cost O(1) per round (at cluster
+            # scale: a reliable checkpoint dir instead of local).
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -899,11 +906,6 @@ def d12_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-        if it % 5 == 4:
-            # iterative plans nest one join per round; truncate lineage
-            # periodically or stage recovery recomputes the whole loop
-            # (at scale: reliable checkpoint dir instead of local)
-            labels = labels.localCheckpoint(eager=True)
     else:  # pragma: no cover - diameter exceeded the cap
         raise RuntimeError(f"label propagation not converged in {CC_MAX_ITERS}")
     _PINNED.append(labels)  # release with the sweep's release_pinned()
