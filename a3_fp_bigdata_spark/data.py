@@ -25,15 +25,37 @@ TABLES = (
 )
 
 
-#: Columns stored as parquet TIMESTAMP(NANOS), which Spark reads only as
-#: long nanos (spark.sql.legacy.parquet.nanosAsLong); converted to
-#: microsecond timestamps below. DuckDB coerces the same columns to
-#: micros natively, so both engines see identical values.
-_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {
+#: Timestamp columns whose PHYSICAL parquet type has drifted across
+#: driver testdata generations. Handling is SCHEMA-DRIVEN — we branch on
+#: the type Spark actually loaded, never on an assumed physical type
+#: (round 3 shipped broken because code assumed TIMESTAMP(NANOS)-as-long
+#: while the data was timestamp[us]):
+#:   - ``timestamp[us]`` (current driver data) -> Spark 4.x loads it as
+#:     TIMESTAMP_NTZ (isAdjustedToUTC=false + inferTimestampNTZ): used
+#:     as-is; DuckDB reads the same naive micros, values compare equal.
+#:   - ``TIMESTAMP(NANOS)`` (legacy generations) -> readable only as
+#:     long nanos via spark.sql.legacy.parquet.nanosAsLong; the LongType
+#:     branch below widens nanos -> microsecond timestamps.
+_TS_COLS: dict[str, tuple[str, ...]] = {
     "orders": ("o_orderdate",),
     "lineitem": ("l_shipdate",),
     "events": ("ts",),
 }
+
+
+def widen_legacy_long_ts(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    """Widen legacy nanos-as-long timestamp columns to TimestampType;
+    leave native timestamp columns (NTZ or LTZ) untouched. Shared by the
+    batch loader below and the streaming source (streaming/ingest.py) so
+    both paths make the same schema-driven decision."""
+    for col in cols:
+        field = df.schema[col] if col in df.columns else None
+        if field is not None and isinstance(field.dataType, T.LongType):
+            # integer `div` keeps exactness (nanos exceed double's 2^53)
+            df = df.withColumn(
+                col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
+            )
+    return df
 
 #: one warning per process when table() overrides a non-UTC timezone
 _TZ_WARNED = False
@@ -42,19 +64,21 @@ _TZ_WARNED = False
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one test table. Plain parquet scan — the vectorized reader's
     native types flow through (the driver's DuckDB oracle reads the same
-    footers), except nano-timestamps which are widened to TimestampType."""
+    footers); legacy nanos-as-long timestamp columns, if present, are
+    widened to TimestampType (see _TS_COLS / widen_legacy_long_ts)."""
     # CONTRACT: reading through the engine pins the session to the
-    # engine's timestamp semantics (nanos widened, UTC comparisons) —
-    # the driver's oracle compare depends on it. An application that
-    # needs a different session timezone for its own queries should
-    # not share a session with engine reads.
+    # engine's timestamp semantics (UTC comparisons; legacy nanos
+    # widened) — the driver's oracle compare depends on it. An
+    # application that needs a different session timezone for its own
+    # queries should not share a session with engine reads.
     # Two session-level self-heals, tried INDEPENDENTLY so one being
     # locked on an externally-built session can't silently skip the
     # other. Both are part of the engine's session contract (see
-    # session.local_session, which sets them at build time); applying
-    # them here too means a plain driver-built session still reads
-    # nano-timestamps correctly and compares timestamps under UTC.
+    # session.local_session, which sets them at build time).
     try:
+        # Legacy-data compat only: lets a TIMESTAMP(NANOS) file load (as
+        # long, widened below). A no-op against the current driver data,
+        # whose timestamp[us] columns load natively as TIMESTAMP_NTZ.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass  # conf may be fixed on an externally-built session
@@ -88,14 +112,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except Exception:
         pass
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for col in _NANOS_TS_COLS.get(name, ()):
-        field = df.schema[col] if col in df.columns else None
-        if field is not None and isinstance(field.dataType, T.LongType):
-            # integer `div` keeps exactness (nanos exceed double's 2^53)
-            df = df.withColumn(
-                col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
-            )
-    return df
+    return widen_legacy_long_ts(df, _TS_COLS.get(name, ()))
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -319,7 +319,12 @@ def d4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deduping BEFORE the 32-hash agg measured faster than skipping the
     # shuffle (fewer rows to hash 32x beats one saved exchange).
     ex = staged_shingles(spark, sf_dir)
-    buckets = minhash_band_buckets(ex)
+    # pin the signature/bucket rows: the self-join references them twice
+    # and an unpinned frame INLINES the whole minhash subtree (32-hash
+    # agg + bucket-cap window) into BOTH sides — one materialization
+    # halves the stage count, same shape d11 uses for its signature
+    # table. Size is O(docs x bands) ids+hashes, far under the corpus.
+    buckets = pin(minhash_band_buckets(ex))
     a, b = buckets.alias("a"), buckets.alias("b")
     candidates = (
         a.join(

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from a3_fp_bigdata_spark.data import table
 from a3_fp_bigdata_spark.registry import query
+from a3_fp_bigdata_spark.tscompat import epoch_micros, epoch_seconds
 
 
 def topk_per_group(
@@ -154,9 +155,12 @@ def w5_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = by_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ev = table(spark, sf_dir, "events")
     prev_ts = F.lag("ts").over(by_user)
-    gap_s = F.col("ts").cast("long") - prev_ts.cast("long")
+    # micro-exact gap (tscompat works for NTZ and LTZ ts); comparing in
+    # micros matches the oracle's `ts - lag(ts) > INTERVAL 30 MINUTE`
+    # exactly — a seconds-truncated gap would misclassify 30:00.xx gaps
+    gap_us = epoch_micros(F.col("ts")) - epoch_micros(prev_ts)
     is_new = F.when(
-        prev_ts.isNull() | (gap_s > 30 * 60), F.lit(1)
+        prev_ts.isNull() | (gap_us > 30 * 60 * 1_000_000), F.lit(1)
     ).otherwise(F.lit(0))
     return (
         ev.withColumn("_new", is_new)
@@ -220,7 +224,7 @@ def w7_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
+        .orderBy(epoch_seconds(F.col("ts")))
         .rangeBetween(-600, Window.currentRow)
     )
     return ev.select(

@@ -92,6 +92,11 @@ APPS_CAST_MAP: dict[str, T.DataType] = {
 
 # --------------------------------------------------------------------------
 # Driver test tables (TESTDATA.md / FIXTURES.md §B)
+#
+# Timestamp columns are declared TIMESTAMP_NTZ: the driver parquet
+# stores physical timestamp[us] with isAdjustedToUTC=false, which Spark
+# 4.x loads as NTZ — the declared schema must match what the files
+# actually carry (tests/test_env_drift.py pins this against the footer).
 # --------------------------------------------------------------------------
 
 TESTDATA: dict[str, T.StructType] = {
@@ -141,7 +146,7 @@ TESTDATA: dict[str, T.StructType] = {
             T.StructField("o_custkey", T.LongType()),
             T.StructField("o_orderstatus", T.StringType()),
             T.StructField("o_totalprice", T.DoubleType()),
-            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderdate", T.TimestampNTZType()),
             T.StructField("o_orderpriority", T.StringType()),
         ]
     ),
@@ -157,13 +162,13 @@ TESTDATA: dict[str, T.StructType] = {
             T.StructField("l_tax", T.DoubleType()),
             T.StructField("l_returnflag", T.StringType()),
             T.StructField("l_linestatus", T.StringType()),
-            T.StructField("l_shipdate", T.TimestampType()),
+            T.StructField("l_shipdate", T.TimestampNTZType()),
         ]
     ),
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.TimestampType()),
+            T.StructField("ts", T.TimestampNTZType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),

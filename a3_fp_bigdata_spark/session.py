@@ -47,8 +47,10 @@ def build_session(
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         # Deterministic timestamps regardless of host TZ.
         "spark.sql.session.timeZone": "UTC",
-        # The driver testdata stores TIMESTAMP(NANOS) which Spark's parquet
-        # reader rejects; read as long nanos (data.py converts to micros).
+        # Legacy-data compat: lets TIMESTAMP(NANOS) parquet (older driver
+        # testdata generations) load as long nanos, which data.py widens
+        # when — and only when — the loaded type is actually LongType.
+        # A no-op for the current timestamp[us] data (loads as NTZ).
         "spark.sql.legacy.parquet.nanosAsLong": "true",
         # Parquet scans: vectorized reader is default-on; keep split size
         # explicit so partition counts stay predictable as inputs grow.

@@ -17,6 +17,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+#: Spark's default CSV timestamp formats are millisecond-precision; pin
+#: microsecond formats symmetrically on write and read so a CSV round
+#: trip is lossless for both timestamp kinds (same rationale as the JSON
+#: codec's kafka_io._JSON_OPTS).
+_TS_OPTS = {
+    "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    "timestampNTZFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+}
+
 
 def read_csv_dir(
     spark: SparkSession,
@@ -35,6 +44,7 @@ def read_csv_dir(
         .option("header", header)
         .option("escape", escape)
         .option("mode", "PERMISSIVE")
+        .options(**_TS_OPTS)
         .csv(path)
     )
 
@@ -45,4 +55,6 @@ def append_csv_batch(df: DataFrame, path: str) -> None:
     The reference serializes each window via pandas on one machine
     (consumer.py:59-66); a distributed append writes one file per
     partition in parallel and never funnels rows through the driver."""
-    df.write.mode("append").option("header", True).csv(path)
+    df.write.mode("append").option("header", True).options(**_TS_OPTS).csv(
+        path
+    )

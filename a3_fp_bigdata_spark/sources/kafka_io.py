@@ -26,10 +26,18 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-#: to_json's default timestamp format is millisecond-precision; pin a
-#: microsecond format on BOTH directions so the codec is lossless for
-#: TimestampType (micros is Spark's native resolution).
-_JSON_OPTS = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}
+#: to_json's default timestamp formats are millisecond-precision; pin
+#: microsecond formats on BOTH directions so the codec is lossless for
+#: both timestamp kinds (micros is Spark's native resolution).
+#: TIMESTAMP (LTZ) serializes with a zone offset (XXX); TIMESTAMP_NTZ is
+#: zoneless by definition, so its format carries none — which also means
+#: an NTZ-serialized string cannot be parsed back as LTZ (from_json
+#: yields null on the missing offset): parse_payload must be given the
+#: SAME schema the payload was encoded from. Use ``df.schema``.
+_JSON_OPTS = {
+    "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    "timestampNTZFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+}
 
 
 def to_payload(df: DataFrame, key_col: str | None = None) -> DataFrame:
@@ -48,7 +56,8 @@ def parse_payload(df: DataFrame, schema: T.StructType) -> DataFrame:
     """S8 codec: JSON ``value`` -> typed columns via ``from_json``.
     Unparseable messages yield a row of nulls (PERMISSIVE) rather than
     killing the stream — the reference's consumer likewise skips bad
-    records (consumer.py:80-83)."""
+    records (consumer.py:80-83). ``schema`` must match the encoding
+    side's schema, timestamp kind included (see _JSON_OPTS)."""
     return df.select(
         F.from_json(F.col("value").cast("string"), schema, _JSON_OPTS).alias("r")
     ).select("r.*")

@@ -65,7 +65,11 @@ def src2_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     payload = kafka_io.to_payload(ev, key_col="event_id")
-    parsed = kafka_io.parse_payload(payload, TESTDATA["events"])
+    # decode with the encoder's own schema: the codec contract is
+    # type-kind-exact (an NTZ column must parse back as NTZ — see
+    # kafka_io._JSON_OPTS), and ev.schema is what a real consumer would
+    # fetch from a schema registry rather than hard-code.
+    parsed = kafka_io.parse_payload(payload, ev.schema)
     return parsed.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.round(F.sum("value"), 4).alias("total_value"),

