@@ -21,6 +21,16 @@ spark.sql.execution.arrow.maxRecordsPerBatch), so executor memory is
 O(batch), not O(partition). Feature extraction is narrow (no shuffle);
 the output feature table is a broadcast-joinable dimension exactly like
 the reference's image_features.parquet (spark_script.py:24, 176).
+
+Production codec note: the pure-python PNG/JPEG decoders exist because
+this container has no imaging library — they are the FIXTURE/TEST path,
+proving the Spark-side plumbing (schema, partitioning, Arrow batch
+shape) with real bytes. At 100 TB, per-pixel Python — even Arrow-batched
+— is the bottleneck; a production deployment swaps `decode_image`'s
+interior for a native library (PIL-SIMD / libvips / GPU nvJPEG) with
+ZERO plan changes: the dispatch already prefers PIL when importable, and
+everything outside the decode call (mapInPandas shape, feature schema,
+broadcast-dimension output) is codec-agnostic.
 """
 
 from __future__ import annotations

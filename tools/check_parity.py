@@ -65,6 +65,20 @@ def norm(v):
 
 from a3_fp_bigdata_spark import registry
 
+# Environment facts this sweep's results depend on — in the log header
+# so a later environment drift is detectable instead of silent (round 3
+# shipped a stale "green" log after the testdata's physical timestamp
+# type changed underneath it).
+import pyarrow.parquet as _pq
+import pyspark as _ps
+
+_ts_phys = _pq.read_schema(f"{SF}/events.parquet").field("ts").type
+print(
+    f"env: pyspark={_ps.__version__} sf_dir={SF} "
+    f"events.ts_physical={_ts_phys} "
+    f"loaded_as={queries and spark.read.parquet(f'{SF}/events.parquet').schema['ts'].dataType}"
+)
+
 fail = False
 for name in names:
     sdf = queries[name](spark, SF)
