@@ -6,8 +6,9 @@ SURVEY.md §2 plus the scale extensions — dedup ladder (exact/
 MinHash-LSH/SimHash), similarity search (brute-force/LSH/IVF), text
 analysis, Structured Streaming (incl. stream-stream join), ML pipelines,
 multimodal mapInPandas, as-of/range/salted joins, upsert, incremental
-(new-batch-vs-corpus) dedup, repetition/decontamination curation — backed
-by ``a3_fp_bigdata_spark.registry`` (127 queries, 113 with oracles). Each
+(new-batch-vs-corpus) dedup, repetition/decontamination curation, and
+training-batch assembly (sequence packing + stratified sampling) — backed
+by ``a3_fp_bigdata_spark.registry`` (130 queries, 116 with oracles). Each
 query is a pure (spark, sf_dir) -> DataFrame function; oracles are
 DuckDB-ANSI SQL over the same parquet tables with matching column
 aliases. Non-SQL-expressible ops (seeded ML fits, hash sketches) omit

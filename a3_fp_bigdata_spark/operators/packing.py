@@ -1,0 +1,256 @@
+"""Sequence packing + stratified sampling — training-batch assembly.
+
+The last mile of an LLM data pipeline: after dedup/quality filtering
+(dedup.py, text_analysis.py), documents are packed into fixed-token-
+budget training sequences and sampled per-stratum into the final mix.
+The reference has nothing like this (its pipeline ends at a serving
+table); these operators are the north-star extension surface, built
+SQL-first so every one is DuckDB-oracle-checkable.
+
+Two packing disciplines, both real in production:
+
+- ``pk1_concat_chunks`` — GPT-style concat-and-chunk: documents are laid
+  end-to-end in a deterministic global order and the token stream is cut
+  every BUDGET tokens; documents may span a cut. Pure native SQL.
+- ``pk2_greedy_pack`` — no-split packing: each document lands wholly in
+  one sequence; a sequence closes when the next document would overflow
+  the budget. The running-fill state machine is not a window function,
+  so it runs as an Arrow ``applyInPandas`` per shard — the oracle
+  reproduces it with a recursive CTE.
+
+Scale design: both are SHARDED. A naive global cumsum would be an
+unpartitioned window (single task at 100 TB). Instead docs hash into
+NSHARDS independent shards (deterministic ``doc_id % NSHARDS`` so the
+oracle can mirror it); pk1 restores an exact GLOBAL stream order with
+the classic two-pass prefix sum — per-shard cumsum (parallel window) +
+a broadcast join of the 32-row shard-prefix table; pk2 packs each shard
+independently (sequences never cross shards — at training time shards
+are just more files). Nothing funnels through the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from a3_fp_bigdata_spark.data import table
+from a3_fp_bigdata_spark.functions import text as TX
+from a3_fp_bigdata_spark.operators.text_analysis import (
+    SAMPLE_MULT,
+    SAMPLE_PREMOD,
+    sample_predicate,
+)
+from a3_fp_bigdata_spark.pickling import ship_by_value
+from a3_fp_bigdata_spark.registry import query
+
+ship_by_value(__name__)  # Arrow closures must not need repo on sys.path
+
+#: Token budget per training sequence. Small relative to real 2k-8k
+#: contexts because the synthetic docs are 10-99 tokens; the algebra is
+#: budget-independent.
+PACK_BUDGET = 256
+#: Shard count — the parallelism of the packing stage. At 100 TB this is
+#: O(cluster cores); doc_id % N keeps it engine-portable for the oracle.
+NSHARDS = 32
+
+#: DuckDB rendering of TX.bpe_ish_token_count — keep in sync with
+#: functions/text.py:104 (tx3's oracle uses the same snippet).
+_SQL_COST = (
+    r"len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))"
+)
+
+
+def _sharded_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shard, cost) — the packing input. cost is the BPE-ish
+    token count (tx3's cost model), computed scan-side (native regexp,
+    no Python)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        (F.col("doc_id") % NSHARDS).alias("shard"),
+        TX.bpe_ish_token_count(F.col("text")).cast("long").alias("cost"),
+    )
+
+
+@query(
+    "pk1_concat_chunks",
+    oracle=f"""
+    WITH costs AS (
+      SELECT doc_id, doc_id % {NSHARDS} AS shard,
+             CAST({_SQL_COST} AS BIGINT) AS cost
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, cost,
+             COALESCE(SUM(cost) OVER (ORDER BY shard, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS cum_before
+      FROM costs
+    )
+    SELECT doc_id, cost AS n_tokens,
+           -- `//` (floor div), NEVER `/` + CAST: DuckDB integer `/` is
+           -- float division and CAST(double AS BIGINT) ROUNDS half-up,
+           -- which shifted every chunk_id with fraction >= .5 by one
+           CAST(cum_before // {PACK_BUDGET} AS BIGINT) AS chunk_id,
+           CAST(cum_before % {PACK_BUDGET} AS BIGINT) AS chunk_offset,
+           CAST((cum_before + GREATEST(cost, 1) - 1) // {PACK_BUDGET}
+                - cum_before // {PACK_BUDGET} + 1 AS BIGINT)
+             AS n_chunks_spanned
+    FROM cum
+    """,
+)
+def pk1_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing map: where each document's tokens land
+    when the corpus token stream (global order: shard, then doc_id) is
+    cut every PACK_BUDGET tokens.
+
+    The global cumulative sum is computed WITHOUT a global window:
+    per-shard cumsum (one parallel window over the shard hash-shuffle)
+    plus each shard's total-prefix offset, a 32-row aggregate joined
+    back by broadcast. Two shuffles total, both on the shard key; at
+    1000 executors every shard packs independently."""
+    costs = _sharded_costs(spark, sf_dir)
+    w_local = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = costs.withColumn(
+        "local_before", F.sum("cost").over(w_local) - F.col("cost")
+    )
+    # 32-row shard totals -> exclusive prefix. The global window here is
+    # fine: it runs on the AGGREGATED frame (NSHARDS rows), the same
+    # shape as a6's rank-over-aggregate.
+    w_prefix = (
+        Window.orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefixes = (
+        costs.groupBy("shard")
+        .agg(F.sum("cost").alias("shard_total"))
+        .select(
+            "shard",
+            F.coalesce(F.sum("shard_total").over(w_prefix), F.lit(0)).alias(
+                "shard_prefix"
+            ),
+        )
+    )
+    g = local.join(F.broadcast(prefixes), "shard").withColumn(
+        "cum_before", F.col("shard_prefix") + F.col("local_before")
+    )
+    b = F.lit(PACK_BUDGET)
+    first_chunk = (F.col("cum_before") / b).cast("long")
+    last_chunk = (
+        (F.col("cum_before") + F.greatest(F.col("cost"), F.lit(1)) - 1) / b
+    ).cast("long")
+    return g.select(
+        "doc_id",
+        F.col("cost").alias("n_tokens"),
+        first_chunk.alias("chunk_id"),
+        (F.col("cum_before") % b).alias("chunk_offset"),
+        (last_chunk - first_chunk + 1).alias("n_chunks_spanned"),
+    )
+
+
+@query(
+    "pk2_greedy_pack",
+    oracle=f"""
+    WITH RECURSIVE costs AS (
+      SELECT doc_id, doc_id % {NSHARDS} AS shard,
+             CAST({_SQL_COST} AS BIGINT) AS cost,
+             row_number() OVER (PARTITION BY doc_id % {NSHARDS}
+                                ORDER BY doc_id) AS rn
+      FROM documents
+    ), step AS (
+      SELECT shard, rn, doc_id, cost,
+             CAST(0 AS BIGINT) AS seq_id, cost AS fill
+      FROM costs WHERE rn = 1
+      UNION ALL
+      SELECT d.shard, d.rn, d.doc_id, d.cost,
+             CASE WHEN s.fill + d.cost > {PACK_BUDGET}
+                  THEN s.seq_id + 1 ELSE s.seq_id END,
+             CASE WHEN s.fill + d.cost > {PACK_BUDGET}
+                  THEN d.cost ELSE s.fill + d.cost END
+      FROM step s JOIN costs d ON d.shard = s.shard AND d.rn = s.rn + 1
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard, seq_id,
+           cost AS n_tokens
+    FROM step
+    """,
+)
+def pk2_greedy_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-split greedy packing: walk each shard's docs in doc_id order,
+    close the current sequence when the next doc would overflow
+    PACK_BUDGET (an oversize doc gets a sequence of its own). Sequence
+    keys are (shard, seq_id) — globally unique without coordination.
+
+    The fill state machine needs sequential state per shard, which no
+    window frame expresses, so it runs as ONE Arrow batch per shard
+    group (`applyInPandas`) — the canonical custom-operator escape
+    hatch. Python touches (doc_id, cost) pairs only, never text: the
+    crossing is O(docs), not O(bytes). The oracle replays the identical
+    walk with a recursive CTE."""
+    import pandas as pd
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq_ids = []
+        seq, fill = 0, 0
+        first = True
+        for cost in pdf["cost"]:
+            if first:
+                fill = cost
+                first = False
+            elif fill + cost > PACK_BUDGET:
+                seq += 1
+                fill = cost
+            else:
+                fill += cost
+            seq_ids.append(seq)
+        pdf["seq_id"] = seq_ids
+        return pdf[["doc_id", "shard", "seq_id", "cost"]]
+
+    out = (
+        _sharded_costs(spark, sf_dir)
+        .groupBy("shard")
+        .applyInPandas(
+            pack, schema="doc_id long, shard long, seq_id long, cost long"
+        )
+    )
+    return out.select(
+        "doc_id", "shard", "seq_id", F.col("cost").alias("n_tokens")
+    )
+
+
+#: Per-language sampling rates (percent) for the training mix — the
+#: deterministic stand-in for a curation config.
+STRATA_PCT = {"en": 50, "de": 20}
+STRATA_DEFAULT_PCT = 10
+
+
+@query(
+    "pk3_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE ((doc_id % {SAMPLE_PREMOD}) * {SAMPLE_MULT}) % 100 <
+          CASE lang WHEN 'en' THEN {STRATA_PCT['en']}
+                    WHEN 'de' THEN {STRATA_PCT['de']}
+                    ELSE {STRATA_DEFAULT_PCT} END
+    """,
+)
+def pk3_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus sampling: tx6's deterministic multiplicative-
+    hash sample with a per-language rate (upsample en, downsample the
+    tail) — how a training mix reweights sources without a shuffle: the
+    predicate is scan-pushable and rows never move."""
+    docs = table(spark, sf_dir, "documents")
+    rate = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(pct))
+            for lang, pct in STRATA_PCT.items()
+        ],
+        F.lit(STRATA_DEFAULT_PCT),
+    )
+    return docs.filter(sample_predicate(F.col("doc_id"), rate)).select(
+        "doc_id", "lang", "source"
+    )

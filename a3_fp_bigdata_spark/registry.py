@@ -85,6 +85,7 @@ def _load_all_modules() -> None:
         filters,
         grouped_map,
         joins,
+        packing,
         scalars,
         semistructured,
         setops,
