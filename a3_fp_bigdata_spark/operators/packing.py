@@ -254,3 +254,33 @@ def pk3_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(sample_predicate(F.col("doc_id"), rate)).select(
         "doc_id", "lang", "source"
     )
+
+
+#: Validation holdout percent for the deterministic split.
+VAL_PCT = 5
+
+
+@query(
+    "pk4_train_val_split",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN ((doc_id % {SAMPLE_PREMOD}) * {SAMPLE_MULT}) % 100
+                     < {VAL_PCT}
+                THEN 'val' ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def pk4_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/validation split: the multiplicative-hash
+    percentile assigns each doc to exactly one side — disjoint and
+    exhaustive by construction, stable across runs/machines/engines
+    (no RNG, no state), and computable at scan time so downstream
+    filters (`split = 'train'`) push down to the parquet scan. The
+    same idiom extends to k-fold (bucket = hash % k)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.when(
+            sample_predicate(F.col("doc_id"), VAL_PCT), F.lit("val")
+        ).otherwise(F.lit("train")).alias("split"),
+    )

@@ -477,3 +477,88 @@ def tx7_ngram_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("lang", "predicted").agg(
         F.count("*").alias("n")
     )
+
+
+# --------------------------------------------------------------------------
+# tx10: PII redaction
+# --------------------------------------------------------------------------
+
+#: Redaction patterns, applied IN ORDER (email first: it embeds chars the
+#: later patterns could partially claim). Kept to the regex subset with
+#: identical semantics in Java (Spark) and RE2 (DuckDB): no lookarounds,
+#: no backrefs.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}(\.\d{1,3}){3}\b", "<IP>"),
+    (r"\b\d{3}-\d{4}\b", "<PHONE>"),
+)
+
+#: The synthetic docs carry no natural PII (pure word streams), so the
+#: query STAGES a deterministic contact blob per doc — identically in
+#: both engines — and redacts it; redaction correctness is then checked
+#: on realistic shapes without shipping real PII in testdata.
+_SQL_WITH_PII = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.' || CAST(doc_id % 100 AS VARCHAR)"
+    " || ' call 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)"
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Chained native regexp_replace — scan-side, no Python, no shuffle.
+    At 100 TB this is the cheapest possible curation pass: pure
+    map-stage expression fused into whole-stage codegen."""
+    out = text
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+@query(
+    "tx10_redact_pii",
+    oracle=f"""
+    WITH staged AS (
+      SELECT doc_id, {_SQL_WITH_PII} AS t FROM documents
+    )
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '{PII_PATTERNS[0][0]}', '<EMAIL>', 'g'),
+               '{PII_PATTERNS[1][0]}', '<IP>', 'g'),
+               '{PII_PATTERNS[2][0]}', '<PHONE>', 'g')) AS redacted_md5,
+           CAST(len(regexp_extract_all(t, '{PII_PATTERNS[0][0]}')) AS INT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t, '{PII_PATTERNS[1][0]}')) AS INT)
+             AS n_ips,
+           CAST(len(regexp_extract_all(t, '{PII_PATTERNS[2][0]}')) AS INT)
+             AS n_phones
+    FROM staged
+    """,
+)
+def tx10_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the staged corpus: emails, IPv4s and phone
+    numbers replaced by typed placeholders, with per-category hit
+    counts. DuckDB's regexp_replace needs the explicit 'g' flag to match
+    Spark's replace-all semantics — the oracle carries it."""
+    docs = table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit(" call 555-"),
+            (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        ).alias("t"),
+    )
+    return staged.select(
+        "doc_id",
+        F.md5(redact_pii(F.col("t")).cast("binary")).alias("redacted_md5"),
+        F.regexp_count(F.col("t"), F.lit(PII_PATTERNS[0][0])).alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(PII_PATTERNS[1][0])).alias("n_ips"),
+        F.regexp_count(F.col("t"), F.lit(PII_PATTERNS[2][0])).alias("n_phones"),
+    )
