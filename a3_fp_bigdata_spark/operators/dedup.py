@@ -1002,3 +1002,96 @@ def d13_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(F.broadcast(dropped), "doc_id", "left_anti").select(
         "doc_id", "lang", "source"
     )
+
+
+@query(
+    "d14_quality_keeper",
+    oracle=None,  # assembled below: needs text_analysis's quality CTEs
+)
+def d14_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d13's keeper policy upgraded from 'smallest id' to 'highest
+    quality': within each near-dup cluster (d12) keep the member with
+    the best tx2 quality score (doc_id tie-break), drop the rest — the
+    policy production curation actually wants (boilerplate variants
+    differ in quality; min-id keeps an arbitrary one).
+
+    Shape: clusters (iterative CC over pair graph) x quality (pure
+    scan-side expression) -> per-cluster argmax via one row_number
+    window over the TINY cluster-member frame (near-dup docs only, not
+    the corpus) -> broadcast anti-join of the drop set. The corpus is
+    scanned once and never shuffled. Ranking uses round(quality, 4)
+    so the order key is the same value both engines hash-compare in
+    tx2 — no dependence on sub-ulp double agreement."""
+    from a3_fp_bigdata_spark.functions import text as TXF
+
+    clusters = d12_dedup_clusters(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id", F.round(TXF.quality_score(F.col("text")), 4).alias("q")
+    )
+    ranked = (
+        clusters.join(q, "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("cluster_id").orderBy(
+                    F.desc("q"), F.asc("doc_id")
+                )
+            ),
+        )
+    )
+    dropped = ranked.filter(F.col("rn") > 1).select("doc_id")
+    return (
+        docs.join(F.broadcast(dropped), "doc_id", "left_anti")
+        .join(q, "doc_id")
+        .select("doc_id", "lang", "source", F.col("q").alias("quality"))
+    )
+
+
+def _d14_oracle() -> str:
+    from a3_fp_bigdata_spark.operators.text_analysis import _SQL_QUALITY_CTES
+
+    return f"""
+    WITH RECURSIVE {_D3_CTES}, pairs AS (
+      {_D3_SELECT}
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ), reach(doc, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc = e.dst
+    ), clusters AS (
+      SELECT doc, min(lab) AS cluster_id FROM reach GROUP BY doc
+    ), {_SQL_QUALITY_CTES}, ranked AS (
+      SELECT c.doc,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY round(q.quality, 4) DESC, c.doc)
+               AS rn
+      FROM clusters c JOIN quality q ON q.doc_id = c.doc
+    ), dropped AS (
+      SELECT doc FROM ranked WHERE rn > 1
+    )
+    SELECT d.doc_id, d.lang, d.source, round(q.quality, 4) AS quality
+    FROM documents d JOIN quality q ON q.doc_id = d.doc_id
+    WHERE d.doc_id NOT IN (SELECT doc FROM dropped)
+    """
+
+
+# Attach the oracle post-hoc: it needs text_analysis._SQL_QUALITY_CTES,
+# and importing that at module top would be fine today but couples the
+# modules' import order; doing it after registration keeps both lazy.
+def _attach_d14_oracle() -> None:
+    import dataclasses
+
+    from a3_fp_bigdata_spark import registry as _R
+
+    rq = _R._REGISTRY["d14_quality_keeper"]
+    if rq.oracle is None:
+        _R._REGISTRY["d14_quality_keeper"] = dataclasses.replace(
+            rq, oracle=_d14_oracle()
+        )
+
+
+_attach_d14_oracle()

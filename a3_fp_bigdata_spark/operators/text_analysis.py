@@ -108,12 +108,14 @@ def tx1_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "tx2_quality_score",
-    oracle=f"""
-    WITH base AS (
+#: DuckDB rendering of TX.quality_score as chainable CTEs ending in
+#: ``quality(doc_id, quality)`` — shared by tx2's oracle and d14's
+#: (dedup.py) quality-aware keeper policy. Expression order matches
+#: functions/text.py:83 op-for-op so the doubles are bit-identical.
+def _build_quality_ctes() -> str:
+    return f"""qbase AS (
       SELECT doc_id, text, {_SQL_TOKS} AS t FROM documents
-    ), comps AS (
+    ), qcomps AS (
       SELECT doc_id,
              least(len(t) / 50.0, 1.0) AS len_c,
              CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
@@ -121,11 +123,21 @@ def tx1_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
              least(4 * CAST(len(list_filter(t, w -> w IN
                   ({TX.sql_quoted_list(TX.EN_FUNCTION_WORDS)}))) AS DOUBLE)
                   / greatest(len(t), 1), 1.0) AS stop_c
-      FROM base
-    )
-    SELECT doc_id,
-           round(len_c / 3 + alpha_c / 3 + stop_c / 3, 4) AS quality
-    FROM comps
+      FROM qbase
+    ), quality AS (
+      SELECT doc_id, len_c / 3 + alpha_c / 3 + stop_c / 3 AS quality
+      FROM qcomps
+    )"""
+
+
+_SQL_QUALITY_CTES = _build_quality_ctes()
+
+
+@query(
+    "tx2_quality_score",
+    oracle=f"""
+    WITH {_SQL_QUALITY_CTES}
+    SELECT doc_id, round(quality, 4) AS quality FROM quality
     """,
 )
 def tx2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -218,3 +218,42 @@ def test_d4_precision_and_recall_vs_exact(spark):
     high = {p for p, j in d3.items() if j >= 0.5}
     assert high, "corpus has no high-similarity pairs; pin is vacuous"
     assert high <= d4, f"high-sim pairs missed by LSH: {high - d4}"
+
+
+def test_d14_keeper_dominates_min_id_policy(spark):
+    """d14 (keep best quality per cluster) vs d13 (keep smallest id):
+    both keep exactly one doc per near-dup cluster — same kept COUNT —
+    and d14's keeper quality is >= the quality of d13's choice for
+    every cluster (argmax dominates any other member)."""
+    from pyspark.sql import functions as F
+
+    from a3_fp_bigdata_spark import registry
+    from a3_fp_bigdata_spark.data import table
+    from a3_fp_bigdata_spark.functions import text as TXF
+
+    qs = registry.all_queries()
+    d13 = {r.doc_id for r in qs["d13_dedup_corpus"](spark, SF0001).collect()}
+    d14 = {r.doc_id for r in qs["d14_quality_keeper"](spark, SF0001).collect()}
+    assert len(d13) == len(d14)  # one keeper per cluster, both policies
+    clusters = {
+        r.doc_id: r.cluster_id
+        for r in qs["d12_dedup_clusters"](spark, SF0001).collect()
+    }
+    quality = {
+        r.doc_id: r.q
+        for r in table(spark, SF0001, "documents")
+        .select("doc_id", F.round(TXF.quality_score(F.col("text")), 4).alias("q"))
+        .collect()
+    }
+    by_cluster_13 = {}
+    by_cluster_14 = {}
+    for d in d13 & set(clusters):
+        by_cluster_13[clusters[d]] = d
+    for d in d14 & set(clusters):
+        by_cluster_14[clusters[d]] = d
+    assert set(by_cluster_13) == set(by_cluster_14)  # same clusters survive
+    for c in by_cluster_13:
+        assert quality[by_cluster_14[c]] >= quality[by_cluster_13[c]]
+    # and outside clusters the two corpora agree exactly
+    non_cluster = set(quality) - set(clusters)
+    assert non_cluster <= d13 and non_cluster <= d14
