@@ -49,8 +49,13 @@ ship_by_value(__name__)  # Arrow closures must not need repo on sys.path
 #: contexts because the synthetic docs are 10-99 tokens; the algebra is
 #: budget-independent.
 PACK_BUDGET = 256
-#: Shard count — the parallelism of the packing stage. At 100 TB this is
-#: O(cluster cores); doc_id % N keeps it engine-portable for the oracle.
+#: Shard count — the parallelism AND memory granularity of the packing
+#: stage. pk2's applyInPandas hands each shard to Python as ONE pandas
+#: frame of (doc_id, shard, cost) rows (~24 B/doc — never the text), so
+#: size shards for executor memory, not just cores: at 2e10 docs keep
+#: shards under ~1e7 docs each -> NSHARDS ~2000, still trivially
+#: parallel. 32 matches the local test harness; doc_id % N keeps the
+#: assignment engine-portable for the oracle.
 NSHARDS = 32
 
 #: DuckDB rendering of TX.bpe_ish_token_count — keep in sync with
