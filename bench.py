@@ -114,6 +114,26 @@ def main() -> None:
     warm = "t1_topk_multikey" if "t1_topk_multikey" in queries else headline[0]
     try_force(lambda: queries[warm](spark, sf_dir), f"warm:{warm}")
 
+    # Host-speed calibration: a fixed synthetic workload (data-independent,
+    # deterministic shape) timed before and after the sweep. The shared
+    # box's speed swings ~1.5x between windows (same code measured 19.1 s
+    # and 31.9 s hours apart); `calib` lets a reader normalize headline
+    # numbers across rounds/windows instead of guessing which run was on
+    # an idle box. Not used to adjust `value` — raw wall time stays the
+    # honest headline.
+    def calibrate() -> float:
+        from pyspark.sql import functions as F
+
+        t0 = time.perf_counter()
+        force(
+            spark.range(50_000_000)
+            .groupBy((F.col("id") % 1000).alias("k"))
+            .agg(F.count("*").alias("n"), F.sum("id").alias("s"))
+        )
+        return round(time.perf_counter() - t0, 3)
+
+    calib_before = calibrate()
+
     timings: dict[str, float] = {}
     for name in to_time:
         t = try_force(lambda n=name: queries[n](spark, sf_dir), name)
@@ -123,6 +143,8 @@ def main() -> None:
             registry.release_pinned()  # drop per-query persisted frames
         except Exception as e:  # noqa: BLE001
             errors[f"release:{name}"] = f"{type(e).__name__}: {str(e)[:120]}"
+
+    calib_after = calibrate()
 
     total = round(sum(timings[n] for n in headline if n in timings), 3)
     # Full per-query map goes to a committed FILE; the printed line must
@@ -144,6 +166,8 @@ def main() -> None:
                 "env": {
                     "pyspark": __import__("pyspark").__version__,
                     "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+                    "calib_before_s": calib_before,
+                    "calib_after_s": calib_after,
                 },
             },
             fh,
@@ -156,6 +180,7 @@ def main() -> None:
         "unit": "sec",
         "queries": {n: timings[n] for n in headline if n in timings},
         "sf": sf,
+        "calib": [calib_before, calib_after],
     }
     if errors:
         # names only on the printed line (messages live in full_out) so
