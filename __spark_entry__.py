@@ -8,9 +8,9 @@ analysis, Structured Streaming (incl. stream-stream join), ML pipelines,
 multimodal mapInPandas, as-of/range/salted joins, upsert, incremental
 (new-batch-vs-corpus) dedup, repetition/decontamination curation, and
 training-batch assembly (sequence packing, stratified sampling,
-train/val split), PII redaction, and quality-aware dedup keeper policy —
-backed by ``a3_fp_bigdata_spark.registry`` (133 queries, 119 with
-oracles). Each
+train/val split), PII redaction, corpus profiling stats, and
+quality-aware dedup keeper policy — backed by
+``a3_fp_bigdata_spark.registry`` (134 queries, 120 with oracles). Each
 query is a pure (spark, sf_dir) -> DataFrame function; oracles are
 DuckDB-ANSI SQL over the same parquet tables with matching column
 aliases. Non-SQL-expressible ops (seeded ML fits, hash sketches) omit

@@ -574,3 +574,49 @@ def tx10_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("t"), F.lit(PII_PATTERNS[1][0])).alias("n_ips"),
         F.regexp_count(F.col("t"), F.lit(PII_PATTERNS[2][0])).alias("n_phones"),
     )
+
+
+@query(
+    "tx11_corpus_stats",
+    oracle=r"""
+    WITH c AS (
+      SELECT lang, source,
+             CAST(len(regexp_extract_all(lower(text),
+                  '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS cost
+      FROM documents
+    )
+    SELECT lang, source,
+           count(*) AS n_docs,
+           CAST(sum(cost) AS BIGINT) AS total_tokens,
+           round(avg(cost), 4) AS mean_tokens,
+           round(quantile_cont(cost, 0.5), 4) AS p50_tokens,
+           round(quantile_cont(cost, 0.95), 4) AS p95_tokens,
+           round(stddev_samp(cost), 4) AS sd_tokens
+    FROM c GROUP BY lang, source
+    """,
+)
+def tx11_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profiling: per-(lang, source) token-count distribution —
+    the dataset card every pipeline publishes (counts, mean, exact
+    interpolated p50/p95, stddev). Spark's `percentile` and DuckDB's
+    `quantile_cont` share linear-interpolation semantics, so the oracle
+    is value-exact.
+
+    Scale: one hash aggregate; `percentile` (exact) buffers each
+    group's values — per-group cardinality here is corpus/groups. For
+    billions of docs per group swap `percentile_approx` (t-digest,
+    bounded memory) and drop the oracle to tolerance-compare; the
+    profile shape is otherwise identical."""
+    docs = table(spark, sf_dir, "documents")
+    c = docs.select(
+        "lang", "source",
+        TX.bpe_ish_token_count(F.col("text")).cast("long").alias("cost"),
+    )
+    return c.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("cost").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("cost"), 4).alias("mean_tokens"),
+        F.round(F.expr("percentile(cost, 0.5)"), 4).alias("p50_tokens"),
+        F.round(F.expr("percentile(cost, 0.95)"), 4).alias("p95_tokens"),
+        F.round(F.stddev_samp("cost"), 4).alias("sd_tokens"),
+    )

