@@ -10,7 +10,9 @@ multimodal mapInPandas, as-of/range/salted joins, upsert, incremental
 training-batch assembly (sequence packing, stratified sampling,
 train/val split), PII redaction, corpus profiling stats, and
 quality-aware dedup keeper policy — backed by
-``a3_fp_bigdata_spark.registry`` (134 queries, 120 with oracles). Each
+``a3_fp_bigdata_spark.registry`` (135 queries, 121 with oracles —
+including pl1, the whole curation chain composed end-to-end: quality
+floor -> near-dup keeper policy -> greedy packing -> manifest). Each
 query is a pure (spark, sf_dir) -> DataFrame function; oracles are
 DuckDB-ANSI SQL over the same parquet tables with matching column
 aliases. Non-SQL-expressible ops (seeded ML fits, hash sketches) omit

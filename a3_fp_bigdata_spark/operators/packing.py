@@ -289,3 +289,146 @@ def pk4_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             sample_predicate(F.col("doc_id"), VAL_PCT), F.lit("val")
         ).otherwise(F.lit("train")).alias("split"),
     )
+
+
+#: Quality floor for the end-to-end manifest (matches tx5's curation
+#: threshold); compared on round(quality, 4) in BOTH engines so the cut
+#: never depends on sub-ulp double agreement.
+MANIFEST_MIN_QUALITY = 0.5
+
+
+@query(
+    "pl1_training_manifest",
+    oracle=None,  # assembled below from dedup + text_analysis CTEs
+)
+def pl1_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE curation pipeline as one declarative query — the
+    engine's end-to-end flagship for training-data assembly:
+
+        documents
+          -> quality floor (tx2 score >= 0.5)
+          -> drop near-dup losers (d12 clusters, d14 argmax-quality
+             keeper policy)
+          -> greedy no-split packing (pk2 state machine per shard)
+          -> per-sequence manifest (n_docs, seq_tokens)
+
+    Every stage is the already-oracled operator, composed; the oracle
+    replays the identical chain in DuckDB (recursive-CTE components +
+    quality CTEs + recursive greedy walk). Scale: the only Python
+    crossing is pk2's (doc_id, cost) packer; everything upstream is
+    scans, hash joins and one tiny cluster window."""
+    import pandas as pd
+
+    from a3_fp_bigdata_spark.functions import text as TXF
+    from a3_fp_bigdata_spark.operators.dedup import d12_dedup_clusters
+
+    docs = table(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id", F.round(TXF.quality_score(F.col("text")), 4).alias("q")
+    )
+    clusters = d12_dedup_clusters(spark, sf_dir)
+    ranked = clusters.join(q, "doc_id").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy(
+                F.desc("q"), F.asc("doc_id")
+            )
+        ),
+    )
+    dropped = ranked.filter(F.col("rn") > 1).select("doc_id")
+    kept = (
+        _sharded_costs(spark, sf_dir)
+        .join(q, "doc_id")
+        .filter(F.col("q") >= MANIFEST_MIN_QUALITY)
+        .join(F.broadcast(dropped), "doc_id", "left_anti")
+        .select("doc_id", "shard", "cost")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq_ids = []
+        seq, fill, first = 0, 0, True
+        for cost in pdf["cost"]:
+            if first:
+                fill, first = cost, False
+            elif fill + cost > PACK_BUDGET:
+                seq, fill = seq + 1, cost
+            else:
+                fill += cost
+            seq_ids.append(seq)
+        pdf["seq_id"] = seq_ids
+        return pdf[["doc_id", "shard", "seq_id", "cost"]]
+
+    packed = kept.groupBy("shard").applyInPandas(
+        pack, schema="doc_id long, shard long, seq_id long, cost long"
+    )
+    return packed.groupBy("shard", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("cost").cast("bigint").alias("seq_tokens"),
+    )
+
+
+def _pl1_oracle() -> str:
+    from a3_fp_bigdata_spark.operators.dedup import _D3_CTES, _D3_SELECT
+    from a3_fp_bigdata_spark.operators.text_analysis import _SQL_QUALITY_CTES
+
+    return f"""
+    WITH RECURSIVE {_D3_CTES}, pairs AS (
+      {_D3_SELECT}
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ), reach(doc, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc = e.dst
+    ), clusters AS (
+      SELECT doc, min(lab) AS cluster_id FROM reach GROUP BY doc
+    ), {_SQL_QUALITY_CTES}, ranked AS (
+      SELECT c.doc,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY round(q.quality, 4) DESC, c.doc)
+               AS rn
+      FROM clusters c JOIN quality q ON q.doc_id = c.doc
+    ), dropped AS (
+      SELECT doc FROM ranked WHERE rn > 1
+    ), kept AS (
+      SELECT d.doc_id, d.doc_id % {NSHARDS} AS shard,
+             CAST({_SQL_COST} AS BIGINT) AS cost,
+             row_number() OVER (PARTITION BY d.doc_id % {NSHARDS}
+                                ORDER BY d.doc_id) AS rn
+      FROM documents d JOIN quality q ON q.doc_id = d.doc_id
+      WHERE round(q.quality, 4) >= {MANIFEST_MIN_QUALITY}
+        AND d.doc_id NOT IN (SELECT doc FROM dropped)
+    ), step AS (
+      SELECT shard, rn, doc_id, cost,
+             CAST(0 AS BIGINT) AS seq_id, cost AS fill
+      FROM kept WHERE rn = 1
+      UNION ALL
+      SELECT k.shard, k.rn, k.doc_id, k.cost,
+             CASE WHEN s.fill + k.cost > {PACK_BUDGET}
+                  THEN s.seq_id + 1 ELSE s.seq_id END,
+             CASE WHEN s.fill + k.cost > {PACK_BUDGET}
+                  THEN k.cost ELSE s.fill + k.cost END
+      FROM step s JOIN kept k ON k.shard = s.shard AND k.rn = s.rn + 1
+    )
+    SELECT CAST(shard AS BIGINT) AS shard, seq_id,
+           count(*) AS n_docs, CAST(sum(cost) AS BIGINT) AS seq_tokens
+    FROM step GROUP BY shard, seq_id
+    """
+
+
+def _attach_pl1_oracle() -> None:
+    import dataclasses
+
+    from a3_fp_bigdata_spark import registry as _R
+
+    rq = _R._REGISTRY["pl1_training_manifest"]
+    if rq.oracle is None:
+        _R._REGISTRY["pl1_training_manifest"] = dataclasses.replace(
+            rq, oracle=_pl1_oracle()
+        )
+
+
+_attach_pl1_oracle()

@@ -33,7 +33,7 @@ SPOT = ["w5_sessionize", "z_w7_time_range_rolling", "st5_stream_tumbling",
         "tx2_quality_score",
         "z_pk1_concat_chunks", "z_pk2_greedy_pack", "z_pk3_stratified_sample",
         "z_pk4_train_val_split", "z_tx10_redact_pii", "z_d14_quality_keeper",
-        "z_tx11_corpus_stats"]
+        "z_tx11_corpus_stats", "z_pl1_training_manifest"]
 
 
 def norm(val):
