@@ -257,3 +257,25 @@ def test_d14_keeper_dominates_min_id_policy(spark):
     # and outside clusters the two corpora agree exactly
     non_cluster = set(quality) - set(clusters)
     assert non_cluster <= d13 and non_cluster <= d14
+
+
+def test_session_memos_keyed_by_sf_dir(spark):
+    """The shingle and cluster session memos are keyed by (session,
+    sf_dir): asking for a different scale factor in the same session
+    must NOT return the other scale's cached frame (silent wrong-data
+    reuse would poison every dedup rung downstream)."""
+    from a3_fp_bigdata_spark import registry
+    from a3_fp_bigdata_spark.operators import dedup as D
+
+    sf001 = "/root/testdata/sf0.01"
+    a = D.staged_shingles(spark, SF0001)
+    b = D.staged_shingles(spark, sf001)
+    assert a is not b
+    assert a.count() != b.count()  # different corpora, different stages
+    qs = registry.all_queries()
+    ca = {tuple(r) for r in qs["d12_dedup_clusters"](spark, SF0001).collect()}
+    cb = {tuple(r) for r in qs["d12_dedup_clusters"](spark, sf001).collect()}
+    registry.release_pinned()
+    assert ca != cb  # distinct cluster tables per sf_dir
+    # and the memo actually memoizes: same object back on re-ask
+    assert D.staged_shingles(spark, SF0001) is a
