@@ -136,14 +136,15 @@ def all_oracles() -> dict[str, str]:
 #: tiering only decides which 50 the driver's bounded sweep lands on.
 CANONICAL = frozenset(
     {
-        # aggregates (a1 group-count was subsumed by a8's wider hash agg)
-        "a5_stddev", "a8_tpch_q1", "a9_rollup",
-        "a13_tpch_q6", "a14_tpch_q3_shape",
-        # dedup ladder (+ d8: Arrow-numpy winnowing, a distinct plan shape)
+        # aggregates (a1 group-count subsumed by a8; a13 q6 by a8+a14)
+        "a5_stddev", "a8_tpch_q1", "a9_rollup", "a14_tpch_q3_shape",
+        # dedup ladder (+ d8: Arrow-numpy winnowing, a distinct plan
+        # shape; d12 connected-components clusters; d14 quality keeper)
         "d1_exact_dedup", "d2_dedup_keep_first", "d3_ngram_jaccard",
         "d4_minhash_lsh", "d8_winnow_fingerprint",
-        # scalar/text functions
-        "f1_extract_keywords", "f2_token_overlap",
+        "d12_dedup_clusters", "d14_quality_keeper",
+        # scalar/text functions (f2 token-overlap is f1's plan twin)
+        "f1_extract_keywords",
         # grouped-map / cogroup Arrow surface
         "g1_zscore_grouped_map", "g2_cogroup_conversion",
         # joins (broadcast, multiway, salted-skew, as-of, range)
@@ -151,9 +152,11 @@ CANONICAL = frozenset(
         "j8_asof_join", "j9_range_join",
         # ML + multimodal
         "ml1_cluster_sizes", "mm1_binary_metadata", "mm2_image_features",
-        # filters/projections (p1 bare projection subsumed by p4's scan)
+        # filters/projections (p1 bare projection subsumed by p4's scan;
+        # p7's conjunction shape is covered by p4+p6)
         "p4_eq_predicate", "p6_substring_predicate",
-        "p7_conj_inequality",
+        # training-batch assembly (greedy packer + end-to-end manifest)
+        "pk2_greedy_pack", "pl1_training_manifest",
         # similarity search (+ sim4: partition-pruned materialized index)
         "sim1_cosine_topk", "sim2_lsh_ann", "sim4_bucketed_ann",
         # set ops (so1 union-all is plan-trivial; so3 covers the family)
@@ -165,16 +168,18 @@ CANONICAL = frozenset(
         # streaming
         "st1_tumbling_window", "st4_stream_dedup", "st5_stream_tumbling",
         "st7_stream_stream_join",
-        # top-k / sort
-        "t1_topk_multikey", "t2_distinct_topk",
-        # text analysis (+ tx7: relational train-and-classify lang-ID)
+        # top-k / sort (t2's distinct+topk shape covered by t1+a3)
+        "t1_topk_multikey",
+        # text analysis (+ tx7: relational train-and-classify lang-ID;
+        # tx10 PII redaction; tx11 corpus profiling)
         "tx1_lang_id", "tx2_quality_score", "tx7_ngram_lang_confusion",
+        "tx10_redact_pii", "tx11_corpus_stats",
         # upsert (+ u2: SCD2 versioned-dimension merge)
         "u1_merge_upsert", "u2_scd2_history",
-        # windows
-        "w1_topk_per_group", "w2_lag_delta", "w5_sessionize",
-        # semistructured
-        "x1_json_extract", "x2_array_agg_ops",
+        # windows (w2 lag-delta is a thinner w1-family window)
+        "w1_topk_per_group", "w5_sessionize",
+        # semistructured (x2 array-agg covered by x1 + a9's agg surface)
+        "x1_json_extract",
     }
 )
 

@@ -31,9 +31,9 @@ SPOT = ["w5_sessionize", "z_w7_time_range_rolling", "st5_stream_tumbling",
         "st7_stream_stream_join", "src2_json_roundtrip", "a8_tpch_q1",
         "st1_tumbling_window", "d1_exact_dedup", "sim2_lsh_ann",
         "tx2_quality_score",
-        "z_pk1_concat_chunks", "z_pk2_greedy_pack", "z_pk3_stratified_sample",
-        "z_pk4_train_val_split", "z_tx10_redact_pii", "z_d14_quality_keeper",
-        "z_tx11_corpus_stats", "z_pl1_training_manifest"]
+        "z_pk1_concat_chunks", "pk2_greedy_pack", "z_pk3_stratified_sample",
+        "z_pk4_train_val_split", "tx10_redact_pii", "d14_quality_keeper",
+        "tx11_corpus_stats", "pl1_training_manifest", "d12_dedup_clusters"]
 
 
 def norm(val):
