@@ -55,16 +55,24 @@ _SQL_SHINGLES = (
     """,
 )
 def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup groups: hash-groupBy on content, keep the smallest id.
-    The only shuffle key is the text itself (in production: its md5,
-    tx4_fingerprint), so partial aggregation collapses copies map-side."""
+    """Exact dedup groups: hash-groupBy on the content FINGERPRINT
+    (md5, tx4_fingerprint), keep the smallest id. The fingerprint is
+    computed scan-side so the shuffle moves 32-char keys instead of
+    whole documents — at 100 TB grouping by raw text would write the
+    corpus itself into the shuffle. Partial aggregation still collapses
+    copies map-side; md5 collisions (~n^2/2^128) are far below the
+    oracle's resolution (the oracle groups by text and OUTPUTS md5 —
+    identical result)."""
     docs = table(spark, sf_dir, "documents")
-    return docs.groupBy("text").agg(
-        F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies")
-    ).select(
-        F.md5(F.col("text").cast("binary")).alias("fp"),
-        "keeper_id",
-        "n_copies",
+    return (
+        docs.select(
+            F.md5(F.col("text").cast("binary")).alias("fp"), "doc_id"
+        )
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+        )
     )
 
 
@@ -879,6 +887,29 @@ def release_cluster_stage() -> None:
         _CLUSTER_STAGE.popitem()
 
 
+#: Broadcast a dedup drop set only while it is provably small. "The
+#: drop set is tiny relative to the corpus" holds for lightly
+#: duplicated corpora (dup rate a few %), but web-scale crawls commonly
+#: carry 20-50% near-dup members — there the drop set is billions of
+#: rows and a FORCED broadcast hint OOMs executors while stripping AQE
+#: of its fallback. Guard: the persisted cluster table's row count (a
+#: cheap agg over a localCheckpoint-backed frame, and a strict upper
+#: bound on any drop set derived from it) decides; above the bound the
+#: anti-join runs as a plain shuffled join, which AQE may still convert
+#: to broadcast at runtime if the build side measures small.
+DROP_BROADCAST_MAX_ROWS = 10_000_000
+
+
+def _maybe_broadcast_drop(dropped: DataFrame, member_rows: int) -> DataFrame:
+    """Hint broadcast only when `member_rows` (an upper bound on
+    `dropped`'s cardinality) fits the executor-memory budget; see
+    DROP_BROADCAST_MAX_ROWS. tests/test_edge_cases.py pins that the
+    fallback (shuffled) path returns the identical corpus."""
+    if member_rows <= DROP_BROADCAST_MAX_ROWS:
+        return F.broadcast(dropped)
+    return dropped
+
+
 @query(
     "d12_dedup_clusters",
     oracle=f"""
@@ -1022,17 +1053,20 @@ def d13_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     == doc_id) or belongs to no near-dup pair at all; drop the rest.
     pairs -> clusters (d12) -> one anti-join against the drop set.
 
-    Scale: the drop set is tiny relative to the corpus (near-dup
-    members only), so the anti-join broadcasts it — the corpus is
-    scanned once, never shuffled."""
+    Scale: at low dup rates the drop set (near-dup members only) is
+    tiny, so the anti-join broadcasts it and the corpus is scanned
+    once, never shuffled. The broadcast is SIZE-GUARDED, not forced
+    (_maybe_broadcast_drop): at web-corpus dup rates (20-50% of docs)
+    the drop set is too large to broadcast and the join falls back to
+    a shuffled anti-join AQE can still re-plan."""
     clusters = d12_dedup_clusters(spark, sf_dir)
     dropped = clusters.filter(
         F.col("doc_id") != F.col("cluster_id")
     ).select("doc_id")
     docs = table(spark, sf_dir, "documents")
-    return docs.join(F.broadcast(dropped), "doc_id", "left_anti").select(
-        "doc_id", "lang", "source"
-    )
+    return docs.join(
+        _maybe_broadcast_drop(dropped, clusters.count()), "doc_id", "left_anti"
+    ).select("doc_id", "lang", "source")
 
 
 @query(
@@ -1048,9 +1082,12 @@ def d14_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: clusters (iterative CC over pair graph) x quality (pure
     scan-side expression) -> per-cluster argmax via one row_number
-    window over the TINY cluster-member frame (near-dup docs only, not
-    the corpus) -> broadcast anti-join of the drop set. The corpus is
-    scanned once and never shuffled. Ranking uses round(quality, 4)
+    window over the cluster-member frame (near-dup docs only, not
+    the corpus) -> size-guarded broadcast anti-join of the drop set
+    (_maybe_broadcast_drop — forced only while the cluster table is
+    provably small; at high dup rates it degrades to a shuffled
+    anti-join). At low dup rates the corpus is scanned once and never
+    shuffled. Ranking uses round(quality, 4)
     so the order key is the same value both engines hash-compare in
     tx2 — no dependence on sub-ulp double agreement."""
     from a3_fp_bigdata_spark.functions import text as TXF
@@ -1073,7 +1110,11 @@ def d14_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dropped = ranked.filter(F.col("rn") > 1).select("doc_id")
     return (
-        docs.join(F.broadcast(dropped), "doc_id", "left_anti")
+        docs.join(
+            _maybe_broadcast_drop(dropped, clusters.count()),
+            "doc_id",
+            "left_anti",
+        )
         .join(q, "doc_id")
         .select("doc_id", "lang", "source", F.col("q").alias("quality"))
     )

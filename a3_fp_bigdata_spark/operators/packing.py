@@ -316,11 +316,17 @@ def pl1_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the identical chain in DuckDB (recursive-CTE components +
     quality CTEs + recursive greedy walk). Scale: the only Python
     crossing is pk2's (doc_id, cost) packer; everything upstream is
-    scans, hash joins and one tiny cluster window."""
+    scans, hash joins and one tiny cluster window. The drop-set
+    broadcast is size-guarded (dedup._maybe_broadcast_drop): forced
+    only while the cluster table is provably small, shuffled anti-join
+    otherwise — web-corpus dup rates make the drop set unbroadcastable."""
     import pandas as pd
 
     from a3_fp_bigdata_spark.functions import text as TXF
-    from a3_fp_bigdata_spark.operators.dedup import d12_dedup_clusters
+    from a3_fp_bigdata_spark.operators.dedup import (
+        _maybe_broadcast_drop,
+        d12_dedup_clusters,
+    )
 
     docs = table(spark, sf_dir, "documents")
     q = docs.select(
@@ -340,7 +346,11 @@ def pl1_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sharded_costs(spark, sf_dir)
         .join(q, "doc_id")
         .filter(F.col("q") >= MANIFEST_MIN_QUALITY)
-        .join(F.broadcast(dropped), "doc_id", "left_anti")
+        .join(
+            _maybe_broadcast_drop(dropped, clusters.count()),
+            "doc_id",
+            "left_anti",
+        )
         .select("doc_id", "shard", "cost")
     )
 

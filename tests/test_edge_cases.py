@@ -259,6 +259,36 @@ def test_d14_keeper_dominates_min_id_policy(spark):
     assert non_cluster <= d13 and non_cluster <= d14
 
 
+def test_drop_set_broadcast_fallback_path(spark, monkeypatch):
+    """The dedup drop-set broadcast is size-guarded, not forced
+    (dedup._maybe_broadcast_drop): above DROP_BROADCAST_MAX_ROWS the
+    anti-join must fall back to a plain (shuffle-able) join AND return
+    the identical corpus — web-corpus dup rates make the drop set
+    unbroadcastable, so the fallback is the 100 TB path."""
+    from a3_fp_bigdata_spark import registry
+    from a3_fp_bigdata_spark.operators import dedup as D
+
+    qs = registry.all_queries()
+    hinted = sorted(
+        tuple(r) for r in qs["d13_dedup_corpus"](spark, SF0001).collect()
+    )
+    monkeypatch.setattr(D, "DROP_BROADCAST_MAX_ROWS", 0)
+    fallback_df = qs["d13_dedup_corpus"](spark, SF0001)
+    # the hint is gone from the logical plan on the fallback path
+    assert "ResolvedHint" not in fallback_df._jdf.queryExecution().logical().toString()
+    assert sorted(tuple(r) for r in fallback_df.collect()) == hinted
+    # d14 and pl1 share the guard — fallback output matches hinted too
+    d14_hint = sorted(
+        tuple(r) for r in qs["d14_quality_keeper"](spark, SF0001).collect()
+    )
+    monkeypatch.setattr(D, "DROP_BROADCAST_MAX_ROWS", 10_000_000)
+    assert (
+        sorted(tuple(r) for r in qs["d14_quality_keeper"](spark, SF0001).collect())
+        == d14_hint
+    )
+    registry.release_pinned()
+
+
 def test_session_memos_keyed_by_sf_dir(spark):
     """The shingle and cluster session memos are keyed by (session,
     sf_dir): asking for a different scale factor in the same session
