@@ -190,19 +190,37 @@ def _exact_jaccard_pairs(ex: DataFrame, threshold: float) -> DataFrame:
 _SHINGLE_STAGE: dict[tuple[int, str], DataFrame] = {}
 
 
+def _session_stopped(df: DataFrame) -> bool:
+    """True when the session that built `df` has been stopped (its JVM
+    context is gone). Used by the stage memos to evict DEAD entries
+    only: evicting everything not owned by the current caller (the old
+    policy) made two live sessions purge each other's caches on every
+    interleaved call — rebuild thrash plus unpersisting a frame the
+    other session may still be using."""
+    try:
+        return df.sparkSession.sparkContext._jsc is None
+    except Exception:
+        return True
+
+
+def _evict_dead_entries(stage: dict, *, unpersist: bool) -> None:
+    stale = [k for k, df in stage.items() if _session_stopped(df)]
+    for k in stale:
+        df = stage.pop(k)
+        if unpersist:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+
 def staged_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir)
     # the cached frame strongly references its session, so a matching
-    # key always belongs to THIS live session. But entries made under a
-    # session the caller has since stopped would otherwise pin dead
-    # plans forever — drop everything not owned by the current session
-    # (single-session processes, i.e. every harness here, lose nothing).
-    stale = [k for k, df in _SHINGLE_STAGE.items() if df.sparkSession is not spark]
-    for k in stale:
-        try:
-            _SHINGLE_STAGE.pop(k).unpersist()
-        except Exception:
-            pass
+    # key always belongs to a LIVE session with that id. Entries whose
+    # session has been stopped would pin dead plans forever — evict
+    # those (and only those; other live sessions keep their stages).
+    _evict_dead_entries(_SHINGLE_STAGE, unpersist=True)
     if key not in _SHINGLE_STAGE:
         _SHINGLE_STAGE[key] = _shingle_rows(spark, sf_dir).persist(
             StorageLevel.MEMORY_AND_DISK
@@ -213,6 +231,34 @@ def staged_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def release_shingle_stage() -> None:
     while _SHINGLE_STAGE:
         _, df = _SHINGLE_STAGE.popitem()
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
+
+#: The staged MinHash signature/bucket table, memoized per (session,
+#: sf_dir) like the shingle stage it derives from: d4 (full pair mine)
+#: and d11 (nightly incremental probe) consume the SAME bucket rows,
+#: and production materializes the bucket table once per corpus
+#: snapshot, written bucketed by (band, sig), so the nightly probe
+#: partition-prunes instead of recomputing 32 hashes over the corpus.
+_BUCKET_STAGE: dict[tuple[int, str], DataFrame] = {}
+
+
+def staged_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    _evict_dead_entries(_BUCKET_STAGE, unpersist=True)
+    if key not in _BUCKET_STAGE:
+        _BUCKET_STAGE[key] = minhash_band_buckets(
+            staged_shingles(spark, sf_dir)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    return _BUCKET_STAGE[key]
+
+
+def release_bucket_stage() -> None:
+    while _BUCKET_STAGE:
+        _, df = _BUCKET_STAGE.popitem()
         try:
             df.unpersist()
         except Exception:
@@ -327,7 +373,10 @@ def d4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deduping BEFORE the 32-hash agg measured faster than skipping the
     # shuffle (fewer rows to hash 32x beats one saved exchange).
     ex = staged_shingles(spark, sf_dir)
-    buckets = minhash_band_buckets(ex)
+    # staged_band_buckets: the signature/bucket table is memoized per
+    # (session, sf_dir) and SHARED with d11's nightly probe — computing
+    # the 32-hash agg once per corpus snapshot is the production shape.
+    buckets = staged_band_buckets(spark, sf_dir)
     # Candidate pairs WITHOUT a bucket self-join: collect each bucket's
     # doc list and explode its pairs in place. The bucket-cap window
     # already hash-partitioned rows by (band, sig), so the groupBy adds
@@ -807,7 +856,9 @@ def d11_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, batch = _incr_split(spark, sf_dir)
     new_ids = batch.select("doc_id")
     ex = staged_shingles(spark, sf_dir)
-    buckets = pin(minhash_band_buckets(ex))  # probe + bucket sides
+    # the staged signature table d4 built (memoized per session/sf):
+    # the nightly probe reads it instead of re-hashing the corpus
+    buckets = staged_band_buckets(spark, sf_dir)  # probe + bucket sides
     # the batch's own bucket rows — the small probe side. Joining it
     # against the full bucket table on (band, sig) yields exactly the
     # pairs with >= 1 new member: corpus-vs-corpus pairs are never
@@ -953,13 +1004,8 @@ def d12_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation per downstream policy. The cached frame is
     localCheckpoint-backed (materialized), so reuse costs a scan."""
     key = (id(spark), sf_dir)
-    stale = [
-        k
-        for k, df in _CLUSTER_STAGE.items()
-        if df.sparkSession is not spark
-    ]
-    for k in stale:
-        _CLUSTER_STAGE.pop(k)
+    # evict only DEAD sessions' entries — see _session_stopped
+    _evict_dead_entries(_CLUSTER_STAGE, unpersist=False)
     if key in _CLUSTER_STAGE:
         return _CLUSTER_STAGE[key]
     pairs = pin(

@@ -43,6 +43,53 @@ def shuffle_count(df: DataFrame) -> int:
     return len(re.findall(r"\bExchange (?:hashpartitioning|rangepartitioning|RoundRobinPartitioning|SinglePartition)", plan))
 
 
+def exchange_counts(df: DataFrame) -> tuple[int, int]:
+    """(per_run, staged) shuffle-exchange counts from a JVM plan walk.
+
+    ``per_run`` counts exchanges that execute on EVERY run of the query;
+    ``staged`` counts exchanges inside cached (InMemoryRelation)
+    subtrees, each distinct relation counted ONCE — those run only when
+    the shared stage materializes (per corpus snapshot in production:
+    the shingle/bucket/cluster stages are built once and every dedup
+    rung reads them). The text-regex alternative over-counts: the
+    formatted plan re-expands a cached relation's child plan at every
+    reference site, so one staged exchange can appear 3x in the dump.
+    Broadcast exchanges are excluded throughout (small-side movement);
+    ReusedExchange is a pointer, not a second execution."""
+    jvm = df._sc._jvm
+    seen_relations: set[int] = set()
+    counts = {"run": 0, "staged": 0}
+
+    def walk(node, in_cache: bool) -> None:
+        name = node.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan(), in_cache)
+            return
+        if name == "ReusedExchangeExec":
+            return
+        if name.endswith("QueryStageExec"):  # shuffle/broadcast/cache stage
+            walk(node.plan(), in_cache)
+            return
+        if name == "ShuffleExchangeExec":
+            counts["staged" if in_cache else "run"] += 1
+        elif name == "InMemoryTableScanExec":
+            rel = node.relation()
+            # dedupe on the shared CachedRDDBuilder: the cache manager
+            # hands out a fresh InMemoryRelation instance per reference,
+            # but all of them share one builder (and one materialization)
+            rid = jvm.System.identityHashCode(rel.cacheBuilder())
+            if rid not in seen_relations:
+                seen_relations.add(rid)
+                walk(rel.cachedPlan(), True)
+            return
+        children = node.children()
+        for i in range(children.length()):
+            walk(children.apply(i), in_cache)
+
+    walk(df._jdf.queryExecution().executedPlan(), False)
+    return counts["run"], counts["staged"]
+
+
 def partition_filters(df: DataFrame) -> list[str]:
     """Partition-pruning predicates on file scans (PartitionFilters:
     [...]). Non-empty means the scan reads only matching partition

@@ -39,12 +39,15 @@ def test_empty_input_window_and_text(spark):
 @pytest.fixture
 def clean_shingle_stage():
     """Monkeypatching dedup inputs must not read or leave a cached
-    shingle stage keyed to the real (session, sf) — clear both ways."""
+    shingle/bucket stage keyed to the real (session, sf) — clear both
+    ways (the bucket stage derives from the shingle stage)."""
     from a3_fp_bigdata_spark.operators import dedup as D
 
+    D.release_bucket_stage()
     D.release_shingle_stage()
     D._SHINGLE_STAGE.clear()
     yield
+    D.release_bucket_stage()
     D.release_shingle_stage()
     D._SHINGLE_STAGE.clear()
 

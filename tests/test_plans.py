@@ -98,6 +98,26 @@ def test_jvm_only_hot_paths(spark, qs):
         assert "EvalPython" not in plan, name
 
 
+def test_minhash_signature_stage_shared_and_bounded(spark, qs):
+    """D4/D11: the 32-hash signature/bucket table is staged ONCE per
+    (session, sf_dir) and shared between the full pair mine (d4) and
+    the nightly incremental probe (d11); d4's own plan then runs at
+    most 5 exchanges per execution — stage-materialization shuffles
+    are amortized across the ladder (per corpus snapshot at scale)."""
+    from a3_fp_bigdata_spark.operators import dedup as D
+
+    d4 = qs["d4_minhash_lsh"](spark, SF0001)
+    run, staged = PI.exchange_counts(d4)
+    assert run <= 5, (run, staged)
+    # the memo hands back the same staged frame — shared, not rebuilt
+    b = D.staged_band_buckets(spark, SF0001)
+    assert D.staged_band_buckets(spark, SF0001) is b
+    d11 = qs["d11_incremental_lsh"](spark, SF0001)
+    run11, _ = PI.exchange_counts(d11)
+    assert run11 <= 6, run11
+    registry.release_pinned()
+
+
 def test_streaming_batch_twins_are_single_shuffle(spark, qs):
     for name in ("st1_tumbling_window", "st4_stream_dedup"):
         assert PI.shuffle_count(qs[name](spark, SF0001)) == 1, name
