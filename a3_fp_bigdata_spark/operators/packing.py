@@ -143,10 +143,13 @@ def pk1_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_before", F.col("shard_prefix") + F.col("local_before")
     )
     b = F.lit(PACK_BUDGET)
-    first_chunk = (F.col("cum_before") / b).cast("long")
-    last_chunk = (
-        (F.col("cum_before") + F.greatest(F.col("cost"), F.lit(1)) - 1) / b
-    ).cast("long")
+    # `div`, not `/`+cast: float division is exact only while cum_before
+    # < 2^53 — a 100 TB corpus's global token cumsum approaches that.
+    # `div` keeps the math in int64 end to end (the oracle's `//` twin).
+    first_chunk = F.expr(f"cum_before div {PACK_BUDGET}")
+    last_chunk = F.expr(
+        f"(cum_before + greatest(cost, 1L) - 1L) div {PACK_BUDGET}"
+    )
     return g.select(
         "doc_id",
         F.col("cost").alias("n_tokens"),

@@ -82,7 +82,11 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (f.name, f.dataType)
         for f in _as_event_time(batch).schema.fields
     ]
-    assert got == want, f"stream/batch schema drift: {got} != {want}"
+    # RuntimeError, not assert: this guard is the silent-drift tripwire
+    # (round-3 incident) and must survive `python -O`, which compiles
+    # asserts out.
+    if got != want:
+        raise RuntimeError(f"stream/batch schema drift: {got} != {want}")
     return out
 
 

@@ -146,7 +146,16 @@ def main() -> None:
 
     calib_after = calibrate()
 
-    total = round(sum(timings[n] for n in headline if n in timings), 3)
+    headline_timed = [n for n in headline if n in timings]
+    # A partial sum is NOT comparable round-over-round (a crashed
+    # headline query would read as a speedup): null the headline value
+    # and mark the line when any headline query is missing.
+    partial = len(headline_timed) < len(headline)
+    total = (
+        None
+        if partial
+        else round(sum(timings[n] for n in headline_timed), 3)
+    )
     # Full per-query map goes to a committed FILE; the printed line must
     # stay small (headline-only) — a 117-entry JSON line overflowed the
     # round driver's tail capture in round 2 and the round lost its
@@ -161,7 +170,8 @@ def main() -> None:
                 "queries": timings,
                 "errors": errors,
                 "headline": headline,
-                "headline_timed": [n for n in headline if n in timings],
+                "headline_timed": headline_timed,
+                "partial": partial,
                 "sf": sf,
                 "env": {
                     "pyspark": __import__("pyspark").__version__,
@@ -178,10 +188,12 @@ def main() -> None:
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": {n: timings[n] for n in headline if n in timings},
+        "queries": {n: timings[n] for n in headline_timed},
         "sf": sf,
         "calib": [calib_before, calib_after],
     }
+    if partial:
+        line_dict["partial"] = sorted(set(headline) - set(headline_timed))
     if errors:
         # names only on the printed line (messages live in full_out) so
         # a long error can't overflow the driver's tail capture

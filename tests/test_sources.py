@@ -165,14 +165,56 @@ def test_kafka_broker_roundtrip_when_available(spark):
     )
     raw = (
         spark.read.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
-        .option("startingOffsets", "earliest")
+        .options(**kafka_io.kafka_source_options(brokers, topic))
         .load()
     )
     back = kafka_io.parse_payload(raw, TESTDATA["events"])
     want = sorted(map(tuple, ev.collect()))
     got = sorted(map(tuple, back.select(*ev.columns).collect()))
+    assert got == want
+
+
+def test_kafka_streaming_roundtrip_when_available(spark, tmp_path):
+    """STREAMING round-trip against a live broker: writeStream with
+    kafka_sink_options publishes the batch topic's payload, then
+    kafka_source (the S8 streaming reader, exactly as production wires
+    it) consumes from earliest and an availableNow drain must recover
+    every row through the codec. Skips without a broker (same guard as
+    the batch twin) — with one reachable, this is the first thing a
+    streaming-first user runs."""
+    brokers = os.environ.get("SPARK_GRAFT_KAFKA_BROKERS")
+    if not brokers:
+        pytest.skip("no broker: set SPARK_GRAFT_KAFKA_BROKERS to run")
+    topic = f"a3_stream_smoke_{os.getpid()}"
+    ev = table(spark, SF0001, "events").limit(20)
+    src_path = str(tmp_path / "stream_src")
+    ev.write.parquet(src_path)
+    stream_in = spark.readStream.schema(
+        spark.read.parquet(src_path).schema
+    ).parquet(src_path)
+    q = (
+        kafka_io.to_payload(stream_in, key_col="event_id")
+        .writeStream.format("kafka")
+        .options(**kafka_io.kafka_sink_options(brokers, topic))
+        .option("checkpointLocation", str(tmp_path / "ck_sink"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_rows = []
+    consumer = kafka_io.kafka_source(spark, brokers, topic)
+    drain = (
+        kafka_io.parse_payload(consumer, TESTDATA["events"])
+        .writeStream.foreachBatch(
+            lambda bdf, _bid: got_rows.extend(bdf.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck_read"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain.awaitTermination(120)
+    want = sorted(map(tuple, ev.collect()))
+    got = sorted(tuple(r[c] for c in ev.columns) for r in got_rows)
     assert got == want
 
 
