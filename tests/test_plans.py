@@ -98,6 +98,32 @@ def test_jvm_only_hot_paths(spark, qs):
         assert "EvalPython" not in plan, name
 
 
+def test_exchange_counts_dedupes_cached_subtrees(spark):
+    """exchange_counts: a cached frame referenced twice contributes its
+    internal exchange ONCE to `staged` (one materialization), and
+    exchanges outside the cache land in `per_run`. The formatted-text
+    regex this replaces counted the cached exchange at every reference
+    site — the methodology bug that inflated d4's round-4 number."""
+    base = (
+        spark.range(100_000)
+        .groupBy((F.col("id") % 7).alias("k"))
+        .agg(F.count("*").alias("n"))
+        .persist()
+    )
+    try:
+        j = (
+            base.alias("a")
+            .join(base.alias("b"), "k")
+            .groupBy((F.col("k") % 2).alias("b2"))
+            .agg(F.sum("a.n").alias("s"))
+        )
+        run, staged = PI.exchange_counts(j)
+        assert staged == 1, (run, staged)  # base's agg exchange, once
+        assert run >= 1  # the outer re-keyed aggregation still shuffles
+    finally:
+        base.unpersist()
+
+
 def test_minhash_signature_stage_shared_and_bounded(spark, qs):
     """D4/D11: the 32-hash signature/bucket table is staged ONCE per
     (session, sf_dir) and shared between the full pair mine (d4) and
