@@ -18,6 +18,8 @@ Embedding-cosine near-dup lives with its ANN twin in similarity.py.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1008,6 +1010,21 @@ def d12_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     _evict_dead_entries(_CLUSTER_STAGE, unpersist=False)
     if key in _CLUSTER_STAGE:
         return _CLUSTER_STAGE[key]
+    # Reliable (storage-backed) checkpoints when configured: a
+    # localCheckpoint lives on executor disks, so at cluster scale a
+    # lost executor kills the truncated lineage mid-propagation. Set
+    # SPARK_GRAFT_CHECKPOINT_DIR to a shared path (HDFS/S3) and every
+    # round checkpoints there instead; unset (this sandbox, one JVM),
+    # local is both correct and faster.
+    ck_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ck_dir:
+        spark.sparkContext.setCheckpointDir(ck_dir)
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if ck_dir else df.localCheckpoint(
+            eager=True
+        )
+
     pairs = pin(
         d3_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     )
@@ -1046,10 +1063,10 @@ def d12_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             # least() join), so without truncation the LOGICAL plan
             # doubles per round — 2^rounds analysis blowup even though
             # persist would cap execution. Checkpointing keeps plan
-            # size and stage-recovery cost O(1) per round (at cluster
-            # scale: a reliable checkpoint dir instead of local).
-            .localCheckpoint(eager=True)
+            # size and stage-recovery cost O(1) per round; _truncate
+            # picks reliable vs local (see SPARK_GRAFT_CHECKPOINT_DIR).
         )
+        new_labels = _truncate(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")

@@ -292,6 +292,34 @@ def test_drop_set_broadcast_fallback_path(spark, monkeypatch):
     registry.release_pinned()
 
 
+def test_d12_reliable_checkpoint_path(spark, monkeypatch, tmp_path):
+    """With SPARK_GRAFT_CHECKPOINT_DIR set, the connected-components
+    loop truncates lineage through storage-backed checkpoints (the
+    executor-loss-safe cluster form) and must converge to the identical
+    cluster table; checkpoint files actually land in the dir."""
+    import os as _os
+
+    from a3_fp_bigdata_spark import registry
+    from a3_fp_bigdata_spark.operators import dedup as D
+
+    qs = registry.all_queries()
+    want = sorted(
+        tuple(r) for r in qs["d12_dedup_clusters"](spark, SF0001).collect()
+    )
+    ck = str(tmp_path / "ck")
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", ck)
+    D.release_cluster_stage()  # force a rebuild under the env var
+    got = sorted(
+        tuple(r) for r in qs["d12_dedup_clusters"](spark, SF0001).collect()
+    )
+    assert got == want
+    assert any(
+        files for _, _, files in _os.walk(ck)
+    ), "no checkpoint files written"
+    D.release_cluster_stage()  # don't leak the env-var build to others
+    registry.release_pinned()
+
+
 def test_session_memos_keyed_by_sf_dir(spark):
     """The shingle and cluster session memos are keyed by (session,
     sf_dir): asking for a different scale factor in the same session
