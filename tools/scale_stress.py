@@ -163,6 +163,8 @@ def main() -> None:
     ladder = [
         "d1_exact_dedup",
         "d4_minhash_lsh",
+        "d10_incremental_dedup",  # nightly exact rung (batch vs corpus)
+        "d11_incremental_lsh",  # nightly near-dup probe (staged buckets)
         "d12_dedup_clusters",
         "d13_dedup_corpus",
         "d14_quality_keeper",
