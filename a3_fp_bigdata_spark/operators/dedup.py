@@ -935,9 +935,28 @@ CC_MAX_ITERS = 25  # propagation rounds; components here have tiny diameter
 _CLUSTER_STAGE: dict[tuple[int, str], DataFrame] = {}
 
 
+#: Cluster-member counts memoized alongside _CLUSTER_STAGE — the
+#: drop-set size guard (d13/d14/pl1) reads the same number, so one
+#: count job per (session, sf_dir) serves every consumer.
+_CLUSTER_COUNT: dict[tuple[int, str], int] = {}
+
+
+def _cluster_member_count(spark: SparkSession, sf_dir: str) -> int:
+    key = (id(spark), sf_dir)
+    if key not in _CLUSTER_COUNT:
+        n = d12_dedup_clusters(spark, sf_dir).count()
+        # d12's accessor just evicted dead sessions' stage entries;
+        # mirror that here so a recycled id can't serve a stale count
+        for k in [k for k in _CLUSTER_COUNT if k not in _CLUSTER_STAGE]:
+            _CLUSTER_COUNT.pop(k)
+        _CLUSTER_COUNT[key] = n
+    return _CLUSTER_COUNT[key]
+
+
 def release_cluster_stage() -> None:
     while _CLUSTER_STAGE:
         _CLUSTER_STAGE.popitem()
+    _CLUSTER_COUNT.clear()
 
 
 #: Broadcast a dedup drop set only while it is provably small. "The
@@ -1128,7 +1147,9 @@ def d13_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
     docs = table(spark, sf_dir, "documents")
     return docs.join(
-        _maybe_broadcast_drop(dropped, clusters.count()), "doc_id", "left_anti"
+        _maybe_broadcast_drop(dropped, _cluster_member_count(spark, sf_dir)),
+        "doc_id",
+        "left_anti",
     ).select("doc_id", "lang", "source")
 
 
@@ -1174,7 +1195,9 @@ def d14_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped = ranked.filter(F.col("rn") > 1).select("doc_id")
     return (
         docs.join(
-            _maybe_broadcast_drop(dropped, clusters.count()),
+            _maybe_broadcast_drop(
+                dropped, _cluster_member_count(spark, sf_dir)
+            ),
             "doc_id",
             "left_anti",
         )

@@ -327,6 +327,7 @@ def pl1_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from a3_fp_bigdata_spark.functions import text as TXF
     from a3_fp_bigdata_spark.operators.dedup import (
+        _cluster_member_count,
         _maybe_broadcast_drop,
         d12_dedup_clusters,
     )
@@ -350,7 +351,9 @@ def pl1_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(q, "doc_id")
         .filter(F.col("q") >= MANIFEST_MIN_QUALITY)
         .join(
-            _maybe_broadcast_drop(dropped, clusters.count()),
+            _maybe_broadcast_drop(
+                dropped, _cluster_member_count(spark, sf_dir)
+            ),
             "doc_id",
             "left_anti",
         )
