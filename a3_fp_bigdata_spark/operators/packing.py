@@ -30,7 +30,7 @@ are just more files). Nothing funnels through the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from a3_fp_bigdata_spark.data import table
@@ -291,6 +291,159 @@ def pk4_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             sample_predicate(F.col("doc_id"), VAL_PCT), F.lit("val")
         ).otherwise(F.lit("train")).alias("split"),
+    )
+
+
+#: Target mixture shares (percent, summing to 100 over the known langs)
+#: for pk5 — the curation config a mixing run is handed. Langs absent
+#: from the map fall back to MIX_DEFAULT_PCT.
+MIX_PCT = {"en": 40, "zh": 15, "es": 15, "de": 15, "fr": 15}
+MIX_DEFAULT_PCT = 5
+
+_MIX_CASE_SQL = "CASE lang " + " ".join(
+    f"WHEN '{lang}' THEN {pct}" for lang, pct in MIX_PCT.items()
+) + f" ELSE {MIX_DEFAULT_PCT} END"
+
+
+def _mix_target_pct() -> Column:
+    """MIX_PCT as a Spark CASE column (the twin of _MIX_CASE_SQL)."""
+    expr = F.lit(MIX_DEFAULT_PCT)
+    for lang, pct in MIX_PCT.items():
+        expr = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(expr)
+    return expr
+
+
+@query(
+    "pk5_domain_mixture",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+    ), t AS (
+      SELECT lang, n_docs, {_MIX_CASE_SQL} AS target_pct FROM counts
+    ), s AS (
+      SELECT MIN(n_docs * 100 // target_pct) AS mix_size FROM t
+    ), rates AS (
+      SELECT lang,
+             LEAST(target_pct * (SELECT mix_size FROM s) // n_docs, 100)
+               AS keep_pct
+      FROM t
+    )
+    SELECT d.doc_id, d.lang, r.keep_pct
+    FROM documents d JOIN rates r USING (lang)
+    WHERE ((d.doc_id % {SAMPLE_PREMOD}) * {SAMPLE_MULT}) % 100
+          < r.keep_pct
+    """,
+)
+def pk5_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-derived mixture reweighting: hit TARGET domain shares
+    (MIX_PCT) by downsampling every domain against the scarcest one —
+    unlike pk3, the per-domain keep rates are computed FROM the corpus,
+    not hard-coded. The scarcest domain (the one whose count supports
+    the smallest mixture) caps the total sampled size S = min_l(n_l *
+    100 / T_l); each domain then keeps T_l * S / n_l percent of its
+    docs via the deterministic multiplicative-hash predicate.
+
+    All the mixture math stays in int64 floor division in BOTH engines
+    (`div` / `//`) so the rates — and therefore membership — are
+    bit-identical across Spark and the oracle; at web scale (n_l ~ 1e10,
+    T_l <= 100) the products stay far below 2^63.
+
+    Scale shape: the ONLY shuffle is the per-lang count (map-side
+    combined, |langs| rows); the rate table is a broadcast join back
+    onto the corpus and the final predicate evaluates scan-side — doc
+    rows never move. Upsampling (epochs > 1) is deliberately pk6's job.
+    """
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    targets = counts.withColumn("target_pct", _mix_target_pct())
+    mix_size = targets.agg(
+        F.min(F.expr("n_docs * 100 div target_pct")).alias("mix_size")
+    )
+    rates = targets.crossJoin(F.broadcast(mix_size)).select(
+        "lang",
+        F.least(
+            F.expr("target_pct * mix_size div n_docs"), F.lit(100).cast("long")
+        ).alias("keep_pct"),
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(sample_predicate(F.col("doc_id"), F.col("keep_pct")))
+        .select("doc_id", "lang", "keep_pct")
+    )
+
+
+#: Per-language repetition schedule for pk6, in CENTI-epochs (250 =
+#: 2.5 epochs: every doc twice, half the docs a third time). Scarce
+#: langs repeat; the dominant web slice takes a fractional epoch.
+EPOCHS_CPCT = {"en": 50, "zh": 200, "es": 150, "de": 125, "fr": 300}
+EPOCHS_DEFAULT_CPCT = 100
+
+_EPOCHS_CASE_SQL = "CASE lang " + " ".join(
+    f"WHEN '{lang}' THEN {cpct}" for lang, cpct in EPOCHS_CPCT.items()
+) + f" ELSE {EPOCHS_DEFAULT_CPCT} END"
+
+
+@query(
+    "pk6_epoch_plan",
+    oracle=f"""
+    WITH e AS (
+      SELECT doc_id, lang, {_EPOCHS_CASE_SQL} AS epochs_cpct
+      FROM documents
+    ), n AS (
+      SELECT doc_id, lang,
+             epochs_cpct // 100
+             + CASE WHEN ((doc_id % {SAMPLE_PREMOD}) * {SAMPLE_MULT})
+                         % 100 < epochs_cpct % 100
+                    THEN 1 ELSE 0 END AS n_epochs
+      FROM e
+    )
+    SELECT doc_id, lang, CAST(u.epoch AS BIGINT) AS epoch
+    FROM n, UNNEST(generate_series(1, n_epochs)) AS u(epoch)
+    WHERE n_epochs >= 1
+    """,
+)
+def pk6_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch repetition plan: materialize (doc_id, epoch) rows
+    from a per-domain epoch schedule (EPOCHS_CPCT, in centi-epochs) —
+    how a training run upsamples scarce high-value domains (fr x3)
+    while taking only a fraction of the dominant one (en x0.5).
+    Fractional epochs use the same deterministic hash predicate as
+    pk3/pk4, so WHICH docs join the extra epoch is stable across
+    runs and engines, and the fractional-epoch subset of epoch k+1 is
+    always a prefix-free subset of epoch k's docs (same membership
+    test, no reshuffling between engines).
+
+    Scale shape: zero shuffles — the schedule lookup is a literal CASE,
+    the epoch count is row-local arithmetic, and the repetition is a
+    narrow `explode(sequence(...))` (rows amplify in place, no
+    exchange). Spark's `sequence(1, 0)` would generate a DESCENDING
+    [1, 0] rather than an empty array, so docs with n_epochs = 0 (a
+    fractional-only schedule missing the cut) are filtered out BEFORE
+    the explode."""
+    docs = table(spark, sf_dir, "documents")
+    epochs_cpct = F.lit(EPOCHS_DEFAULT_CPCT)
+    for lang, cpct in EPOCHS_CPCT.items():
+        epochs_cpct = F.when(
+            F.col("lang") == lang, F.lit(cpct)
+        ).otherwise(epochs_cpct)
+    n_epochs = (
+        F.expr("epochs_cpct div 100")
+        + F.when(
+            sample_predicate(F.col("doc_id"), F.col("epochs_cpct") % 100),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+    ).cast("long")
+    return (
+        docs.select("doc_id", "lang", epochs_cpct.alias("epochs_cpct"))
+        .withColumn("n_epochs", n_epochs)
+        .filter(F.col("n_epochs") >= 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("n_epochs"))
+            ).alias("epoch"),
+        )
     )
 
 

@@ -99,3 +99,109 @@ def test_stratified_sample_matches_predicate_and_strata(spark):
     if n_en >= 40:  # enough mass for a crude rate check
         en_rate = sum(1 for d in got if docs[d] == "en") / n_en
         assert 0.3 < en_rate < 0.7
+
+
+def test_domain_mixture_rates_hit_target_shares(spark):
+    """pk5's data-derived rates: the scarcest domain (relative to its
+    target) is kept near-whole, every rate is a valid percent, and the
+    realized mixture lands near MIX_PCT for domains with enough mass.
+    Membership equals the deterministic predicate recomputed in plain
+    Python from the integer rate math."""
+    from a3_fp_bigdata_spark.data import table
+    from a3_fp_bigdata_spark.operators.packing import (
+        MIX_DEFAULT_PCT,
+        MIX_PCT,
+    )
+
+    docs = {
+        r.doc_id: r.lang
+        for r in table(spark, SF0001, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    rows = registry.all_queries()["pk5_domain_mixture"](
+        spark, SF0001
+    ).collect()
+    got = {r.doc_id for r in rows}
+    rate_by_lang = {r.lang: r.keep_pct for r in rows}
+
+    # replay the integer mixture math
+    n_by_lang: dict[str, int] = {}
+    for lang in docs.values():
+        n_by_lang[lang] = n_by_lang.get(lang, 0) + 1
+    target = {
+        lang: MIX_PCT.get(lang, MIX_DEFAULT_PCT) for lang in n_by_lang
+    }
+    mix_size = min(n * 100 // target[lang] for lang, n in n_by_lang.items())
+    want_rate = {
+        lang: min(target[lang] * mix_size // n, 100)
+        for lang, n in n_by_lang.items()
+    }
+    assert rate_by_lang == {
+        lang: r for lang, r in want_rate.items() if r > 0
+    } or rate_by_lang == want_rate
+    want = {
+        d
+        for d, lang in docs.items()
+        if ((d % SAMPLE_PREMOD) * SAMPLE_MULT) % 100 < want_rate[lang]
+    }
+    assert got == want
+    # the limiting domain is kept (nearly) whole; nothing exceeds 100
+    assert max(want_rate.values()) <= 100
+    assert any(r >= 95 for r in want_rate.values())
+    # realized shares track targets where the law of large numbers has
+    # any chance (>= 30 docs in the stratum): within 15 share-points
+    total = len(got)
+    for lang, n in n_by_lang.items():
+        if n < 30 or total == 0:
+            continue
+        share = 100 * sum(1 for d in got if docs[d] == lang) / total
+        assert abs(share - target[lang]) < 15, (lang, share)
+
+
+def test_epoch_plan_counts_and_nesting(spark):
+    """pk6: each doc appears in epochs 1..k contiguously, full epochs
+    come from the schedule's integer part, the fractional epoch's
+    membership is the deterministic hash predicate, and per-lang row
+    amplification approximates epochs_cpct/100."""
+    from a3_fp_bigdata_spark.data import table
+    from a3_fp_bigdata_spark.operators.packing import (
+        EPOCHS_CPCT,
+        EPOCHS_DEFAULT_CPCT,
+    )
+
+    docs = {
+        r.doc_id: r.lang
+        for r in table(spark, SF0001, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    rows = registry.all_queries()["pk6_epoch_plan"](spark, SF0001).collect()
+    epochs: dict[int, set] = {}
+    for r in rows:
+        epochs.setdefault(r.doc_id, set()).add(r.epoch)
+    for d, eps in epochs.items():
+        # contiguous from 1 — a doc never skips an epoch
+        assert eps == set(range(1, len(eps) + 1)), (d, eps)
+        cpct = EPOCHS_CPCT.get(docs[d], EPOCHS_DEFAULT_CPCT)
+        extra = ((d % SAMPLE_PREMOD) * SAMPLE_MULT) % 100 < cpct % 100
+        assert len(eps) == cpct // 100 + (1 if extra else 0)
+    # docs absent entirely are exactly the fractional-only misses
+    for d, lang in docs.items():
+        cpct = EPOCHS_CPCT.get(lang, EPOCHS_DEFAULT_CPCT)
+        if d not in epochs:
+            assert cpct < 100
+            assert not (
+                ((d % SAMPLE_PREMOD) * SAMPLE_MULT) % 100 < cpct % 100
+            )
+    # per-lang amplification ~ cpct/100 for strata with mass
+    by_lang: dict[str, int] = {}
+    n_by_lang: dict[str, int] = {}
+    for d, lang in docs.items():
+        n_by_lang[lang] = n_by_lang.get(lang, 0) + 1
+        by_lang[lang] = by_lang.get(lang, 0) + len(epochs.get(d, ()))
+    for lang, n in n_by_lang.items():
+        if n < 30:
+            continue
+        cpct = EPOCHS_CPCT.get(lang, EPOCHS_DEFAULT_CPCT)
+        assert abs(by_lang[lang] / n - cpct / 100) < 0.2, lang
