@@ -443,7 +443,19 @@ def tx7_ngram_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ASCII-normalized text. The fit stage reads only tx6's deterministic
     {PROFILE_SAMPLE_PCT}% sample (see PROFILE_SAMPLE_PCT) — the scan-
     pushable predicate keeps profile building sublinear in the corpus
-    while classification stays full-coverage."""
+    while classification stays full-coverage.
+
+    Scale shape (two doc-grain exchanges fewer than the naive plan):
+    the per-doc trigram DEDUP happens scan-side (explode of
+    array_distinct — within-doc uniqueness needs no exchange), so the
+    full-corpus `distinct` shuffle the naive form pays is gone; and the
+    per-doc argmax is a hash AGGREGATE of min(struct(-n_common, cand))
+    (score desc, cand asc — the oracle's exact tie order) instead of a
+    row_number window, so there is no per-doc sort. Remaining
+    exchanges: the sampled profile aggregation + its |langs|-partition
+    rank (model-sized), ONE doc-grain overlap aggregate over profile-
+    matching trigrams, the doc x |langs|-bounded argmax, and the
+    |langs|^2-row confusion matrix."""
     from pyspark.sql import Window
 
     docs = table(spark, sf_dir, "documents")
@@ -472,19 +484,34 @@ def tx7_ngram_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= PROFILE_K)
         .select(F.col("lang").alias("cand"), "tri")
     )
-    doc_tri = tri.select("doc_id", "lang", "tri").distinct()
+    doc_tri = norm.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, char_length(t) - 2), "
+                    "i -> substring(t, CAST(i AS INT), 3))"
+                )
+            )
+        ).alias("tri"),
+    )
     overlap = (
         doc_tri.join(F.broadcast(prof), "tri")
         .groupBy("doc_id", "lang", "cand")
         .agg(F.count("*").alias("n_common"))
     )
-    wd = Window.partitionBy("doc_id").orderBy(
-        F.desc("n_common"), F.asc("cand")
-    )
     pred = (
-        overlap.withColumn("rn", F.row_number().over(wd))
-        .filter(F.col("rn") == 1)
-        .select("lang", F.col("cand").alias("predicted"))
+        overlap.groupBy("doc_id", "lang")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("n_common")).alias("neg"),
+                    F.col("cand").alias("cand"),
+                )
+            ).alias("best")
+        )
+        .select("lang", F.col("best.cand").alias("predicted"))
     )
     return pred.groupBy("lang", "predicted").agg(
         F.count("*").alias("n")
