@@ -343,6 +343,13 @@ def pk5_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 / T_l); each domain then keeps T_l * S / n_l percent of its
     docs via the deterministic multiplicative-hash predicate.
 
+    When langs OUTSIDE the config appear, their MIX_DEFAULT_PCT shares
+    stack on top of the configured 100, and every realized share
+    implicitly renormalizes to T_l / sum(T): e.g. with 4 unknown langs
+    the 'en' slice lands at 40/120 = 33% of the sample, not 40% —
+    deliberate (new domains dilute proportionally rather than silently
+    eating a configured domain's budget).
+
     All the mixture math stays in int64 floor division in BOTH engines
     (`div` / `//`) so the rates — and therefore membership — are
     bit-identical across Spark and the oracle; at web scale (n_l ~ 1e10,

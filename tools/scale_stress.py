@@ -17,6 +17,13 @@ survive, where the old forced-broadcast hint would OOM. Per stage it
 records wall seconds plus shuffle read/write bytes and peak executor
 memory from Spark's own status REST API.
 
+Two further rungs stress the rest of the extension surface:
+- mixing (pk5/pk6) on the same 60%-hot-lang corpus — pk5 must pull
+  the hot lang back to its renormalized target share;
+- ANN (d6 blocked GEMM, sim2, sim4 build+probe) on generated
+  clustered embeddings with one hot cell holding 40% of the vectors
+  and the probe vector inside it — the worst-bucket serving case.
+
 Usage: python tools/scale_stress.py [> SCALE.md]
 """
 
@@ -109,6 +116,65 @@ def build_corpus() -> tuple[str, dict]:
     return CORPUS_DIR, stats
 
 
+#: Embedding stress parameters: 3x sf0.1's vector count, 64-dim like
+#: the testdata. Vectors are clustered Gaussians with a deliberately
+#: HOT cluster (~40% of vectors — the skewed IVF/LSH cell a web corpus
+#: produces), cluster tightness tuned so intra-cluster cosine sits
+#: near d6's 0.4 threshold (the all-pairs output stays bounded but
+#: non-trivial), plus planted near-identical pairs (cos ~0.99).
+N_VECS = 6_000
+EMB_DIM = 64
+EMB_CLUSTERS = 16
+HOT_CLUSTER_SHARE = 0.4
+CENTER_SCALE = 0.45  # intra-cluster cosine ~ c^2/(c^2+1) ~ 0.17
+PLANT_DUP_FRACTION = 0.05
+
+
+def build_embeddings() -> dict:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(SEED)
+    centers = rng.standard_normal((EMB_CLUSTERS, EMB_DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    # hot cell: cluster 0 takes HOT_CLUSTER_SHARE of all vectors
+    p = np.full(EMB_CLUSTERS, (1 - HOT_CLUSTER_SHARE) / (EMB_CLUSTERS - 1))
+    p[0] = HOT_CLUSTER_SHARE
+    labels = rng.choice(EMB_CLUSTERS, size=N_VECS, p=p)
+    vecs = CENTER_SCALE * centers[labels] + rng.standard_normal(
+        (N_VECS, EMB_DIM)
+    )
+    # planted near-identical pairs: overwrite the tail with perturbed
+    # copies of earlier vectors (cosine ~0.995 >> the 0.4 threshold)
+    n_plant = int(N_VECS * PLANT_DUP_FRACTION)
+    src = rng.choice(N_VECS - n_plant, size=n_plant, replace=False)
+    vecs[-n_plant:] = vecs[src] + 0.1 * rng.standard_normal(
+        (n_plant, EMB_DIM)
+    )
+    labels[-n_plant:] = labels[src]
+    # vec 0 probes the HOT cell so sim2/sim4 read the worst bucket
+    labels[0] = 0
+    vecs[0] = CENTER_SCALE * centers[0] + rng.standard_normal(EMB_DIM)
+
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(N_VECS), pa.int64()),
+            "embedding": pa.array(
+                [v.astype(np.float32) for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array(labels.astype("int32"), pa.int32()),
+        }
+    )
+    pq.write_table(t, f"{CORPUS_DIR}/embeddings.parquet")
+    return {
+        "n_vecs": N_VECS,
+        "hot_cluster_share": HOT_CLUSTER_SHARE,
+        "planted_dups": n_plant,
+    }
+
+
 def _rest(spark, path: str):
     ui = spark.sparkContext.uiWebUrl
     app_id = spark.sparkContext.applicationId
@@ -137,6 +203,7 @@ def _peak_mem(spark) -> int:
 
 def main() -> None:
     sf_dir, stats = build_corpus()
+    emb_stats = build_embeddings()
 
     from pyspark.sql import SparkSession
 
@@ -214,6 +281,98 @@ def main() -> None:
     print("Shuffle columns are per-stage deltas of Spark's completed-")
     print("stage totals; the memoized cluster build is attributed to")
     print("the first stage that triggers it (d12).")
+
+    def timed_row(name, thunk):
+        t0 = time.perf_counter()
+        n = thunk()
+        dt = time.perf_counter() - t0
+        nonlocal_w, nonlocal_r = _shuffle_totals(spark)
+        mem = _peak_mem(spark)
+        gib = 1 << 30
+        print(
+            f"| {name} | {n} | {dt:.1f} | "
+            f"{(nonlocal_w - timed_row.w0) / gib:.2f} GiB | "
+            f"{(nonlocal_r - timed_row.r0) / gib:.2f} GiB | "
+            f"{mem / gib:.1f} GiB |"
+        )
+        timed_row.w0, timed_row.r0 = nonlocal_w, nonlocal_r
+        registry.release_pinned()
+
+    # ---- mixing under key skew: pk5's whole purpose is the hot lang
+    print()
+    print("## Mixing under key skew")
+    print()
+    print(
+        f"The corpus above is {stats['hot_lang_share']:.0%} one "
+        "language. pk5 re-derives per-lang keep rates from the counts"
+    )
+    print("(int64 floor math, broadcast rate join); pk6 amplifies")
+    print("scarce langs by its centi-epoch schedule (narrow explode).")
+    print()
+    print("| stage | rows out | wall s | shuffle write | shuffle read | peak JVM mem |")
+    print("|---|---|---|---|---|---|")
+    timed_row.w0, timed_row.r0 = _shuffle_totals(spark)
+    timed_row("pk5_domain_mixture", lambda: qs["pk5_domain_mixture"](spark, sf_dir).count())
+    timed_row("pk6_epoch_plan", lambda: qs["pk6_epoch_plan"](spark, sf_dir).count())
+    from pyspark.sql import functions as F
+
+    mix = {
+        r["lang"]: r["n"]
+        for r in qs["pk5_domain_mixture"](spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    total = sum(mix.values()) or 1
+    print()
+    print(
+        f"pk5 realized mixture: hot lang 'en' "
+        f"{stats['hot_lang_share']:.0%} of the corpus -> "
+        f"{mix.get('en', 0) / total:.0%} of the sample "
+        f"({total} docs kept; the renormalized target — 4 langs "
+        "beyond the config stack their default shares on the "
+        "configured 100, so 'en' targets 40/120 = 33%)."
+    )
+
+    # ---- ANN / embedding rung: skewed cells, planted near-identicals
+    print()
+    print("## Similarity / ANN under cell skew")
+    print()
+    print(
+        f"Embeddings: {emb_stats['n_vecs']} vectors (3x sf0.1), dim "
+        f"{EMB_DIM}, {EMB_CLUSTERS} Gaussian clusters with ONE hot "
+        f"cluster holding {emb_stats['hot_cluster_share']:.0%} of the "
+        f"vectors; {emb_stats['planted_dups']} planted near-identical "
+        "pairs. The probe vector (vec_id 0) sits IN the hot cluster,"
+    )
+    print("so sim2/sim4 answer from the worst bucket; d6's blocked")
+    print("GEMM sees its densest block pairs from the hot cell.")
+    print()
+    print("| stage | rows out | wall s | shuffle write | shuffle read | peak JVM mem |")
+    print("|---|---|---|---|---|---|")
+    timed_row.w0, timed_row.r0 = _shuffle_totals(spark)
+    timed_row(
+        "d6_embedding_neardup",
+        lambda: qs["d6_embedding_neardup"](spark, sf_dir).count(),
+    )
+    timed_row(
+        "sim2_lsh_ann", lambda: qs["sim2_lsh_ann"](spark, sf_dir).count()
+    )
+    from a3_fp_bigdata_spark.operators import similarity as S
+
+    timed_row(
+        "sim4 index build",
+        lambda: (S.warm_sim4_index(spark, sf_dir), 0)[1],
+    )
+    timed_row(
+        "sim4 probe (pruned)",
+        lambda: qs["sim4_bucketed_ann"](spark, sf_dir).count(),
+    )
+    print()
+    print("sim4's build row pays the one-off bucket-partitioned index")
+    print("write; the probe row then reads ONE bucket directory")
+    print("(PartitionFilters) — the build/probe asymmetry is the 100 TB")
+    print("serving story.")
     spark.stop()
 
 
