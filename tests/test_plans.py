@@ -254,3 +254,28 @@ def test_bucketed_ann_probe_is_partition_pruned(spark, tmp_path, qs):
     # self-contained fallback (no sf_dir) answers identically
     fallback = S.probe_bucketed_ann(spark, idx)
     assert [(r.vec_id, r.cosine) for r in fallback.collect()] == want
+
+
+def test_epoch_plan_is_zero_shuffle_narrow_explode(spark, qs):
+    """pk6: the repetition plan must amplify rows IN PLACE — a literal
+    CASE schedule, row-local arithmetic, explode — with no exchange
+    anywhere and no Python eval."""
+    df = qs["pk6_epoch_plan"](spark, SF0001)
+    assert PI.shuffle_count(df) == 0
+    plan = PI.physical_plan(df)
+    assert "Generate explode" in plan
+    assert "EvalPython" not in plan
+
+
+def test_domain_mixture_shuffles_counts_not_docs(spark, qs):
+    """pk5: the corpus side must never move — every exchange in the
+    plan belongs to the |langs|-row rate derivation (count + min),
+    and the rates come back to the corpus via broadcast joins."""
+    df = qs["pk5_domain_mixture"](spark, SF0001)
+    assert PI.uses_broadcast_join(df)
+    plan = PI.physical_plan(df)
+    # doc-side scan feeds a broadcast join directly: any exchange in
+    # the plan sits under the (tiny) aggregate subtrees, and none of
+    # them partitions by doc_id
+    assert "hashpartitioning(doc_id" not in plan
+    assert "EvalPython" not in plan
