@@ -229,6 +229,25 @@ def pk2_greedy_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lang_case_sql(mapping: dict[str, int], default: int) -> str:
+    """A per-lang integer schedule as a DuckDB CASE snippet — the SQL
+    twin of _lang_case_col over the SAME dict, so a config change can
+    never drift between the Spark plan and its oracle."""
+    return (
+        "CASE lang "
+        + " ".join(f"WHEN '{k}' THEN {v}" for k, v in mapping.items())
+        + f" ELSE {default} END"
+    )
+
+
+def _lang_case_col(mapping: dict[str, int], default: int) -> Column:
+    """The Spark CASE column twin of _lang_case_sql."""
+    col = F.lit(default)
+    for lang, val in mapping.items():
+        col = F.when(F.col("lang") == lang, F.lit(val)).otherwise(col)
+    return col
+
+
 #: Per-language sampling rates (percent) for the training mix — the
 #: deterministic stand-in for a curation config.
 STRATA_PCT = {"en": 50, "de": 20}
@@ -241,9 +260,7 @@ STRATA_DEFAULT_PCT = 10
     SELECT doc_id, lang, source
     FROM documents
     WHERE ((doc_id % {SAMPLE_PREMOD}) * {SAMPLE_MULT}) % 100 <
-          CASE lang WHEN 'en' THEN {STRATA_PCT['en']}
-                    WHEN 'de' THEN {STRATA_PCT['de']}
-                    ELSE {STRATA_DEFAULT_PCT} END
+          {_lang_case_sql(STRATA_PCT, STRATA_DEFAULT_PCT)}
     """,
 )
 def pk3_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -252,13 +269,7 @@ def pk3_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail) — how a training mix reweights sources without a shuffle: the
     predicate is scan-pushable and rows never move."""
     docs = table(spark, sf_dir, "documents")
-    rate = F.coalesce(
-        *[
-            F.when(F.col("lang") == lang, F.lit(pct))
-            for lang, pct in STRATA_PCT.items()
-        ],
-        F.lit(STRATA_DEFAULT_PCT),
-    )
+    rate = _lang_case_col(STRATA_PCT, STRATA_DEFAULT_PCT)
     return docs.filter(sample_predicate(F.col("doc_id"), rate)).select(
         "doc_id", "lang", "source"
     )
@@ -300,18 +311,6 @@ def pk4_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIX_PCT = {"en": 40, "zh": 15, "es": 15, "de": 15, "fr": 15}
 MIX_DEFAULT_PCT = 5
 
-_MIX_CASE_SQL = "CASE lang " + " ".join(
-    f"WHEN '{lang}' THEN {pct}" for lang, pct in MIX_PCT.items()
-) + f" ELSE {MIX_DEFAULT_PCT} END"
-
-
-def _mix_target_pct() -> Column:
-    """MIX_PCT as a Spark CASE column (the twin of _MIX_CASE_SQL)."""
-    expr = F.lit(MIX_DEFAULT_PCT)
-    for lang, pct in MIX_PCT.items():
-        expr = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(expr)
-    return expr
-
 
 @query(
     "pk5_domain_mixture",
@@ -319,7 +318,9 @@ def _mix_target_pct() -> Column:
     WITH counts AS (
       SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
     ), t AS (
-      SELECT lang, n_docs, {_MIX_CASE_SQL} AS target_pct FROM counts
+      SELECT lang, n_docs,
+             {_lang_case_sql(MIX_PCT, MIX_DEFAULT_PCT)} AS target_pct
+      FROM counts
     ), s AS (
       SELECT MIN(n_docs * 100 // target_pct) AS mix_size FROM t
     ), rates AS (
@@ -362,7 +363,9 @@ def pk5_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
-    targets = counts.withColumn("target_pct", _mix_target_pct())
+    targets = counts.withColumn(
+        "target_pct", _lang_case_col(MIX_PCT, MIX_DEFAULT_PCT)
+    )
     mix_size = targets.agg(
         F.min(F.expr("n_docs * 100 div target_pct")).alias("mix_size")
     )
@@ -385,16 +388,14 @@ def pk5_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 EPOCHS_CPCT = {"en": 50, "zh": 200, "es": 150, "de": 125, "fr": 300}
 EPOCHS_DEFAULT_CPCT = 100
 
-_EPOCHS_CASE_SQL = "CASE lang " + " ".join(
-    f"WHEN '{lang}' THEN {cpct}" for lang, cpct in EPOCHS_CPCT.items()
-) + f" ELSE {EPOCHS_DEFAULT_CPCT} END"
-
 
 @query(
     "pk6_epoch_plan",
     oracle=f"""
     WITH e AS (
-      SELECT doc_id, lang, {_EPOCHS_CASE_SQL} AS epochs_cpct
+      SELECT doc_id, lang,
+             {_lang_case_sql(EPOCHS_CPCT, EPOCHS_DEFAULT_CPCT)}
+               AS epochs_cpct
       FROM documents
     ), n AS (
       SELECT doc_id, lang,
@@ -428,11 +429,7 @@ def pk6_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractional-only schedule missing the cut) are filtered out BEFORE
     the explode."""
     docs = table(spark, sf_dir, "documents")
-    epochs_cpct = F.lit(EPOCHS_DEFAULT_CPCT)
-    for lang, cpct in EPOCHS_CPCT.items():
-        epochs_cpct = F.when(
-            F.col("lang") == lang, F.lit(cpct)
-        ).otherwise(epochs_cpct)
+    epochs_cpct = _lang_case_col(EPOCHS_CPCT, EPOCHS_DEFAULT_CPCT)
     n_epochs = (
         F.expr("epochs_cpct div 100")
         + F.when(

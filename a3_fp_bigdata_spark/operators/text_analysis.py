@@ -445,13 +445,14 @@ def tx7_ngram_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushable predicate keeps profile building sublinear in the corpus
     while classification stays full-coverage.
 
-    Scale shape (two doc-grain exchanges fewer than the naive plan):
-    the per-doc trigram DEDUP happens scan-side (explode of
-    array_distinct — within-doc uniqueness needs no exchange), so the
-    full-corpus `distinct` shuffle the naive form pays is gone; and the
-    per-doc argmax is a hash AGGREGATE of min(struct(-n_common, cand))
-    (score desc, cand asc — the oracle's exact tie order) instead of a
-    row_number window, so there is no per-doc sort. Remaining
+    Scale shape (one doc-grain exchange fewer than the naive plan,
+    and no per-doc sort): the per-doc trigram DEDUP happens scan-side
+    (explode of array_distinct — within-doc uniqueness needs no
+    exchange), so the full-corpus `distinct` shuffle the naive form
+    pays is gone; and the per-doc argmax is a hash AGGREGATE of
+    min(struct(-n_common, cand)) (score desc, cand asc — the oracle's
+    exact tie order) instead of a row_number window — that still pays
+    its (doc_id, lang) exchange, but sorts nothing. Remaining
     exchanges: the sampled profile aggregation + its |langs|-partition
     rank (model-sized), ONE doc-grain overlap aggregate over profile-
     matching trigrams, the doc x |langs|-bounded argmax, and the

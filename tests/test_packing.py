@@ -137,15 +137,18 @@ def test_domain_mixture_rates_hit_target_shares(spark):
         lang: min(target[lang] * mix_size // n, 100)
         for lang, n in n_by_lang.items()
     }
-    assert rate_by_lang == {
-        lang: r for lang, r in want_rate.items() if r > 0
-    } or rate_by_lang == want_rate
+    # rate_by_lang only covers langs with >= 1 surviving doc, so
+    # compare per-lang rather than whole-dict (a tiny stratum whose
+    # docs all miss the hash cut is correct behavior, not a mismatch)
+    for lang, r in rate_by_lang.items():
+        assert r == want_rate[lang], lang
     want = {
         d
         for d, lang in docs.items()
         if ((d % SAMPLE_PREMOD) * SAMPLE_MULT) % 100 < want_rate[lang]
     }
     assert got == want
+    assert set(rate_by_lang) == {docs[d] for d in want}
     # the limiting domain is kept (nearly) whole; nothing exceeds 100
     assert max(want_rate.values()) <= 100
     assert any(r >= 95 for r in want_rate.values())

@@ -145,6 +145,11 @@ def build_embeddings() -> dict:
     vecs = CENTER_SCALE * centers[labels] + rng.standard_normal(
         (N_VECS, EMB_DIM)
     )
+    # vec 0 probes the HOT cell so sim2/sim4 read the worst bucket —
+    # pinned BEFORE dup planting so a plant can never copy (and then
+    # lose) a pre-rewrite vec 0
+    labels[0] = 0
+    vecs[0] = CENTER_SCALE * centers[0] + rng.standard_normal(EMB_DIM)
     # planted near-identical pairs: overwrite the tail with perturbed
     # copies of earlier vectors (cosine ~0.995 >> the 0.4 threshold)
     n_plant = int(N_VECS * PLANT_DUP_FRACTION)
@@ -153,9 +158,6 @@ def build_embeddings() -> dict:
         (n_plant, EMB_DIM)
     )
     labels[-n_plant:] = labels[src]
-    # vec 0 probes the HOT cell so sim2/sim4 read the worst bucket
-    labels[0] = 0
-    vecs[0] = CENTER_SCALE * centers[0] + rng.standard_normal(EMB_DIM)
 
     t = pa.table(
         {
@@ -256,23 +258,28 @@ def main() -> None:
     print("completion + bounded shuffle volume below is the evidence")
     print("the ladder survives without the broadcast hint.")
     print()
-    print("| stage | rows out | wall s | shuffle write | shuffle read | peak JVM mem |")
-    print("|---|---|---|---|---|---|")
-    w0, r0 = _shuffle_totals(spark)
-    for name in ladder:
+    def timed_row(name, thunk):
         t0 = time.perf_counter()
-        n = qs[name](spark, sf_dir).count()
+        n = thunk()
         dt = time.perf_counter() - t0
         w1, r1 = _shuffle_totals(spark)
         mem = _peak_mem(spark)
         gib = 1 << 30
         print(
             f"| {name} | {n} | {dt:.1f} | "
-            f"{(w1 - w0) / gib:.2f} GiB | {(r1 - r0) / gib:.2f} GiB | "
+            f"{(w1 - timed_row.w0) / gib:.2f} GiB | "
+            f"{(r1 - timed_row.r0) / gib:.2f} GiB | "
             f"{mem / gib:.1f} GiB |"
         )
-        w0, r0 = w1, r1
+        timed_row.w0, timed_row.r0 = w1, r1
         registry.release_pinned()
+        return n
+
+    print("| stage | rows out | wall s | shuffle write | shuffle read | peak JVM mem |")
+    print("|---|---|---|---|---|---|")
+    timed_row.w0, timed_row.r0 = _shuffle_totals(spark)
+    for name in ladder:
+        timed_row(name, lambda n=name: qs[n](spark, sf_dir).count())
     # honest footnote: what the numbers do and don't show
     print()
     print("Stage rows are cumulative pipeline outputs (d12's clusters")
@@ -281,22 +288,6 @@ def main() -> None:
     print("Shuffle columns are per-stage deltas of Spark's completed-")
     print("stage totals; the memoized cluster build is attributed to")
     print("the first stage that triggers it (d12).")
-
-    def timed_row(name, thunk):
-        t0 = time.perf_counter()
-        n = thunk()
-        dt = time.perf_counter() - t0
-        nonlocal_w, nonlocal_r = _shuffle_totals(spark)
-        mem = _peak_mem(spark)
-        gib = 1 << 30
-        print(
-            f"| {name} | {n} | {dt:.1f} | "
-            f"{(nonlocal_w - timed_row.w0) / gib:.2f} GiB | "
-            f"{(nonlocal_r - timed_row.r0) / gib:.2f} GiB | "
-            f"{mem / gib:.1f} GiB |"
-        )
-        timed_row.w0, timed_row.r0 = nonlocal_w, nonlocal_r
-        registry.release_pinned()
 
     # ---- mixing under key skew: pk5's whole purpose is the hot lang
     print()
@@ -311,27 +302,45 @@ def main() -> None:
     print()
     print("| stage | rows out | wall s | shuffle write | shuffle read | peak JVM mem |")
     print("|---|---|---|---|---|---|")
-    timed_row.w0, timed_row.r0 = _shuffle_totals(spark)
-    timed_row("pk5_domain_mixture", lambda: qs["pk5_domain_mixture"](spark, sf_dir).count())
-    timed_row("pk6_epoch_plan", lambda: qs["pk6_epoch_plan"](spark, sf_dir).count())
     from pyspark.sql import functions as F
 
-    mix = {
-        r["lang"]: r["n"]
-        for r in qs["pk5_domain_mixture"](spark, sf_dir)
-        .groupBy("lang")
-        .agg(F.count("*").alias("n"))
-        .collect()
-    }
+    from a3_fp_bigdata_spark.operators.packing import (
+        MIX_DEFAULT_PCT,
+        MIX_PCT,
+    )
+
+    timed_row.w0, timed_row.r0 = _shuffle_totals(spark)
+    # one pk5 execution serves both the table row and the per-lang
+    # breakdown: aggregate, collect the tiny result, sum for the total
+    mix: dict[str, int] = {}
+
+    def run_pk5() -> int:
+        rows = (
+            qs["pk5_domain_mixture"](spark, sf_dir)
+            .groupBy("lang")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        mix.update({r["lang"]: r["n"] for r in rows})
+        return sum(mix.values())
+
+    timed_row("pk5_domain_mixture", run_pk5)
+    timed_row("pk6_epoch_plan", lambda: qs["pk6_epoch_plan"](spark, sf_dir).count())
     total = sum(mix.values()) or 1
+    # derive the renormalized target from the actual config + corpus
+    # langs (hard-coding it here would silently drift from MIX_PCT)
+    extra_langs = sorted(set(mix) - set(MIX_PCT))
+    sum_t = sum(MIX_PCT.values()) + MIX_DEFAULT_PCT * len(extra_langs)
     print()
     print(
         f"pk5 realized mixture: hot lang 'en' "
         f"{stats['hot_lang_share']:.0%} of the corpus -> "
         f"{mix.get('en', 0) / total:.0%} of the sample "
-        f"({total} docs kept; the renormalized target — 4 langs "
-        "beyond the config stack their default shares on the "
-        "configured 100, so 'en' targets 40/120 = 33%)."
+        f"({total} docs kept; the renormalized target — "
+        f"{len(extra_langs)} langs beyond the config stack their "
+        f"default shares on the configured {sum(MIX_PCT.values())}, "
+        f"so 'en' targets {MIX_PCT['en']}/{sum_t} = "
+        f"{MIX_PCT['en'] / sum_t:.0%})."
     )
 
     # ---- ANN / embedding rung: skewed cells, planted near-identicals
