@@ -182,3 +182,74 @@ def u2_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "acctbal", F.round(F.col("acctbal") + 1000, 2)
     )
     return scd2_merge(base, updates, "c_custkey", batch_id=1)
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str,
+                  fp: str = "fp") -> DataFrame:
+    """Corpus CDC between two snapshots: full outer join on the key,
+    classify each key as added (no old row), removed (no new row) or
+    changed (both present, fingerprints differ); unchanged keys drop
+    out. The join keys on the id and compares 16-byte fingerprints —
+    never the payload — so the shuffle moves (key, fp) pairs only; with
+    both snapshots bucketed on the key (the nightly layout
+    sources.parquet_io.write_bucketed_table produces) the join is
+    co-located and the diff is exchange-free."""
+    o = old.select(F.col(key), F.col(fp).alias("_old_fp"))
+    n = new.select(F.col(key), F.col(fp).alias("_new_fp"))
+    joined = o.join(n, on=key, how="full_outer")
+    status = (
+        F.when(F.col("_old_fp").isNull(), F.lit("added"))
+        .when(F.col("_new_fp").isNull(), F.lit("removed"))
+        .when(F.col("_old_fp") != F.col("_new_fp"), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(key, "status")
+    )
+
+
+@query(
+    "u3_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 23 = 5 THEN upper(text) ELSE text
+                 END) AS fp
+      FROM documents WHERE doc_id % 17 <> 3
+    ), new AS (
+      SELECT doc_id, md5(text) AS fp
+      FROM documents WHERE doc_id % 19 <> 2
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.fp <> n.fp THEN 'changed' END AS status
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.fp <> n.fp
+    """,
+)
+def u3_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nightly crawl question: what changed between yesterday's
+    corpus snapshot and today's? Two snapshots are derived
+    deterministically from `documents` so the oracle reproduces them
+    exactly — yesterday misses every 17th doc (today's ADDITIONS) and
+    carries a different text for every 23rd (CHANGED, simulated by
+    fingerprinting the uppercased text); today misses every 19th
+    (REMOVALS). The diff itself is snapshot_diff: one full outer join
+    on (doc_id, md5 fingerprint) — the engine-portable CDC derivation
+    that feeds d10's incremental dedup with exactly the added+changed
+    docs instead of re-scanning the corpus."""
+    docs = table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 17 != 3).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 23 == 5, F.upper(F.col("text"))
+            ).otherwise(F.col("text"))
+        ).alias("fp"),
+    )
+    new = docs.filter(F.col("doc_id") % 19 != 2).select(
+        "doc_id", F.md5(F.col("text")).alias("fp")
+    )
+    return snapshot_diff(old, new, "doc_id")

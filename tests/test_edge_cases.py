@@ -340,3 +340,36 @@ def test_session_memos_keyed_by_sf_dir(spark):
     assert ca != cb  # distinct cluster tables per sf_dir
     # and the memo actually memoizes: same object back on re-ask
     assert D.staged_shingles(spark, SF0001) is a
+
+
+def test_snapshot_diff_statuses_match_modular_derivation(spark):
+    """u3: replay the deterministic snapshot derivation in plain Python
+    — every key's status (added/removed/changed) must match the modular
+    predicates, unchanged keys must be absent, and the three status
+    sets must partition the emitted keys."""
+    from a3_fp_bigdata_spark import registry
+
+    docs = {
+        r.doc_id
+        for r in table(spark, SF0001, "documents").select("doc_id").collect()
+    }
+    got = {
+        r.doc_id: r.status
+        for r in registry.all_queries()["u3_snapshot_diff"](
+            spark, SF0001
+        ).collect()
+    }
+    for d in docs:
+        in_old = d % 17 != 3
+        in_new = d % 19 != 2
+        edited = d % 23 == 5
+        if in_new and not in_old:
+            want = "added"
+        elif in_old and not in_new:
+            want = "removed"
+        elif in_old and in_new and edited:
+            want = "changed"
+        else:
+            want = None  # unchanged: must not be emitted
+        assert got.get(d) == want, (d, got.get(d), want)
+    assert set(got) <= docs
