@@ -335,3 +335,41 @@ def test_epoch_helpers_match_python_on_arbitrary_instants(spark, micros):
     for r in rows:
         assert r.em == r.us
         assert r.es == r.us // 1_000_000
+
+
+@given(
+    counts=st.dictionaries(
+        st.sampled_from(["en", "zh", "de", "fr", "es", "ru", "ja"]),
+        st.integers(min_value=1, max_value=10**10),
+        min_size=1,
+        max_size=7,
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_domain_mixture_int64_math_properties(counts):
+    """pk5's rate algebra, replayed in plain Python over adversarial
+    corpus counts (up to 1e10 docs/domain): every derived keep rate is
+    a valid percent WITHOUT needing the LEAST cap, at least one domain
+    (the limiting one) keeps >= its floor-rounded whole, and every
+    intermediate product stays far inside int64."""
+    from a3_fp_bigdata_spark.operators.packing import (
+        MIX_DEFAULT_PCT,
+        MIX_PCT,
+    )
+
+    target = {
+        lang: MIX_PCT.get(lang, MIX_DEFAULT_PCT) for lang in counts
+    }
+    mix_size = min(n * 100 // target[lang] for lang, n in counts.items())
+    for lang, n in counts.items():
+        prod = target[lang] * mix_size
+        assert prod < 2**62  # int64 headroom at web scale
+        rate = prod // n
+        # S <= n*100//T  =>  T*S <= 100*n  =>  rate <= 100: the Spark
+        # plan's F.least(…, 100) is belt-and-braces, never load-bearing
+        assert 0 <= rate <= 100
+    limiting = min(counts, key=lambda l: counts[l] * 100 // target[l])
+    lim_rate = target[limiting] * mix_size // counts[limiting]
+    # the limiting domain is kept near-whole: its rate only loses the
+    # floor-division remainder (< 1 doc-percent of slack per division)
+    assert lim_rate >= 100 - 100 * target[limiting] // counts[limiting] - 1
