@@ -679,3 +679,58 @@ def sim7_batch_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("query_id", "vec_id", "cosine")
     )
+
+
+#: recall@k compares the LSH path against the exact ranking at this k
+#: (sim2's LIMIT); both rankings use the rounded-cosine + vec_id total
+#: order, so the comparison is deterministic across engines.
+RECALL_K = 5
+
+
+@query(
+    "sim8_ann_recall",
+    oracle=f"""
+    {_SQL_BUCKETED_CTE}, q AS (
+      SELECT b.bucket AS qbucket, v.e AS qe
+      FROM bucketed b JOIN vecs v USING (vec_id) WHERE b.vec_id = 0
+    ), exact AS (
+      SELECT v.vec_id
+      FROM vecs v CROSS JOIN q
+      WHERE v.vec_id <> 0
+      ORDER BY round({_sql_cos('v.e', 'q.qe')}, 4) DESC, v.vec_id
+      LIMIT {RECALL_K}
+    ), lsh AS (
+      SELECT b.vec_id
+      FROM bucketed b
+      JOIN vecs v USING (vec_id)
+      CROSS JOIN q
+      WHERE b.bucket = q.qbucket AND b.vec_id <> 0
+      ORDER BY round({_sql_cos('v.e', 'q.qe')}, 4) DESC, b.vec_id
+      LIMIT {RECALL_K}
+    )
+    SELECT {RECALL_K} AS k, count(*) AS n_hit,
+           CAST(count(*) AS DOUBLE) / {RECALL_K} AS recall
+    FROM exact JOIN lsh USING (vec_id)
+    """,
+)
+def sim8_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality as a QUERY: recall@{RECALL_K} of the LSH-bucketed
+    path (sim2) against the exact brute-force ranking (sim1), computed
+    by joining the two id sets — the standing eval a production ANN
+    deployment runs whenever planes/buckets/nprobe change. Both
+    rankings use the same rounded-cosine + vec_id total order, so the
+    value is deterministic and the SQL oracle reproduces it exactly.
+    At scale the exact side runs on a deterministic sample of queries
+    (here: the one probe vector the whole sim family shares)."""
+    exact = (
+        sim1_cosine_topk(spark, sf_dir)
+        .limit(RECALL_K)
+        .select("vec_id")
+    )
+    lsh = sim2_lsh_ann(spark, sf_dir).select("vec_id")
+    hits = exact.join(lsh, "vec_id")
+    return hits.agg(F.count("*").alias("n_hit")).select(
+        F.lit(RECALL_K).alias("k"),
+        "n_hit",
+        (F.col("n_hit").cast("double") / RECALL_K).alias("recall"),
+    )
