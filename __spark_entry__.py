@@ -8,9 +8,11 @@ analysis, Structured Streaming (incl. stream-stream join), ML pipelines,
 multimodal mapInPandas, as-of/range/salted joins, upsert, incremental
 (new-batch-vs-corpus) dedup, repetition/decontamination curation, and
 training-batch assembly (sequence packing, stratified sampling,
-train/val split), PII redaction, corpus profiling stats, and
-quality-aware dedup keeper policy — backed by
-``a3_fp_bigdata_spark.registry`` (135 queries, 121 with oracles —
+train/val split, data-derived domain mixture, multi-epoch repetition
+plan), PII redaction, corpus profiling stats, quality-aware dedup
+keeper policy, corpus snapshot diff (CDC), and ANN recall@k eval —
+backed by ``a3_fp_bigdata_spark.registry`` (139 queries, 125 with
+oracles —
 including pl1, the whole curation chain composed end-to-end: quality
 floor -> near-dup keeper policy -> greedy packing -> manifest). Each
 query is a pure (spark, sf_dir) -> DataFrame function; oracles are
