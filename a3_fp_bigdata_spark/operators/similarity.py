@@ -30,6 +30,10 @@ from a3_fp_bigdata_spark.registry import query
 
 NEARDUP_COSINE = 0.4
 N_PLANES = 8
+#: top-k shared by the ANN family (sim2/sim3/sim4 results, sim4's probe
+#: default, and sim8's recall denominator) — ONE constant so the eval's
+#: k can never drift from the rankings it compares.
+ANN_TOPK = 5
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -150,7 +154,7 @@ def _buckets(emb: DataFrame, planes: DataFrame) -> DataFrame:
     CROSS JOIN q
     WHERE b.bucket = q.qbucket AND b.vec_id <> 0
     ORDER BY round({_sql_cos('v.e', 'q.qe')}, 4) DESC, b.vec_id
-    LIMIT 5
+    LIMIT {ANN_TOPK}
     """,
 )
 def sim2_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -173,7 +177,7 @@ def sim2_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", cos.alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
-        .limit(5)
+        .limit(ANN_TOPK)
     )
 
 
@@ -224,7 +228,7 @@ def probe_bucketed_ann(
     spark: SparkSession,
     index_dir: str,
     query_vec_id: int = 0,
-    k: int = 5,
+    k: int = ANN_TOPK,
     *,
     sf_dir: str | None = None,
 ) -> DataFrame:
@@ -335,7 +339,7 @@ def warm_sim4_index(spark: SparkSession, sf_dir: str) -> str:
     CROSS JOIN q
     WHERE b.bucket = q.qbucket AND b.vec_id <> 0
     ORDER BY round({_sql_cos('v.e', 'q.qe')}, 4) DESC, b.vec_id
-    LIMIT 5
+    LIMIT {ANN_TOPK}
     """,
 )
 def sim4_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -405,7 +409,7 @@ def sim3_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(q))
         .select("vec_id", cos.alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
-        .limit(5)
+        .limit(ANN_TOPK)
     )
 
 
@@ -681,10 +685,11 @@ def sim7_batch_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: recall@k compares the LSH path against the exact ranking at this k
-#: (sim2's LIMIT); both rankings use the rounded-cosine + vec_id total
-#: order, so the comparison is deterministic across engines.
-RECALL_K = 5
+#: recall@k compares the LSH path against the exact ranking at sim2's
+#: own k (ANN_TOPK — shared, so the eval can never measure a different
+#: quantity than the ranking it grades); both rankings use the
+#: rounded-cosine + vec_id total order, deterministic across engines.
+RECALL_K = ANN_TOPK
 
 
 @query(

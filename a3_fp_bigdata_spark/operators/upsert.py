@@ -193,14 +193,31 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key: str,
     never the payload — so the shuffle moves (key, fp) pairs only; with
     both snapshots bucketed on the key (the nightly layout
     sources.parquet_io.write_bucketed_table produces) the join is
-    co-located and the diff is exchange-free."""
-    o = old.select(F.col(key), F.col(fp).alias("_old_fp"))
-    n = new.select(F.col(key), F.col(fp).alias("_new_fp"))
+    co-located and the diff is exchange-free.
+
+    Presence is tracked by explicit per-side markers — NOT by
+    fingerprint nullness — and the change test is null-SAFE
+    (eqNullSafe / IS DISTINCT FROM in the oracle), so a legitimately
+    NULL fingerprint (e.g. md5 of a NULL payload) is neither
+    misread as a missing row nor silently dropped from 'changed'."""
+    o = old.select(
+        F.col(key),
+        F.col(fp).alias("_old_fp"),
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        F.col(key),
+        F.col(fp).alias("_new_fp"),
+        F.lit(True).alias("_in_new"),
+    )
     joined = o.join(n, on=key, how="full_outer")
     status = (
-        F.when(F.col("_old_fp").isNull(), F.lit("added"))
-        .when(F.col("_new_fp").isNull(), F.lit("removed"))
-        .when(F.col("_old_fp") != F.col("_new_fp"), F.lit("changed"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(
+            ~F.col("_old_fp").eqNullSafe(F.col("_new_fp")),
+            F.lit("changed"),
+        )
     )
     return (
         joined.withColumn("status", status)
@@ -224,9 +241,11 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key: str,
     SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
            CASE WHEN o.doc_id IS NULL THEN 'added'
                 WHEN n.doc_id IS NULL THEN 'removed'
-                WHEN o.fp <> n.fp THEN 'changed' END AS status
+                WHEN o.fp IS DISTINCT FROM n.fp THEN 'changed'
+           END AS status
     FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
-    WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.fp <> n.fp
+    WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+       OR o.fp IS DISTINCT FROM n.fp
     """,
 )
 def u3_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:

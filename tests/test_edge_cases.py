@@ -349,9 +349,11 @@ def test_snapshot_diff_statuses_match_modular_derivation(spark):
     sets must partition the emitted keys."""
     from a3_fp_bigdata_spark import registry
 
-    docs = {
-        r.doc_id
-        for r in table(spark, SF0001, "documents").select("doc_id").collect()
+    texts = {
+        r.doc_id: r.text
+        for r in table(spark, SF0001, "documents")
+        .select("doc_id", "text")
+        .collect()
     }
     got = {
         r.doc_id: r.status
@@ -359,10 +361,14 @@ def test_snapshot_diff_statuses_match_modular_derivation(spark):
             spark, SF0001
         ).collect()
     }
-    for d in docs:
+    for d, text in texts.items():
         in_old = d % 17 != 3
         in_new = d % 19 != 2
-        edited = d % 23 == 5
+        # the simulated edit only CHANGES the fingerprint when the
+        # text has case to flip — replay the real semantics, not the
+        # derivation's intent (a caseless doc at an edited slot is
+        # correctly unchanged)
+        edited = d % 23 == 5 and text.upper() != text
         if in_new and not in_old:
             want = "added"
         elif in_old and not in_new:
@@ -372,4 +378,4 @@ def test_snapshot_diff_statuses_match_modular_derivation(spark):
         else:
             want = None  # unchanged: must not be emitted
         assert got.get(d) == want, (d, got.get(d), want)
-    assert set(got) <= docs
+    assert set(got) <= set(texts)
