@@ -33,7 +33,9 @@ SPOT = ["w5_sessionize", "z_w7_time_range_rolling", "st5_stream_tumbling",
         "tx2_quality_score",
         "z_pk1_concat_chunks", "pk2_greedy_pack", "z_pk3_stratified_sample",
         "z_pk4_train_val_split", "tx10_redact_pii", "d14_quality_keeper",
-        "tx11_corpus_stats", "pl1_training_manifest", "d12_dedup_clusters"]
+        "tx11_corpus_stats", "pl1_training_manifest", "d12_dedup_clusters",
+        "z_pk5_domain_mixture", "z_pk6_epoch_plan", "z_u3_snapshot_diff",
+        "z_sim8_ann_recall"]
 
 
 def norm(val):
