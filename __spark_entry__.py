@@ -10,8 +10,10 @@ multimodal mapInPandas, as-of/range/salted joins, upsert, incremental
 training-batch assembly (sequence packing, stratified sampling,
 train/val split, data-derived domain mixture, multi-epoch repetition
 plan), PII redaction, corpus profiling stats, quality-aware dedup
-keeper policy, corpus snapshot diff (CDC), and ANN recall@k eval —
-backed by ``a3_fp_bigdata_spark.registry`` (139 queries, 125 with
+keeper policy, corpus snapshot diff (CDC), ANN recall@k eval,
+repetition removal, unigram-LM quality scoring, near-dup
+split-leakage audit, and int8-quantized two-stage retrieval —
+backed by ``a3_fp_bigdata_spark.registry`` (143 queries, 129 with
 oracles —
 including pl1, the whole curation chain composed end-to-end: quality
 floor -> near-dup keeper policy -> greedy packing -> manifest). Each

@@ -39,6 +39,7 @@ from a3_fp_bigdata_spark.operators.text_analysis import (
     SAMPLE_MULT,
     SAMPLE_PREMOD,
     sample_predicate,
+    sample_predicate_sql,
 )
 from a3_fp_bigdata_spark.pickling import ship_by_value
 from a3_fp_bigdata_spark.registry import query
@@ -451,6 +452,56 @@ def pk6_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pk7_oracle() -> str:
+    from a3_fp_bigdata_spark.operators.dedup import _D3_CTES, _D3_SELECT
+
+    is_val_a = f"(({sample_predicate_sql('doc_a', VAL_PCT)}))"
+    is_val_b = f"(({sample_predicate_sql('doc_b', VAL_PCT)}))"
+    return f"""
+    WITH {_D3_CTES},
+    pairs AS ({_D3_SELECT})
+    SELECT CASE WHEN {is_val_a} THEN doc_b ELSE doc_a END AS train_doc,
+           CASE WHEN {is_val_a} THEN doc_a ELSE doc_b END AS val_doc,
+           jaccard
+    FROM pairs
+    WHERE {is_val_a} <> {is_val_b}
+    """
+
+
+@query("pk7_split_leakage", oracle=None)  # oracle attached below (d3 CTEs)
+def pk7_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit: near-duplicate document pairs
+    (d3's exact n-gram Jaccard ground truth) that land on OPPOSITE
+    sides of pk4's train/validation split — each pair leaks training
+    text into the eval set and silently inflates validation scores.
+    Output: (train_doc, val_doc, jaccard); the downstream fix
+    anti-joins the val side on val_doc. The split predicate is pk4's
+    hash verbatim (imported constants, not a re-derivation), so the
+    audit can never disagree with the split it audits; exact-duplicate
+    leakage is the degenerate jaccard=1.0 row of the same table.
+
+    Scale: the pair table is the expensive part and it is d3's —
+    production swaps in d4's MinHash candidates (same pair schema, no
+    quadratic term) while this registered form keeps the exact rung so
+    the oracle stays closed-form. The split test itself adds zero
+    shuffle: both predicates are scan-time arithmetic on the pair's
+    ids. Run nightly AFTER dedup-then-split pipelines too: d13 dedups
+    within a snapshot, but near-dups re-enter via incremental appends
+    (d10), so the audit re-runs per snapshot."""
+    from a3_fp_bigdata_spark.operators.dedup import d3_ngram_jaccard
+
+    pairs = d3_ngram_jaccard(spark, sf_dir)
+    val_a = sample_predicate(F.col("doc_a"), VAL_PCT)
+    val_b = sample_predicate(F.col("doc_b"), VAL_PCT)
+    return pairs.filter(val_a != val_b).select(
+        F.when(val_a, F.col("doc_b")).otherwise(F.col("doc_a"))
+        .alias("train_doc"),
+        F.when(val_a, F.col("doc_a")).otherwise(F.col("doc_b"))
+        .alias("val_doc"),
+        "jaccard",
+    )
+
+
 #: Quality floor for the end-to-end manifest (matches tx5's curation
 #: threshold); compared on round(quality, 4) in BOTH engines so the cut
 #: never depends on sub-ulp double agreement.
@@ -592,16 +643,21 @@ def _pl1_oracle() -> str:
     """
 
 
-def _attach_pl1_oracle() -> None:
+def _attach_deferred_oracles() -> None:
+    """Oracles composed from other modules' CTE fragments are attached
+    post-registration (the fragments import cleanly only after the
+    whole operator package is loadable)."""
     import dataclasses
 
     from a3_fp_bigdata_spark import registry as _R
 
-    rq = _R._REGISTRY["pl1_training_manifest"]
-    if rq.oracle is None:
-        _R._REGISTRY["pl1_training_manifest"] = dataclasses.replace(
-            rq, oracle=_pl1_oracle()
-        )
+    for name, build in (
+        ("pl1_training_manifest", _pl1_oracle),
+        ("pk7_split_leakage", _pk7_oracle),
+    ):
+        rq = _R._REGISTRY[name]
+        if rq.oracle is None:
+            _R._REGISTRY[name] = dataclasses.replace(rq, oracle=build())
 
 
-_attach_pl1_oracle()
+_attach_deferred_oracles()

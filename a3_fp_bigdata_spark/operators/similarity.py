@@ -739,3 +739,103 @@ def sim8_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hit",
         (F.col("n_hit").cast("double") / RECALL_K).alias("recall"),
     )
+
+
+#: Candidates the int8 coarse stage hands to the exact rerank stage.
+#: >> ANN_TOPK so quantization error can't push a true neighbor out of
+#: the final k unless it fell below rank RERANK_CAND in int8 order.
+RERANK_CAND = 50
+
+#: DuckDB rendering of the per-vector symmetric-int8 max-abs scale —
+#: identical algebra to sim6's quantizer (list_max of |x| in f64,
+#: floored at 1e-12).
+_SQL_MX = (
+    "greatest(list_max(list_transform({col},"
+    " x -> abs(CAST(x AS DOUBLE)))), 1e-12)"
+)
+
+
+@query(
+    "sim9_quantized_rerank",
+    oracle=f"""
+    WITH q AS (
+      SELECT {_SQL_D.format(col='embedding')} AS qe,
+             {_SQL_MX.format(col='embedding')} AS qmx
+      FROM embeddings WHERE vec_id = 0
+    ), s AS (
+      SELECT vec_id, {_SQL_D.format(col='embedding')} AS e,
+             {_SQL_MX.format(col='embedding')} AS mx
+      FROM embeddings WHERE vec_id <> 0
+    ), coarse AS (
+      SELECT s.vec_id, s.e, q.qe,
+             round(list_dot_product(
+                       list_transform(s.e, x -> round(x * 127.0 / s.mx)),
+                       list_transform(q.qe, x -> round(x * 127.0 / q.qmx)))
+                   * s.mx * q.qmx / 16129.0, 4) AS approx
+      FROM s CROSS JOIN q
+      ORDER BY approx DESC, s.vec_id
+      LIMIT {RERANK_CAND}
+    )
+    SELECT vec_id, approx, round({_sql_cos('e', 'qe')}, 4) AS cosine
+    FROM coarse
+    ORDER BY round({_sql_cos('e', 'qe')}, 4) DESC, vec_id
+    LIMIT {ANN_TOPK}
+    """,
+)
+def sim9_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: an int8-quantized coarse scan (sim6's
+    symmetric max-abs quantizer, 4x less memory bandwidth than f32)
+    ranks the corpus by approximate dot product and keeps the top
+    {RERANK_CAND}; the exact f64 cosine then reranks only those and
+    emits the final top-{ANN_TOPK}. The production ANN shape when
+    recall matters more than sim2's bucket pruning allows: the cheap
+    pass touches everything at int8 speed, the exact pass touches
+    {RERANK_CAND} rows.
+
+    Determinism: the quantized dot is a sum of 64 integer products
+    (each |q| <= 127, so the f64 accumulation is exact in both
+    engines); the approx score orders on round(.., 4) + vec_id, so the
+    candidate CUT is identical across engines, and the final order is
+    sim1's rounded-cosine + vec_id. Scale: stage 1 is a TakeOrdered
+    partial top-{RERANK_CAND} (no global sort, no shuffle beyond the
+    k-row merge); stage 2 is driver-free column algebra over
+    {RERANK_CAND} rows."""
+    emb = table(spark, sf_dir, "embeddings")
+
+    def mx_of(col: Column) -> Column:
+        return F.greatest(
+            F.array_max(F.transform(col, lambda x: F.abs(x.cast("double")))),
+            F.lit(1e-12),
+        )
+
+    def quant(col: Column, scale: Column) -> Column:
+        return F.transform(
+            col, lambda x: F.round(x.cast("double") * 127.0 / scale)
+        )
+
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"),
+        mx_of(F.col("embedding")).alias("qmx"),
+    )
+    s = emb.filter(F.col("vec_id") != 0).withColumn(
+        "mx", mx_of(F.col("embedding"))
+    )
+    int_dot = dot(
+        quant(F.col("embedding"), F.col("mx")),
+        quant(F.col("q_emb"), F.col("qmx")),
+    )
+    approx = F.round(
+        int_dot * F.col("mx") * F.col("qmx") / F.lit(16129.0), 4
+    )
+    coarse = (
+        s.crossJoin(F.broadcast(q))
+        .select("vec_id", "embedding", "q_emb", approx.alias("approx"))
+        .orderBy(F.desc("approx"), F.asc("vec_id"))
+        .limit(RERANK_CAND)
+    )
+    cos = F.round(cosine(F.col("embedding"), F.col("q_emb")), 4)
+    return (
+        coarse.select("vec_id", "approx", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(ANN_TOPK)
+    )

@@ -648,3 +648,121 @@ def tx11_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(cost, 0.95)"), 4).alias("p95_tokens"),
         F.round(F.stddev_samp("cost"), 4).alias("sd_tokens"),
     )
+
+
+#: DuckDB rendering of the tx4 fingerprint (md5 over normalized text) —
+#: public so split/leakage oracles (packing.pk7) stay in sync with tx4.
+SQL_FINGERPRINT = f"md5({_SQL_NORM})"
+
+
+@query(
+    "tx12_collapse_repeats",
+    oracle="""
+    WITH l AS (
+      SELECT doc_id, string_split(text, ' ') AS ls FROM documents
+    ), kept AS (
+      SELECT doc_id, ls,
+             list_filter(ls, (x, i) -> i = 1 OR x <> ls[i - 1]) AS ks
+      FROM l
+    )
+    SELECT doc_id,
+           CAST(len(ls) AS INT) AS n_segments,
+           CAST(len(ks) AS INT) AS n_after,
+           array_to_string(ks, ' ') AS clean_text
+    FROM kept
+    """,
+)
+def tx12_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition REMOVAL (tx8 scores repetition; this
+    rewrites the text): split into segments, drop each segment equal to
+    its immediate predecessor (run-length collapse), reassemble. The
+    Gopher/C4 cleanup rung for stuttered generations and template spam
+    — on real corpora the segment delimiter is the newline (duplicate
+    *lines* collapse); this corpus is single-line so the registered
+    form runs at word granularity, same algebra.
+
+    Scale: pure per-row array lambdas (split -> indexed filter ->
+    array_join) — whole-stage codegen, zero shuffle, zero Python; the
+    rewrite rides the same parquet scan as any other per-doc map. The
+    indexed lambda compares element i to element i-1 positionally, so
+    no sort, no window, no self-join; both engines walk the list in
+    index order and emit identical text."""
+    docs = table(spark, sf_dir, "documents")
+    ls = F.split(F.col("text"), " ")
+    # Spark filter lambdas index from 0; element_at is 1-based, so
+    # element_at(ls, i) IS the predecessor of 0-based position i.
+    kept = F.filter(
+        ls, lambda x, i: (i == F.lit(0)) | (x != F.element_at(ls, i))
+    )
+    return docs.select(
+        "doc_id",
+        F.size(ls).alias("n_segments"),
+        F.size(kept).alias("n_after"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )
+
+
+@query(
+    "tx13_unigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+    ), counts AS (
+      SELECT tok, count(*) AS c FROM toks
+      WHERE {sample_predicate_sql('doc_id')}
+      GROUP BY tok
+    ), stats AS (
+      SELECT CAST(sum(c) AS DOUBLE) AS total, CAST(count(*) AS DOUBLE) AS v
+      FROM counts
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(ln((COALESCE(c.c, 0) + 1.0) / (s.total + s.v))), 4)
+             + 0.0 AS avg_logprob
+    FROM toks t LEFT JOIN counts c USING (tok) CROSS JOIN stats s
+    GROUP BY t.doc_id
+    """,
+)
+def tx13_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality proxy (the CCNet-style filter):
+    fit add-one-smoothed unigram log-probabilities on the deterministic
+    {SAMPLE_PCT}% sample (tx6's predicate — auditable, engine-stable),
+    then score every document by its mean token log-probability.
+    Gibberish and OOV-heavy docs score low and get dropped by a
+    downstream threshold; the score is the standard cheap stand-in for
+    a perplexity filter when no trained LM is at hand.
+
+    Scale: the model IS a (token, count) table fit on the sample —
+    small enough to BROADCAST (vocab grows ~ O(corpus^0.5), Heaps'
+    law), so corpus scoring is scan -> explode -> broadcast-hash join
+    -> per-doc avg; the only shuffle is the map-side-combinable
+    (doc_id) re-aggregation. The fit itself shuffles only sample
+    tokens. Both engines share exact integer counts; f64 ln/avg differ
+    at ulp level at most, absorbed by round(4)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    )
+    counts = (
+        toks.filter(sample_predicate(F.col("doc_id")))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    stats = counts.agg(
+        F.sum("c").cast("double").alias("total"),
+        F.count("*").cast("double").alias("v"),
+    )
+    lp = F.log(
+        (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+        / (F.col("total") + F.col("v"))
+    )
+    return (
+        toks.join(F.broadcast(counts), "tok", "left")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            (F.round(F.avg("lp"), 4) + F.lit(0.0)).alias("avg_logprob"),
+        )
+    )

@@ -136,11 +136,13 @@ def all_oracles() -> dict[str, str]:
 #: tiering only decides which 50 the driver's bounded sweep lands on.
 CANONICAL = frozenset(
     {
-        # aggregates (a1 group-count subsumed by a8; a13 q6 by a8+a14)
-        "a5_stddev", "a8_tpch_q1", "a9_rollup", "a14_tpch_q3_shape",
+        # aggregates (a1 group-count subsumed by a8; a13 q6 by a8+a14;
+        # a5 stddev subsumed by a8's agg surface + z_a5 parity)
+        "a8_tpch_q1", "a9_rollup", "a14_tpch_q3_shape",
         # dedup ladder (+ d8: Arrow-numpy winnowing, a distinct plan
-        # shape; d12 connected-components clusters; d14 quality keeper)
-        "d1_exact_dedup", "d2_dedup_keep_first", "d3_ngram_jaccard",
+        # shape; d12 connected-components clusters; d14 quality keeper;
+        # d2's window-dedup shape is w1's, parity-checked as z_d2)
+        "d1_exact_dedup", "d3_ngram_jaccard",
         "d4_minhash_lsh", "d8_winnow_fingerprint",
         "d12_dedup_clusters", "d14_quality_keeper",
         # scalar/text functions (f2 token-overlap is f1's plan twin)
@@ -152,30 +154,37 @@ CANONICAL = frozenset(
         "j8_asof_join", "j9_range_join",
         # ML + multimodal
         "ml1_cluster_sizes", "mm1_binary_metadata", "mm2_image_features",
-        # filters/projections (p1 bare projection subsumed by p4's scan;
-        # p7's conjunction shape is covered by p4+p6)
-        "p4_eq_predicate", "p6_substring_predicate",
-        # training-batch assembly (greedy packer + end-to-end manifest)
-        "pk2_greedy_pack", "pl1_training_manifest",
-        # similarity search (+ sim4: partition-pruned materialized index)
+        # filters/projections (p6's pushed substring scan carries the
+        # family; the p1/p4/p7 scan shapes are its parity-checked twins)
+        "p6_substring_predicate",
+        # training-batch assembly (greedy packer, data-derived domain
+        # mixture, near-dup split-leakage audit, end-to-end manifest)
+        "pk2_greedy_pack", "pk5_domain_mixture", "pk7_split_leakage",
+        "pl1_training_manifest",
+        # similarity search (+ sim4: partition-pruned materialized
+        # index; sim9: int8 coarse scan -> exact rerank)
         "sim1_cosine_topk", "sim2_lsh_ann", "sim4_bucketed_ann",
+        "sim9_quantized_rerank",
         # set ops (so1 union-all is plan-trivial; so3 covers the family)
         "so3_except",
         # SQL surface + sources
         "sql1_spark_sql_surface", "src1_csv_roundtrip", "src2_json_roundtrip",
         # serving endpoints (search_suggestions' substring shape == p6)
         "srv_recommend_by_category", "srv_top_apps",
-        # streaming
-        "st1_tumbling_window", "st4_stream_dedup", "st5_stream_tumbling",
+        # streaming (st4's dedup shape is st10's micro-batch core,
+        # parity-checked as z_st4/z_st6)
+        "st1_tumbling_window", "st5_stream_tumbling",
         "st7_stream_stream_join",
         # top-k / sort (t2's distinct+topk shape covered by t1+a3)
         "t1_topk_multikey",
-        # text analysis (+ tx7: relational train-and-classify lang-ID;
-        # tx10 PII redaction; tx11 corpus profiling)
-        "tx1_lang_id", "tx2_quality_score", "tx7_ngram_lang_confusion",
-        "tx10_redact_pii", "tx11_corpus_stats",
-        # upsert (+ u2: SCD2 versioned-dimension merge)
-        "u1_merge_upsert", "u2_scd2_history",
+        # text analysis (+ tx7: relational train-and-classify lang-ID —
+        # it subsumes tx1's vocabulary heuristic; tx10 PII redaction;
+        # tx11 corpus profiling; tx13 unigram-LM quality proxy)
+        "tx2_quality_score", "tx7_ngram_lang_confusion",
+        "tx10_redact_pii", "tx11_corpus_stats", "tx13_unigram_logprob",
+        # upsert/CDC (+ u2: SCD2 versioned-dimension merge; u3:
+        # snapshot-diff change capture)
+        "u1_merge_upsert", "u2_scd2_history", "u3_snapshot_diff",
         # windows (w2 lag-delta is a thinner w1-family window)
         "w1_topk_per_group", "w5_sessionize",
         # semistructured (x2 array-agg covered by x1 + a9's agg surface)

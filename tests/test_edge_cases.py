@@ -379,3 +379,43 @@ def test_snapshot_diff_statuses_match_modular_derivation(spark):
             want = None  # unchanged: must not be emitted
         assert got.get(d) == want, (d, got.get(d), want)
     assert set(got) <= set(texts)
+
+
+def test_collapse_repeats_is_idempotent(spark):
+    """tx12's run-length collapse is a projection to its own fixed
+    point: re-collapsing the cleaned text changes nothing, and the
+    cleaned text never contains two identical adjacent segments."""
+    from a3_fp_bigdata_spark import registry
+
+    out = registry.all_queries()["tx12_collapse_repeats"](spark, SF0001)
+    ls = F.split(F.col("clean_text"), " ")
+    again = F.filter(
+        ls, lambda x, i: (i == F.lit(0)) | (x != F.element_at(ls, i))
+    )
+    changed = out.filter(F.size(again) != F.col("n_after")).count()
+    assert changed == 0
+    assert out.filter(F.col("n_after") > F.col("n_segments")).count() == 0
+
+
+def test_quantized_rerank_recall_vs_exact(spark):
+    """sim9's int8 coarse stage must not cost recall at this scale:
+    with RERANK_CAND candidates feeding the exact rerank, the final
+    top-k matches sim1's exact top-k on the same rounded-cosine order.
+    (int8 max-abs quantization keeps relative dot error ~1/127 — far
+    smaller than the corpus' cosine gaps at rank RERANK_CAND.)"""
+    from a3_fp_bigdata_spark import registry
+    from a3_fp_bigdata_spark.operators.similarity import ANN_TOPK
+
+    exact = [
+        r.vec_id
+        for r in registry.all_queries()["sim1_cosine_topk"](spark, SF0001)
+        .limit(ANN_TOPK)
+        .collect()
+    ]
+    got = [
+        r.vec_id
+        for r in registry.all_queries()["sim9_quantized_rerank"](
+            spark, SF0001
+        ).collect()
+    ]
+    assert got == exact

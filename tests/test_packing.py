@@ -208,3 +208,28 @@ def test_epoch_plan_counts_and_nesting(spark):
             continue
         cpct = EPOCHS_CPCT.get(lang, EPOCHS_DEFAULT_CPCT)
         assert abs(by_lang[lang] / n - cpct / 100) < 0.2, lang
+
+
+def test_split_leakage_pairs_straddle_the_split(spark):
+    """pk7 invariants: every emitted pair has val_doc on the val side
+    of pk4's predicate and train_doc on the train side (orientation),
+    and the pair set is exactly d3's pairs filtered to straddlers."""
+    from a3_fp_bigdata_spark.operators.packing import VAL_PCT
+
+    def is_val(doc_id: int) -> bool:
+        return ((doc_id % SAMPLE_PREMOD) * SAMPLE_MULT) % 100 < VAL_PCT
+
+    rows = registry.all_queries()["pk7_split_leakage"](
+        spark, SF0001
+    ).collect()
+    assert rows, "sf0.001 corpus is known to contain straddling pairs"
+    for r in rows:
+        assert is_val(r.val_doc) and not is_val(r.train_doc)
+        assert 0 < r.jaccard <= 1.0
+    d3 = registry.all_queries()["d3_ngram_jaccard"](spark, SF0001).collect()
+    straddlers = {
+        frozenset((p.doc_a, p.doc_b))
+        for p in d3
+        if is_val(p.doc_a) != is_val(p.doc_b)
+    }
+    assert {frozenset((r.train_doc, r.val_doc)) for r in rows} == straddlers

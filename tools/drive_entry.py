@@ -27,15 +27,25 @@ for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
 qs, oracles = E.queries(), E.oracle_sql()
-SPOT = ["w5_sessionize", "z_w7_time_range_rolling", "st5_stream_tumbling",
-        "st7_stream_stream_join", "src2_json_roundtrip", "a8_tpch_q1",
-        "st1_tumbling_window", "d1_exact_dedup", "sim2_lsh_ann",
-        "tx2_quality_score",
-        "z_pk1_concat_chunks", "pk2_greedy_pack", "z_pk3_stratified_sample",
-        "z_pk4_train_val_split", "tx10_redact_pii", "d14_quality_keeper",
-        "tx11_corpus_stats", "pl1_training_manifest", "d12_dedup_clusters",
-        "z_pk5_domain_mixture", "z_pk6_epoch_plan", "z_u3_snapshot_diff",
-        "z_sim8_ann_recall"]
+# Spot names are REGISTRY names; resolve the driver-facing exposure
+# name at runtime so canonical-window rotations can't break the tool.
+from a3_fp_bigdata_spark.registry import exposure_name
+
+_SPOT_BASE = [
+    "w5_sessionize", "w7_time_range_rolling", "st5_stream_tumbling",
+    "st7_stream_stream_join", "src2_json_roundtrip", "a8_tpch_q1",
+    "st1_tumbling_window", "d1_exact_dedup", "sim2_lsh_ann",
+    "tx2_quality_score",
+    "pk1_concat_chunks", "pk2_greedy_pack", "pk3_stratified_sample",
+    "pk4_train_val_split", "tx10_redact_pii", "d14_quality_keeper",
+    "tx11_corpus_stats", "pl1_training_manifest", "d12_dedup_clusters",
+    "pk5_domain_mixture", "pk6_epoch_plan", "u3_snapshot_diff",
+    "sim8_ann_recall",
+    # round-5 late additions
+    "tx12_collapse_repeats", "tx13_unigram_logprob", "pk7_split_leakage",
+    "sim9_quantized_rerank",
+]
+SPOT = [exposure_name(n) for n in _SPOT_BASE]
 
 
 def norm(val):
