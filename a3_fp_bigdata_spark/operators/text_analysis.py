@@ -702,6 +702,16 @@ def tx12_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Unigram-LM vocabulary cap: keep the LM_VOCAB_K most frequent sample
+#: tokens (count desc, token asc — a deterministic total order). Real
+#: LMs run a fixed vocabulary for the same reason this one does: the
+#: scoring join's build side is then PROVABLY <= K rows at any corpus
+#: size, so the broadcast can never outgrow executor memory (no Heaps'
+#:-law growth, no runtime size guard needed). Everything below the cap
+#: scores as OOV through the same add-one floor.
+LM_VOCAB_K = 65_536
+
+
 @query(
     "tx13_unigram_logprob",
     oracle=f"""
@@ -711,6 +721,8 @@ def tx12_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT tok, count(*) AS c FROM toks
       WHERE {sample_predicate_sql('doc_id')}
       GROUP BY tok
+      ORDER BY c DESC, tok
+      LIMIT {LM_VOCAB_K}
     ), stats AS (
       SELECT CAST(sum(c) AS DOUBLE) AS total, CAST(count(*) AS DOUBLE) AS v
       FROM counts
@@ -732,13 +744,16 @@ def tx13_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream threshold; the score is the standard cheap stand-in for
     a perplexity filter when no trained LM is at hand.
 
-    Scale: the model IS a (token, count) table fit on the sample —
-    small enough to BROADCAST (vocab grows ~ O(corpus^0.5), Heaps'
-    law), so corpus scoring is scan -> explode -> broadcast-hash join
-    -> per-doc avg; the only shuffle is the map-side-combinable
-    (doc_id) re-aggregation. The fit itself shuffles only sample
-    tokens. Both engines share exact integer counts; f64 ln/avg differ
-    at ulp level at most, absorbed by round(4)."""
+    Scale: the model IS a (token, count) table fit on the sample and
+    capped at the LM_VOCAB_K most frequent entries (TakeOrdered — a
+    distributed partial top-k, no global sort), so the scoring join's
+    build side is bounded <= K rows at ANY corpus size and the
+    broadcast hint is unconditionally safe; corpus scoring is scan ->
+    explode -> broadcast-hash join -> per-doc avg; the only shuffle is
+    the map-side-combinable (doc_id) re-aggregation. The fit itself
+    shuffles only sample tokens. Both engines share exact integer
+    counts; f64 ln/avg differ at ulp level at most, absorbed by
+    round(4)."""
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
@@ -747,6 +762,8 @@ def tx13_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.filter(sample_predicate(F.col("doc_id")))
         .groupBy("tok")
         .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(LM_VOCAB_K)
     )
     stats = counts.agg(
         F.sum("c").cast("double").alias("total"),

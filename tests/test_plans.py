@@ -279,3 +279,37 @@ def test_domain_mixture_shuffles_counts_not_docs(spark, qs):
     # them partitions by doc_id
     assert "hashpartitioning(doc_id" not in plan
     assert "EvalPython" not in plan
+
+
+def test_collapse_repeats_is_scan_only(spark, qs):
+    """tx12: the rewrite is per-row array algebra — zero exchanges,
+    zero Python eval; at 100 TB it runs at parquet scan speed."""
+    df = qs["tx12_collapse_repeats"](spark, SF0001)
+    assert PI.shuffle_count(df) == 0
+    assert "EvalPython" not in PI.physical_plan(df)
+
+
+def test_unigram_scoring_joins_by_broadcast(spark, qs):
+    """tx13: the corpus-side scoring join must be a broadcast hash
+    join (the capped vocab is the build side); the corpus never
+    shuffles by token — its only hashpartitioning is the per-doc
+    re-aggregation."""
+    df = qs["tx13_unigram_logprob"](spark, SF0001)
+    assert PI.uses_broadcast_join(df)
+    plan = PI.physical_plan(df)
+    # the (tok) exchanges belong to the tiny sample-side vocab fit;
+    # the full corpus only ever partitions by doc_id
+    assert plan.count("hashpartitioning(doc_id") == 1
+    assert "EvalPython" not in plan
+
+
+def test_quantized_rerank_is_two_take_ordereds(spark, qs):
+    """sim9: both stages must stay distributed partial top-k — a
+    TakeOrderedAndProject for the int8 coarse cut and one for the
+    exact rerank; the query vector is the only broadcast, and there
+    is no global sort."""
+    df = qs["sim9_quantized_rerank"](spark, SF0001)
+    plan = PI.physical_plan(df)
+    assert plan.count("TakeOrderedAndProject") == 2
+    assert "Sort [" not in plan.replace("TakeOrderedAndProject", "")
+    assert PI.shuffle_count(df) == 0

@@ -343,6 +343,31 @@ def main() -> None:
         f"{MIX_PCT['en'] / sum_t:.0%})."
     )
 
+    # ---- curation scoring rung: the per-doc rewrite/score ops at 3x
+    # sf0.1 on the skewed corpus — tx12/tx13 must stay scan-dominated
+    # (tx12 zero-shuffle; tx13's only corpus shuffle is the per-doc
+    # re-agg, its vocab build capped at LM_VOCAB_K), and pk7 rides the
+    # already-staged shingle structures (its pair derivation is d3's).
+    print()
+    print("## Curation scoring / leakage audit")
+    print()
+    print("tx12 rewrites every doc (run-length segment collapse) with")
+    print("ZERO shuffles; tx13 fits a capped-vocab unigram LM on the")
+    print("deterministic sample and scores the corpus through one")
+    print("broadcast join + one map-side-combinable re-agg; pk7 reuses")
+    print("the staged shingle inverted index to find near-dup pairs")
+    print("that straddle the train/val split under the 60% hot lang.")
+    print()
+    print("| stage | rows out | wall s | shuffle write | shuffle read | peak JVM mem |")
+    print("|---|---|---|---|---|---|")
+    timed_row.w0, timed_row.r0 = _shuffle_totals(spark)
+    for name in (
+        "tx12_collapse_repeats",
+        "tx13_unigram_logprob",
+        "pk7_split_leakage",
+    ):
+        timed_row(name, lambda n=name: qs[n](spark, sf_dir).count())
+
     # ---- ANN / embedding rung: skewed cells, planted near-identicals
     print()
     print("## Similarity / ANN under cell skew")
