@@ -38,6 +38,7 @@ from a3_fp_bigdata_spark.functions import text as TX
 from a3_fp_bigdata_spark.operators.text_analysis import (
     SAMPLE_MULT,
     SAMPLE_PREMOD,
+    _SQL_TOKS as _SQL_TOKS_REF,  # DuckDB twin of TX.tokens — keep in sync
     sample_predicate,
     sample_predicate_sql,
 )
@@ -448,6 +449,80 @@ def pk6_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(
                 F.sequence(F.lit(1).cast("long"), F.col("n_epochs"))
             ).alias("epoch"),
+        )
+    )
+
+
+#: Sliding-window chunking: CHUNK_SIZE tokens per chunk, CHUNK_STRIDE
+#: tokens between chunk starts (overlap = SIZE - STRIDE). Production
+#: RAG/context-window prep runs ~512/384; these are scaled to the
+#: synthetic corpus' ~55-token docs so multi-chunk docs actually occur.
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24
+
+
+@query(
+    "pk8_sliding_chunks",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKS_REF} AS w FROM documents
+    ), c AS (
+      SELECT doc_id, w,
+             unnest(range(0, CASE WHEN len(w) = 0 THEN 0
+                  ELSE 1 + (greatest(len(w) - {CHUNK_SIZE}, 0)
+                            + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE}
+                  END)) AS chunk_idx
+      FROM t
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(list_slice(w, chunk_idx * {CHUNK_STRIDE} + 1,
+                least(chunk_idx * {CHUNK_STRIDE} + {CHUNK_SIZE}, len(w))))
+                AS INT) AS n_tokens,
+           array_to_string(
+             list_slice(w, chunk_idx * {CHUNK_STRIDE} + 1,
+                least(chunk_idx * {CHUNK_STRIDE} + {CHUNK_SIZE}, len(w))),
+             ' ') AS chunk_text
+    FROM c
+    """,
+)
+def pk8_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the RAG-indexing / context-
+    window prep op: each doc becomes overlapping {CHUNK_SIZE}-token
+    chunks whose starts advance by {CHUNK_STRIDE} (chunk count =
+    1 + ceil(max(n - size, 0) / stride), so the final chunk always
+    reaches the document end and no chunk is wholly contained in its
+    predecessor). Output keys (doc_id, chunk_idx) are the downstream
+    embedding/indexing keys.
+
+    Scale: pure per-row algebra — tokenize, integer chunk-count,
+    explode(sequence), slice — zero shuffles, zero Python; the row
+    amplification (~n/stride per doc) happens in a narrow Generate
+    inside the scan stage, exactly how a 100 TB corpus wants to fan
+    out to its embedding pass. Chunk boundaries are deterministic
+    integer arithmetic, so re-runs (and engines) agree."""
+    docs = table(spark, sf_dir, "documents")
+    nw = F.size(F.col("_w"))
+    last_idx = F.expr(
+        f"(greatest(size(_w) - {CHUNK_SIZE}, 0) + {CHUNK_STRIDE - 1})"
+        f" div {CHUNK_STRIDE}"
+    )
+    # empty token list -> null sequence -> explode drops the doc
+    # (a bare sequence(0, -1) would DESCEND and emit phantom chunks)
+    idx_seq = F.when(
+        nw > 0,
+        F.sequence(F.lit(0).cast("long"), last_idx.cast("long")),
+    )
+    start = F.col("chunk_idx") * CHUNK_STRIDE
+    length = F.least(start + F.lit(CHUNK_SIZE), nw) - start
+    chunk = F.slice(F.col("_w"), start + 1, length)
+    return (
+        docs.select("doc_id", TX.tokens(F.col("text")).alias("_w"))
+        .select("doc_id", "_w", F.explode(idx_seq).alias("chunk_idx"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size(chunk).alias("n_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
         )
     )
 

@@ -783,3 +783,106 @@ def tx13_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.avg("lp"), 4) + F.lit(0.0)).alias("avg_logprob"),
         )
     )
+
+
+#: Collocation mining floor/size: bigrams seen fewer than
+#: BIGRAM_MIN_COUNT times carry no stable PMI signal (a count-1 bigram
+#: of two rare words maxes the score); PMI_TOP_K bounds the result (and
+#: the TakeOrdered) regardless of corpus size.
+BIGRAM_MIN_COUNT = 5
+PMI_TOP_K = 50
+
+
+@query(
+    "tx14_bigram_pmi",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, {_SQL_TOKS} AS w FROM documents
+    ), uni AS (
+      SELECT unnest(w) AS tok FROM words
+    ), ucnt AS (
+      SELECT tok, count(*) AS c FROM uni GROUP BY tok
+    ), n AS (
+      SELECT CAST(sum(c) AS DOUBLE) AS total FROM ucnt
+    ), bg AS (
+      SELECT unnest(list_transform(range(1, len(w)),
+                    i -> [w[i], w[i+1]])) AS p
+      FROM words WHERE len(w) >= 2
+    ), bcnt AS (
+      SELECT p[1] AS w1, p[2] AS w2, count(*) AS c
+      FROM bg GROUP BY 1, 2
+      HAVING count(*) >= {BIGRAM_MIN_COUNT}
+    ), b AS (
+      SELECT CAST(sum(c) AS DOUBLE) AS total
+      FROM (SELECT count(*) AS c FROM bg)
+    )
+    SELECT w1, w2, CAST(bcnt.c AS BIGINT) AS n_pair,
+           round(ln((bcnt.c / b.total)
+                    / ((u1.c / n.total) * (u2.c / n.total))), 4) + 0.0
+             AS pmi
+    FROM bcnt
+    JOIN ucnt u1 ON u1.tok = w1
+    JOIN ucnt u2 ON u2.tok = w2
+    CROSS JOIN n CROSS JOIN b
+    ORDER BY pmi DESC, w1, w2
+    LIMIT {PMI_TOP_K}
+    """,
+)
+def tx14_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information of adjacent
+    token pairs, ln(P(ab) / (P(a)P(b))) — the corpus-analysis rung
+    that surfaces multi-word terms ("new york") for tokenizer vocab
+    decisions and boilerplate detection (top-PMI pairs repeated across
+    a crawl are navigation chrome). Floor {BIGRAM_MIN_COUNT} kills
+    unstable rare-pair scores; output is the top {PMI_TOP_K} by
+    (rounded PMI, w1, w2) — a deterministic total order both engines
+    share.
+
+    Scale: two map-side-combinable counting shuffles (unigrams,
+    bigrams — both key on tokens, not documents), two broadcast-able
+    count joins (the bigram side is already floored, the unigram side
+    is vocab-sized; AQE picks broadcast when they fit, same argument
+    as tx13's capped vocab), scalar totals via single-row cross joins,
+    and a TakeOrdered final cut — no global sort, nothing driver-side."""
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(TX.tokens(F.col("text")).alias("w"))
+    uni = words.select(F.explode(F.col("w")).alias("tok"))
+    ucnt = uni.groupBy("tok").agg(F.count("*").alias("c"))
+    n_total = ucnt.agg(F.sum("c").cast("double").alias("n_total"))
+    bg = words.filter(F.size("w") >= 2).select(
+        F.explode(
+            F.transform(
+                F.slice(F.col("w"), 1, F.size("w") - 1),
+                lambda x, i: F.struct(
+                    x.alias("w1"),
+                    F.element_at(F.col("w"), i + 2).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    b_total = bg.agg(F.count("*").cast("double").alias("b_total"))
+    bcnt = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= BIGRAM_MIN_COUNT)
+    )
+    u1 = ucnt.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    u2 = ucnt.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.round(
+        F.log(
+            (F.col("n_pair") / F.col("b_total"))
+            / ((F.col("c1") / F.col("n_total"))
+               * (F.col("c2") / F.col("n_total")))
+        ),
+        4,
+    ) + F.lit(0.0)
+    return (
+        bcnt.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_total))
+        .crossJoin(F.broadcast(b_total))
+        .select("w1", "w2", F.col("n_pair").cast("long").alias("n_pair"),
+                pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(PMI_TOP_K)
+    )

@@ -233,3 +233,37 @@ def test_split_leakage_pairs_straddle_the_split(spark):
         if is_val(p.doc_a) != is_val(p.doc_b)
     }
     assert {frozenset((r.train_doc, r.val_doc)) for r in rows} == straddlers
+
+
+def test_sliding_chunks_cover_each_document(spark):
+    """pk8 invariants: chunk indices are dense from 0; every chunk
+    holds 1..CHUNK_SIZE tokens; consecutive starts advance by
+    CHUNK_STRIDE; the final chunk reaches exactly the document's last
+    token (full coverage, no phantom tail chunk)."""
+    from a3_fp_bigdata_spark.operators.packing import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+    )
+    from a3_fp_bigdata_spark.operators.text_analysis import tx3_token_count
+
+    n_by_doc = {
+        r.doc_id: r.n_ws_tokens
+        for r in tx3_token_count(spark, SF0001).collect()
+    }
+    rows = registry.all_queries()["pk8_sliding_chunks"](
+        spark, SF0001
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {d for d, n in n_by_doc.items() if n > 0}
+    for doc, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        n = n_by_doc[doc]
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        for c in chunks:
+            assert 1 <= c.n_tokens <= CHUNK_SIZE
+        last = chunks[-1]
+        assert last.chunk_idx * CHUNK_STRIDE + last.n_tokens == n
+        expected = 1 + max(0, -(-(max(n - CHUNK_SIZE, 0)) // CHUNK_STRIDE))
+        assert len(chunks) == expected

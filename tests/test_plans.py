@@ -313,3 +313,22 @@ def test_quantized_rerank_is_two_take_ordereds(spark, qs):
     assert plan.count("TakeOrderedAndProject") == 2
     assert "Sort [" not in plan.replace("TakeOrderedAndProject", "")
     assert PI.shuffle_count(df) == 0
+
+
+def test_sliding_chunks_is_scan_only(spark, qs):
+    """pk8: chunk fan-out must be a narrow Generate in the scan stage —
+    zero exchanges, zero Python."""
+    df = qs["pk8_sliding_chunks"](spark, SF0001)
+    assert PI.shuffle_count(df) == 0
+    plan = PI.physical_plan(df)
+    assert "Generate explode" in plan
+    assert "EvalPython" not in plan
+
+
+def test_bigram_pmi_ends_in_take_ordered(spark, qs):
+    """tx14: the top-k cut must stay a distributed TakeOrdered, the
+    count joins must broadcast, and nothing runs in Python."""
+    df = qs["tx14_bigram_pmi"](spark, SF0001)
+    assert PI.has_take_ordered(df)
+    assert PI.uses_broadcast_join(df)
+    assert "EvalPython" not in PI.physical_plan(df)
