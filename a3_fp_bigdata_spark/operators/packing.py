@@ -461,10 +461,10 @@ CHUNK_SIZE = 32
 CHUNK_STRIDE = 24
 
 
-@query(
-    "pk8_sliding_chunks",
-    oracle=f"""
-    WITH t AS (
+# pk8's chunk derivation as a reusable oracle fragment — pl2's index
+# pipeline builds on the same chunks, so both oracles share ONE
+# definition of the chunk boundaries.
+_PK8_CTES = f"""t AS (
       SELECT doc_id, {_SQL_TOKS_REF} AS w FROM documents
     ), c AS (
       SELECT doc_id, w,
@@ -473,16 +473,24 @@ CHUNK_STRIDE = 24
                             + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE}
                   END)) AS chunk_idx
       FROM t
-    )
-    SELECT doc_id, chunk_idx,
-           CAST(len(list_slice(w, chunk_idx * {CHUNK_STRIDE} + 1,
-                least(chunk_idx * {CHUNK_STRIDE} + {CHUNK_SIZE}, len(w))))
-                AS INT) AS n_tokens,
-           array_to_string(
-             list_slice(w, chunk_idx * {CHUNK_STRIDE} + 1,
-                least(chunk_idx * {CHUNK_STRIDE} + {CHUNK_SIZE}, len(w))),
-             ' ') AS chunk_text
-    FROM c
+    ), chunks AS (
+      SELECT doc_id, chunk_idx,
+             CAST(len(list_slice(w, chunk_idx * {CHUNK_STRIDE} + 1,
+                  least(chunk_idx * {CHUNK_STRIDE} + {CHUNK_SIZE}, len(w))))
+                  AS INT) AS n_tokens,
+             array_to_string(
+               list_slice(w, chunk_idx * {CHUNK_STRIDE} + 1,
+                  least(chunk_idx * {CHUNK_STRIDE} + {CHUNK_SIZE}, len(w))),
+               ' ') AS chunk_text
+      FROM c
+    )"""
+
+
+@query(
+    "pk8_sliding_chunks",
+    oracle=f"""
+    WITH {_PK8_CTES}
+    SELECT doc_id, chunk_idx, n_tokens, chunk_text FROM chunks
     """,
 )
 def pk8_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -523,6 +531,129 @@ def pk8_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_idx",
             F.size(chunk).alias("n_tokens"),
             F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
+
+
+#: pl2's portable chunk featurization: dim d counts the chunk tokens
+#: whose first character falls in group d (7 letter bands + a
+#: digits-and-tail band) — a crude but fully engine-portable
+#: bag-of-prefix projection standing in for a learned embedding (the
+#: production swap is a Pandas-UDF encoder; the pipeline shape, and
+#: everything downstream of the vector, is identical).
+_FEAT_GROUPS = [
+    ("a", "c"), ("d", "f"), ("g", "i"), ("j", "l"),
+    ("m", "o"), ("p", "r"), ("s", "u"),
+]  # + the v-z/digit tail handled specially as dim 7
+
+#: Zero-sum integer hyperplanes over the 8 feature dims: the LSH bit
+#: is sign(P[b] . v). Zero-sum rows keep all-positive count vectors
+#: from collapsing into one bucket; integer dots are exact in both
+#: engines, so bucket ids match bit-for-bit.
+_PLANES = [
+    [1, -1, 1, -1, 1, -1, 1, -1],
+    [1, 1, -1, -1, 1, 1, -1, -1],
+    [1, 1, 1, 1, -1, -1, -1, -1],
+    [2, -1, -1, 2, -1, -1, 1, -1],
+]
+
+
+def _pl2_oracle() -> str:
+    feats = [
+        f"CAST(len(list_filter(toks, x -> x[1] BETWEEN '{lo}' AND '{hi}'))"
+        " AS BIGINT)"
+        for lo, hi in _FEAT_GROUPS
+    ]
+    feats.append(
+        "CAST(len(list_filter(toks, x -> x[1] >= 'v'"
+        " OR x[1] BETWEEN '0' AND '9')) AS BIGINT)"
+    )
+    dots = [
+        " + ".join(f"({c}) * v[{d + 1}]" for d, c in enumerate(row) if c)
+        for row in _PLANES
+    ]
+    bucket = " + ".join(
+        f"(CASE WHEN {dot} > 0 THEN {1 << b} ELSE 0 END)"
+        for b, dot in enumerate(dots)
+    )
+    return f"""
+    WITH {_PK8_CTES}, w2 AS (
+      SELECT doc_id, string_split(chunk_text, ' ') AS toks FROM chunks
+    ), feat AS (
+      SELECT doc_id, [{', '.join(feats)}] AS v FROM w2
+    ), bucketed AS (
+      SELECT doc_id, CAST({bucket} AS BIGINT) AS bucket FROM feat
+    )
+    SELECT bucket, count(*) AS n_chunks,
+           count(DISTINCT doc_id) AS n_docs
+    FROM bucketed GROUP BY bucket
+    """
+
+
+@query("pl2_chunk_index_stats", oracle=None)  # attached below (pk8 CTEs)
+def pl2_chunk_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG ingest pipeline composed end-to-end: pk8's sliding chunks ->
+    per-chunk feature vector (bag-of-prefix counts — the portable
+    stand-in for an embedding encoder; production swaps an Arrow
+    Pandas-UDF model here and NOTHING else changes) -> random-
+    hyperplane LSH bucket (integer zero-sum planes, exact in any
+    engine) -> per-bucket occupancy (chunks, distinct docs). The
+    occupancy table is what an index build publishes: hot buckets
+    predict probe fan-in (sim4's partition-pruned serving path) and
+    feed the super-bucket capping decision the dedup ladder already
+    applies.
+
+    Scale: chunking and featurization are zero-shuffle scan algebra
+    (pk8's Generate + fixed-width integer dots); the ONLY corpus
+    shuffle is the final bucket aggregation, keyed on a {1 << len(_PLANES)}-value
+    int — partial aggregation collapses it map-side, so the exchange
+    carries at most buckets x partitions rows. The distinct-doc count
+    is exact per bucket; at extreme cardinality swap
+    approx_count_distinct and drop the oracle to tolerance."""
+    chunks = pk8_sliding_chunks(spark, sf_dir)
+    toks = F.split(F.col("chunk_text"), " ")
+
+    def first_char(x: Column) -> Column:
+        return x.substr(1, 1)
+
+    def band(lo: str, hi: str):
+        # Spark derives lambda arity from the Python signature, so the
+        # band bounds close over a factory instead of default args
+        return lambda x: (first_char(x) >= lo) & (first_char(x) <= hi)
+
+    feat_cols = [
+        F.size(F.filter(toks, band(lo, hi))).cast("long")
+        for lo, hi in _FEAT_GROUPS
+    ]
+    feat_cols.append(
+        F.size(
+            F.filter(
+                toks,
+                lambda x: (first_char(x) >= "v")
+                | ((first_char(x) >= "0") & (first_char(x) <= "9")),
+            )
+        ).cast("long")
+    )
+    v = F.array(*feat_cols)
+    dots = [
+        sum(
+            (F.element_at(F.col("v"), d + 1) * F.lit(c))
+            for d, c in enumerate(row)
+            if c
+        )
+        for row in _PLANES
+    ]
+    bucket = sum(
+        F.when(dot > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        for b, dot in enumerate(dots)
+    ).cast("long")
+    return (
+        chunks.select("doc_id", v.alias("v"))
+        .select("doc_id", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count_distinct("doc_id").alias("n_docs"),
         )
     )
 
@@ -729,6 +860,7 @@ def _attach_deferred_oracles() -> None:
     for name, build in (
         ("pl1_training_manifest", _pl1_oracle),
         ("pk7_split_leakage", _pk7_oracle),
+        ("pl2_chunk_index_stats", _pl2_oracle),
     ):
         rq = _R._REGISTRY[name]
         if rq.oracle is None:

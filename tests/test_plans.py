@@ -332,3 +332,15 @@ def test_bigram_pmi_ends_in_take_ordered(spark, qs):
     assert PI.has_take_ordered(df)
     assert PI.uses_broadcast_join(df)
     assert "EvalPython" not in PI.physical_plan(df)
+
+
+def test_chunk_index_stats_single_agg_pipeline(spark, qs):
+    """pl2: chunking + featurization + bucketing all fuse into the
+    scan stage (one Generate, no Python); the only exchanges are the
+    two-phase distinct-doc aggregation keyed on the small bucket id."""
+    df = qs["pl2_chunk_index_stats"](spark, SF0001)
+    plan = PI.physical_plan(df)
+    assert PI.shuffle_count(df) <= 2
+    assert "Generate explode" in plan
+    assert "EvalPython" not in plan
+    assert "hashpartitioning(bucket" in plan

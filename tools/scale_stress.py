@@ -356,7 +356,10 @@ def main() -> None:
     print("deterministic sample and scores the corpus through one")
     print("broadcast join + one map-side-combinable re-agg; pk7 reuses")
     print("the staged shingle inverted index to find near-dup pairs")
-    print("that straddle the train/val split under the 60% hot lang.")
+    print("that straddle the train/val split under the 60% hot lang;")
+    print("pl2 fans every doc out to overlapping chunks, featurizes,")
+    print("and buckets them with only the final occupancy aggregation")
+    print("leaving the scan stage.")
     print()
     print("| stage | rows out | wall s | shuffle write | shuffle read | peak JVM mem |")
     print("|---|---|---|---|---|---|")
@@ -365,6 +368,7 @@ def main() -> None:
         "tx12_collapse_repeats",
         "tx13_unigram_logprob",
         "pk7_split_leakage",
+        "pl2_chunk_index_stats",
     ):
         timed_row(name, lambda n=name: qs[n](spark, sf_dir).count())
 
