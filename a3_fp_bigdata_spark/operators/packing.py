@@ -508,7 +508,13 @@ def pk8_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside the scan stage, exactly how a 100 TB corpus wants to fan
     out to its embedding pass. Chunk boundaries are deterministic
     integer arithmetic, so re-runs (and engines) agree."""
-    docs = table(spark, sf_dir, "documents")
+    return sliding_chunk_frame(table(spark, sf_dir, "documents"))
+
+
+def sliding_chunk_frame(docs: DataFrame) -> DataFrame:
+    """pk8's chunk derivation from an arbitrary documents frame — the
+    streaming chunk-index sink (streaming/chunk_index.py) runs the
+    same derivation per micro-batch."""
     nw = F.size(F.col("_w"))
     last_idx = F.expr(
         f"(greatest(size(_w) - {CHUNK_SIZE}, 0) + {CHUNK_STRIDE - 1})"
@@ -610,7 +616,20 @@ def pl2_chunk_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries at most buckets x partitions rows. The distinct-doc count
     is exact per bucket; at extreme cardinality swap
     approx_count_distinct and drop the oracle to tolerance."""
-    chunks = pk8_sliding_chunks(spark, sf_dir)
+    bucketed = chunk_bucket_frame(
+        sliding_chunk_frame(table(spark, sf_dir, "documents"))
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count("*").alias("n_chunks"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+
+
+def chunk_bucket_frame(chunks: DataFrame) -> DataFrame:
+    """(doc_id, bucket) per chunk: pl2's featurize + LSH-bucket stage
+    from an arbitrary chunk frame — shared with the streaming index
+    sink (streaming/chunk_index.py), so batch and stream can never
+    disagree on the bucketing."""
     toks = F.split(F.col("chunk_text"), " ")
 
     def first_char(x: Column) -> Column:
@@ -647,14 +666,8 @@ def pl2_chunk_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(dot > 0, F.lit(1 << b)).otherwise(F.lit(0))
         for b, dot in enumerate(dots)
     ).cast("long")
-    return (
-        chunks.select("doc_id", v.alias("v"))
-        .select("doc_id", bucket.alias("bucket"))
-        .groupBy("bucket")
-        .agg(
-            F.count("*").alias("n_chunks"),
-            F.count_distinct("doc_id").alias("n_docs"),
-        )
+    return chunks.select("doc_id", v.alias("v")).select(
+        "doc_id", bucket.alias("bucket")
     )
 
 

@@ -106,6 +106,7 @@ def _load_all_modules() -> None:
     from a3_fp_bigdata_spark.sources import queries as source_queries  # noqa: F401
     from a3_fp_bigdata_spark.streaming import (  # noqa: F401
         batch_windows,
+        chunk_index,
         incremental_dedup,
         ingest,
     )

@@ -1,0 +1,153 @@
+"""Streaming chunk-index maintenance (st11): pl2's RAG ingest, run
+continuously.
+
+Each micro-batch of documents is chunked (pk8), featurized and
+LSH-bucketed (pl2's exact derivation, shared code), aggregated to
+per-bucket (n_chunks, n_docs) deltas, and merged into the bucketed
+materialized view — so after the stream drains, the occupancy table
+equals what pl2_chunk_index_stats computes over the whole corpus in
+one batch. That equality is this operator's oracle: a REAL streaming
+run checked against pl2's plain ANSI SQL.
+
+Merge semantics: both counts are ADDITIVE across batches because a
+document arrives wholly inside one micro-batch (a file/Kafka partition
+carries whole rows, and chunking is per-row) — its chunks, and its
+single distinct-doc contribution per touched bucket, are counted
+exactly once. Arrival order and batch boundaries therefore cannot
+change the drained result. The reference has no streaming indexing at
+all; this is the ingest shape a RAG/embedding index actually runs —
+new crawl partitions land, only the buckets they touch get rewritten.
+
+Scale: per-batch cost tracks batch size (chunk fan-out is pk8's
+zero-shuffle Generate; the delta aggregate is map-side combinable over
+<= 2^|planes| keys), and the MV write rewrites only touched bucket
+partitions (materialized.merge_batch_into). The combine step's base
+read prunes to the batch's buckets via a broadcast semi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from a3_fp_bigdata_spark.data import table
+from a3_fp_bigdata_spark.operators.packing import (
+    chunk_bucket_frame,
+    sliding_chunk_frame,
+)
+from a3_fp_bigdata_spark.registry import query
+from a3_fp_bigdata_spark.schemas import TESTDATA
+from a3_fp_bigdata_spark.streaming.incremental_dedup import (
+    STAGE_FILES,
+    _read_watermark,
+    _scratch_dir,
+    _write_watermark,
+)
+from a3_fp_bigdata_spark.streaming.ingest import streaming_shuffle
+from a3_fp_bigdata_spark.streaming.materialized import (
+    _has_parquet_data,
+    merge_batch_into,
+)
+
+
+def bucket_delta_frame(docs: DataFrame) -> DataFrame:
+    """(bucket, n_chunks, n_docs) for one batch of documents — pl2's
+    aggregate over the shared chunk/bucket derivation."""
+    return (
+        chunk_bucket_frame(sliding_chunk_frame(docs))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+def chunk_index_sink(
+    doc_stream: DataFrame,
+    spark: SparkSession,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+) -> StreamingQuery:
+    """Maintain ``out_dir`` as the chunk-index occupancy table while
+    documents stream in. Combine = per-bucket SUM of batch deltas
+    (associative + commutative, see module docstring), so replay
+    protection is the same batch-id watermark incremental_dedup uses:
+    re-delivered committed batches are no-ops; the residual
+    crash-between-commit-and-watermark window is materialized.py's
+    documented plain-parquet residue (Delta/Iceberg MERGE closes it)."""
+    cp = checkpoint_dir or _scratch_dir("a3_chunkidx_cp_")
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if batch_id <= _read_watermark(out_dir):
+            return  # replay of a committed batch: already merged
+        delta = bucket_delta_frame(batch_df)
+        if _has_parquet_data(out_dir):
+            base = (
+                spark.read.parquet(out_dir)
+                .join(F.broadcast(delta.select("bucket")), "bucket", "left_semi")
+                .select("bucket", "n_chunks", "n_docs")
+            )
+            delta = (
+                base.unionByName(delta)
+                .groupBy("bucket")
+                .agg(
+                    F.sum("n_chunks").cast("long").alias("n_chunks"),
+                    F.sum("n_docs").cast("long").alias("n_docs"),
+                )
+            )
+        merge_batch_into(spark, delta, "bucket", out_dir)
+        _write_watermark(out_dir, batch_id)
+
+    return (
+        doc_stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+@query("st11_chunk_index_stream", oracle=None)  # attached below (pl2's SQL)
+def st11_chunk_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming run: stage documents as {STAGE_FILES} parquet
+    files, stream them one file per micro-batch through
+    chunk_index_sink, then read the drained occupancy table. The
+    oracle is pl2's one-shot SQL over the full corpus — streaming
+    accumulation must converge to exactly the batch answer."""
+    stage = _scratch_dir("a3_chunkidx_stage_")
+    out = _scratch_dir("a3_chunkidx_out_")
+    docs = table(spark, sf_dir, "documents")
+    docs.repartition(STAGE_FILES, "doc_id").write.mode("overwrite").parquet(
+        stage
+    )
+    stream = (
+        spark.readStream.schema(TESTDATA["documents"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    with streaming_shuffle(spark, 8):
+        q = chunk_index_sink(stream, spark, out)
+        q.awaitTermination()
+    return spark.read.parquet(out).select("bucket", "n_chunks", "n_docs")
+
+
+def _attach_oracle() -> None:
+    """st11 shares pl2's oracle verbatim — ONE SQL definition of the
+    occupancy table, checked against both the batch and the streaming
+    path."""
+    import dataclasses
+
+    from a3_fp_bigdata_spark import registry as _R
+    from a3_fp_bigdata_spark.operators.packing import _pl2_oracle
+
+    rq = _R._REGISTRY["st11_chunk_index_stream"]
+    if rq.oracle is None:
+        _R._REGISTRY["st11_chunk_index_stream"] = dataclasses.replace(
+            rq, oracle=_pl2_oracle()
+        )
+
+
+_attach_oracle()

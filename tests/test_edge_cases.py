@@ -419,3 +419,57 @@ def test_quantized_rerank_recall_vs_exact(spark):
         ).collect()
     ]
     assert got == exact
+
+
+def test_empty_input_round5_curation_ops(spark, monkeypatch, clean_shingle_stage):
+    """The round-5 curation surface on an EMPTY corpus: chunking emits
+    no phantom chunks (the sequence guard, not a descending
+    sequence(0,-1)), the unigram LM fits an empty vocab without
+    dividing by zero, repetition removal and the leakage audit return
+    zero rows, and pl2's occupancy table is empty."""
+    from a3_fp_bigdata_spark import registry
+    from a3_fp_bigdata_spark.operators import dedup as D
+    from a3_fp_bigdata_spark.operators import packing as PK
+    from a3_fp_bigdata_spark.operators import text_analysis as TA
+
+    def make_patched(mod):
+        real = mod.table
+
+        def patched(spark_, sf_dir_, name):
+            df = real(spark_, sf_dir_, name)
+            return df.filter(F.lit(False)) if name == "documents" else df
+
+        return patched
+
+    for mod in (D, PK, TA):
+        monkeypatch.setattr(mod, "table", make_patched(mod))
+    qs = registry.all_queries()
+    for name in (
+        "tx12_collapse_repeats",
+        "tx13_unigram_logprob",
+        "tx14_bigram_pmi",
+        "pk7_split_leakage",
+        "pk8_sliding_chunks",
+        "pl2_chunk_index_stats",
+    ):
+        assert qs[name](spark, SF0001).count() == 0, name
+
+
+def test_empty_input_quantized_rerank(spark, monkeypatch):
+    """sim9 with no candidate vectors (only the query vector id 0
+    survives) returns an empty ranking rather than erroring in the
+    quantization algebra."""
+    from a3_fp_bigdata_spark import registry
+    from a3_fp_bigdata_spark.operators import similarity as S
+
+    real = S.table
+
+    def patched(spark_, sf_dir_, name):
+        df = real(spark_, sf_dir_, name)
+        if name == "embeddings":
+            return df.filter(F.col("vec_id") == 0)
+        return df
+
+    monkeypatch.setattr(S, "table", patched)
+    out = registry.all_queries()["sim9_quantized_rerank"](spark, SF0001)
+    assert out.count() == 0
