@@ -183,3 +183,216 @@ def j9_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(F.col("a_id").alias("event_id")).agg(
         F.count("b_id").alias("n_following")
     )
+
+
+#: Gap-fill grid step. Hourly over the events table's ~30-day span
+#: keeps the grid ~720 slots per key; production picks the step to
+#: match its rollup resolution (the algebra is step-agnostic).
+GAPFILL_STEP_HOURS = 1
+
+
+@query(
+    "w8_gapfill_locf",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             count(*) AS n_events, round(avg(value), 4) AS v
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+             date_trunc('hour', max(ts)) AS h1
+      FROM events GROUP BY user_id
+    ), grid AS (
+      SELECT user_id,
+             unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      FROM bounds
+    )
+    SELECT g.user_id, g.hour,
+           CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events,
+           last_value(h.v IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value_locf
+    FROM grid g LEFT JOIN hourly h USING (user_id, hour)
+    """,
+)
+def w8_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill + last-observation-carried-forward — the
+    hypertable resample: per user, materialize a dense hourly grid
+    between that user's first and last event (explode(sequence) over
+    timestamps), left-join the hourly rollup onto it, and forward-fill
+    empty slots from the latest observed hour. The first grid slot is
+    never empty (it contains the user's min ts), so LOCF has no
+    leading-null case. Dashboards, feature pipelines, and downstream
+    joins all want this dense form; the reference has no time-series
+    surface at all.
+
+    Scale: rollup and bounds are map-side-combinable aggregates; grid
+    fan-out is a narrow Generate (slots = span/step per key, bounded
+    and known up front); the fill is one partitioned window over
+    (user, hour) — each key's grid sorts independently, no global
+    sort, no Python. At 100 TB the same plan shards by key; a key's
+    grid always fits an executor because span/step bounds it."""
+    ev = table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = ev.groupBy("user_id", hour.alias("hour")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg("value"), 4).alias("v"),
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("h0"),
+                F.col("h1"),
+                F.expr(f"interval {GAPFILL_STEP_HOURS} hour"),
+            )
+        ).alias("hour"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            F.coalesce(F.col("n_events"), F.lit(0))
+            .cast("long")
+            .alias("n_events"),
+            F.last("v", ignorenulls=True).over(w).alias("value_locf"),
+        )
+    )
+
+
+@query(
+    "w9_linear_interp",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             avg(value) AS v
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+             date_trunc('hour', max(ts)) AS h1
+      FROM events GROUP BY user_id
+    ), grid AS (
+      SELECT user_id,
+             unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      FROM bounds
+    ), joined AS (
+      SELECT g.user_id, g.hour, h.v,
+             last_value(h.v IGNORE NULLS) OVER w_prev AS pv,
+             last_value(CASE WHEN h.v IS NOT NULL THEN g.hour END
+                        IGNORE NULLS) OVER w_prev AS ph,
+             first_value(h.v IGNORE NULLS) OVER w_next AS nv,
+             first_value(CASE WHEN h.v IS NOT NULL THEN g.hour END
+                         IGNORE NULLS) OVER w_next AS nh
+      FROM grid g LEFT JOIN hourly h USING (user_id, hour)
+      WINDOW
+        w_prev AS (PARTITION BY g.user_id ORDER BY g.hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY g.user_id ORDER BY g.hour
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, hour,
+           floor((CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN nv IS NULL THEN pv
+             ELSE pv + (nv - pv)
+                  * (epoch(hour) - epoch(ph)) / (epoch(nh) - epoch(ph))
+           END) * 10000 + 0.5) / 10000.0 AS value_interp
+    FROM joined
+    """,
+)
+def w9_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill with LINEAR interpolation: empty grid slots take the
+    value on the straight line between the nearest observed hours
+    before and after (time-weighted, epoch-seconds arithmetic via
+    tscompat — NTZ timestamps never cast to long directly). Trailing
+    gaps (no next observation) fall back to LOCF; leading gaps cannot
+    occur (the grid starts at an observed hour). The interpolation
+    runs on the RAW hourly means and the final output rounds through
+    an explicit floor(x*1e4 + 0.5)/1e4 shared by both engines — see
+    the in-body comment on why native round() cannot be trusted here
+    (the 2-decimal source values make exact decimal-halfway
+    interpolants common, and the engines' native rounding rules tip
+    halves differently).
+
+    Scale: same shape as w8 plus one backward-looking window — still
+    two passes over a per-key grid, no global sort; the two windows
+    share one (user, hour) sort order so Spark plans a single
+    Exchange+Sort for both."""
+    from a3_fp_bigdata_spark.tscompat import epoch_seconds
+
+    ev = table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = ev.groupBy("user_id", hour.alias("hour")).agg(
+        F.avg("value").alias("v")
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("h0"),
+                F.col("h1"),
+                F.expr(f"interval {GAPFILL_STEP_HOURS} hour"),
+            )
+        ).alias("hour"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_hour = F.when(F.col("v").isNotNull(), F.col("hour"))
+    joined = grid.join(hourly, ["user_id", "hour"], "left").select(
+        "user_id",
+        "hour",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(obs_hour, ignorenulls=True).over(w_prev).alias("ph"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(obs_hour, ignorenulls=True).over(w_next).alias("nh"),
+    )
+    # association mirrors the oracle exactly — ((nv-pv) * dt) / span,
+    # multiply BEFORE divide — so both engines produce the same f64
+    # bit pattern and round(4) can never tip differently
+    num = epoch_seconds(F.col("hour")) - epoch_seconds(F.col("ph"))
+    den = epoch_seconds(F.col("nh")) - epoch_seconds(F.col("ph"))
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv") + (F.col("nv") - F.col("pv")) * num / den
+        )
+    )
+    # explicit floor(x*1e4 + 0.5)/1e4 instead of the engines' native
+    # round(): the interpolants of terminating-decimal inputs land on
+    # exact decimal halves constantly, and Spark (BigDecimal HALF_UP on
+    # the shortest decimal repr) vs DuckDB (float multiply-shift) tip
+    # such halves differently; an identical arithmetic expression on
+    # identical doubles cannot disagree (values are non-negative, so
+    # floor(x+0.5) IS half-up)
+    return joined.select(
+        "user_id",
+        "hour",
+        (F.floor(interp * 10000 + F.lit(0.5)) / F.lit(10000.0)).alias(
+            "value_interp"
+        ),
+    )

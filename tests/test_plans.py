@@ -344,3 +344,16 @@ def test_chunk_index_stats_single_agg_pipeline(spark, qs):
     assert "Generate explode" in plan
     assert "EvalPython" not in plan
     assert "hashpartitioning(bucket" in plan
+
+
+def test_gapfill_windows_share_one_sort(spark, qs):
+    """w8/w9: the grid fan-out is a narrow Generate; the fill runs as
+    ONE partitioned window pass (w9's forward and backward frames fuse
+    into a single Window over a single per-key sort) — no global sort,
+    no Python."""
+    for name in ("w8_gapfill_locf", "w9_linear_interp"):
+        df = qs[name](spark, SF0001)
+        plan = PI.physical_plan(df)
+        assert plan.count("Sort [") == 1, name
+        assert "Generate explode" in plan, name
+        assert "EvalPython" not in plan, name

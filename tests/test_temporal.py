@@ -82,3 +82,70 @@ def test_range_join_equals_naive_theta_join(spark):
     assert sorted(map(tuple, bucketized.collect())) == sorted(
         map(tuple, naive.collect())
     )
+
+
+def test_gapfill_grid_is_dense_and_locf_carries(spark):
+    """w8: every user's grid is a dense hourly walk from their first
+    to their last event hour; gap slots carry the latest prior rounded
+    mean and never a null (the first slot is always observed)."""
+    from datetime import timedelta
+
+    from a3_fp_bigdata_spark import registry
+
+    rows = registry.all_queries()["w8_gapfill_locf"](
+        spark, SF0001
+    ).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for user, rs in by_user.items():
+        rs.sort(key=lambda r: r.hour)
+        for prev, cur in zip(rs, rs[1:]):
+            assert cur.hour - prev.hour == timedelta(hours=1), user
+        assert rs[0].n_events > 0  # grid starts at an observed hour
+        assert all(r.value_locf is not None for r in rs)
+        # LOCF: a gap slot's value equals the previous slot's value
+        for prev, cur in zip(rs, rs[1:]):
+            if cur.n_events == 0:
+                assert cur.value_locf == prev.value_locf, (user, cur.hour)
+
+
+def test_linear_interp_is_between_neighbors_and_matches_observed(spark):
+    """w9: observed slots keep their own (rounded) mean; interpolated
+    slots lie within [min, max] of the neighboring observed values
+    (linearity implies betweenness); trailing gaps flatten to LOCF."""
+    from a3_fp_bigdata_spark import registry
+
+    w8 = {
+        (r.user_id, r.hour): r
+        for r in registry.all_queries()["w8_gapfill_locf"](
+            spark, SF0001
+        ).collect()
+    }
+    rows = registry.all_queries()["w9_linear_interp"](
+        spark, SF0001
+    ).collect()
+    assert len(rows) == len(w8)
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, rs in by_user.items():
+        rs.sort(key=lambda r: r.hour)
+        observed = [
+            (i, r) for i, r in enumerate(rs) if w8[(user, r.hour)].n_events
+        ]
+        for i, r in enumerate(rs):
+            if w8[(user, r.hour)].n_events:
+                continue
+            before = [o for o in observed if o[0] < i]
+            after = [o for o in observed if o[0] > i]
+            assert before
+            lo_r = before[-1][1]
+            if not after:  # trailing gap: LOCF
+                assert abs(r.value_interp - lo_r.value_interp) < 1e-9
+                continue
+            hi_r = after[0][1]
+            lo = min(lo_r.value_interp, hi_r.value_interp)
+            hi = max(lo_r.value_interp, hi_r.value_interp)
+            assert lo - 1e-4 <= r.value_interp <= hi + 1e-4, (user, r.hour)
