@@ -541,6 +541,60 @@ def sliding_chunk_frame(docs: DataFrame) -> DataFrame:
     )
 
 
+@query("pk9_weighted_sample", oracle=None)  # attached below (quality CTEs)
+def pk9_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance sampling: keep each document with
+    probability proportional to its tx2 quality score (keep_rate =
+    floor(round(quality,4)*100) percent, decided by the deterministic
+    multiplicative-hash percentile — auditable, re-runnable, engine-
+    stable), and emit the inverse-probability weight 100/keep_rate so
+    downstream statistics over the sample stay UNBIASED (Horvitz-
+    Thompson). The data-selection rung between pk3's fixed strata
+    rates and a learned selection model: better text is kept more
+    often, and the weight column undoes the tilt where unbiased
+    aggregates are needed.
+
+    Determinism across engines: round(quality, 4) yields the same f64
+    bit pattern in both (nearest double to the same decimal), so
+    floor(x*100) and the hash predicate agree exactly; kept rows
+    always have keep_rate >= 1 (the percentile is < rate), so the
+    weight never divides by zero.
+
+    Scale: quality is scan-side column algebra (tx2), the predicate is
+    scan-time integer arithmetic — ZERO shuffles, rows never move;
+    the same form extends to any per-doc score (perplexity, tx13's
+    logprob) by swapping the rate expression."""
+    docs = table(spark, sf_dir, "documents")
+    rate = F.floor(
+        F.round(TX.quality_score(F.col("text")), 4) * 100
+    ).cast("int")
+    d = docs.select("doc_id", rate.alias("keep_rate"))
+    kept = d.filter(sample_predicate(F.col("doc_id"), F.col("keep_rate")))
+    return kept.select(
+        "doc_id",
+        "keep_rate",
+        F.round(F.lit(100.0) / F.col("keep_rate"), 4).alias("inv_weight"),
+    )
+
+
+def _pk9_oracle() -> str:
+    from a3_fp_bigdata_spark.operators.text_analysis import (
+        _SQL_QUALITY_CTES,
+    )
+
+    return f"""
+    WITH {_SQL_QUALITY_CTES}, rated AS (
+      SELECT doc_id,
+             CAST(floor(round(quality, 4) * 100) AS INT) AS keep_rate
+      FROM quality
+    )
+    SELECT doc_id, keep_rate,
+           round(100.0 / keep_rate, 4) AS inv_weight
+    FROM rated
+    WHERE ((doc_id % {SAMPLE_PREMOD}) * {SAMPLE_MULT}) % 100 < keep_rate
+    """
+
+
 #: pl2's portable chunk featurization: dim d counts the chunk tokens
 #: whose first character falls in group d (7 letter bands + a
 #: digits-and-tail band) — a crude but fully engine-portable
@@ -873,6 +927,7 @@ def _attach_deferred_oracles() -> None:
     for name, build in (
         ("pl1_training_manifest", _pl1_oracle),
         ("pk7_split_leakage", _pk7_oracle),
+        ("pk9_weighted_sample", _pk9_oracle),
         ("pl2_chunk_index_stats", _pl2_oracle),
     ):
         rq = _R._REGISTRY[name]

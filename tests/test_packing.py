@@ -267,3 +267,34 @@ def test_sliding_chunks_cover_each_document(spark):
         assert last.chunk_idx * CHUNK_STRIDE + last.n_tokens == n
         expected = 1 + max(0, -(-(max(n - CHUNK_SIZE, 0)) // CHUNK_STRIDE))
         assert len(chunks) == expected
+
+
+def test_weighted_sample_is_unbiased_and_quality_tilted(spark):
+    """pk9: membership equals the hash predicate at each doc's own
+    keep_rate (replayed in plain Python from tx2's quality), the
+    Horvitz-Thompson weights are exactly 100/keep_rate, and the
+    weighted sample size estimates the corpus size (unbiasedness)."""
+    from a3_fp_bigdata_spark.operators.text_analysis import tx2_quality_score
+
+    quality = {
+        r.doc_id: r.quality
+        for r in tx2_quality_score(spark, SF0001).collect()
+    }
+    rows = registry.all_queries()["pk9_weighted_sample"](
+        spark, SF0001
+    ).collect()
+    got = {r.doc_id: r for r in rows}
+    for d, q in quality.items():
+        rate = math.floor(round(q, 4) * 100)
+        keep = ((d % SAMPLE_PREMOD) * SAMPLE_MULT) % 100 < rate
+        assert (d in got) == keep, d
+        if keep:
+            assert got[d].keep_rate == rate
+            assert abs(got[d].inv_weight - round(100.0 / rate, 4)) < 1e-9
+    # Horvitz-Thompson: sum of weights estimates the corpus size
+    est = sum(r.inv_weight for r in rows)
+    assert abs(est - len(quality)) / len(quality) < 0.15
+    # the tilt is real: kept docs average higher quality than the corpus
+    kept_q = sum(quality[d] for d in got) / len(got)
+    all_q = sum(quality.values()) / len(quality)
+    assert kept_q > all_q
