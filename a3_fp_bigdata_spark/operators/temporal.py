@@ -355,10 +355,16 @@ def w9_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hour")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # "nearest observed at-or-after" is computed as a RUNNING last()
+    # over the DESC ordering, not first() over (current -> unbounded
+    # following): Spark's UnboundedFollowing frame re-scans the frame
+    # per row — O(n^2) per key (measured 15+ s on the 1500x720 grid at
+    # sf0.1) — while both unbounded-PRECEDING frames are O(n) running
+    # accumulators. Costs one extra directional sort, stays linear.
     w_next = (
         Window.partitionBy("user_id")
-        .orderBy("hour")
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.desc("hour"))
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     obs_hour = F.when(F.col("v").isNotNull(), F.col("hour"))
     joined = grid.join(hourly, ["user_id", "hour"], "left").select(
@@ -367,8 +373,8 @@ def w9_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
         F.last(obs_hour, ignorenulls=True).over(w_prev).alias("ph"),
-        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
-        F.first(obs_hour, ignorenulls=True).over(w_next).alias("nh"),
+        F.last("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.last(obs_hour, ignorenulls=True).over(w_next).alias("nh"),
     )
     # association mirrors the oracle exactly — ((nv-pv) * dt) / span,
     # multiply BEFORE divide — so both engines produce the same f64

@@ -346,14 +346,17 @@ def test_chunk_index_stats_single_agg_pipeline(spark, qs):
     assert "hashpartitioning(bucket" in plan
 
 
-def test_gapfill_windows_share_one_sort(spark, qs):
-    """w8/w9: the grid fan-out is a narrow Generate; the fill runs as
-    ONE partitioned window pass (w9's forward and backward frames fuse
-    into a single Window over a single per-key sort) — no global sort,
-    no Python."""
-    for name in ("w8_gapfill_locf", "w9_linear_interp"):
+def test_gapfill_windows_stay_linear(spark, qs):
+    """w8/w9: the grid fan-out is a narrow Generate and every window
+    frame is an O(n) running accumulator — w8 fills in one per-key
+    sort; w9 pays exactly two directional sorts (ASC for the
+    backward-looking pair, DESC for the forward-looking pair — the
+    linear reversal of Spark's O(n^2) UnboundedFollowing frame). No
+    global sort, no Python."""
+    for name, sorts in (("w8_gapfill_locf", 1), ("w9_linear_interp", 2)):
         df = qs[name](spark, SF0001)
         plan = PI.physical_plan(df)
-        assert plan.count("Sort [") == 1, name
+        assert plan.count("Sort [") == sorts, name
+        assert "UnboundedFollowing" not in plan, name
         assert "Generate explode" in plan, name
         assert "EvalPython" not in plan, name
