@@ -185,28 +185,56 @@ def j9_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Gap-fill grid step. Hourly over the events table's ~30-day span
-#: keeps the grid ~720 slots per key; production picks the step to
-#: match its rollup resolution (the algebra is step-agnostic).
+#: Gap-fill resolution: HOURLY, as one shared definition (the Spark
+#: grid step, the oracle's generate_series step, and the
+#: date_trunc('hour') rollup/bounds buckets are a package deal —
+#: changing resolution means changing the truncation unit everywhere,
+#: not turning one knob, so there is deliberately no free parameter).
+#: Over the events table's ~30-day span the grid is ~720 slots/key.
 GAPFILL_STEP_HOURS = 1
 
-
-@query(
-    "w8_gapfill_locf",
-    oracle="""
-    WITH hourly AS (
-      SELECT user_id, date_trunc('hour', ts) AS hour,
-             count(*) AS n_events, round(avg(value), 4) AS v
-      FROM events GROUP BY 1, 2
-    ), bounds AS (
+#: Shared grid derivation (SQL): per-user hourly rollup bounds and the
+#: dense grid between them — ONE definition consumed by both w8's and
+#: w9's oracles so the two fills can never disagree on their grid.
+_SQL_GRID_CTES = f"""bounds AS (
       SELECT user_id, date_trunc('hour', min(ts)) AS h0,
              date_trunc('hour', max(ts)) AS h1
       FROM events GROUP BY user_id
     ), grid AS (
       SELECT user_id,
-             unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+             unnest(generate_series(h0, h1,
+                    INTERVAL {GAPFILL_STEP_HOURS} HOUR)) AS hour
       FROM bounds
+    )"""
+
+
+def _hourly_grid(ev: DataFrame) -> DataFrame:
+    """(user_id, hour) dense hourly grid between each user's first and
+    last event — the Spark twin of _SQL_GRID_CTES, shared by w8/w9."""
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
     )
+    return bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("h0"),
+                F.col("h1"),
+                F.expr(f"interval {GAPFILL_STEP_HOURS} hour"),
+            )
+        ).alias("hour"),
+    )
+
+
+@query(
+    "w8_gapfill_locf",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             count(*) AS n_events, round(avg(value), 4) AS v
+      FROM events GROUP BY 1, 2
+    ), {_SQL_GRID_CTES}
     SELECT g.user_id, g.hour,
            CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events,
            last_value(h.v IGNORE NULLS) OVER (
@@ -239,20 +267,7 @@ def w8_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.avg("value"), 4).alias("v"),
     )
-    bounds = ev.groupBy("user_id").agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
-    )
-    grid = bounds.select(
-        "user_id",
-        F.explode(
-            F.sequence(
-                F.col("h0"),
-                F.col("h1"),
-                F.expr(f"interval {GAPFILL_STEP_HOURS} hour"),
-            )
-        ).alias("hour"),
-    )
+    grid = _hourly_grid(ev)
     w = (
         Window.partitionBy("user_id")
         .orderBy("hour")
@@ -273,20 +288,12 @@ def w8_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "w9_linear_interp",
-    oracle="""
+    oracle=f"""
     WITH hourly AS (
       SELECT user_id, date_trunc('hour', ts) AS hour,
              avg(value) AS v
       FROM events GROUP BY 1, 2
-    ), bounds AS (
-      SELECT user_id, date_trunc('hour', min(ts)) AS h0,
-             date_trunc('hour', max(ts)) AS h1
-      FROM events GROUP BY user_id
-    ), grid AS (
-      SELECT user_id,
-             unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
-      FROM bounds
-    ), joined AS (
+    ), {_SQL_GRID_CTES}, joined AS (
       SELECT g.user_id, g.hour, h.v,
              last_value(h.v IGNORE NULLS) OVER w_prev AS pv,
              last_value(CASE WHEN h.v IS NOT NULL THEN g.hour END
@@ -325,10 +332,11 @@ def w9_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolants common, and the engines' native rounding rules tip
     halves differently).
 
-    Scale: same shape as w8 plus one backward-looking window — still
-    two passes over a per-key grid, no global sort; the two windows
-    share one (user, hour) sort order so Spark plans a single
-    Exchange+Sort for both."""
+    Scale: same shape as w8 plus the forward-looking window pair —
+    every frame is an O(n) running accumulator over a per-key grid
+    (two directional sorts inside one exchange, see the in-body
+    comment on why the naive UnboundedFollowing frame is quadratic);
+    no global sort, no Python."""
     from a3_fp_bigdata_spark.tscompat import epoch_seconds
 
     ev = table(spark, sf_dir, "events")
@@ -336,20 +344,7 @@ def w9_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.groupBy("user_id", hour.alias("hour")).agg(
         F.avg("value").alias("v")
     )
-    bounds = ev.groupBy("user_id").agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
-    )
-    grid = bounds.select(
-        "user_id",
-        F.explode(
-            F.sequence(
-                F.col("h0"),
-                F.col("h1"),
-                F.expr(f"interval {GAPFILL_STEP_HOURS} hour"),
-            )
-        ).alias("hour"),
-    )
+    grid = _hourly_grid(ev)
     w_prev = (
         Window.partitionBy("user_id")
         .orderBy("hour")

@@ -40,15 +40,10 @@ from a3_fp_bigdata_spark.registry import query
 from a3_fp_bigdata_spark.schemas import TESTDATA
 from a3_fp_bigdata_spark.streaming.incremental_dedup import (
     STAGE_FILES,
-    _read_watermark,
     _scratch_dir,
-    _write_watermark,
 )
 from a3_fp_bigdata_spark.streaming.ingest import streaming_shuffle
-from a3_fp_bigdata_spark.streaming.materialized import (
-    _has_parquet_data,
-    merge_batch_into,
-)
+from a3_fp_bigdata_spark.streaming.materialized import delta_merge_sink
 
 
 def bucket_delta_frame(docs: DataFrame) -> DataFrame:
@@ -72,41 +67,25 @@ def chunk_index_sink(
 ) -> StreamingQuery:
     """Maintain ``out_dir`` as the chunk-index occupancy table while
     documents stream in. Combine = per-bucket SUM of batch deltas
-    (associative + commutative, see module docstring), so replay
-    protection is the same batch-id watermark incremental_dedup uses:
-    re-delivered committed batches are no-ops; the residual
-    crash-between-commit-and-watermark window is materialized.py's
-    documented plain-parquet residue (Delta/Iceberg MERGE closes it)."""
-    cp = checkpoint_dir or _scratch_dir("a3_chunkidx_cp_")
+    (associative + commutative, see module docstring). Replay
+    protection and the touched-key merge live in
+    materialized.delta_merge_sink — the same single-source protocol
+    the incremental-dedup sink rides."""
 
-    def merge(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        if batch_id <= _read_watermark(out_dir):
-            return  # replay of a committed batch: already merged
-        delta = bucket_delta_frame(batch_df)
-        if _has_parquet_data(out_dir):
-            base = (
-                spark.read.parquet(out_dir)
-                .join(F.broadcast(delta.select("bucket")), "bucket", "left_semi")
-                .select("bucket", "n_chunks", "n_docs")
-            )
-            delta = (
-                base.unionByName(delta)
-                .groupBy("bucket")
-                .agg(
-                    F.sum("n_chunks").cast("long").alias("n_chunks"),
-                    F.sum("n_docs").cast("long").alias("n_docs"),
-                )
-            )
-        merge_batch_into(spark, delta, "bucket", out_dir)
-        _write_watermark(out_dir, batch_id)
+    def combine(unioned: DataFrame) -> DataFrame:
+        return unioned.groupBy("bucket").agg(
+            F.sum("n_chunks").cast("long").alias("n_chunks"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+        )
 
-    return (
-        doc_stream.writeStream.foreachBatch(merge)
-        .option("checkpointLocation", cp)
-        .trigger(availableNow=True)
-        .start()
+    return delta_merge_sink(
+        doc_stream,
+        spark,
+        out_dir,
+        key="bucket",
+        delta_fn=bucket_delta_frame,
+        combine_fn=combine,
+        checkpoint_dir=checkpoint_dir or _scratch_dir("a3_chunkidx_cp_"),
     )
 
 

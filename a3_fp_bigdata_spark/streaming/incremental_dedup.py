@@ -22,7 +22,6 @@ pipeline actually runs.
 from __future__ import annotations
 
 import atexit
-import os
 import shutil
 import tempfile
 
@@ -35,8 +34,7 @@ from a3_fp_bigdata_spark.registry import query
 from a3_fp_bigdata_spark.schemas import TESTDATA
 from a3_fp_bigdata_spark.streaming.ingest import streaming_shuffle
 from a3_fp_bigdata_spark.streaming.materialized import (
-    _has_parquet_data,
-    merge_batch_into,
+    delta_merge_sink,
 )
 
 #: micro-batch granularity for the staged stream (files per trigger = 1)
@@ -72,25 +70,6 @@ def fingerprint_frame(docs: DataFrame) -> DataFrame:
     )
 
 
-_WATERMARK_FILE = "_last_batch"  # underscore-prefixed: ignored by readers
-
-
-def _read_watermark(out_dir: str) -> int:
-    path = os.path.join(out_dir, _WATERMARK_FILE)
-    if os.path.isfile(path):
-        with open(path) as fh:
-            return int(fh.read().strip())
-    return -1
-
-
-def _write_watermark(out_dir: str, batch_id: int) -> None:
-    path = os.path.join(out_dir, _WATERMARK_FILE)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as fh:
-        fh.write(str(batch_id))
-    os.replace(tmp, path)  # atomic on POSIX
-
-
 def incremental_dedup_sink(
     doc_stream: DataFrame,
     spark: SparkSession,
@@ -100,47 +79,25 @@ def incremental_dedup_sink(
     """Maintain ``out_dir`` as the corpus fingerprint table while
     documents stream in. Combine semantics are associative+commutative
     (min keeper, sum copies), so batch boundaries and arrival order
-    cannot change the drained result.
+    cannot change the drained result. Replay protection and the
+    touched-key merge live in materialized.delta_merge_sink — ONE
+    definition of the at-least-once protocol for every additive view
+    (see its docstring for the crash-window contract)."""
 
-    Replay: foreachBatch is at-least-once, and the copy-count combine
-    is a DELTA (summing), so a re-delivered batch must not re-merge. A
-    batch-id watermark written atomically AFTER each data commit makes
-    replays of committed batches no-ops. Residual window: a crash
-    BETWEEN the data commit and the watermark write replays one batch
-    into an already-merged base and double-counts its copies — the
-    same plain-parquet residue materialized.py documents; closing it
-    needs a transactional table format (Delta/Iceberg MERGE)."""
-    cp = checkpoint_dir or _scratch_dir("a3_incdedup_cp_")
+    def combine(unioned: DataFrame) -> DataFrame:
+        return unioned.groupBy("fp").agg(
+            F.min("keeper_id").alias("keeper_id"),
+            F.sum("n_copies").cast("long").alias("n_copies"),
+        )
 
-    def merge(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        if batch_id <= _read_watermark(out_dir):
-            return  # replay of a committed batch: already merged
-        batch_fp = fingerprint_frame(batch_df)
-        if _has_parquet_data(out_dir):
-            # combine with existing rows for the touched fingerprints
-            # only: the semi-join prunes the base read to the batch's
-            # keys (the bucket layout prunes it to their partitions)
-            base = spark.read.parquet(out_dir).join(
-                F.broadcast(batch_fp.select("fp")), "fp", "left_semi"
-            ).select("fp", "keeper_id", "n_copies")
-            batch_fp = (
-                base.unionByName(batch_fp)
-                .groupBy("fp")
-                .agg(
-                    F.min("keeper_id").alias("keeper_id"),
-                    F.sum("n_copies").cast("long").alias("n_copies"),
-                )
-            )
-        merge_batch_into(spark, batch_fp, "fp", out_dir)
-        _write_watermark(out_dir, batch_id)
-
-    return (
-        doc_stream.writeStream.foreachBatch(merge)
-        .option("checkpointLocation", cp)
-        .trigger(availableNow=True)
-        .start()
+    return delta_merge_sink(
+        doc_stream,
+        spark,
+        out_dir,
+        key="fp",
+        delta_fn=fingerprint_frame,
+        combine_fn=combine,
+        checkpoint_dir=checkpoint_dir or _scratch_dir("a3_incdedup_cp_"),
     )
 
 

@@ -173,3 +173,78 @@ def event_type_counts_stream(events: DataFrame) -> DataFrame:
     return events.groupBy("event_type").agg(
         F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value")
     )
+
+
+# ---- additive-delta sink: the shared replay protocol -----------------
+
+_WM_FILE = "_last_batch"  # underscore-prefixed: ignored by readers
+
+
+def read_watermark(out_dir: str) -> int:
+    path = os.path.join(out_dir, _WM_FILE)
+    if os.path.isfile(path):
+        with open(path) as fh:
+            return int(fh.read().strip())
+    return -1
+
+
+def write_watermark(out_dir: str, batch_id: int) -> None:
+    path = os.path.join(out_dir, _WM_FILE)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(str(batch_id))
+    os.replace(tmp, path)  # atomic on POSIX
+
+
+def delta_merge_sink(
+    stream: DataFrame,
+    spark: SparkSession,
+    out_dir: str,
+    *,
+    key: str,
+    delta_fn,
+    combine_fn,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """foreachBatch sink maintaining ``out_dir`` as a keyed view whose
+    combine is associative + commutative: per batch, ``delta_fn``
+    turns the raw rows into keyed delta rows, the base view's TOUCHED
+    keys are read back (broadcast semi-join prune; the bucket layout
+    prunes the scan to their partitions), ``combine_fn`` re-aggregates
+    base ∪ delta, and merge_batch_into rewrites only the touched
+    bucket partitions.
+
+    This function owns the REPLAY PROTOCOL for every additive sink
+    (incremental dedup, chunk indexing, any future delta view), so the
+    contract lives in exactly one place: foreachBatch is
+    at-least-once and the combines are DELTAS, so a re-delivered batch
+    must not re-merge — a batch-id watermark written atomically AFTER
+    each data commit makes replays of committed batches no-ops.
+    Residual window: a crash BETWEEN the data commit and the watermark
+    write replays one batch into an already-merged base and
+    double-counts its deltas — the same plain-parquet residue
+    merge_batch_into documents; closing it needs a transactional table
+    format (Delta/Iceberg MERGE)."""
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if batch_id <= read_watermark(out_dir):
+            return  # replay of a committed batch: already merged
+        delta = delta_fn(batch_df)
+        if _has_parquet_data(out_dir):
+            base = (
+                spark.read.parquet(out_dir)
+                .join(F.broadcast(delta.select(key)), key, "left_semi")
+                .select(*delta.columns)
+            )
+            delta = combine_fn(base.unionByName(delta))
+        merge_batch_into(spark, delta, key, out_dir)
+        write_watermark(out_dir, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -117,8 +117,6 @@ def main() -> None:
     # reused workers, so steady-state is the honest per-query number —
     # same argument as the hot-cache table warmup above.
     def _warm_python_pool():
-        import pandas as pd
-
         def _ident(it):
             for batch in it:
                 yield batch
