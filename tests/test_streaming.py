@@ -262,3 +262,45 @@ def test_materialized_view_meta_only_dir_reinitializes(spark, tmp_path):
     )
     got = {(r.k, r.v) for r in MV.read_view(spark, out).collect()}
     assert got == {(f"k{i}", i) for i in range(10) if i != 3} | {("k3", 999)}
+
+
+def test_delta_merge_sink_replay_is_noop(spark, tmp_path):
+    """The shared additive-sink replay guard (materialized.
+    delta_merge_sink): re-delivering already-committed batch ids must
+    not re-merge their deltas. A second stream over the SAME staged
+    files into the SAME view (fresh checkpoint, so batch ids restart
+    at 0 <= the recorded watermark) leaves the view bit-identical —
+    without the watermark, every count would exactly double."""
+    from pyspark.sql import functions as F
+
+    from a3_fp_bigdata_spark.streaming import materialized as MV
+    from a3_fp_bigdata_spark.streaming.chunk_index import chunk_index_sink
+    from a3_fp_bigdata_spark.streaming.ingest import streaming_shuffle
+
+    stage = str(tmp_path / "stage")
+    out = str(tmp_path / "view")
+    docs = table(spark, SF0001, "documents").limit(60)
+    docs.repartition(2, "doc_id").write.mode("overwrite").parquet(stage)
+
+    def run_once(cp: str):
+        stream = (
+            spark.readStream.schema(TESTDATA["documents"])
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage)
+        )
+        with streaming_shuffle(spark, 4):
+            q = chunk_index_sink(stream, spark, out, checkpoint_dir=cp)
+            q.awaitTermination()
+
+    run_once(str(tmp_path / "cp1"))
+    first = sorted(
+        map(tuple, spark.read.parquet(out).select(
+            "bucket", "n_chunks", "n_docs").collect())
+    )
+    assert first and MV.read_watermark(out) >= 0
+    run_once(str(tmp_path / "cp2"))  # full replay: all ids <= watermark
+    second = sorted(
+        map(tuple, spark.read.parquet(out).select(
+            "bucket", "n_chunks", "n_docs").collect())
+    )
+    assert second == first
