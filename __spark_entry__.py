@@ -13,7 +13,7 @@ plan), PII redaction, corpus profiling stats, quality-aware dedup
 keeper policy, corpus snapshot diff (CDC), ANN recall@k eval,
 repetition removal, unigram-LM quality scoring, near-dup
 split-leakage audit, and int8-quantized two-stage retrieval —
-backed by ``a3_fp_bigdata_spark.registry`` (150 queries, 136 with
+backed by ``a3_fp_bigdata_spark.registry`` (151 queries, 137 with
 oracles —
 including pl1, the whole curation chain composed end-to-end: quality
 floor -> near-dup keeper policy -> greedy packing -> manifest). Each

@@ -1,0 +1,159 @@
+"""Data-quality expectation checks (dq1) — the validation gate every
+production pipeline runs before publishing a table.
+
+The reference validates ad hoc (a hand-rolled column check inside its
+serving endpoint, app.py /check_data); this is the systematic form: a
+declarative suite of expectations (primary-key uniqueness, referential
+integrity, null rates, value ranges, enum domains) evaluated in ONE
+pass per table and emitted as a (check, n_checked, n_violations)
+report. Downstream, a non-zero violations row blocks the publish — the
+circuit-breaker pattern (Great-Expectations/dbt-test shape) expressed
+as plain DataFrame algebra.
+
+Scale: every expectation is a conditional aggregate — one scan per
+table, map-side combinable, no shuffle beyond the final tiny
+aggregation; the FK check is the only join and its violation count
+comes from the same hash join an enrichment would need anyway. The
+report is O(checks) rows regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from a3_fp_bigdata_spark.data import table
+from a3_fp_bigdata_spark.registry import query
+
+#: Value-range expectation for lineitem quantities (TPC-H generates
+#: 1..50; a violation means upstream corruption, not a business rule).
+QTY_MIN, QTY_MAX = 1, 50
+
+#: Legal order-status domain.
+ORDER_STATUS_DOMAIN = ("O", "F", "P")
+
+
+def _check(name: str, checked: F.Column, violations: F.Column):
+    return (
+        F.lit(name).alias("check_name"),
+        checked.cast("long").alias("n_checked"),
+        violations.cast("long").alias("n_violations"),
+    )
+
+
+@query(
+    "dq1_expectations",
+    oracle=f"""
+    SELECT 'orders_pk_unique' AS check_name,
+           count(*) AS n_checked,
+           count(*) - count(DISTINCT o_orderkey) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders_fk_customer', count(*),
+           sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'orders_status_domain', count(*),
+           sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                    THEN 1 ELSE 0 END)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_qty_not_null', count(*),
+           sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_qty_range', count(*),
+           sum(CASE WHEN l_quantity < {QTY_MIN} OR l_quantity > {QTY_MAX}
+                    THEN 1 ELSE 0 END)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_price_positive', count(*),
+           sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+    FROM lineitem
+    """,
+)
+def dq1_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The expectation suite as one DataFrame: per check, how many rows
+    were inspected and how many violate. All six checks compile to
+    conditional aggregates — each table is scanned ONCE for its checks
+    (Catalyst collapses the per-table sums into a single aggregate
+    node), and the FK expectation reuses the broadcast join shape of a
+    normal enrichment. Violation counts are exact, so the publish gate
+    (`n_violations > 0 -> abort`) is deterministic; on the driver
+    testdata every check passes with zero violations, and the pytest
+    twin corrupts rows to prove each check actually fires."""
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    lineitem = table(spark, sf_dir, "lineitem")
+
+    orders_checks = orders.agg(
+        F.count("*").alias("_n"),
+        (F.count("*") - F.count_distinct("o_orderkey")).alias("_pk"),
+        F.sum(
+            F.when(
+                ~F.col("o_orderstatus").isin(*ORDER_STATUS_DOMAIN), 1
+            ).otherwise(0)
+        ).alias("_dom"),
+    )
+    pk_row = orders_checks.select(
+        *_check("orders_pk_unique", F.col("_n"), F.col("_pk"))
+    )
+    dom_row = orders_checks.select(
+        *_check("orders_status_domain", F.col("_n"), F.col("_dom"))
+    )
+    fk = orders.join(
+        F.broadcast(customer.select("c_custkey")),
+        orders.o_custkey == F.col("c_custkey"),
+        "left",
+    ).agg(
+        F.count("*").alias("_n"),
+        F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0)).alias(
+            "_v"
+        ),
+    )
+    fk_row = fk.select(
+        *_check("orders_fk_customer", F.col("_n"), F.col("_v"))
+    )
+    li_checks = lineitem.agg(
+        F.count("*").alias("_n"),
+        F.sum(
+            F.when(F.col("l_quantity").isNull(), 1).otherwise(0)
+        ).alias("_null"),
+        F.sum(
+            F.when(
+                (F.col("l_quantity") < QTY_MIN)
+                | (F.col("l_quantity") > QTY_MAX),
+                1,
+            ).otherwise(0)
+        ).alias("_rng"),
+        F.sum(
+            F.when(F.col("l_extendedprice") <= 0, 1).otherwise(0)
+        ).alias("_price"),
+    )
+    null_row = li_checks.select(
+        *_check("lineitem_qty_not_null", F.col("_n"), F.col("_null"))
+    )
+    rng_row = li_checks.select(
+        *_check("lineitem_qty_range", F.col("_n"), F.col("_rng"))
+    )
+    price_row = li_checks.select(
+        *_check("lineitem_price_positive", F.col("_n"), F.col("_price"))
+    )
+    return (
+        pk_row.unionByName(fk_row)
+        .unionByName(dom_row)
+        .unionByName(null_row)
+        .unionByName(rng_row)
+        .unionByName(price_row)
+    )
+
+
+def run_expectations(df_report: DataFrame) -> None:
+    """The publish gate: raise if any expectation fired. Kept separate
+    from the report query so pipelines can log the report AND gate."""
+    bad = df_report.filter(F.col("n_violations") > 0).collect()
+    if bad:
+        failed = ", ".join(
+            f"{r.check_name} ({r.n_violations}/{r.n_checked})" for r in bad
+        )
+        raise ValueError(f"data-quality expectations failed: {failed}")

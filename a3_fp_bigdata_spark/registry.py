@@ -86,6 +86,7 @@ def _load_all_modules() -> None:
         grouped_map,
         joins,
         packing,
+        quality_checks,
         scalars,
         semistructured,
         setops,
@@ -137,9 +138,12 @@ def all_oracles() -> dict[str, str]:
 #: tiering only decides which 50 the driver's bounded sweep lands on.
 CANONICAL = frozenset(
     {
-        # aggregates (a1 group-count subsumed by a8; a13 q6 by a8+a14;
-        # a5 stddev subsumed by a8's agg surface + z_a5 parity)
-        "a8_tpch_q1", "a9_rollup", "a14_tpch_q3_shape",
+        # aggregates (a1 group-count subsumed by a8; a13 q6 and a14's
+        # Q3 shape by a8+j5+t1; a5 stddev by a8's agg surface — all
+        # parity-checked as z_ twins)
+        "a8_tpch_q1", "a9_rollup",
+        # data-quality expectation suite (publish gate)
+        "dq1_expectations",
         # dedup ladder (+ d8: Arrow-numpy winnowing, a distinct plan
         # shape; d12 connected-components clusters; d14 quality keeper;
         # d2's window-dedup shape is w1's, parity-checked as z_d2)

@@ -1,0 +1,101 @@
+"""dq1 expectation suite — the checks must actually FIRE.
+
+Zero violations on the clean driver data proves nothing by itself; these
+tests corrupt specific rows (duplicate pk, dangling fk, illegal enum,
+null/absurd/negative values) and assert each expectation counts exactly
+the corruption injected, and that the publish gate raises."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from a3_fp_bigdata_spark.data import table
+from a3_fp_bigdata_spark.operators import quality_checks as Q
+from tests.conftest import SF0001
+
+
+def _corrupted(spark):
+    """(orders, customer, lineitem) with one violation per check."""
+    orders = table(spark, SF0001, "orders")
+    customer = table(spark, SF0001, "customer")
+    lineitem = table(spark, SF0001, "lineitem")
+    first_order = orders.limit(1)
+    orders_bad = (
+        orders
+        # duplicate pk: re-append the first order row
+        .unionByName(first_order)
+        # dangling fk + illegal status: one synthetic row
+        .unionByName(
+            first_order.withColumn(
+                "o_orderkey", F.lit(-1).cast("long")
+            ).withColumn(
+                "o_custkey", F.lit(-999_999).cast("long")
+            ).withColumn("o_orderstatus", F.lit("X"))
+        )
+    )
+    first_li = lineitem.limit(1)
+    lineitem_bad = (
+        lineitem.unionByName(
+            first_li.withColumn(
+                "l_quantity", F.lit(None).cast("double")
+            )
+        )
+        .unionByName(
+            first_li.withColumn("l_quantity", F.lit(9_999.0))
+        )
+        .unionByName(
+            first_li.withColumn("l_extendedprice", F.lit(-5.0))
+        )
+    )
+    return orders_bad, customer, lineitem_bad
+
+
+def test_every_expectation_fires_on_corruption(spark, monkeypatch):
+    orders_bad, customer, lineitem_bad = _corrupted(spark)
+
+    def patched(spark_, sf_dir_, name):
+        return {
+            "orders": orders_bad,
+            "customer": customer,
+            "lineitem": lineitem_bad,
+        }[name]
+
+    monkeypatch.setattr(Q, "table", patched)
+    report = {
+        r.check_name: r
+        for r in Q.dq1_expectations(spark, SF0001).collect()
+    }
+    # the duplicated pk row ALSO duplicates its (valid) fk/status, so
+    # only the synthetic row violates fk/domain: exactly 1 each
+    assert report["orders_pk_unique"].n_violations == 1
+    assert report["orders_fk_customer"].n_violations == 1
+    assert report["orders_status_domain"].n_violations == 1
+    assert report["lineitem_qty_not_null"].n_violations == 1
+    # the null row is NOT a range violation (null comparisons are
+    # null -> otherwise(0)); only the absurd-quantity row counts
+    assert report["lineitem_qty_range"].n_violations == 1
+    assert report["lineitem_price_positive"].n_violations == 1
+    # n_checked grew by the injected rows
+    assert report["orders_pk_unique"].n_checked == (
+        table(spark, SF0001, "orders").count() + 2
+    )
+
+
+def test_clean_data_passes_and_gate_raises_on_violations(spark, monkeypatch):
+    clean = Q.dq1_expectations(spark, SF0001)
+    assert clean.filter(F.col("n_violations") > 0).count() == 0
+    Q.run_expectations(clean)  # must not raise
+
+    orders_bad, customer, lineitem_bad = _corrupted(spark)
+    monkeypatch.setattr(
+        Q,
+        "table",
+        lambda s, d, name: {
+            "orders": orders_bad,
+            "customer": customer,
+            "lineitem": lineitem_bad,
+        }[name],
+    )
+    with pytest.raises(ValueError, match="orders_pk_unique"):
+        Q.run_expectations(Q.dq1_expectations(spark, SF0001))

@@ -46,6 +46,7 @@ _SPOT_BASE = [
     "sim9_quantized_rerank", "pk8_sliding_chunks", "tx14_bigram_pmi",
     "pl2_chunk_index_stats", "st11_chunk_index_stream",
     "w8_gapfill_locf", "w9_linear_interp", "pk9_weighted_sample",
+    "dq1_expectations",
 ]
 SPOT = [exposure_name(n) for n in _SPOT_BASE]
 
