@@ -17,9 +17,13 @@ survive, where the old forced-broadcast hint would OOM. Per stage it
 records wall seconds plus shuffle read/write bytes and peak executor
 memory from Spark's own status REST API.
 
-Two further rungs stress the rest of the extension surface:
+Further rungs stress the rest of the extension surface:
 - mixing (pk5/pk6) on the same 60%-hot-lang corpus — pk5 must pull
   the hot lang back to its renormalized target share;
+- curation scoring (tx12/tx13/pk7/pl2) on the skewed corpus;
+- time-series (w8/w9 gap-fill, w5/j8/j9) on a generated event stream
+  where ONE user holds 40% of all events and the tail is sparse
+  enough that the dense grid is ~25x the observed rows;
 - ANN (d6 blocked GEMM, sim2, sim4 build+probe) on generated
   clustered embeddings with one hot cell holding 40% of the vectors
   and the probe vector inside it — the worst-bucket serving case.
@@ -177,6 +181,53 @@ def build_embeddings() -> dict:
     }
 
 
+#: Skewed event stream for the time-series rung: 3x sf0.1's row count,
+#: ONE user holding HOT_USER_SHARE of all events (the service account /
+#: bot every real event stream has), the tail sparse enough that w8/w9
+#: fill mostly GAPS (~40 events per user across a ~720-hour span).
+N_EVENTS = 300_000
+N_EVENT_USERS = 4_500
+HOT_USER_SHARE = 0.4
+EVENT_SPAN_S = 30 * 24 * 3600
+
+
+def build_events() -> dict:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(SEED + 1)
+    hot = rng.random(N_EVENTS) < HOT_USER_SHARE
+    users = rng.integers(1, N_EVENT_USERS, size=N_EVENTS)
+    users[hot] = 0
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    ts = base + (rng.random(N_EVENTS) * EVENT_SPAN_S * 1e6).astype(
+        "timedelta64[us]"
+    )
+    etypes = rng.choice(
+        np.array(["click", "purchase", "error"]),
+        size=N_EVENTS,
+        p=[0.7, 0.2, 0.1],
+    )
+    values = np.round(rng.random(N_EVENTS) * 200, 2)
+    t = pa.table(
+        {
+            "event_id": pa.array(range(N_EVENTS), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(users.astype("int64"), pa.int64()),
+            "event_type": pa.array(etypes.astype(object), pa.string()),
+            "value": pa.array(values, pa.float64()),
+            "props": pa.array(["{}"] * N_EVENTS, pa.string()),
+        }
+    )
+    pq.write_table(t, f"{CORPUS_DIR}/events.parquet")
+    return {
+        "n_events": N_EVENTS,
+        "n_users": N_EVENT_USERS,
+        "hot_user_share": HOT_USER_SHARE,
+    }
+
+
 def _rest(spark, path: str):
     ui = spark.sparkContext.uiWebUrl
     app_id = spark.sparkContext.applicationId
@@ -206,6 +257,7 @@ def _peak_mem(spark) -> int:
 def main() -> None:
     sf_dir, stats = build_corpus()
     emb_stats = build_embeddings()
+    ev_stats = build_events()
 
     from pyspark.sql import SparkSession
 
@@ -371,6 +423,41 @@ def main() -> None:
         "pl2_chunk_index_stats",
     ):
         timed_row(name, lambda n=name: qs[n](spark, sf_dir).count())
+
+    # ---- time-series rung: gap-heavy grid + one bot user
+    print()
+    print("## Time-series under user skew")
+    print()
+    print(
+        f"Events: {ev_stats['n_events']} rows (3x sf0.1), "
+        f"{ev_stats['n_users']} users, ONE user holding "
+        f"{ev_stats['hot_user_share']:.0%} of all events (the bot every"
+    )
+    print("stream has); the tail averages ~40 events over a ~720-hour")
+    print("span, so w8/w9 fill mostly GAPS (the grid is ~25x the")
+    print("observed rows) while the hot user stresses the per-key")
+    print("window sort and j8/j9's per-key join state.")
+    print()
+    print("| stage | rows out | wall s | shuffle write | shuffle read | peak JVM mem |")
+    print("|---|---|---|---|---|---|")
+    timed_row.w0, timed_row.r0 = _shuffle_totals(spark)
+
+    def force_count(name: str) -> int:
+        # count() alone would let Catalyst ELIDE the Window nodes
+        # (windows never change row counts), timing a plan that skipped
+        # the fill entirely; the noop write forces full execution.
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return df.count()
+
+    for name in (
+        "w8_gapfill_locf",
+        "w9_linear_interp",
+        "w5_sessionize",
+        "j8_asof_join",
+        "j9_range_join",
+    ):
+        timed_row(name, lambda n=name: force_count(n))
 
     # ---- ANN / embedding rung: skewed cells, planted near-identicals
     print()
