@@ -373,3 +373,62 @@ def test_domain_mixture_int64_math_properties(counts):
     # the limiting domain is kept near-whole: its rate only loses the
     # floor-division remainder (< 1 doc-percent of slack per division)
     assert lim_rate >= 100 - 100 * target[limiting] // counts[limiting] - 1
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(TEXTS)
+def test_collapse_repeats_matches_python(spark, texts):
+    """tx12's indexed-lambda run-length collapse == the obvious Python
+    walk, on arbitrary unicode (including texts whose segments are
+    empty strings — split(' ') keeps them, and the collapse must treat
+    consecutive empties as repeats too)."""
+
+    def py_collapse(s: str) -> list[str]:
+        segs = s.split(" ")
+        return [x for i, x in enumerate(segs) if i == 0 or x != segs[i - 1]]
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    ls = F.split(F.col("text"), " ")
+    kept = F.filter(
+        ls, lambda x, i: (i == F.lit(0)) | (x != F.element_at(ls, i))
+    )
+    got = {
+        r.doc_id: (r.ks, r.n)
+        for r in df.select(
+            "doc_id", kept.alias("ks"), F.size(kept).alias("n")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        want = py_collapse(t)
+        assert got[i] == (want, len(want)), (t, got[i], want)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    st.lists(st.integers(0, 200), min_size=1, max_size=24),
+    st.integers(2, 40),
+    st.integers(1, 40),
+)
+def test_chunk_count_formula_matches_walk(spark, n_tokens, size, stride):
+    """pk8's closed-form chunk count (1 + ceil(max(n-size,0)/stride))
+    equals the naive walk 'emit starts 0, stride, ... while the
+    previous chunk has not reached the end' for ANY size/stride
+    combination — including stride > size (gapped sampling) and
+    size > n (single short chunk)."""
+    import math
+
+    for n in n_tokens:
+        if n == 0:
+            continue  # empty docs emit no chunks (explode drops null)
+        formula = 1 + math.ceil(max(n - size, 0) / stride)
+        starts = [0]
+        while starts[-1] + size < n:
+            starts.append(starts[-1] + stride)
+        assert formula == len(starts), (n, size, stride)
+        # the final chunk reaches the end; no chunk is contained in
+        # its predecessor
+        assert starts[-1] + size >= n
+        for a, b in zip(starts, starts[1:]):
+            assert b + size > a + size  # strictly new coverage
