@@ -34,10 +34,14 @@ ORDER_STATUS_DOMAIN = ("O", "F", "P")
 
 
 def _check(name: str, checked: F.Column, violations: F.Column):
+    # coalesce: sum() over an EMPTY table is NULL, and a NULL violation
+    # count would slip through any `> 0` gate — an empty input must
+    # read as "0 violations over 0 rows" and fail the gate via the
+    # n_checked floor instead
     return (
         F.lit(name).alias("check_name"),
         checked.cast("long").alias("n_checked"),
-        violations.cast("long").alias("n_violations"),
+        F.coalesce(violations, F.lit(0)).cast("long").alias("n_violations"),
     )
 
 
@@ -50,25 +54,29 @@ def _check(name: str, checked: F.Column, violations: F.Column):
     FROM orders
     UNION ALL
     SELECT 'orders_fk_customer', count(*),
-           sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+           COALESCE(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END),
+                    0)
     FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
     UNION ALL
     SELECT 'orders_status_domain', count(*),
-           sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
-                    THEN 1 ELSE 0 END)
+           COALESCE(sum(CASE WHEN o_orderstatus IS NULL
+                             OR o_orderstatus NOT IN ('O', 'F', 'P')
+                        THEN 1 ELSE 0 END), 0)
     FROM orders
     UNION ALL
     SELECT 'lineitem_qty_not_null', count(*),
-           sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+           COALESCE(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END), 0)
     FROM lineitem
     UNION ALL
     SELECT 'lineitem_qty_range', count(*),
-           sum(CASE WHEN l_quantity < {QTY_MIN} OR l_quantity > {QTY_MAX}
-                    THEN 1 ELSE 0 END)
+           COALESCE(sum(CASE WHEN l_quantity < {QTY_MIN}
+                             OR l_quantity > {QTY_MAX}
+                        THEN 1 ELSE 0 END), 0)
     FROM lineitem
     UNION ALL
     SELECT 'lineitem_price_positive', count(*),
-           sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+           COALESCE(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END),
+                    0)
     FROM lineitem
     """,
 )
@@ -89,9 +97,13 @@ def dq1_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders_checks = orders.agg(
         F.count("*").alias("_n"),
         (F.count("*") - F.count_distinct("o_orderkey")).alias("_pk"),
+        # NULL-safe: `NOT IN` over a NULL status is NULL -> otherwise(0)
+        # would let a nulled-out enum column pass the domain check
         F.sum(
             F.when(
-                ~F.col("o_orderstatus").isin(*ORDER_STATUS_DOMAIN), 1
+                F.col("o_orderstatus").isNull()
+                | ~F.col("o_orderstatus").isin(*ORDER_STATUS_DOMAIN),
+                1,
             ).otherwise(0)
         ).alias("_dom"),
     )
@@ -149,9 +161,17 @@ def dq1_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_expectations(df_report: DataFrame) -> None:
-    """The publish gate: raise if any expectation fired. Kept separate
-    from the report query so pipelines can log the report AND gate."""
-    bad = df_report.filter(F.col("n_violations") > 0).collect()
+    """The publish gate: raise if any expectation fired — and FAIL
+    CLOSED on degenerate inputs: a check that inspected zero rows
+    means the table is empty (the classic broken-upstream-write), and
+    a NULL violation count (impossible after _check's coalesce, but
+    guarded anyway) must never read as a pass. Kept separate from the
+    report query so pipelines can log the report AND gate."""
+    bad = df_report.filter(
+        (F.col("n_violations") > 0)
+        | F.col("n_violations").isNull()
+        | (F.col("n_checked") <= 0)
+    ).collect()
     if bad:
         failed = ", ".join(
             f"{r.check_name} ({r.n_violations}/{r.n_checked})" for r in bad

@@ -655,6 +655,18 @@ def tx11_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_FINGERPRINT = f"md5({_SQL_NORM})"
 
 
+def collapse_runs(segments: Column) -> Column:
+    """Drop each segment equal to its immediate predecessor (run-length
+    collapse) — tx12's kept-segments expression, shared with the
+    property test so the test can never drift from production. Spark
+    filter lambdas index from 0; element_at is 1-based, so
+    element_at(segments, i) IS the predecessor of 0-based position i."""
+    return F.filter(
+        segments,
+        lambda x, i: (i == F.lit(0)) | (x != F.element_at(segments, i)),
+    )
+
+
 @query(
     "tx12_collapse_repeats",
     oracle="""
@@ -689,11 +701,7 @@ def tx12_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     index order and emit identical text."""
     docs = table(spark, sf_dir, "documents")
     ls = F.split(F.col("text"), " ")
-    # Spark filter lambdas index from 0; element_at is 1-based, so
-    # element_at(ls, i) IS the predecessor of 0-based position i.
-    kept = F.filter(
-        ls, lambda x, i: (i == F.lit(0)) | (x != F.element_at(ls, i))
-    )
+    kept = collapse_runs(ls)
     return docs.select(
         "doc_id",
         F.size(ls).alias("n_segments"),

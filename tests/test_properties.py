@@ -378,10 +378,12 @@ def test_domain_mixture_int64_math_properties(counts):
 @settings(max_examples=8, deadline=None, derandomize=True)
 @given(TEXTS)
 def test_collapse_repeats_matches_python(spark, texts):
-    """tx12's indexed-lambda run-length collapse == the obvious Python
+    """tx12's run-length collapse (the PRODUCTION collapse_runs
+    expression, imported — not a transcription) == the obvious Python
     walk, on arbitrary unicode (including texts whose segments are
     empty strings — split(' ') keeps them, and the collapse must treat
     consecutive empties as repeats too)."""
+    from a3_fp_bigdata_spark.operators.text_analysis import collapse_runs
 
     def py_collapse(s: str) -> list[str]:
         segs = s.split(" ")
@@ -390,10 +392,7 @@ def test_collapse_repeats_matches_python(spark, texts):
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )
-    ls = F.split(F.col("text"), " ")
-    kept = F.filter(
-        ls, lambda x, i: (i == F.lit(0)) | (x != F.element_at(ls, i))
-    )
+    kept = collapse_runs(F.split(F.col("text"), " "))
     got = {
         r.doc_id: (r.ks, r.n)
         for r in df.select(
@@ -405,30 +404,41 @@ def test_collapse_repeats_matches_python(spark, texts):
         assert got[i] == (want, len(want)), (t, got[i], want)
 
 
-@settings(max_examples=8, deadline=None, derandomize=True)
-@given(
-    st.lists(st.integers(0, 200), min_size=1, max_size=24),
-    st.integers(2, 40),
-    st.integers(1, 40),
-)
-def test_chunk_count_formula_matches_walk(spark, n_tokens, size, stride):
-    """pk8's closed-form chunk count (1 + ceil(max(n-size,0)/stride))
-    equals the naive walk 'emit starts 0, stride, ... while the
-    previous chunk has not reached the end' for ANY size/stride
-    combination — including stride > size (gapped sampling) and
-    size > n (single short chunk)."""
-    import math
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(st.lists(st.integers(0, 90), min_size=1, max_size=10))
+def test_sliding_chunks_match_python_walk(spark, n_tokens):
+    """pk8's PRODUCTION sliding_chunk_frame on synthetic docs equals
+    the naive Python walk at the real (CHUNK_SIZE, CHUNK_STRIDE):
+    starts advance by stride until the previous chunk reaches the
+    document end, each chunk is tokens[start : start+size], and empty
+    docs emit nothing. (The registered constants keep stride < size;
+    a stride > size would need a guard on the slice length first — the
+    walk below encodes the coverage contract, not a free parameter.)"""
+    from a3_fp_bigdata_spark.operators.packing import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        sliding_chunk_frame,
+    )
 
-    for n in n_tokens:
+    docs = [
+        (i, " ".join(f"t{j}" for j in range(n)))
+        for i, n in enumerate(n_tokens)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    by_doc: dict[int, list] = {}
+    for r in sliding_chunk_frame(df).collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, n in enumerate(n_tokens):
+        toks = [f"t{j}" for j in range(n)]
         if n == 0:
-            continue  # empty docs emit no chunks (explode drops null)
-        formula = 1 + math.ceil(max(n - size, 0) / stride)
+            assert i not in by_doc
+            continue
         starts = [0]
-        while starts[-1] + size < n:
-            starts.append(starts[-1] + stride)
-        assert formula == len(starts), (n, size, stride)
-        # the final chunk reaches the end; no chunk is contained in
-        # its predecessor
-        assert starts[-1] + size >= n
-        for a, b in zip(starts, starts[1:]):
-            assert b + size > a + size  # strictly new coverage
+        while starts[-1] + CHUNK_SIZE < n:
+            starts.append(starts[-1] + CHUNK_STRIDE)
+        rows = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+        assert [r.chunk_idx for r in rows] == list(range(len(starts)))
+        for r, start in zip(rows, starts):
+            want = toks[start : start + CHUNK_SIZE]
+            assert r.chunk_text == " ".join(want), (i, r.chunk_idx)
+            assert r.n_tokens == len(want)

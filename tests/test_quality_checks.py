@@ -33,6 +33,15 @@ def _corrupted(spark):
                 "o_custkey", F.lit(-999_999).cast("long")
             ).withColumn("o_orderstatus", F.lit("X"))
         )
+        # NULL status: must count as a domain violation (NOT IN over
+        # NULL is NULL — the naive check would silently pass it)
+        .unionByName(
+            first_order.withColumn(
+                "o_orderkey", F.lit(-2).cast("long")
+            ).withColumn(
+                "o_orderstatus", F.lit(None).cast("string")
+            )
+        )
     )
     first_li = lineitem.limit(1)
     lineitem_bad = (
@@ -67,10 +76,11 @@ def test_every_expectation_fires_on_corruption(spark, monkeypatch):
         for r in Q.dq1_expectations(spark, SF0001).collect()
     }
     # the duplicated pk row ALSO duplicates its (valid) fk/status, so
-    # only the synthetic row violates fk/domain: exactly 1 each
+    # only the synthetic rows violate fk/domain: dangling-fk row for
+    # the fk check; illegal 'X' + NULL status for the domain check
     assert report["orders_pk_unique"].n_violations == 1
     assert report["orders_fk_customer"].n_violations == 1
-    assert report["orders_status_domain"].n_violations == 1
+    assert report["orders_status_domain"].n_violations == 2
     assert report["lineitem_qty_not_null"].n_violations == 1
     # the null row is NOT a range violation (null comparisons are
     # null -> otherwise(0)); only the absurd-quantity row counts
@@ -78,7 +88,7 @@ def test_every_expectation_fires_on_corruption(spark, monkeypatch):
     assert report["lineitem_price_positive"].n_violations == 1
     # n_checked grew by the injected rows
     assert report["orders_pk_unique"].n_checked == (
-        table(spark, SF0001, "orders").count() + 2
+        table(spark, SF0001, "orders").count() + 3
     )
 
 
@@ -99,3 +109,28 @@ def test_clean_data_passes_and_gate_raises_on_violations(spark, monkeypatch):
     )
     with pytest.raises(ValueError, match="orders_pk_unique"):
         Q.run_expectations(Q.dq1_expectations(spark, SF0001))
+
+
+def test_gate_fails_closed_on_empty_table(spark, monkeypatch):
+    """An empty lineitem (broken upstream write) must FAIL the gate:
+    its checks report n_checked=0, n_violations=0 — a pass under a
+    naive `violations > 0` filter, which is exactly how an empty table
+    would publish."""
+    empty_li = table(spark, SF0001, "lineitem").filter(F.lit(False))
+    real = Q.table
+    monkeypatch.setattr(
+        Q,
+        "table",
+        lambda s, d, name: empty_li
+        if name == "lineitem"
+        else real(s, d, name),
+    )
+    report = Q.dq1_expectations(spark, SF0001)
+    li_rows = report.filter(
+        F.col("check_name").startswith("lineitem")
+    ).collect()
+    assert all(
+        r.n_checked == 0 and r.n_violations == 0 for r in li_rows
+    )  # coalesced, never NULL
+    with pytest.raises(ValueError, match="lineitem_qty_not_null"):
+        Q.run_expectations(report)

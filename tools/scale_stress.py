@@ -445,10 +445,16 @@ def main() -> None:
     def force_count(name: str) -> int:
         # count() alone would let Catalyst ELIDE the Window nodes
         # (windows never change row counts), timing a plan that skipped
-        # the fill entirely; the noop write forces full execution.
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        return df.count()
+        # the fill entirely; the noop write forces full execution. The
+        # frame is persisted first so the row count reads the cache
+        # instead of re-running the fill (a bare post-noop count()
+        # doubled the timed work and inflated the committed rows ~2x).
+        df = qs[name](spark, sf_dir).persist()
+        try:
+            df.write.format("noop").mode("overwrite").save()
+            return df.count()
+        finally:
+            df.unpersist()
 
     for name in (
         "w8_gapfill_locf",
