@@ -47,36 +47,45 @@ def _check(name: str, checked: F.Column, violations: F.Column):
 
 @query(
     "dq1_expectations",
+    # Every n_violations branch is CAST(... AS BIGINT): DuckDB's sum()
+    # over integers returns HUGEINT, which fetchdf() renders as float64
+    # (0.0 vs Spark's long 0) and the driver's value-hash reds even
+    # though the numbers are identical.
     oracle=f"""
     SELECT 'orders_pk_unique' AS check_name,
            count(*) AS n_checked,
-           count(*) - count(DISTINCT o_orderkey) AS n_violations
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+               AS n_violations
     FROM orders
     UNION ALL
     SELECT 'orders_fk_customer', count(*),
-           COALESCE(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END),
-                    0)
+           CAST(COALESCE(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0
+                                  END),
+                         0) AS BIGINT)
     FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
     UNION ALL
     SELECT 'orders_status_domain', count(*),
-           COALESCE(sum(CASE WHEN o_orderstatus IS NULL
-                             OR o_orderstatus NOT IN ('O', 'F', 'P')
-                        THEN 1 ELSE 0 END), 0)
+           CAST(COALESCE(sum(CASE WHEN o_orderstatus IS NULL
+                                  OR o_orderstatus NOT IN ('O', 'F', 'P')
+                             THEN 1 ELSE 0 END), 0) AS BIGINT)
     FROM orders
     UNION ALL
     SELECT 'lineitem_qty_not_null', count(*),
-           COALESCE(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END), 0)
+           CAST(COALESCE(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0
+                                  END),
+                         0) AS BIGINT)
     FROM lineitem
     UNION ALL
     SELECT 'lineitem_qty_range', count(*),
-           COALESCE(sum(CASE WHEN l_quantity < {QTY_MIN}
-                             OR l_quantity > {QTY_MAX}
-                        THEN 1 ELSE 0 END), 0)
+           CAST(COALESCE(sum(CASE WHEN l_quantity < {QTY_MIN}
+                                  OR l_quantity > {QTY_MAX}
+                             THEN 1 ELSE 0 END), 0) AS BIGINT)
     FROM lineitem
     UNION ALL
     SELECT 'lineitem_price_positive', count(*),
-           COALESCE(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END),
-                    0)
+           CAST(COALESCE(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0
+                                  END),
+                         0) AS BIGINT)
     FROM lineitem
     """,
 )
@@ -113,8 +122,12 @@ def dq1_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     dom_row = orders_checks.select(
         *_check("orders_status_domain", F.col("_n"), F.col("_dom"))
     )
+    # No explicit broadcast hint: customer is a full dimension, and at
+    # the 100 TB posture forcing it driver-side is the OOM anti-pattern
+    # — AQE picks broadcast when the projected key column is small and
+    # falls back to shuffle hash join when it isn't.
     fk = orders.join(
-        F.broadcast(customer.select("c_custkey")),
+        customer.select("c_custkey"),
         orders.o_custkey == F.col("c_custkey"),
         "left",
     ).agg(

@@ -79,6 +79,30 @@ print(
     f"loaded_as={queries and spark.read.parquet(f'{SF}/events.parquet').schema['ts'].dataType}"
 )
 
+#: Spark SQL type names that land as Python int vs float on collect().
+_SPARK_INT = {"tinyint", "smallint", "int", "bigint"}
+_SPARK_FLOAT = {"float", "double"}
+
+
+def dtype_mismatches(sdf, ores):
+    """Columns where Spark collects ints but the oracle fetchdf gives
+    floats (or vice versa). norm() renders 0 and 0.0 identically, but
+    the DRIVER's value-hash does not — round 5's dq1 red row was
+    exactly this (DuckDB HUGEINT -> float64 vs Spark long). A column
+    the oracle returns as float64 *because it contains nulls* (pandas
+    widening) is reported too: the driver would red it the same way,
+    so the oracle SQL should CAST or COALESCE it."""
+    stypes = dict(sdf.dtypes)
+    bad = []
+    for c in ores.columns:
+        st, ok = stypes.get(c), ores[c].dtype.kind
+        if st in _SPARK_INT and ok == "f":
+            bad.append(f"{c}: spark {st} vs oracle float64")
+        elif (st in _SPARK_FLOAT or (st or "").startswith("decimal")) and ok in "iu":
+            bad.append(f"{c}: spark {st} vs oracle int64")
+    return bad
+
+
 fail = False
 for name in names:
     sdf = queries[name](spark, SF)
@@ -90,6 +114,8 @@ for name in names:
         continue
     ores = con.execute(oracles[name]).fetchdf()
     ocols = sorted(ores.columns)
+    for m in dtype_mismatches(sdf, ores):
+        print(f"FAIL {name}: dtype-class {m}"); fail = True
     orows = sorted(
         tuple(norm(v) for v in (row[c] for c in ocols))
         for _, row in ores.iterrows()
