@@ -459,6 +459,60 @@ def _verify_candidate_pairs(
     )
 
 
+#: Fixed scratch location for the d4 containment audit: the oracle SQL
+#: is a static string, so the Spark side must land the LSH pairs at a
+#: path DuckDB can name. Overwritten per invocation; the audit's Spark
+#: query always runs before its oracle (both the driver and
+#: check_parity execute that order), so the file holds the pairs of
+#: the CURRENT sf when the oracle reads it.
+_D4_AUDIT_SCRATCH = "/tmp/a3_fp_d4_containment_pairs"
+
+
+@query(
+    "d4_containment_audit",
+    oracle=f"""
+    WITH {_D3_CTES}, exact AS (
+      {_D3_SELECT}
+    ), lsh AS (
+      SELECT doc_a, doc_b
+      FROM read_parquet('{_D4_AUDIT_SCRATCH}/*.parquet')
+    )
+    SELECT CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_lsh_pairs,
+           CAST((SELECT count(*)
+                 FROM lsh ANTI JOIN exact USING (doc_a, doc_b))
+                AS BIGINT) AS n_outside_exact
+    """,
+)
+def d4_containment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-BACKED containment attestation for d4 (whose own output
+    has no SQL twin — the minhash seeds are engine-specific): every
+    pair d4's LSH+verify path emits must also appear in d3's exact
+    3-gram-Jaccard pair set. The Spark side materializes d4's pairs to
+    a scratch parquet and counts (total, outside-exact) with an
+    anti-join against ITS d3; the DuckDB oracle reads the SAME
+    materialized pairs and anti-joins them against its OWN independent
+    d3 derivation — so `n_outside_exact = 0` is verified against
+    ground truth d4 never touched, and `n_lsh_pairs` pins the audited
+    set size. (Containment, not equality: LSH recall at the threshold
+    is probabilistic by design, ~78%.)
+
+    Scale: d3 is the quadratic verification rung, so at 100 TB this
+    audit runs on corpus SAMPLES (the standard recall-estimation
+    protocol), not the full table; the audit query itself adds one
+    tiny write + two counting joins on top of the shared staged
+    shingle/bucket tables."""
+    pairs = d4_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pairs.coalesce(1).write.mode("overwrite").parquet(_D4_AUDIT_SCRATCH)
+    back = spark.read.parquet(_D4_AUDIT_SCRATCH)
+    exact = d3_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    outside = back.join(exact, ["doc_a", "doc_b"], "left_anti")
+    return back.agg(
+        F.count("*").cast("long").alias("n_lsh_pairs")
+    ).crossJoin(
+        outside.agg(F.count("*").cast("long").alias("n_outside_exact"))
+    )
+
+
 def simhash_frame(
     spark: SparkSession, sf_dir: str, nbits: int = 32
 ) -> DataFrame:

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from a3_fp_bigdata_spark.data import table
 from a3_fp_bigdata_spark.functions import text as TX
+from a3_fp_bigdata_spark.functions.rounding import half_up, half_up_sql
 from a3_fp_bigdata_spark.operators.text_analysis import (
     SAMPLE_MULT,
     SAMPLE_PREMOD,
@@ -545,35 +546,44 @@ def sliding_chunk_frame(docs: DataFrame) -> DataFrame:
 def pk9_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted importance sampling: keep each document with
     probability proportional to its tx2 quality score (keep_rate =
-    floor(round(quality,4)*100) percent, decided by the deterministic
-    multiplicative-hash percentile — auditable, re-runnable, engine-
-    stable), and emit the inverse-probability weight 100/keep_rate so
-    downstream statistics over the sample stay UNBIASED (Horvitz-
-    Thompson). The data-selection rung between pk3's fixed strata
-    rates and a learned selection model: better text is kept more
-    often, and the weight column undoes the tilt where unbiased
-    aggregates are needed.
+    nearest-percent of quality, floored at 1, decided by the
+    deterministic multiplicative-hash percentile — auditable,
+    re-runnable, engine-stable), and emit the inverse-probability
+    weight 100/keep_rate so downstream statistics over the sample stay
+    UNBIASED (Horvitz-Thompson — sound because the rate FLOOR of 1
+    gives every document, however low its quality, a nonzero inclusion
+    probability; a zero-rate class would make full-corpus estimates
+    biased no matter the weights). The data-selection rung between
+    pk3's fixed strata rates and a learned selection model: better
+    text is kept more often, and the weight column undoes the tilt
+    where unbiased aggregates are needed.
 
-    Determinism across engines: round(quality, 4) yields the same f64
-    bit pattern in both (nearest double to the same decimal), so
-    floor(x*100) and the hash predicate agree exactly; kept rows
-    always have keep_rate >= 1 (the percentile is < rate), so the
-    weight never divides by zero.
+    Determinism across engines: every rounding step is the shared
+    half-up form (functions.rounding — identical f64 arithmetic
+    rendered for both engines): quality stabilizes through
+    half_up(q, 4), then the percent is floor(x*100 + 0.5) — avoiding
+    BOTH Spark-vs-DuckDB native-round divergence AND the double-
+    representation cliff where floor(0.57*100) lands on 56 because
+    0.57*100 is 56.999…997 as a double. Kept rows always have
+    keep_rate >= 1, so the weight never divides by zero.
 
     Scale: quality is scan-side column algebra (tx2), the predicate is
     scan-time integer arithmetic — ZERO shuffles, rows never move;
     the same form extends to any per-doc score (perplexity, tx13's
     logprob) by swapping the rate expression."""
     docs = table(spark, sf_dir, "documents")
-    rate = F.floor(
-        F.round(TX.quality_score(F.col("text")), 4) * 100
-    ).cast("int")
+    rate = F.greatest(
+        F.lit(1),
+        F.floor(
+            half_up(TX.quality_score(F.col("text"))) * 100 + F.lit(0.5)
+        ).cast("int"),
+    )
     d = docs.select("doc_id", rate.alias("keep_rate"))
     kept = d.filter(sample_predicate(F.col("doc_id"), F.col("keep_rate")))
     return kept.select(
         "doc_id",
         "keep_rate",
-        F.round(F.lit(100.0) / F.col("keep_rate"), 4).alias("inv_weight"),
+        half_up(F.lit(100.0) / F.col("keep_rate")).alias("inv_weight"),
     )
 
 
@@ -585,11 +595,12 @@ def _pk9_oracle() -> str:
     return f"""
     WITH {_SQL_QUALITY_CTES}, rated AS (
       SELECT doc_id,
-             CAST(floor(round(quality, 4) * 100) AS INT) AS keep_rate
+             greatest(1, CAST(floor({half_up_sql('quality')} * 100 + 0.5)
+                              AS INT)) AS keep_rate
       FROM quality
     )
     SELECT doc_id, keep_rate,
-           round(100.0 / keep_rate, 4) AS inv_weight
+           {half_up_sql('100.0 / keep_rate')} AS inv_weight
     FROM rated
     WHERE ((doc_id % {SAMPLE_PREMOD}) * {SAMPLE_MULT}) % 100 < keep_rate
     """

@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from a3_fp_bigdata_spark.data import table
+from a3_fp_bigdata_spark.functions.rounding import half_up, half_up_sql
 from a3_fp_bigdata_spark.registry import query
 
 NEARDUP_COSINE = 0.4
@@ -94,9 +95,9 @@ def _sql_cos(a: str, b: str) -> str:
       SELECT vec_id, {_SQL_D.format(col='embedding')} AS e
       FROM embeddings WHERE vec_id <> 0
     )
-    SELECT vec_id, round({_sql_cos('e', 'qe')}, 4) AS cosine
+    SELECT vec_id, {half_up_sql(_sql_cos('e', 'qe'))} AS cosine
     FROM s, q
-    ORDER BY round({_sql_cos('e', 'qe')}, 4) DESC, vec_id
+    ORDER BY {half_up_sql(_sql_cos('e', 'qe'))} DESC, vec_id
     LIMIT 10
     """,
 )
@@ -110,7 +111,7 @@ def sim1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("q_emb")
     )
     s = emb.filter(F.col("vec_id") != 0)
-    cos = F.round(cosine(F.col("embedding"), F.col("q_emb")), 4)
+    cos = half_up(cosine(F.col("embedding"), F.col("q_emb")))
     return (
         s.crossJoin(F.broadcast(q))
         .select("vec_id", cos.alias("cosine"))
@@ -148,12 +149,12 @@ def _buckets(emb: DataFrame, planes: DataFrame) -> DataFrame:
       SELECT b.bucket AS qbucket, v.e AS qe
       FROM bucketed b JOIN vecs v USING (vec_id) WHERE b.vec_id = 0
     )
-    SELECT b.vec_id, round({_sql_cos('v.e', 'q.qe')}, 4) AS cosine
+    SELECT b.vec_id, {half_up_sql(_sql_cos('v.e', 'q.qe'))} AS cosine
     FROM bucketed b
     JOIN vecs v USING (vec_id)
     CROSS JOIN q
     WHERE b.bucket = q.qbucket AND b.vec_id <> 0
-    ORDER BY round({_sql_cos('v.e', 'q.qe')}, 4) DESC, b.vec_id
+    ORDER BY {half_up_sql(_sql_cos('v.e', 'q.qe'))} DESC, b.vec_id
     LIMIT {ANN_TOPK}
     """,
 )
@@ -169,7 +170,7 @@ def sim2_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     qside = with_bucket.filter(F.col("vec_id") == 0).select(
         F.col("bucket").alias("qbucket"), F.col("embedding").alias("q_emb")
     )
-    cos = F.round(cosine(F.col("embedding"), F.col("q_emb")), 4)
+    cos = half_up(cosine(F.col("embedding"), F.col("q_emb")))
     return (
         with_bucket.filter(F.col("vec_id") != 0)
         .join(
@@ -267,7 +268,7 @@ def probe_bucketed_ann(
     q = spark.createDataFrame(
         [(list(qrow["embedding"]),)], "q_emb array<float>"
     )
-    cos = F.round(cosine(F.col("embedding"), F.col("q_emb")), 4)
+    cos = half_up(cosine(F.col("embedding"), F.col("q_emb")))
     return (
         idx.filter(
             (F.col("bucket") == int(qrow["bucket"]))  # partition-pruned
@@ -333,12 +334,12 @@ def warm_sim4_index(spark: SparkSession, sf_dir: str) -> str:
       SELECT b.bucket AS qbucket, v.e AS qe
       FROM bucketed b JOIN vecs v USING (vec_id) WHERE b.vec_id = 0
     )
-    SELECT b.vec_id, round({_sql_cos('v.e', 'q.qe')}, 4) AS cosine
+    SELECT b.vec_id, {half_up_sql(_sql_cos('v.e', 'q.qe'))} AS cosine
     FROM bucketed b
     JOIN vecs v USING (vec_id)
     CROSS JOIN q
     WHERE b.bucket = q.qbucket AND b.vec_id <> 0
-    ORDER BY round({_sql_cos('v.e', 'q.qe')}, 4) DESC, b.vec_id
+    ORDER BY {half_up_sql(_sql_cos('v.e', 'q.qe'))} DESC, b.vec_id
     LIMIT {ANN_TOPK}
     """,
 )
@@ -401,7 +402,7 @@ def sim3_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_emb")
     )
-    cos = F.round(cosine(F.col("embedding"), F.col("q_emb")), 4)
+    cos = half_up(cosine(F.col("embedding"), F.col("q_emb")))
     return (
         assigned.filter(
             F.col("cell").isin(probe_cells) & (F.col("vec_id") != 0)
@@ -431,7 +432,7 @@ NEARDUP_SLACK = 1e-6
       SELECT vec_id, {_SQL_D.format(col='embedding')} AS e FROM embeddings
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round({_sql_cos('a.e', 'b.e')}, 4) AS cosine
+           {half_up_sql(_sql_cos('a.e', 'b.e'))} AS cosine
     FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
     WHERE {_sql_cos('a.e', 'b.e')} >= {NEARDUP_COSINE}
     """,
@@ -528,7 +529,7 @@ def d6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(b, "vec_b")
         .select("vec_a", "vec_b", cos.alias("_cos"))
         .filter(F.col("_cos") >= NEARDUP_COSINE)
-        .select("vec_a", "vec_b", F.round("_cos", 4).alias("cosine"))
+        .select("vec_a", "vec_b", half_up(F.col("_cos")).alias("cosine"))
     )
 
 
@@ -542,7 +543,8 @@ def d6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT label, i - 1 AS dim_i,
-           round(avg(x), 4) + 0.0 AS centroid_val,  -- +0.0: never -0.0
+           floor(avg(x) * 10000 + 0.5) / 10000.0 + 0.0
+             AS centroid_val,  -- +0.0: never -0.0; shared half-up round
            count(*) AS n
     FROM e GROUP BY label, i
     """,
@@ -562,7 +564,7 @@ def sim5_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             # +0.0 collapses IEEE -0.0 (a mean that rounds to zero can
             # carry either sign depending on summation order) so both
             # engines emit the same normalized zero
-            (F.round(F.avg(F.col("x").cast("double")), 4) + F.lit(0.0))
+            (half_up(F.avg(F.col("x").cast("double"))) + F.lit(0.0))
             .alias("centroid_val"),
             F.count("*").alias("n"),
         )
@@ -579,10 +581,10 @@ def sim5_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT vec_id,
-           round(mx, 6) AS scale,
+           floor(mx * 1000000 + 0.5) / 1000000.0 AS scale,
            unnest(range(1, 9)) AS pos,
            unnest(list_transform(embedding[1:8],
-               x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / mx)
+               x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5)
                          AS BIGINT))) AS q
     FROM stats
     """,
@@ -591,10 +593,12 @@ def sim6_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column — the
     vector-storage op that cuts an ANN corpus 4x (float32 -> int8 +
     one scale per vector). Pure column algebra (no UDF): per-vector
-    max-abs scale, transform to round(x*127/scale). Output pins the
-    scale and the first 8 quantized values so the oracle compare stays
-    scalar-friendly; both engines run identical double arithmetic and
-    round-half-even via round(), so values match exactly."""
+    max-abs scale, transform to half_up(x*127/scale, 0). Output pins
+    the scale and the first 8 quantized values so the oracle compare
+    stays scalar-friendly; both engines run the identical shared
+    half-up floor arithmetic (functions.rounding) on identical
+    doubles, so values match exactly — native round() was replaced in
+    r6 because its half-tipping rules differ across engines."""
     emb = table(spark, sf_dir, "embeddings")
     mx = F.greatest(
         F.array_max(
@@ -604,15 +608,15 @@ def sim6_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = F.transform(
         F.slice(F.col("embedding"), 1, 8),
-        lambda x: F.round(x.cast("double") * 127.0 / F.col("_mx")).cast(
-            "long"
-        ),
+        lambda x: half_up(
+            x.cast("double") * 127.0 / F.col("_mx"), 0
+        ).cast("long"),
     )
     return (
         emb.withColumn("_mx", mx)
         .select(
             "vec_id",
-            F.round(F.col("_mx"), 6).alias("scale"),
+            half_up(F.col("_mx"), 6).alias("scale"),
             F.posexplode(q).alias("pos0", "q"),
         )
         .select(
@@ -633,7 +637,7 @@ BATCH_QUERY_IDS = (0, 9, 10)
       WHERE b.vec_id IN {BATCH_QUERY_IDS}
     ), scored AS (
       SELECT q.query_id, b.vec_id,
-             round({_sql_cos('v.e', 'q.qe')}, 4) AS cosine
+             {half_up_sql(_sql_cos('v.e', 'q.qe'))} AS cosine
       FROM bucketed b
       JOIN vecs v USING (vec_id)
       JOIN q ON b.bucket = q.qbucket AND b.vec_id <> q.query_id
@@ -666,7 +670,7 @@ def sim7_batch_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").alias("qbucket"),
         F.col("embedding").alias("q_emb"),
     )
-    cos = F.round(cosine(F.col("embedding"), F.col("q_emb")), 4)
+    cos = half_up(cosine(F.col("embedding"), F.col("q_emb")))
     scored = (
         with_bucket.join(
             F.broadcast(qside),
@@ -702,7 +706,7 @@ RECALL_K = ANN_TOPK
       SELECT v.vec_id
       FROM vecs v CROSS JOIN q
       WHERE v.vec_id <> 0
-      ORDER BY round({_sql_cos('v.e', 'q.qe')}, 4) DESC, v.vec_id
+      ORDER BY {half_up_sql(_sql_cos('v.e', 'q.qe'))} DESC, v.vec_id
       LIMIT {RECALL_K}
     ), lsh AS (
       SELECT b.vec_id
@@ -710,7 +714,7 @@ RECALL_K = ANN_TOPK
       JOIN vecs v USING (vec_id)
       CROSS JOIN q
       WHERE b.bucket = q.qbucket AND b.vec_id <> 0
-      ORDER BY round({_sql_cos('v.e', 'q.qe')}, 4) DESC, b.vec_id
+      ORDER BY {half_up_sql(_sql_cos('v.e', 'q.qe'))} DESC, b.vec_id
       LIMIT {RECALL_K}
     )
     SELECT {RECALL_K} AS k, count(*) AS n_hit,
@@ -768,17 +772,17 @@ _SQL_MX = (
       FROM embeddings WHERE vec_id <> 0
     ), coarse AS (
       SELECT s.vec_id, s.e, q.qe,
-             round(list_dot_product(
-                       list_transform(s.e, x -> round(x * 127.0 / s.mx)),
-                       list_transform(q.qe, x -> round(x * 127.0 / q.qmx)))
-                   * s.mx * q.qmx / 16129.0, 4) AS approx
+             floor(list_dot_product(
+                       list_transform(s.e, x -> floor(x * 127.0 / s.mx + 0.5)),
+                       list_transform(q.qe, x -> floor(x * 127.0 / q.qmx + 0.5)))
+                   * s.mx * q.qmx / 16129.0 * 10000 + 0.5) / 10000.0 AS approx
       FROM s CROSS JOIN q
       ORDER BY approx DESC, s.vec_id
       LIMIT {RERANK_CAND}
     )
-    SELECT vec_id, approx, round({_sql_cos('e', 'qe')}, 4) AS cosine
+    SELECT vec_id, approx, {half_up_sql(_sql_cos('e', 'qe'))} AS cosine
     FROM coarse
-    ORDER BY round({_sql_cos('e', 'qe')}, 4) DESC, vec_id
+    ORDER BY {half_up_sql(_sql_cos('e', 'qe'))} DESC, vec_id
     LIMIT {ANN_TOPK}
     """,
 )
@@ -794,7 +798,7 @@ def sim9_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: the quantized dot is a sum of 64 integer products
     (each |q| <= 127, so the f64 accumulation is exact in both
-    engines); the approx score orders on round(.., 4) + vec_id, so the
+    engines); the approx score orders on half_up(.., 4) + vec_id, so the
     candidate CUT is identical across engines, and the final order is
     sim1's rounded-cosine + vec_id. Scale: stage 1 is a TakeOrdered
     partial top-{RERANK_CAND} (no global sort, no shuffle beyond the
@@ -810,7 +814,7 @@ def sim9_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def quant(col: Column, scale: Column) -> Column:
         return F.transform(
-            col, lambda x: F.round(x.cast("double") * 127.0 / scale)
+            col, lambda x: half_up(x.cast("double") * 127.0 / scale, 0)
         )
 
     q = emb.filter(F.col("vec_id") == 0).select(
@@ -824,8 +828,8 @@ def sim9_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         quant(F.col("embedding"), F.col("mx")),
         quant(F.col("q_emb"), F.col("qmx")),
     )
-    approx = F.round(
-        int_dot * F.col("mx") * F.col("qmx") / F.lit(16129.0), 4
+    approx = half_up(
+        int_dot * F.col("mx") * F.col("qmx") / F.lit(16129.0)
     )
     coarse = (
         s.crossJoin(F.broadcast(q))
@@ -833,7 +837,7 @@ def sim9_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("approx"), F.asc("vec_id"))
         .limit(RERANK_CAND)
     )
-    cos = F.round(cosine(F.col("embedding"), F.col("q_emb")), 4)
+    cos = half_up(cosine(F.col("embedding"), F.col("q_emb")))
     return (
         coarse.select("vec_id", "approx", cos.alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from a3_fp_bigdata_spark.data import table
+from a3_fp_bigdata_spark.functions.rounding import half_up, half_up_sql
 from a3_fp_bigdata_spark.registry import query
 
 RANGE_MINUTES = 10
@@ -232,7 +233,7 @@ def _hourly_grid(ev: DataFrame) -> DataFrame:
     oracle=f"""
     WITH hourly AS (
       SELECT user_id, date_trunc('hour', ts) AS hour,
-             count(*) AS n_events, round(avg(value), 4) AS v
+             count(*) AS n_events, {half_up_sql('avg(value)')} AS v
       FROM events GROUP BY 1, 2
     ), {_SQL_GRID_CTES}
     SELECT g.user_id, g.hour,
@@ -265,7 +266,10 @@ def w8_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour = F.date_trunc("hour", F.col("ts"))
     hourly = ev.groupBy("user_id", hour.alias("hour")).agg(
         F.count("*").alias("n_events"),
-        F.round(F.avg("value"), 4).alias("v"),
+        # shared half-up rounding (functions.rounding): avg() of
+        # 2-decimal event values lands on exact decimal halves, where
+        # native round() tips differently across engines
+        half_up(F.avg("value")).alias("v"),
     )
     grid = _hourly_grid(ev)
     w = (
@@ -383,17 +387,15 @@ def w9_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pv") + (F.col("nv") - F.col("pv")) * num / den
         )
     )
-    # explicit floor(x*1e4 + 0.5)/1e4 instead of the engines' native
-    # round(): the interpolants of terminating-decimal inputs land on
-    # exact decimal halves constantly, and Spark (BigDecimal HALF_UP on
-    # the shortest decimal repr) vs DuckDB (float multiply-shift) tip
-    # such halves differently; an identical arithmetic expression on
-    # identical doubles cannot disagree (values are non-negative, so
-    # floor(x+0.5) IS half-up)
+    # shared half-up rounding (functions.rounding — factored from this
+    # very query's round-5 fix): the interpolants of terminating-
+    # decimal inputs land on exact decimal halves constantly, and
+    # Spark (BigDecimal HALF_UP on the shortest decimal repr) vs
+    # DuckDB (float multiply-shift) tip such halves differently; an
+    # identical arithmetic expression on identical doubles cannot
+    # disagree
     return joined.select(
         "user_id",
         "hour",
-        (F.floor(interp * 10000 + F.lit(0.5)) / F.lit(10000.0)).alias(
-            "value_interp"
-        ),
+        half_up(interp).alias("value_interp"),
     )

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from a3_fp_bigdata_spark.data import table
 from a3_fp_bigdata_spark.functions import text as TX
+from a3_fp_bigdata_spark.functions.rounding import half_up, half_up_sql
 from a3_fp_bigdata_spark.registry import query
 
 # DuckDB rendering of functions.text.normalize / tokens — keep in sync.
@@ -737,7 +738,7 @@ LM_VOCAB_K = 65_536
     )
     SELECT t.doc_id,
            CAST(count(*) AS BIGINT) AS n_tokens,
-           round(avg(ln((COALESCE(c.c, 0) + 1.0) / (s.total + s.v))), 4)
+           {half_up_sql('avg(ln((COALESCE(c.c, 0) + 1.0) / (s.total + s.v)))')}
              + 0.0 AS avg_logprob
     FROM toks t LEFT JOIN counts c USING (tok) CROSS JOIN stats s
     GROUP BY t.doc_id
@@ -788,7 +789,7 @@ def tx13_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_tokens"),
-            (F.round(F.avg("lp"), 4) + F.lit(0.0)).alias("avg_logprob"),
+            (half_up(F.avg("lp")) + F.lit(0.0)).alias("avg_logprob"),
         )
     )
 
@@ -825,8 +826,8 @@ PMI_TOP_K = 50
       FROM (SELECT count(*) AS c FROM bg)
     )
     SELECT w1, w2, CAST(bcnt.c AS BIGINT) AS n_pair,
-           round(ln((bcnt.c / b.total)
-                    / ((u1.c / n.total) * (u2.c / n.total))), 4) + 0.0
+           {half_up_sql('''ln((bcnt.c / b.total)
+                    / ((u1.c / n.total) * (u2.c / n.total)))''')} + 0.0
              AS pmi
     FROM bcnt
     JOIN ucnt u1 ON u1.tok = w1
@@ -876,13 +877,15 @@ def tx14_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     u1 = ucnt.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
     u2 = ucnt.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
-    pmi = F.round(
+    # shared half-up rounding (functions.rounding): log-ratio scores
+    # can land on exact decimal halves; native round() tips them
+    # differently across engines
+    pmi = half_up(
         F.log(
             (F.col("n_pair") / F.col("b_total"))
             / ((F.col("c1") / F.col("n_total"))
                * (F.col("c2") / F.col("n_total")))
-        ),
-        4,
+        )
     ) + F.lit(0.0)
     return (
         bcnt.join(u1, "w1")

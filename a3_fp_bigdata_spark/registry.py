@@ -159,27 +159,33 @@ CANONICAL = frozenset(
         "j8_asof_join", "j9_range_join",
         # ML + multimodal
         "ml1_cluster_sizes", "mm1_binary_metadata", "mm2_image_features",
-        # filters/projections (p6's pushed substring scan carries the
-        # family; the p1/p4/p7 scan shapes are its parity-checked twins)
-        "p6_substring_predicate",
+        # filters/projections: no dedicated canonical row — t1's scan
+        # surface exercises pushed predicates, and the whole p1..p8
+        # ladder is parity-checked as z_p1..z_p8 (p6 rotated out r6)
         # training-batch assembly (greedy packer, data-derived domain
-        # mixture, near-dup split-leakage audit, end-to-end manifest)
+        # mixture, near-dup split-leakage audit, end-to-end manifest,
+        # chunk-index stats over pk8's sliding chunks)
         "pk2_greedy_pack", "pk5_domain_mixture", "pk7_split_leakage",
-        "pl1_training_manifest",
+        "pl1_training_manifest", "pl2_chunk_index_stats",
         # similarity search (+ sim4: partition-pruned materialized
-        # index; sim9: int8 coarse scan -> exact rerank)
-        "sim1_cosine_topk", "sim2_lsh_ann", "sim4_bucketed_ann",
-        "sim9_quantized_rerank",
+        # index; sim8: ANN-vs-exact recall harness; sim9: int8 coarse
+        # scan -> exact rerank; sim2's LSH shape is z_sim2)
+        "sim1_cosine_topk", "sim4_bucketed_ann",
+        "sim8_ann_recall", "sim9_quantized_rerank",
         # set ops (so1 union-all is plan-trivial; so3 covers the family)
         "so3_except",
         # SQL surface + sources
         "sql1_spark_sql_surface", "src1_csv_roundtrip", "src2_json_roundtrip",
-        # serving endpoints (search_suggestions' substring shape == p6)
-        "srv_recommend_by_category", "srv_top_apps",
-        # streaming (st4's dedup shape is st10's micro-batch core,
-        # parity-checked as z_st4/z_st6)
-        "st1_tumbling_window", "st5_stream_tumbling",
-        "st7_stream_stream_join",
+        # serving endpoints (srv_top_apps carries the family; the
+        # recommend-by-category shape is its parity-checked z_ twin,
+        # and search_suggestions' substring shape == z_p6)
+        "srv_top_apps",
+        # streaming (st5 is the REAL micro-batch tumbling run — st1's
+        # batch twin rotates out as z_st1; st11 streams pk8's chunk
+        # index through a foreachBatch delta-merge; st4's dedup shape
+        # is st10's micro-batch core, parity-checked as z_st4/z_st6)
+        "st5_stream_tumbling", "st7_stream_stream_join",
+        "st11_chunk_index_stream",
         # top-k / sort (t2's distinct+topk shape covered by t1+a3)
         "t1_topk_multikey",
         # text analysis (+ tx7: relational train-and-classify lang-ID —
@@ -187,11 +193,13 @@ CANONICAL = frozenset(
         # tx11 corpus profiling; tx13 unigram-LM quality proxy)
         "tx2_quality_score", "tx7_ngram_lang_confusion",
         "tx10_redact_pii", "tx11_corpus_stats", "tx13_unigram_logprob",
-        # upsert/CDC (+ u2: SCD2 versioned-dimension merge; u3:
-        # snapshot-diff change capture)
-        "u1_merge_upsert", "u2_scd2_history", "u3_snapshot_diff",
-        # windows (w2 lag-delta is a thinner w1-family window)
+        # upsert/CDC (+ u2: SCD2 versioned-dimension merge; u3's
+        # snapshot-diff is a thinner diff shape, parity-checked as z_u3)
+        "u1_merge_upsert", "u2_scd2_history",
+        # windows (w2 lag-delta is a thinner w1-family window; w8/w9
+        # are the dense-grid gap-fill pair — LOCF and linear interp)
         "w1_topk_per_group", "w5_sessionize",
+        "w8_gapfill_locf", "w9_linear_interp",
         # semistructured (x2 array-agg covered by x1 + a9's agg surface)
         "x1_json_extract",
     }

@@ -64,13 +64,31 @@ def chunk_index_sink(
     spark: SparkSession,
     out_dir: str,
     checkpoint_dir: str | None = None,
+    *,
+    docs_arrive_whole: bool = True,
 ) -> StreamingQuery:
     """Maintain ``out_dir`` as the chunk-index occupancy table while
     documents stream in. Combine = per-bucket SUM of batch deltas
     (associative + commutative, see module docstring). Replay
     protection and the touched-key merge live in
     materialized.delta_merge_sink — the same single-source protocol
-    the incremental-dedup sink rides."""
+    the incremental-dedup sink rides.
+
+    API CONTRACT — ``docs_arrive_whole``: ``n_docs`` is additive
+    across batches ONLY if each document's rows land wholly inside one
+    micro-batch (st11 guarantees it by staging with a doc_id
+    repartition; a file source carries whole rows and chunking is
+    per-row). A source that can re-deliver or split a doc_id across
+    batches (e.g. a Kafka topic keyed by something other than doc_id)
+    silently over-counts distinct docs — callers of such sources MUST
+    pass ``docs_arrive_whole=False``, which switches to
+    ``chunk_membership_sink``'s exact per-(bucket, doc_id) view (same
+    replay protocol, occupancy derived at read time via
+    ``occupancy_from_membership``)."""
+    if not docs_arrive_whole:
+        return chunk_membership_sink(
+            doc_stream, spark, out_dir, checkpoint_dir
+        )
 
     def combine(unioned: DataFrame) -> DataFrame:
         return unioned.groupBy("bucket").agg(
@@ -86,6 +104,70 @@ def chunk_index_sink(
         delta_fn=bucket_delta_frame,
         combine_fn=combine,
         checkpoint_dir=checkpoint_dir or _scratch_dir("a3_chunkidx_cp_"),
+    )
+
+
+_PAIR_COL = "_pair"  # surrogate merge key: one row per (bucket, doc_id)
+
+
+def membership_delta_frame(docs: DataFrame) -> DataFrame:
+    """(pair, bucket, doc_id, n_chunks) for one batch — the exact-mode
+    delta. One row per (bucket, doc_id) the batch touches; a doc whose
+    rows were SPLIT across batches produces the same pair key again and
+    the combine sums its chunk counts into one row instead of
+    double-counting the doc."""
+    return (
+        chunk_bucket_frame(sliding_chunk_frame(docs))
+        .groupBy("bucket", "doc_id")
+        .agg(F.count("*").alias("n_chunks"))
+        .withColumn(
+            _PAIR_COL,
+            F.concat_ws("|", F.col("bucket").cast("string"), "doc_id"),
+        )
+    )
+
+
+def chunk_membership_sink(
+    doc_stream: DataFrame,
+    spark: SparkSession,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+) -> StreamingQuery:
+    """Exact-mode chunk index: the view is keyed per (bucket, doc_id)
+    pair, so distinct-doc counting never relies on batch boundaries —
+    correct under doc-splitting sources at the cost of one view row per
+    pair (an index-sized table, still bucket-partition-pruned on merge)
+    instead of one per LSH bucket."""
+
+    def combine(unioned: DataFrame) -> DataFrame:
+        return unioned.groupBy(_PAIR_COL).agg(
+            F.first("bucket").alias("bucket"),
+            F.first("doc_id").alias("doc_id"),
+            F.sum("n_chunks").cast("long").alias("n_chunks"),
+        )
+
+    return delta_merge_sink(
+        doc_stream,
+        spark,
+        out_dir,
+        key=_PAIR_COL,
+        delta_fn=membership_delta_frame,
+        combine_fn=combine,
+        checkpoint_dir=checkpoint_dir or _scratch_dir("a3_chunkmem_cp_"),
+    )
+
+
+def occupancy_from_membership(spark: SparkSession, out_dir: str) -> DataFrame:
+    """pl2's occupancy table derived from the exact membership view:
+    count(*) per bucket IS the distinct-doc count (one row per pair by
+    construction)."""
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("bucket")
+        .agg(
+            F.sum("n_chunks").cast("long").alias("n_chunks"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
     )
 
 

@@ -180,19 +180,40 @@ def event_type_counts_stream(events: DataFrame) -> DataFrame:
 _WM_FILE = "_last_batch"  # underscore-prefixed: ignored by readers
 
 
-def read_watermark(out_dir: str) -> int:
+def read_watermark(out_dir: str, lineage: str | None = None) -> int:
+    """Last committed batch id for this checkpoint LINEAGE, else -1.
+
+    Batch ids are checkpoint-scoped: a new stream run with a FRESH
+    checkpoint over an existing view restarts at batch 0, so an
+    out_dir-scoped bare integer would make the sink silently skip
+    genuinely new batches whose ids happen to fall under the old run's
+    watermark (data loss, not dedup). The watermark therefore records
+    WHICH checkpoint wrote it; a different lineage reads as -1 (nothing
+    from *this* run is committed yet). A legacy single-line file (no
+    lineage) keeps its old meaning for backward compatibility."""
     path = os.path.join(out_dir, _WM_FILE)
-    if os.path.isfile(path):
-        with open(path) as fh:
-            return int(fh.read().strip())
-    return -1
+    if not os.path.isfile(path):
+        return -1
+    with open(path) as fh:
+        lines = fh.read().strip().splitlines()
+    if len(lines) == 1:  # legacy format: bare batch id, lineage unknown
+        return int(lines[0])
+    stored_lineage, batch_id = lines[0], int(lines[1])
+    if lineage is not None and stored_lineage != lineage:
+        return -1
+    return batch_id
 
 
-def write_watermark(out_dir: str, batch_id: int) -> None:
+def write_watermark(
+    out_dir: str, batch_id: int, lineage: str | None = None
+) -> None:
     path = os.path.join(out_dir, _WM_FILE)
     tmp = path + ".tmp"
     with open(tmp, "w") as fh:
-        fh.write(str(batch_id))
+        if lineage is not None:
+            fh.write(f"{lineage}\n{batch_id}")
+        else:
+            fh.write(str(batch_id))
     os.replace(tmp, path)  # atomic on POSIX
 
 
@@ -219,17 +240,21 @@ def delta_merge_sink(
     contract lives in exactly one place: foreachBatch is
     at-least-once and the combines are DELTAS, so a re-delivered batch
     must not re-merge — a batch-id watermark written atomically AFTER
-    each data commit makes replays of committed batches no-ops.
+    each data commit makes replays of committed batches no-ops. The
+    watermark is scoped to the CHECKPOINT LINEAGE (batch ids restart at
+    0 under a fresh checkpoint, so an unscoped watermark would silently
+    drop a new run's first batches over a pre-existing view).
     Residual window: a crash BETWEEN the data commit and the watermark
     write replays one batch into an already-merged base and
     double-counts its deltas — the same plain-parquet residue
     merge_batch_into documents; closing it needs a transactional table
     format (Delta/Iceberg MERGE)."""
+    lineage = os.path.realpath(checkpoint_dir)
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        if batch_id <= read_watermark(out_dir):
+        if batch_id <= read_watermark(out_dir, lineage):
             return  # replay of a committed batch: already merged
         delta = delta_fn(batch_df)
         if _has_parquet_data(out_dir):
@@ -240,7 +265,7 @@ def delta_merge_sink(
             )
             delta = combine_fn(base.unionByName(delta))
         merge_batch_into(spark, delta, key, out_dir)
-        write_watermark(out_dir, batch_id)
+        write_watermark(out_dir, batch_id, lineage)
 
     return (
         stream.writeStream.foreachBatch(merge)

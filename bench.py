@@ -35,7 +35,10 @@ HEADLINE = [
     "j5_multiway_join",
     "w1_topk_per_group",
     "w5_sessionize",
-    "st1_tumbling_window",
+    # st1/sim2 rotated out of the driver window in r6 (registry.CANONICAL)
+    # — same queries, now exposed under the z_ depth tier; keeping them
+    # in HEADLINE keeps the round-over-round sum comparable.
+    "z_st1_tumbling_window",
     "st5_stream_tumbling",
     "f1_extract_keywords",
     "tx2_quality_score",
@@ -43,7 +46,7 @@ HEADLINE = [
     "d3_ngram_jaccard",
     "d4_minhash_lsh",
     "sim1_cosine_topk",
-    "sim2_lsh_ann",
+    "z_sim2_lsh_ann",
     "mm2_image_features",
     "src2_json_roundtrip",
     "srv_top_apps",

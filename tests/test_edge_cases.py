@@ -473,3 +473,18 @@ def test_empty_input_quantized_rerank(spark, monkeypatch):
     monkeypatch.setattr(S, "table", patched)
     out = registry.all_queries()["sim9_quantized_rerank"](spark, SF0001)
     assert out.count() == 0
+
+
+def test_d4_containment_audit_is_zero_outside(spark):
+    """d4_containment_audit: the LSH path's pairs sit wholly inside
+    d3's exact pair set (n_outside_exact == 0) and the audited set is
+    non-empty at sf0.001 — the Spark half of the audit whose oracle
+    half re-verifies the same claim against DuckDB's independent d3."""
+    from a3_fp_bigdata_spark import registry
+
+    row = (
+        registry.all_queries()["d4_containment_audit"](spark, SF0001)
+        .collect()[0]
+    )
+    assert row.n_lsh_pairs > 0
+    assert row.n_outside_exact == 0

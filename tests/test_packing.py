@@ -284,13 +284,18 @@ def test_weighted_sample_is_unbiased_and_quality_tilted(spark):
         spark, SF0001
     ).collect()
     got = {r.doc_id: r for r in rows}
+    def hup(x, p=10000):  # functions.rounding.half_up replayed in python
+        return math.floor(x * p + 0.5) / p
+
     for d, q in quality.items():
-        rate = math.floor(round(q, 4) * 100)
+        # nearest-percent via the shared half-tipping-safe +0.5-floor,
+        # floored at 1 so every doc has nonzero inclusion probability
+        rate = max(1, math.floor(hup(q) * 100 + 0.5))
         keep = ((d % SAMPLE_PREMOD) * SAMPLE_MULT) % 100 < rate
         assert (d in got) == keep, d
         if keep:
             assert got[d].keep_rate == rate
-            assert abs(got[d].inv_weight - round(100.0 / rate, 4)) < 1e-9
+            assert abs(got[d].inv_weight - hup(100.0 / rate)) < 1e-9
     # Horvitz-Thompson: sum of weights estimates the corpus size
     est = sum(r.inv_weight for r in rows)
     assert abs(est - len(quality)) / len(quality) < 0.15

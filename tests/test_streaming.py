@@ -264,25 +264,40 @@ def test_materialized_view_meta_only_dir_reinitializes(spark, tmp_path):
     assert got == {(f"k{i}", i) for i in range(10) if i != 3} | {("k3", 999)}
 
 
-def test_delta_merge_sink_replay_is_noop(spark, tmp_path):
+def test_delta_merge_sink_replay_and_fresh_lineage(spark, tmp_path):
     """The shared additive-sink replay guard (materialized.
-    delta_merge_sink): re-delivering already-committed batch ids must
-    not re-merge their deltas. A second stream over the SAME staged
-    files into the SAME view (fresh checkpoint, so batch ids restart
-    at 0 <= the recorded watermark) leaves the view bit-identical —
-    without the watermark, every count would exactly double."""
-    from pyspark.sql import functions as F
+    delta_merge_sink) in both directions:
 
+    1. WITHIN a checkpoint lineage, re-delivered batch ids are no-ops
+       (restarting the drained query on the SAME checkpoint leaves the
+       view bit-identical — without the guard, at-least-once
+       foreachBatch would double every count on a crash replay).
+    2. ACROSS lineages, a NEW stream run with a FRESH checkpoint over
+       an existing view must MERGE, not skip: batch ids restart at 0
+       under a new checkpoint, and the round-5 out_dir-scoped
+       watermark silently dropped those genuinely new batches
+       (data loss). The watermark is now lineage-scoped."""
     from a3_fp_bigdata_spark.streaming import materialized as MV
     from a3_fp_bigdata_spark.streaming.chunk_index import chunk_index_sink
     from a3_fp_bigdata_spark.streaming.ingest import streaming_shuffle
 
-    stage = str(tmp_path / "stage")
+    stage1 = str(tmp_path / "stage1")
+    stage2 = str(tmp_path / "stage2")
     out = str(tmp_path / "view")
-    docs = table(spark, SF0001, "documents").limit(60)
-    docs.repartition(2, "doc_id").write.mode("overwrite").parquet(stage)
+    # deterministic disjoint split (limit() without order is not):
+    # ~2/3 of docs arrive in run 1, the rest in run 2's fresh lineage
+    from pyspark.sql import functions as F
 
-    def run_once(cp: str):
+    docs = table(spark, SF0001, "documents").orderBy("doc_id").limit(60)
+    split = F.pmod(F.xxhash64("doc_id"), F.lit(3)) == 0
+    docs.filter(~split).repartition(2, "doc_id").write.mode(
+        "overwrite"
+    ).parquet(stage1)
+    docs.filter(split).repartition(2, "doc_id").write.mode(
+        "overwrite"
+    ).parquet(stage2)
+
+    def run_once(stage: str, cp: str):
         stream = (
             spark.readStream.schema(TESTDATA["documents"])
             .option("maxFilesPerTrigger", "1")
@@ -292,15 +307,141 @@ def test_delta_merge_sink_replay_is_noop(spark, tmp_path):
             q = chunk_index_sink(stream, spark, out, checkpoint_dir=cp)
             q.awaitTermination()
 
-    run_once(str(tmp_path / "cp1"))
-    first = sorted(
-        map(tuple, spark.read.parquet(out).select(
-            "bucket", "n_chunks", "n_docs").collect())
+    def snapshot():
+        return sorted(
+            map(tuple, spark.read.parquet(out).select(
+                "bucket", "n_chunks", "n_docs").collect())
+        )
+
+    cp1 = str(tmp_path / "cp1")
+    run_once(stage1, cp1)
+    first = snapshot()
+    lineage1 = os.path.realpath(cp1)
+    assert first and MV.read_watermark(out, lineage1) >= 0
+    # (1) same lineage, restart on the drained checkpoint: no-op
+    run_once(stage1, cp1)
+    assert snapshot() == first
+    # a foreign lineage must see "nothing committed yet"
+    assert MV.read_watermark(out, "/elsewhere/cp") == -1
+    # (2) fresh checkpoint delivering NEW data (batch ids restart at 0,
+    # all <= the recorded watermark): must merge, not skip — the view
+    # must converge to the ONE-SHOT answer over both runs' staged docs
+    run_once(stage2, str(tmp_path / "cp2"))
+    after = snapshot()
+    assert sum(r[1] for r in after) > sum(r[1] for r in first)
+    from a3_fp_bigdata_spark.streaming.chunk_index import bucket_delta_frame
+
+    expected = sorted(
+        map(tuple, bucket_delta_frame(
+            spark.read.parquet(stage1, stage2)
+        ).select("bucket", "n_chunks", "n_docs").collect())
     )
-    assert first and MV.read_watermark(out) >= 0
-    run_once(str(tmp_path / "cp2"))  # full replay: all ids <= watermark
-    second = sorted(
-        map(tuple, spark.read.parquet(out).select(
-            "bucket", "n_chunks", "n_docs").collect())
+    assert after == expected
+
+
+def test_watermark_lineage_scoping(tmp_path):
+    """read/write_watermark unit semantics: lineage match returns the
+    id, mismatch returns -1, legacy bare-int files keep their old
+    (unscoped) meaning so pre-upgrade views still dedup replays."""
+    from a3_fp_bigdata_spark.streaming import materialized as MV
+
+    out = str(tmp_path)
+    assert MV.read_watermark(out, "cpA") == -1
+    MV.write_watermark(out, 7, "cpA")
+    assert MV.read_watermark(out, "cpA") == 7
+    assert MV.read_watermark(out, "cpB") == -1
+    assert MV.read_watermark(out) == 7  # lineage-agnostic read
+    MV.write_watermark(out, 3)  # legacy writer (no lineage)
+    assert MV.read_watermark(out, "cpB") == 3  # legacy file: unscoped
+
+
+def test_chunk_index_exact_mode_counts_redelivered_doc_once(spark, tmp_path):
+    """The n_docs additivity contract (chunk_index_sink docstring): a
+    doc_id delivered in TWO micro-batches is over-counted
+    by the additive per-bucket sink, and counted exactly once by the
+    exact membership sink (docs_arrive_whole=False). Ground truth is
+    the one-shot derivation over the staged rows — same per-row
+    chunking both paths, so n_chunks must also agree exactly."""
+    from pyspark.sql import functions as F
+
+    from a3_fp_bigdata_spark.operators.packing import (
+        chunk_bucket_frame,
+        sliding_chunk_frame,
     )
-    assert second == first
+    from a3_fp_bigdata_spark.streaming.chunk_index import (
+        chunk_index_sink,
+        occupancy_from_membership,
+    )
+    from a3_fp_bigdata_spark.streaming.ingest import streaming_shuffle
+
+    base = (
+        table(spark, SF0001, "documents")
+        .orderBy("doc_id")
+        .limit(21)
+        .collect()
+    )
+    # doc 9999's row is RE-DELIVERED: the identical row lands in both
+    # micro-batches (the at-least-once Kafka scenario the API contract
+    # names) — its chunks hit the same buckets twice, so the additive
+    # per-bucket distinct count sees "one doc" in each batch and sums
+    # to two
+    text = " ".join(r.text for r in base[:2])
+    mk = lambda txt: (9999, txt, "en", "synthetic", len(txt))
+    rows_a = [tuple(r) for r in base[:10]] + [mk(text)]
+    rows_b = [tuple(r) for r in base[10:]] + [mk(text)]
+    stage = str(tmp_path / "stage")
+    for i, rows in enumerate((rows_a, rows_b)):
+        spark.createDataFrame(rows, TESTDATA["documents"]).coalesce(
+            1
+        ).write.mode("append").parquet(stage)
+
+    def run(out: str, cp: str, whole: bool):
+        stream = (
+            spark.readStream.schema(TESTDATA["documents"])
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage)
+        )
+        with streaming_shuffle(spark, 4):
+            q = chunk_index_sink(
+                stream, spark, out, checkpoint_dir=cp,
+                docs_arrive_whole=whole,
+            )
+            q.awaitTermination()
+
+    expected = {
+        r.bucket: (r.n_chunks, r.n_docs)
+        for r in chunk_bucket_frame(
+            sliding_chunk_frame(spark.read.parquet(stage))
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .collect()
+    }
+
+    exact_out = str(tmp_path / "exact")
+    run(exact_out, str(tmp_path / "cp_exact"), whole=False)
+    exact = {
+        r.bucket: (r.n_chunks, r.n_docs)
+        for r in occupancy_from_membership(spark, exact_out).collect()
+    }
+    assert exact == expected
+
+    additive_out = str(tmp_path / "additive")
+    run(additive_out, str(tmp_path / "cp_add"), whole=True)
+    additive = {
+        r.bucket: (r.n_chunks, r.n_docs)
+        for r in spark.read.parquet(additive_out)
+        .select("bucket", "n_chunks", "n_docs")
+        .collect()
+    }
+    # additive mode: n_chunks still exact, but the split doc's buckets
+    # over-count n_docs — the documented hazard the parameter names
+    assert {b: v[0] for b, v in additive.items()} == {
+        b: v[0] for b, v in expected.items()
+    }
+    assert any(
+        additive[b][1] > expected[b][1] for b in expected
+    ), "split doc did not over-count — test premise broken"
