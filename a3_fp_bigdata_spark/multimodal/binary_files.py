@@ -26,9 +26,11 @@ from pyspark.sql import functions as F
 from a3_fp_bigdata_spark.multimodal.images import extract_features
 from a3_fp_bigdata_spark.registry import query
 
-#: Committed icon fixture set (5 deterministic PNGs + 2 deterministic
-#: baseline JPEGs — one 4:4:4, one 4:2:0 with restart markers; see
-#: tools/make_jpeg_fixtures.py). pytest pins their exact channel means.
+#: Committed icon fixture set (6 deterministic PNGs — incl. one
+#: color-type-3 palette/PLTE image, tools/make_png_fixtures.py — + 2
+#: deterministic baseline JPEGs, one 4:4:4, one 4:2:0 with restart
+#: markers; tools/make_jpeg_fixtures.py). pytest pins their exact
+#: channel means.
 FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "fixtures")
 
 

@@ -7,10 +7,12 @@ path for the committed fixture set (reference feature_extractor.py:20
 does ``Image.open(path).convert('RGB')``; when PIL exists it is still
 preferred — see images.decode_image).
 
-Supported: bit depth 8, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
-6 (RGBA), interlace 0. That covers everything the encoder here emits
-and the overwhelming majority of real-world icons; anything else
-raises ValueError rather than guessing.
+Supported: bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette,
+8-bit indices via PLTE), 4 (gray+alpha), 6 (RGBA), interlace 0. That
+covers everything the encoder here emits and the overwhelming majority
+of real-world icons (palette PNG is the dominant icon encoding —
+Icons-50-style sets are mostly type 3); anything else raises
+ValueError rather than guessing.
 """
 
 from __future__ import annotations
@@ -25,7 +27,7 @@ from a3_fp_bigdata_spark.pickling import ship_by_value
 ship_by_value(__name__)  # Arrow closures must not need repo on sys.path
 
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
-_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # type 3: 1 index byte/px
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -50,7 +52,7 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 def _decode_png_body(payload: bytes) -> np.ndarray:
     pos, idat = 8, []
-    w = h = depth = ctype = interlace = None
+    w = h = depth = ctype = interlace = palette = None
     while pos + 8 <= len(payload):
         (length,), ctype_b = (
             struct.unpack(">I", payload[pos : pos + 4]),
@@ -61,6 +63,10 @@ def _decode_png_body(payload: bytes) -> np.ndarray:
             w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
+        elif ctype_b == b"PLTE":
+            if len(data) % 3 or not 3 <= len(data) <= 768:
+                raise ValueError(f"bad PLTE length {len(data)}")
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif ctype_b == b"IDAT":
             idat.append(data)
         elif ctype_b == b"IEND":
@@ -109,6 +115,16 @@ def _decode_png_body(payload: bytes) -> np.ndarray:
         out[y] = line
         prev = line
     arr = out.reshape(h, w, ch)
+    if ctype == 3:
+        if palette is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        idx = arr[:, :, 0]
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError(
+                f"palette index {int(idx.max())} >= PLTE entries "
+                f"{len(palette)}"
+            )
+        return palette[idx]  # HxW lookup -> HxWx3 RGB
     if ctype == 0:
         return np.repeat(arr, 3, axis=2)
     if ctype == 4:
@@ -122,6 +138,30 @@ def _chunk(ctype: bytes, data: bytes) -> bytes:
         + ctype
         + data
         + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_palette_png(idx: np.ndarray, palette: np.ndarray) -> bytes:
+    """HxW uint8 index array + Nx3 uint8 palette -> color-type-3 PNG.
+    Fixture builder for the palette decode path;
+    decode_png(encode_palette_png(i, p)) == p[i] exactly."""
+    if idx.ndim != 2 or idx.dtype != np.uint8:
+        raise ValueError("encode_palette_png expects HxW uint8 indices")
+    if (
+        palette.ndim != 2 or palette.shape[1] != 3
+        or palette.dtype != np.uint8 or not 1 <= len(palette) <= 256
+    ):
+        raise ValueError("palette must be Nx3 uint8, 1 <= N <= 256")
+    if int(idx.max(initial=0)) >= len(palette):
+        raise ValueError("index out of palette range")
+    h, w = idx.shape
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+    return (
+        _SIGNATURE
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+        + _chunk(b"PLTE", palette.tobytes())
+        + _chunk(b"IDAT", zlib.compress(raw, 9))
+        + _chunk(b"IEND", b"")
     )
 
 

@@ -156,7 +156,10 @@ def test_binaryfile_image_dir_features(spark):
     assert feats["icon_grad_large.png"] == (56.5, 90.5, 146.0, 32, 48)
     assert feats["icon_checker.png"] == (127.5, 127.5, 127.5, 24, 24)
     assert feats["icon_dark.png"] == (5.0, 5.0, 5.0, 40, 8)
-    assert len(feats) == 5
+    # color-type-3 (palette/PLTE) decode: tools/make_png_fixtures.py
+    assert feats["icon_palette.png"] == (127.4571, 152.1286, 105.8714,
+                                         28, 20)
+    assert len(feats) == 6
 
 
 def test_mm4_registered_and_deterministic(spark):
@@ -165,7 +168,7 @@ def test_mm4_registered_and_deterministic(spark):
     q = registry.all_queries()["mm4_image_dir_features"]
     a = [tuple(r) for r in q(spark, SF0001).collect()]
     b = [tuple(r) for r in q(spark, SF0001).collect()]
-    assert a == b and len(a) == 7  # 5 PNGs + 2 JPEGs
+    assert a == b and len(a) == 8  # 6 PNGs + 2 JPEGs
 
 
 def test_binaryfile_jpeg_fixture_features(spark):
@@ -298,3 +301,47 @@ def test_mm2_features_match_committed_golden(spark):
     for c in ("img_avg_red", "img_avg_green", "img_avg_blue"):
         diff = (got[c].to_numpy() - golden[c].to_numpy())
         assert abs(diff).max() < 1e-9, c
+
+
+def test_png_palette_codec_roundtrip_and_errors():
+    """Color-type-3 decode: exact palette lookup on round-trip, loud
+    ValueError on a missing PLTE and on indices past the palette."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from a3_fp_bigdata_spark.multimodal import png_codec as P
+
+    pal = np.stack(
+        [np.arange(8, dtype=np.uint8) * 30,
+         255 - np.arange(8, dtype=np.uint8) * 20,
+         np.arange(8, dtype=np.uint8) * 7],
+        axis=1,
+    )
+    idx = (np.add.outer(np.arange(9), np.arange(13)) % 8).astype(np.uint8)
+    out = P.decode_png(P.encode_palette_png(idx, pal))
+    assert out.shape == (9, 13, 3)
+    assert (out == pal[idx]).all()
+
+    # index 7 with a 4-entry palette: out of range, not a silent wrap
+    with pytest.raises(ValueError, match="palette index"):
+        P.decode_png(
+            P._SIGNATURE
+            + P._chunk(b"IHDR", struct.pack(">IIBBBBB", 13, 9, 8, 3, 0, 0, 0))
+            + P._chunk(b"PLTE", pal[:4].tobytes())
+            + P._chunk(b"IDAT", zlib.compress(
+                b"".join(b"\x00" + idx[y].tobytes() for y in range(9))))
+            + P._chunk(b"IEND", b"")
+        )
+
+    # palette PNG with no PLTE chunk at all
+    with pytest.raises(ValueError, match="PLTE"):
+        P.decode_png(
+            P._SIGNATURE
+            + P._chunk(b"IHDR", struct.pack(">IIBBBBB", 13, 9, 8, 3, 0, 0, 0))
+            + P._chunk(b"IDAT", zlib.compress(
+                b"".join(b"\x00" + idx[y].tobytes() for y in range(9))))
+            + P._chunk(b"IEND", b"")
+        )
