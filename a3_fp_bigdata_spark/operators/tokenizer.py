@@ -1,0 +1,186 @@
+"""BPE tokenizer induction (tk1) — distributed byte-pair-encoding
+merge training, the one training-data op between corpus curation and
+batch packing the engine did not yet cover.
+
+Public algorithm (Sennrich et al. 2016; the HuggingFace/SentencePiece
+fit loop): start from characters plus an end-of-word marker, repeat
+"count adjacent symbol pairs weighted by word frequency, merge the
+most frequent pair everywhere" N times; the ordered merge list IS the
+tokenizer model. The reference app has nothing like it; the engine
+grows it because a data pipeline that chunks by token (pk8) and
+budgets by token cost (pk1/pk2, tx3) eventually has to TRAIN the
+tokenizer those counts assume.
+
+Spark shape — the scalable fit:
+- The loop runs on the WORD HISTOGRAM (distinct word -> count), not
+  the corpus: one corpus-sized shuffle up front, then every iteration
+  touches vocabulary-sized data (Heaps' law: ~millions of types for
+  TB-scale corpora — executor-sized, never driver-sized).
+- Like every trainer, the fit reads a deterministic SAMPLE
+  (tx6's predicate — merge ranks converge long before full-corpus
+  counts); the histogram is what production BPE trainers build too,
+  they just build it single-node.
+- Per iteration: pair counts are one map-side-combinable aggregation
+  over exploded adjacent pairs; the argmax is a 1-row TakeOrdered
+  (count desc, pair asc — the deterministic tie-break); the merge
+  applies scan-side as a native F.aggregate fold (greedy
+  left-to-right, non-overlapping — no UDF, no Python). The histogram
+  is re-persisted and the previous iteration dropped, so lineage
+  stays shallow without checkpoints.
+- Driver traffic is ONE ROW per iteration (the chosen pair) — the
+  model being built — plus nothing else.
+
+No SQL oracle: the merge loop is iterative with a data-dependent
+argmax each round (DuckDB's recursive CTEs cannot aggregate in the
+recursive part), the same rows-only class as d4's seeded minhash;
+tests/test_tokenizer.py replays the whole fit in plain Python on the
+same sample and pins the merge table EXACTLY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from a3_fp_bigdata_spark.data import table
+from a3_fp_bigdata_spark.functions import text as TX
+from a3_fp_bigdata_spark.operators.text_analysis import sample_predicate
+from a3_fp_bigdata_spark.registry import query
+
+#: Merge steps to learn. Real vocabularies run 30k-100k merges; the
+#: loop shape is identical, this just bounds test wall time. Each
+#: step's cost is one vocab-sized aggregation, so production N scales
+#: linearly and stays cluster-sized.
+N_MERGES = 12
+
+#: Fit-sample percentage (tx6 predicate) — same rationale as tx7/tx13.
+BPE_SAMPLE_PCT = 25
+
+#: End-of-word marker symbol ("low" vs "lower" must not share their
+#: trailing 'w' across a word boundary). '<' cannot appear in
+#: normalized tokens ([a-z0-9]+), so the marker can never collide.
+END_MARK = "</w>"
+
+
+def word_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, cnt) over the fit sample — the only corpus-sized pass."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.filter(sample_predicate(F.col("doc_id"), BPE_SAMPLE_PCT))
+        .select(F.explode(TX.tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _merge_pair(syms: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right, non-overlapping replacement of the
+    adjacent (left, right) symbol pair by its concatenation — a native
+    F.aggregate fold (accumulator = (emitted symbols, pending symbol))
+    so the sequential-dependency logic stays inside whole-stage
+    codegen instead of a Python UDF. Overlaps resolve exactly like the
+    reference implementations: 'aaa' under ('a','a') -> ['aa','a']."""
+    merged = F.lit(left + right)
+
+    def step(acc: Column, s: Column) -> Column:
+        prev, out = acc["prev"], acc["out"]
+        hit = prev.eqNullSafe(F.lit(left)) & (s == F.lit(right))
+        new_out = F.when(hit, F.concat(out, F.array(merged))).otherwise(
+            F.when(prev.isNull(), out).otherwise(
+                F.concat(out, F.array(prev))
+            )
+        )
+        new_prev = F.when(hit, F.lit(None).cast("string")).otherwise(s)
+        return F.struct(new_out.alias("out"), new_prev.alias("prev"))
+
+    return F.aggregate(
+        syms,
+        F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit(None).cast("string").alias("prev"),
+        ),
+        step,
+        lambda acc: F.when(acc["prev"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["prev"]))
+        ),
+    )
+
+
+def fit_bpe(
+    spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES
+) -> list[tuple[int, str, str, str, int]]:
+    """The fit loop; returns [(step, left, right, merged, pair_count)]
+    in learned order (the tokenizer model)."""
+    hist = word_histogram(spark, sf_dir).select(
+        "cnt",
+        F.concat(
+            F.split(F.col("word"), ""), F.array(F.lit(END_MARK))
+        ).alias("syms"),
+    ).persist()
+    merges: list[tuple[int, str, str, str, int]] = []
+    try:
+        for step in range(n_merges):
+            pairs = hist.select(
+                "cnt",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                    )
+                ).alias("p"),
+            ).select(
+                F.col("p").getField("0").alias("a"),
+                F.col("p").getField("1").alias("b"),
+                "cnt",
+            )
+            top = (
+                pairs.groupBy("a", "b")
+                .agg(F.sum("cnt").alias("pc"))
+                .orderBy(F.desc("pc"), F.asc("a"), F.asc("b"))
+                .limit(1)
+                .collect()
+            )
+            if not top:  # degenerate corpus: nothing left to merge
+                break
+            a, b, pc = top[0].a, top[0].b, int(top[0].pc)
+            merges.append((step, a, b, a + b, pc))
+            new_hist = hist.select(
+                "cnt", _merge_pair(F.col("syms"), a, b).alias("syms")
+            ).persist()
+            new_hist.count()  # materialize before dropping the parent
+            hist.unpersist()
+            hist = new_hist
+    finally:
+        hist.unpersist()
+    return merges
+
+
+def apply_bpe(
+    word: Column, merges: list[tuple[int, str, str, str, int]]
+) -> Column:
+    """Segment one (normalized) word column with a learned merge list —
+    the inference half of the tokenizer: chars + end-mark, then each
+    merge applied IN LEARNED ORDER as the same scan-side fold the fit
+    used. N merges become N chained native expressions inside one
+    projection: no shuffle, no Python, and at inference scale the
+    merge list is a plain broadcast-free literal program (real
+    tokenizers compile it the same way)."""
+    syms = F.concat(F.split(word, ""), F.array(F.lit(END_MARK)))
+    for _step, left, right, _merged, _pc in merges:
+        syms = _merge_pair(syms, left, right)
+    return syms
+
+
+@query("tk1_bpe_merges", oracle=None)  # iterative argmax: no SQL twin
+def tk1_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned merge table as a DataFrame: (step, left, right,
+    merged, pair_count) for {N_MERGES} BPE steps over the fit
+    sample's word histogram. Deterministic end to end (sample
+    predicate, weighted counts, count-desc/pair-asc tie-break), so
+    repeated fits are bit-identical; pytest replays the fit in plain
+    Python and pins every row."""
+    merges = fit_bpe(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, merged string, "
+        "pair_count bigint",
+    )

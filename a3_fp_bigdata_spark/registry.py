@@ -94,6 +94,7 @@ def _load_all_modules() -> None:
         upsert,
         similarity,
         text_analysis,
+        tokenizer,
         topk,
         windows,
     )
