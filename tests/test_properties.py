@@ -442,3 +442,91 @@ def test_sliding_chunks_match_python_walk(spark, n_tokens):
             want = toks[start : start + CHUNK_SIZE]
             assert r.chunk_text == " ".join(want), (i, r.chunk_idx)
             assert r.n_tokens == len(want)
+
+
+@settings(max_examples=12, deadline=None, derandomize=True)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1, max_size=32,
+    )
+)
+def test_half_up_rounding_tri_engine_agreement(spark, xs):
+    """functions.rounding: the ONE half-up definition must agree
+    bit-for-bit across Spark, DuckDB (rendered via half_up_sql), and
+    a plain-Python replay of the same f64 arithmetic — on arbitrary
+    doubles including negative halves, where native round() rules
+    diverge between engines."""
+    import duckdb
+    import math
+
+    from a3_fp_bigdata_spark.functions.rounding import half_up, half_up_sql
+
+    def py_half_up(x, scale):
+        p = 10 ** scale
+        if scale == 0:
+            return float(math.floor(x + 0.5))
+        return math.floor(x * p + 0.5) / p
+
+    for scale in (0, 4, 6):
+        df = spark.createDataFrame([(x,) for x in xs], "x double")
+        got_spark = [
+            r.y for r in df.select(half_up(F.col("x"), scale).alias("y"))
+            .collect()
+        ]
+        con = duckdb.connect()
+        got_duck = [
+            con.execute(
+                f"SELECT {half_up_sql('CAST(? AS DOUBLE)', scale)}", [x]
+            ).fetchone()[0]
+            for x in xs
+        ]
+        want = [py_half_up(x, scale) for x in xs]
+        assert got_spark == want, scale
+        assert got_duck == want, scale
+
+
+@settings(max_examples=20, deadline=None, derandomize=True)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "ab", "c"]), max_size=12),
+        min_size=1, max_size=8,
+    ),
+    st.sampled_from([("a", "b"), ("a", "a"), ("b", "a"), ("ab", "c")]),
+)
+def test_bpe_merge_fold_matches_python(spark, seqs, pair):
+    """tokenizer._merge_pair: the native fold must equal the reference
+    greedy left-to-right non-overlapping merge on arbitrary symbol
+    sequences — including overlap runs and pair-at-boundary cases."""
+    from a3_fp_bigdata_spark.operators.tokenizer import _merge_pair
+
+    a, b = pair
+
+    def py_merge(s):
+        out, prev = [], None
+        for sym in s:
+            if prev == a and sym == b:
+                out.append(a + b)
+                prev = None
+            else:
+                if prev is not None:
+                    out.append(prev)
+                prev = sym
+        if prev is not None:
+            out.append(prev)
+        return out
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(seqs)],
+        "i long, syms array<string>",
+    )
+    got = {
+        r.i: list(r.m)
+        for r in df.select(
+            "i", _merge_pair(F.col("syms"), a, b).alias("m")
+        ).collect()
+    }
+    assert got == {i: py_merge(s) for i, s in enumerate(seqs)}
