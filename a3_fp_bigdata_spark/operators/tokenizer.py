@@ -198,3 +198,117 @@ def tk1_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges, "step int, left string, right string, merged string, "
         "pair_count bigint",
     )
+
+
+#: Frozen merge list for tk2 — the DEPLOYMENT artifact a tk1 fit
+#: produces, hard-coded the way production systems ship a tokenizer
+#: model: training happens once (on some corpus snapshot), inference
+#: runs the fixed program everywhere. This particular list is the
+#: sf0.001 fit's output; any fixed list exercises the same machinery.
+FROZEN_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("e", END_MARK), ("i", "n"), ("o", "r"),
+    ("o", "w"), ("ow", END_MARK), ("er", END_MARK), ("t", END_MARK),
+    ("y", END_MARK), ("a", "t"), ("n", END_MARK), ("h", END_MARK),
+]
+
+
+def _frozen_as_model(
+    pairs: list[tuple[str, str]],
+) -> list[tuple[int, str, str, str, int]]:
+    return [(i, a, b, a + b, 0) for i, (a, b) in enumerate(pairs)]
+
+
+def _tk2_seg_sql() -> str:
+    """DuckDB rendering of the frozen-merge segmentation — an
+    INDEPENDENT derivation, not a port of the fold: each symbol is
+    wrapped as '{sym}' and a merge (a, b) is a plain substring
+    replace('{a}{b}' -> '{ab}'). replace() consumes matches greedily
+    left-to-right without overlap and resumes after the inserted
+    text, which is exactly BPE's merge semantics ('{a}{a}{a}' under
+    (a,a) -> '{aa}{a}'); the braces make mid-symbol matches
+    impossible (no normalized token contains a brace). Token count =
+    parts of a '}{' split."""
+    expr = "'{' || array_to_string(string_split(word, ''), '}{') || '}{" \
+        + END_MARK + "}'"
+    for a, b in FROZEN_MERGES:
+        expr = (
+            "replace(" + expr + ", '{" + a + "}{" + b + "}', "
+            "'{" + a + b + "}')"
+        )
+    return "len(string_split(" + expr + ", '}{'))"
+
+
+@query(
+    "tk2_bpe_token_stats",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest({{toks}}) AS word FROM documents
+    ), vocab AS (
+      SELECT DISTINCT word FROM words
+    ), seg AS (
+      SELECT word, {{seg}} AS n_sub FROM vocab
+    )
+    SELECT w.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(s.n_sub) AS BIGINT) AS n_bpe_tokens
+    FROM words w JOIN seg s USING (word)
+    GROUP BY w.doc_id
+    """,
+)
+def tk2_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting under the FROZEN tokenizer: per doc,
+    word count and BPE-token count — the numbers a packing/budgeting
+    stage (pk1/pk2) consumes once a real tokenizer replaces the
+    whitespace proxy (tx3). The inference shape that scales: segment
+    the DISTINCT VOCABULARY once (apply_bpe's chained folds run over
+    word types, not corpus tokens), then join the per-word subword
+    count back onto the exploded words and aggregate per doc. The
+    vocab join is left to AQE — vocabulary is Heaps'-law-sized
+    (broadcastable for most corpora, shuffled hash join beyond), the
+    same guard rationale as the dedup drop set.
+
+    The oracle re-derives segmentation INDEPENDENTLY (wrapped-symbol
+    string replaces, see _tk2_seg_sql) — so Spark's fold and DuckDB's
+    replace chain cross-check each other's BPE semantics on every
+    word of the corpus."""
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("word")
+    )
+    vocab = words.select("word").distinct()
+    seg = vocab.select(
+        "word",
+        F.size(
+            apply_bpe(F.col("word"), _frozen_as_model(FROZEN_MERGES))
+        ).alias("n_sub"),
+    )
+    return (
+        words.join(seg, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+
+
+def _attach_tk2_oracle() -> None:
+    """tk2's oracle needs _SQL_TOKS and the generated replace chain
+    interpolated after definition (the decorator literal keeps
+    placeholders so the f-string stays readable)."""
+    import dataclasses
+
+    from a3_fp_bigdata_spark import registry as _R
+    from a3_fp_bigdata_spark.operators.text_analysis import _SQL_TOKS
+
+    rq = _R._REGISTRY["tk2_bpe_token_stats"]
+    if "{toks}" in (rq.oracle or ""):
+        _R._REGISTRY["tk2_bpe_token_stats"] = dataclasses.replace(
+            rq,
+            oracle=rq.oracle.replace("{toks}", _SQL_TOKS).replace(
+                "{seg}", _tk2_seg_sql()
+            ),
+        )
+
+
+_attach_tk2_oracle()

@@ -135,3 +135,43 @@ def test_apply_bpe_segments_with_learned_merges(spark):
     assert got == {w: seg(w) for w in words}
     # merges actually fired: at least one word is shorter than chars+1
     assert any(len(got[w]) < len(w) + 1 for w in words)
+
+
+def test_tk2_token_stats_invariants_and_replay(spark):
+    """tk2 under the frozen merges: n_words matches a Python
+    re-tokenization per doc, n_bpe_tokens equals the Python fold
+    replay summed over the doc's words, and every word contributes at
+    least one and at most len(word)+1 subwords."""
+    rows = table(spark, SF0001, "documents").select(
+        "doc_id", "text"
+    ).collect()
+
+    def seg_len(w):
+        s = list(w) + [TK.END_MARK]
+        for a, b in TK.FROZEN_MERGES:
+            out, prev = [], None
+            for sym in s:
+                if prev == a and sym == b:
+                    out.append(a + b)
+                    prev = None
+                else:
+                    if prev is not None:
+                        out.append(prev)
+                    prev = sym
+            if prev is not None:
+                out.append(prev)
+            s = out
+        return len(s)
+
+    expected = {}
+    for r in rows:
+        toks = _py_tokens(r.text)
+        if toks:
+            expected[r.doc_id] = (len(toks), sum(seg_len(w) for w in toks))
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in TK.tk2_bpe_token_stats(spark, SF0001).collect()
+    }
+    assert got == expected
+    for doc_id, (nw, nb) in got.items():
+        assert nw <= nb  # every word is at least one subword
