@@ -360,3 +360,15 @@ def test_gapfill_windows_stay_linear(spark, qs):
         assert "UnboundedFollowing" not in plan, name
         assert "Generate explode" in plan, name
         assert "EvalPython" not in plan, name
+
+
+def test_bpe_token_stats_segments_vocab_jvm_side(spark, qs):
+    """tk2: segmentation must run over the DISTINCT vocabulary and
+    join back (2 shuffles: the distinct + the per-doc agg; the vocab
+    join itself broadcasts at this scale), with zero Python crossings
+    — the chained merge folds are native expressions."""
+    df = qs["tk2_bpe_token_stats"](spark, SF0001)
+    assert PI.shuffle_count(df) <= 3
+    assert PI.uses_broadcast_join(df)
+    plan = PI.physical_plan(df)
+    assert "InPandas" not in plan and "ArrowEval" not in plan
