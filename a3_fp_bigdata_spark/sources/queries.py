@@ -184,3 +184,27 @@ def src4_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total"),
         )
     )
+
+
+@query(
+    "src6_orc_roundtrip",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+    FROM supplier
+    """,
+)
+def src6_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip — the second columnar interchange format Spark
+    ships built-in (warehouses Hive-era and Trino-adjacent pipelines
+    still hand over): supplier -> ORC directory (zlib, the format
+    default) -> native vectorized ORC scan. Exact value equality
+    against the ORIGINAL parquet via the oracle proves the codec is
+    lossless for long/string/double columns; the scan benefits from
+    the same pushdown/pruning machinery as parquet (ORC predicate
+    pushdown is on by default in Spark 3+/4)."""
+    path = _scratch("orc1", sf_dir)
+    sup = table(spark, sf_dir, "supplier")
+    sup.write.mode("overwrite").orc(path)
+    return spark.read.orc(path).select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )

@@ -251,3 +251,24 @@ def test_compaction_recovers_crashed_swap(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(path).collect()))
     assert got == want
     assert not os.path.isdir(path + ".precompact")
+
+
+def test_orc_roundtrip_pushdown_and_values(spark, tmp_path):
+    """src6's codec contract at unit scale: ORC write/read is lossless
+    for long/string/double columns, and an equality predicate reaches
+    the ORC scan as a pushed filter (the same row-skipping contract
+    the parquet path pins)."""
+    from a3_fp_bigdata_spark.data import table
+    from a3_fp_bigdata_spark.plans import inspect as PI
+    from tests.conftest import SF0001
+
+    path = str(tmp_path / "orc")
+    sup = table(spark, SF0001, "supplier")
+    sup.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, sup.collect())
+    )
+    flt = back.filter("s_suppkey = 3")
+    pushed = PI.pushed_filters(flt)
+    assert pushed and any("s_suppkey" in p for p in pushed), pushed

@@ -446,6 +446,33 @@ def main() -> None:
         lambda: qs["tk1_bpe_merges"](spark, sf_dir).count(),
     )
 
+    # ---- streaming rung: REAL micro-batch runs over the duplicated
+    # corpus — the incremental dedup state (st10) and the chunk index
+    # (st11) must converge while merging batch deltas into their
+    # bucketed views under the 57% dup rate (many batches touch the
+    # SAME fingerprint buckets, the worst case for touched-partition
+    # rewrite amplification).
+    print()
+    print("## Streaming sinks on the duplicated corpus")
+    print()
+    print("st10 fingerprints each micro-batch and merges (min keeper,")
+    print("summed copies) into the bucketed view; st11 chunks,")
+    print("featurizes, LSH-buckets and delta-merges occupancy. With")
+    print("57% near-dup members most batches collide on hot")
+    print("fingerprint buckets, so the dynamic-partition-overwrite")
+    print("path rewrites the same few bucket dirs repeatedly — wall")
+    print("time below is dominated by micro-batch scheduling, the")
+    print("per-batch data work stays batch-sized.")
+    print()
+    print("| stage | rows out | wall s | shuffle write | shuffle read | peak JVM mem |")
+    print("|---|---|---|---|---|---|")
+    timed_row.w0, timed_row.r0 = _shuffle_totals(spark)
+    for name in (
+        "st10_incremental_dedup_stream",
+        "st11_chunk_index_stream",
+    ):
+        timed_row(name, lambda n=name: qs[n](spark, sf_dir).count())
+
     # ---- time-series rung: gap-heavy grid + one bot user
     print()
     print("## Time-series under user skew")
