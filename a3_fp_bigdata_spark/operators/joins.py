@@ -251,3 +251,111 @@ def j10_salted_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+#: Bloom geometry for j11: 4096 bits / 64 longs, 3 seeded hash probes.
+#: At the canonical build size (~300 keys, sf0.01) kn/m ≈ 0.22 so the
+#: false-positive rate is ~0.8%; production sizes m to the build-side
+#: cardinality estimate the same way (m ≈ 10-15 bits/key).
+BLOOM_BITS = 4096
+BLOOM_WORDS = BLOOM_BITS // 64
+BLOOM_HASHES = 3
+
+
+def _bloom_bit(key, seed: int):
+    return F.pmod(F.xxhash64(F.lit(seed), key), F.lit(BLOOM_BITS))
+
+
+def build_bloom(keys: DataFrame) -> list[int]:
+    """Fold a key column's bloom filter down to BLOOM_WORDS longs.
+
+    Distributed shape: each key row contributes (word, mask) pairs for
+    its {BLOOM_HASHES} probe positions; a map-side-combinable bit_or
+    per word reduces the whole build side to at most {BLOOM_WORDS}
+    rows, and ONLY those reach the driver — the collect is the
+    64-long broadcast artifact itself, never the keys."""
+    col = F.col(keys.columns[0])
+    pairs = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (_bloom_bit(col, s) / 64).cast("int").alias("w"),
+                        F.call_function(
+                            "shiftleft",
+                            F.lit(1).cast("long"),
+                            _bloom_bit(col, s).cast("int") % 64,
+                        ).alias("m"),
+                    )
+                    for s in range(BLOOM_HASHES)
+                ]
+            )
+        ).alias("p")
+    ).select("p.w", "p.m")
+    words = [0] * BLOOM_WORDS
+    for r in pairs.groupBy("w").agg(F.bit_or("m").alias("bits")).collect():
+        words[r.w] = r.bits
+    return words
+
+
+def bloom_might_contain(key, words: list[int]):
+    """Scan-side membership test: all {BLOOM_HASHES} probe bits set in
+    the literal word array — pure JVM expressions, no UDF, pushable
+    below the join's exchange."""
+    arr = F.array(*[F.lit(w).cast("long") for w in words])
+    cond = F.lit(True)
+    for s in range(BLOOM_HASHES):
+        bit = _bloom_bit(key, s)
+        word = F.element_at(arr, (bit / 64).cast("int") + 1)
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), bit.cast("int") % 64
+        )
+        cond = cond & (word.bitwiseAND(mask) != 0)
+    return cond
+
+
+@query(
+    "j11_bloom_prefilter_join",
+    oracle="""
+    SELECT o.o_orderstatus,
+           count(*) AS n,
+           round(sum(o.o_totalprice), 2) AS total
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderstatus
+    """,
+)
+def j11_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join reduction via a hand-rolled bloom filter — the shuffle
+    -join survival technique for when the build side is too big to
+    broadcast EXACTLY but its bloom still fits anywhere: probe rows
+    failing the membership test are dropped AT THE SCAN, before the
+    exchange, so the shuffle moves only (matches + ~0.8% false
+    positives) instead of the whole fact table. Spark 3.3+ grows a
+    runtime form of this (spark.sql.optimizer.runtime.bloomFilter);
+    the explicit version is engine-portable, sizable per-build, and
+    inspectable in the plan. Blooms have NO false negatives, so the
+    final shuffled join re-checks exact equality and the result is
+    bit-identical to the plain join — which is precisely what the
+    oracle verifies.
+
+    The join itself is hinted shuffle-hash (the scenario where
+    broadcast is off the table); at sf the optimizer would happily
+    broadcast, but the PLAN this pins — filter below exchange — is
+    the 100 TB shape."""
+    cust = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    words = build_bloom(cust.select("c_custkey"))
+    orders = table(spark, sf_dir, "orders").filter(
+        bloom_might_contain(F.col("o_custkey"), words)
+    )
+    joined = orders.join(
+        cust.select("c_custkey").hint("shuffle_hash"),
+        orders.o_custkey == F.col("c_custkey"),
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

@@ -488,3 +488,28 @@ def test_d4_containment_audit_is_zero_outside(spark):
     )
     assert row.n_lsh_pairs > 0
     assert row.n_outside_exact == 0
+
+
+def test_bloom_filter_no_false_negatives_and_selective(spark):
+    """j11's bloom: every build key passes the membership test (no
+    false negatives — the correctness contract), and the filter is
+    genuinely selective on non-members (the scale contract: the
+    shuffle sees a small fraction of the fact table)."""
+    from a3_fp_bigdata_spark.operators import joins as J
+
+    cust = table(spark, SF0001, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    words = J.build_bloom(cust.select("c_custkey"))
+    members = {r.c_custkey for r in cust.collect()}
+    all_cust = table(spark, SF0001, "customer").select("c_custkey")
+    passed = {
+        r.c_custkey
+        for r in all_cust.filter(
+            J.bloom_might_contain(F.col("c_custkey"), words)
+        ).collect()
+    }
+    assert members <= passed  # no false negatives, ever
+    non_members = {r.c_custkey for r in all_cust.collect()} - members
+    fp = len(passed - members) / max(1, len(non_members))
+    assert fp < 0.05, fp  # ~0.8% expected at this geometry

@@ -372,3 +372,23 @@ def test_bpe_token_stats_segments_vocab_jvm_side(spark, qs):
     assert PI.uses_broadcast_join(df)
     plan = PI.physical_plan(df)
     assert "InPandas" not in plan and "ArrowEval" not in plan
+
+
+def test_bloom_prefilter_sits_below_the_exchange(spark, qs):
+    """j11: the bloom membership filter must run at the probe scan,
+    BEFORE the join's exchange — the whole point of semi-join
+    reduction — and the join itself is the shuffled (non-broadcast)
+    form the technique exists for."""
+    df = qs["j11_bloom_prefilter_join"](spark, SF0001)
+    plan = PI.physical_plan(df)
+    # the bloom test compiles to xxhash64 probes in a Filter node on
+    # the orders scan side; find a Filter containing xxhash64 and an
+    # Exchange after it in the tree rendering (children print below
+    # their parents, so scan-side filters appear AFTER the exchange
+    # text — assert both exist and the join is not broadcast)
+    assert "xxhash64" in plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+    import re
+
+    filt = re.search(r"Filter .*xxhash64", plan)
+    assert filt, plan[:800]
