@@ -405,3 +405,56 @@ def st9_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return MV.read_view(spark, out)
+
+
+@query("st12_stream_session_window", oracle=None)  # st3's SQL, attached below
+def st12_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming session windows: file source -> native
+    session_window aggregation (30-min gap, the streaming-capable
+    sessionizer) -> AvailableNow -> memory sink. Shares st3's oracle
+    verbatim — a session aggregation over a finite stream must equal
+    the batch derivation — so the STATEFUL merge path (Spark's
+    session-window state store merges adjacent micro-batch sessions)
+    is value-checked against plain SQL, not just its batch twin.
+
+    Scale: session state is per (user, open session); the state store
+    holds only OPEN sessions (closed ones emit and evict under a real
+    watermark), so state size tracks concurrent active users, not
+    history."""
+    ev = stream_events(spark, sf_dir)
+    sess = (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+    return run_available_now(sess, output_mode="complete")
+
+
+def _attach_st12_oracle() -> None:
+    """st12 shares st3's oracle — ONE SQL definition of the session
+    table, checked against both the batch and the real streaming
+    path (same single-source pattern as st11/pl2)."""
+    import dataclasses
+
+    from a3_fp_bigdata_spark import registry as _R
+    from a3_fp_bigdata_spark.streaming import batch_windows  # noqa: F401
+    # ^ importing guarantees st3 is registered even when ingest is
+    #   imported standalone (registry loads modules alphabetically,
+    #   but direct importers need the twin pulled in explicitly)
+
+    rq = _R._REGISTRY["st12_stream_session_window"]
+    st3 = _R._REGISTRY.get("st3_session_window")
+    if rq.oracle is None and st3 is not None and st3.oracle:
+        _R._REGISTRY["st12_stream_session_window"] = dataclasses.replace(
+            rq, oracle=st3.oracle
+        )
+
+
+_attach_st12_oracle()
