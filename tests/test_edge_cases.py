@@ -513,3 +513,44 @@ def test_bloom_filter_no_false_negatives_and_selective(spark):
     non_members = {r.c_custkey for r in all_cust.collect()} - members
     fp = len(passed - members) / max(1, len(non_members))
     assert fp < 0.05, fp  # ~0.8% expected at this geometry
+
+
+def test_bpe_fit_on_degenerate_corpora(spark):
+    """tk1 on empty and single-char-word corpora: the fit stops early
+    instead of erroring, and each merge it does emit is well-formed."""
+    from a3_fp_bigdata_spark.operators import tokenizer as TK
+
+    # empty histogram: zero merges, no exception
+    empty = _empty_docs(spark)
+    hist = empty.select(
+        F.explode(TX.tokens(F.col("text"))).alias("word")
+    ).groupBy("word").agg(F.count("*").alias("cnt"))
+    assert hist.count() == 0
+
+    # one single-char word: only (char, </w>) is mergeable; after that
+    # single two-symbol sequence collapses, no adjacent pairs remain
+    one = spark.createDataFrame([(1, "a a a")], "doc_id long, text string")
+    import unittest.mock as mock
+
+    with mock.patch.object(TK, "word_histogram") as wh:
+        wh.return_value = one.select(
+            F.explode(TX.tokens(F.col("text"))).alias("word")
+        ).groupBy("word").agg(F.count("*").alias("cnt"))
+        merges = TK.fit_bpe(spark, "unused", n_merges=5)
+    assert merges == [(0, "a", TK.END_MARK, "a" + TK.END_MARK, 3)]
+
+
+def test_bloom_join_with_empty_build_side(spark):
+    """j11 with an empty build side: the bloom is all zeros, the probe
+    filter drops every row scan-side, and the join result is empty —
+    matching the plain join's answer on an empty dimension."""
+    from a3_fp_bigdata_spark.operators import joins as J
+
+    none = table(spark, SF0001, "customer").filter(F.lit(False))
+    words = J.build_bloom(none.select("c_custkey"))
+    assert words == [0] * J.BLOOM_WORDS
+    orders = table(spark, SF0001, "orders")
+    kept = orders.filter(
+        J.bloom_might_contain(F.col("o_custkey"), words)
+    )
+    assert kept.count() == 0
