@@ -208,3 +208,73 @@ def src6_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(path).select(
         "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
     )
+
+
+#: src7: deterministic corruption rule — every event whose id hashes
+#: into this residue class gets its JSON line mangled at staging.
+CORRUPT_MOD = 37
+
+
+@query(
+    "src7_corrupt_records",
+    oracle=f"""
+    SELECT CAST(count(CASE WHEN event_id % {CORRUPT_MOD} <> 0
+                      THEN 1 END) AS BIGINT) AS n_good,
+           CAST(count(CASE WHEN event_id % {CORRUPT_MOD} = 0
+                      THEN 1 END) AS BIGINT) AS n_corrupt,
+           round(sum(CASE WHEN event_id % {CORRUPT_MOD} <> 0
+                     THEN value END), 4) AS good_value_total
+    FROM events
+    """,
+)
+def src7_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record quarantine — the ingestion edge every real feed
+    needs and the reference's consumer lacks entirely (a bad line
+    kills its json.loads loop, consumer.py:77): stage the events table
+    as JSON lines with a DETERMINISTIC subset mangled (truncated
+    mid-object, keyed by event_id so distributed write order cannot
+    affect which rows break), then scan PERMISSIVE with a
+    ``_corrupt_record`` column. Good rows parse to typed columns;
+    broken rows land intact in quarantine instead of failing the job
+    or silently dropping. The oracle re-derives (n_good, n_corrupt,
+    good-row value sum) from the ORIGINAL table by the same keyed
+    rule — so a parser that dropped, double-counted, or mis-parsed
+    either class hash-mismatches.
+
+    Scale: the mangling is a scan-side concat at staging; the
+    PERMISSIVE scan is Spark's native JSON reader (no UDF), and the
+    quarantine column prunes away for consumers that select only the
+    typed columns."""
+    import pyspark.sql.functions as F
+
+    from a3_fp_bigdata_spark.data import table as _table
+
+    path = _scratch("corrupt", sf_dir)
+    ev = _table(spark, sf_dir, "events")
+    line = F.to_json(F.struct(*[F.col(c) for c in ev.columns]))
+    staged = ev.select(
+        F.when(
+            F.col("event_id") % CORRUPT_MOD == 0,
+            # truncate mid-object: unparseable, recognizably the row
+            F.concat(F.lit('{"broken":'), F.substring(line, 1, 20)),
+        )
+        .otherwise(line)
+        .alias("value")
+    )
+    staged.write.mode("overwrite").text(path)
+
+    schema = ev.schema.add("_corrupt_record", "string")
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    good = F.col("_corrupt_record").isNull()
+    return back.agg(
+        F.count(F.when(good, 1)).cast("long").alias("n_good"),
+        F.count(F.when(~good, 1)).cast("long").alias("n_corrupt"),
+        F.round(F.sum(F.when(good, F.col("value"))), 4).alias(
+            "good_value_total"
+        ),
+    )
