@@ -190,3 +190,120 @@ def run_expectations(df_report: DataFrame) -> None:
             f"{r.check_name} ({r.n_violations}/{r.n_checked})" for r in bad
         )
         raise ValueError(f"data-quality expectations failed: {failed}")
+
+
+#: dq2's simulated upstream regression, keyed so both engines derive
+#: identical snapshots: snapshot B drops every 10th order and nulls
+#: the price of every 21st one (21, not a multiple of 10: the null
+#: class must SURVIVE the drop rule — a 20-mod rule would null only
+#: rows the drop already removed, leaving the null-rate alarm dark).
+DRIFT_DROP_MOD = 10
+DRIFT_NULL_MOD = 21
+
+#: Relative-drift alarm threshold (fraction of snapshot A's value).
+DRIFT_TOL = 0.02
+
+
+@query(
+    "dq2_profile_drift",
+    oracle=f"""
+    WITH a AS (
+      SELECT count(*) AS n_rows,
+             avg(o_totalprice) AS price_mean,
+             CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*) AS price_null_rate
+      FROM orders
+    ), b_rows AS (
+      SELECT CASE WHEN o_orderkey % {DRIFT_NULL_MOD} = 0 THEN NULL
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % {DRIFT_DROP_MOD} <> 0
+    ), b AS (
+      SELECT count(*) AS n_rows,
+             avg(o_totalprice) AS price_mean,
+             CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*) AS price_null_rate
+      FROM b_rows
+    ), m AS (
+      SELECT 'n_rows' AS metric, CAST(a.n_rows AS DOUBLE) AS snap_a,
+             CAST(b.n_rows AS DOUBLE) AS snap_b FROM a, b
+      UNION ALL
+      SELECT 'price_mean', a.price_mean, b.price_mean FROM a, b
+      UNION ALL
+      SELECT 'price_null_rate', a.price_null_rate, b.price_null_rate
+      FROM a, b
+    )
+    SELECT metric,
+           floor(snap_a * 10000 + 0.5) / 10000.0 AS snap_a,
+           floor(snap_b * 10000 + 0.5) / 10000.0 AS snap_b,
+           CAST(abs(snap_b - snap_a)
+                > {DRIFT_TOL} * abs(snap_a) + 1e-12 AS BOOLEAN)
+             AS drifted
+    FROM m
+    """,
+)
+def dq2_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot profile-drift monitor — dq1 gates VALUES inside one
+    snapshot; dq2 gates SHAPE ACROSS snapshots (the data-ops alarm
+    that catches a silently shrunken or null-polluted refresh before
+    it ships). Per metric (row count, price mean, price null-rate)
+    the report carries both snapshots' values and a drift flag at the
+    {DRIFT_TOL:.0%} relative threshold. Snapshot B is derived from
+    the same table by a keyed rule (drop every {DRIFT_DROP_MOD}th
+    order, null every {DRIFT_NULL_MOD}th price) so the oracle — and
+    the pytest twin — can re-derive it exactly; production swaps in
+    yesterday's materialized snapshot, the plan is identical.
+
+    Scale: each snapshot profile is ONE map-side-combinable aggregate
+    over its scan; the comparison is a 3-row crossJoin of two 1-row
+    frames — O(metrics) output regardless of table size, no shuffle
+    beyond the two tiny aggregations."""
+    orders = table(spark, sf_dir, "orders")
+
+    def profile(df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count("*").cast("double").alias("n_rows"),
+            F.avg("o_totalprice").alias("price_mean"),
+            (
+                F.sum(
+                    F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)
+                ).cast("double")
+                / F.count("*")
+            ).alias("price_null_rate"),
+        )
+
+    snap_b_rows = orders.filter(
+        F.col("o_orderkey") % DRIFT_DROP_MOD != 0
+    ).select(
+        F.when(
+            F.col("o_orderkey") % DRIFT_NULL_MOD == 0, F.lit(None)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice")
+    )
+    a = profile(orders)
+    b = profile(snap_b_rows)
+    metrics = []
+    for m in ("n_rows", "price_mean", "price_null_rate"):
+        metrics.append(
+            F.struct(
+                F.lit(m).alias("metric"),
+                a[m].alias("snap_a"),
+                b[m].alias("snap_b"),
+            )
+        )
+    from a3_fp_bigdata_spark.functions.rounding import half_up
+
+    rows = (
+        a.crossJoin(b)
+        .select(F.explode(F.array(*metrics)).alias("r"))
+        .select("r.metric", "r.snap_a", "r.snap_b")
+    )
+    return rows.select(
+        "metric",
+        half_up(F.col("snap_a")).alias("snap_a"),
+        half_up(F.col("snap_b")).alias("snap_b"),
+        (
+            F.abs(F.col("snap_b") - F.col("snap_a"))
+            > DRIFT_TOL * F.abs(F.col("snap_a")) + F.lit(1e-12)
+        ).alias("drifted"),
+    )

@@ -134,3 +134,50 @@ def test_gate_fails_closed_on_empty_table(spark, monkeypatch):
     )  # coalesced, never NULL
     with pytest.raises(ValueError, match="lineitem_qty_not_null"):
         Q.run_expectations(report)
+
+
+def test_profile_drift_matches_python_replay(spark):
+    """dq2: the three-metric drift report equals a plain-Python replay
+    of both snapshot profiles (same keyed derivation, same half-up
+    rounding, same relative threshold) — and the simulated regression
+    actually fires the row-count and null-rate alarms."""
+    import math
+
+    from a3_fp_bigdata_spark.operators import quality_checks as Q
+
+    rows = table(spark, SF0001, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).collect()
+
+    def profile(vals):
+        n = len(vals)
+        nulls = sum(1 for v in vals if v is None)
+        present = [v for v in vals if v is not None]
+        return (
+            float(n),
+            sum(present) / len(present) if present else None,
+            nulls / n,
+        )
+
+    def hup(x):
+        return math.floor(x * 10000 + 0.5) / 10000
+
+    a = profile([r.o_totalprice for r in rows])
+    b = profile(
+        [
+            None if r.o_orderkey % Q.DRIFT_NULL_MOD == 0 else r.o_totalprice
+            for r in rows
+            if r.o_orderkey % Q.DRIFT_DROP_MOD != 0
+        ]
+    )
+    expected = {}
+    for i, m in enumerate(("n_rows", "price_mean", "price_null_rate")):
+        drift = abs(b[i] - a[i]) > Q.DRIFT_TOL * abs(a[i]) + 1e-12
+        expected[m] = (hup(a[i]), hup(b[i]), drift)
+    got = {
+        r.metric: (r.snap_a, r.snap_b, r.drifted)
+        for r in Q.dq2_profile_drift(spark, SF0001).collect()
+    }
+    assert got == expected
+    assert got["n_rows"][2] is True  # the 10% drop fires
+    assert got["price_null_rate"][2] is True  # the null pollution fires
