@@ -1,0 +1,96 @@
+"""Job-level observability — shuffle volume and peak memory per block.
+
+Production pipelines gate on resource FACTS, not vibes: "this nightly
+dedup moved 40 GiB through the shuffle yesterday and 400 GiB today" is
+the page-worthy signal. Spark exposes those facts on its REST status
+API (the same JSON the Web UI renders — stable, public, no JVM
+internals); this module wraps them as a `stage_metrics()` context
+manager reporting the DELTA a code block caused:
+
+    with stage_metrics(spark) as m:
+        run_expensive_pipeline()
+    print(m.shuffle_write_bytes, m.shuffle_read_bytes, m.peak_jvm_bytes)
+
+tools/scale_stress.py consumes this for every SCALE.md rung; a real
+deployment logs the same numbers per pipeline stage and alerts on
+drift (dq2's pattern, applied to resources instead of values).
+
+Caveats, stated rather than hidden: totals come from COMPLETED stages
+(an in-flight stage's bytes land after it finishes), and peak memory
+is a high-water mark per executor process — it never goes down, so
+the block-level value is "peak observed so far", meaningful for gating
+a job's first heavy stage or a dedicated run, coarse inside a long
+shared session. Peak memory also arrives with the executor HEARTBEAT
+(default ~10 s period), so a block measured moments after session
+start can read 0 until the first heartbeat posts.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+
+def _rest(spark: SparkSession, path: str):
+    ui = spark.sparkContext.uiWebUrl
+    if ui is None:
+        raise RuntimeError(
+            "Spark status REST API unavailable: the UI is disabled "
+            "(spark.ui.enabled=false). Enable it (SPARK_GRAFT_UI=true "
+            "for the engine's session builder) to collect stage metrics."
+        )
+    app_id = spark.sparkContext.applicationId
+    with urllib.request.urlopen(
+        f"{ui}/api/v1/applications/{app_id}/{path}"
+    ) as r:
+        return json.load(r)
+
+
+def shuffle_totals(spark: SparkSession) -> tuple[int, int]:
+    """(write_bytes, read_bytes) summed over completed stages."""
+    stages = _rest(spark, "stages?status=complete")
+    w = sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    r = sum(s.get("shuffleReadBytes", 0) for s in stages)
+    return w, r
+
+
+def peak_jvm_memory(spark: SparkSession) -> int:
+    """Max over executors of (heap + off-heap) peak bytes."""
+    execs = _rest(spark, "executors")
+    peak = 0
+    for e in execs:
+        pm = e.get("peakMemoryMetrics") or {}
+        peak = max(
+            peak,
+            pm.get("JVMHeapMemory", 0) + pm.get("JVMOffHeapMemory", 0),
+        )
+    return peak
+
+
+@dataclass
+class StageMetrics:
+    shuffle_write_bytes: int = 0
+    shuffle_read_bytes: int = 0
+    peak_jvm_bytes: int = 0
+
+
+class stage_metrics:
+    """Context manager capturing the shuffle delta (and memory high-
+    water mark) across a block of Spark actions."""
+
+    def __init__(self, spark: SparkSession):
+        self._spark = spark
+        self.result = StageMetrics()
+
+    def __enter__(self) -> StageMetrics:
+        self._w0, self._r0 = shuffle_totals(self._spark)
+        return self.result
+
+    def __exit__(self, *exc) -> None:
+        w1, r1 = shuffle_totals(self._spark)
+        self.result.shuffle_write_bytes = w1 - self._w0
+        self.result.shuffle_read_bytes = r1 - self._r0
+        self.result.peak_jvm_bytes = peak_jvm_memory(self._spark)

@@ -927,6 +927,52 @@ def _pl1_oracle() -> str:
     """
 
 
+@query(
+    "pk10_interleave_schedule",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id)
+               AS rank_in_source
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(rank_in_source AS BIGINT) AS rank_in_source,
+           CAST(row_number() OVER (
+             ORDER BY rank_in_source, source, doc_id) AS BIGINT)
+             AS global_pos
+    FROM ranked
+    """,
+)
+def pk10_interleave_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-interleaved training order (anti-clustering): rank docs
+    within each source, then order globally by (rank, source) — a
+    round-robin over domains, so consecutive training positions cycle
+    through sources instead of streaming one domain's docs back to
+    back (the batch-composition failure mode that makes gradient
+    noise domain-correlated). Deterministic total order both engines
+    share; downstream, pk1/pk2 consume this order instead of raw
+    doc_id.
+
+    Scale: one window per source partition (hash-partitioned by
+    source) + the global position. The global row_number IS a single-
+    partition sort here — the honest cost of a total order; at 100 TB
+    a pipeline keeps (rank_in_source, source) as a SORT KEY and lets
+    the writer range-partition on it instead of materializing a
+    global ordinal (zero extra cost), which this query demonstrates
+    by construction: global_pos is derivable from the key alone."""
+    docs = table(spark, sf_dir, "documents")
+    w_src = Window.partitionBy("source").orderBy("doc_id")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w_src).cast("long").alias("rank_in_source"),
+    )
+    w_all = Window.orderBy("rank_in_source", "source", "doc_id")
+    return ranked.withColumn(
+        "global_pos", F.row_number().over(w_all).cast("long")
+    )
+
+
 def _attach_deferred_oracles() -> None:
     """Oracles composed from other modules' CTE fragments are attached
     post-registration (the fragments import cleanly only after the

@@ -272,3 +272,67 @@ def u3_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.md5(F.col("text")).alias("fp")
     )
     return snapshot_diff(old, new, "doc_id")
+
+
+def merge_upsert_evolving(
+    base: DataFrame, updates: DataFrame, key: str
+) -> DataFrame:
+    """merge_upsert for a batch whose schema has EVOLVED: columns the
+    other side lacks are null-backfilled by name (unionByName
+    allowMissingColumns), so yesterday's rows gain the new column as
+    NULL and a batch missing a legacy column inserts NULL there — the
+    additive-only evolution contract warehouse MERGEs implement.
+    Key collisions still resolve updates-win via the same anti-join."""
+    untouched = base.join(updates, on=key, how="left_anti")
+    return untouched.unionByName(updates, allowMissingColumns=True)
+
+
+@query(
+    "u4_schema_evolution_merge",
+    oracle="""
+    WITH updates AS (
+      SELECT c_custkey, c_name, round(c_acctbal + 500, 2) AS c_acctbal,
+             'gold' AS tier
+      FROM customer WHERE c_custkey % 7 = 0
+    )
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, tier
+    FROM (
+      SELECT c_custkey, c_name, c_acctbal, NULL AS tier
+      FROM customer WHERE c_custkey % 7 <> 0
+      UNION ALL
+      SELECT * FROM updates
+    )
+    """,
+)
+def u4_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution under MERGE: today's batch carries a NEW
+    column (`tier`) the base table never had. Every untouched base
+    row backfills `tier` as NULL; every updated row lands with its
+    value — no rewrite of history, no migration job, exactly the
+    additive-evolution behavior Delta/Iceberg MERGE WITH SCHEMA
+    EVOLUTION provides, expressed engine-portably. The oracle builds
+    the same union by hand, so a column-alignment bug (the classic
+    positional-union corruption) is a value-hash mismatch.
+
+    Scale: identical plan to u1 — one anti-join plus a union; the
+    evolved column adds bytes only for rows that carry it."""
+    base = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    updates = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal") + 500, 2).alias("c_acctbal"),
+            F.lit("gold").alias("tier"),
+        )
+    )
+    merged = merge_upsert_evolving(base, updates, "c_custkey")
+    return merged.select(
+        "c_custkey",
+        "c_name",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        "tier",
+    )

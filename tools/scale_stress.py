@@ -228,30 +228,16 @@ def build_events() -> dict:
     }
 
 
-def _rest(spark, path: str):
-    ui = spark.sparkContext.uiWebUrl
-    app_id = spark.sparkContext.applicationId
-    with urllib.request.urlopen(f"{ui}/api/v1/applications/{app_id}/{path}") as r:
-        return json.load(r)
-
-
 def _shuffle_totals(spark) -> tuple[int, int]:
-    stages = _rest(spark, "stages?status=complete")
-    w = sum(s.get("shuffleWriteBytes", 0) for s in stages)
-    r = sum(s.get("shuffleReadBytes", 0) for s in stages)
-    return w, r
+    from a3_fp_bigdata_spark.metrics import shuffle_totals
+
+    return shuffle_totals(spark)
 
 
 def _peak_mem(spark) -> int:
-    execs = _rest(spark, "executors")
-    peak = 0
-    for e in execs:
-        pm = e.get("peakMemoryMetrics") or {}
-        peak = max(
-            peak,
-            pm.get("JVMHeapMemory", 0) + pm.get("JVMOffHeapMemory", 0),
-        )
-    return peak
+    from a3_fp_bigdata_spark.metrics import peak_jvm_memory
+
+    return peak_jvm_memory(spark)
 
 
 def main() -> None:
