@@ -973,6 +973,88 @@ def pk10_interleave_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: pl3's canonical row rendering: every column coalesced (a NULL must
+#: not collapse into an adjacent empty string) and joined on the ASCII
+#: unit separator, which cannot appear in the data.
+_CK_NULL = "\u2400"  # ␀ symbol-for-null: visible, not in any column
+_CK_SEP = "\x1f"
+
+
+def _row_digest(cols: list[str], salt: str) -> Column:
+    rendered = F.concat_ws(
+        _CK_SEP,
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit(_CK_NULL))
+            for c in cols
+        ],
+    )
+    # 15 hex chars = 60 bits: fits a positive BIGINT in both engines
+    # (Spark conv(...,16,10); DuckDB CAST('0x...' AS BIGINT))
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), rendered)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def _ck_sql(cols: list[str], salt: str) -> str:
+    # chr() renders the separator/null tokens — raw control bytes or
+    # non-ASCII inside a SQL literal trip DuckDB's parser
+    null_tok = f"chr({ord(_CK_NULL)})"
+    rendered = f" || chr({ord(_CK_SEP)}) || ".join(
+        f"COALESCE(CAST({c} AS VARCHAR), {null_tok})" for c in cols
+    )
+    return (
+        f"CAST(('0x' || substr(md5('{salt}' || {rendered}), 1, 15))"
+        " AS BIGINT)"
+    )
+
+
+_CK_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+@query(
+    "pl3_corpus_checksum",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(COALESCE(bit_xor({_ck_sql(_CK_COLS, 's1')}), 0)
+                AS BIGINT) AS xor1,
+           CAST(COALESCE(bit_xor({_ck_sql(_CK_COLS, 's2')}), 0)
+                AS BIGINT) AS xor2
+    FROM documents
+    """,
+)
+def pl3_corpus_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-invariant corpus content checksum — the reproducibility
+    manifest entry a training-data pipeline records per published
+    snapshot ("did this rerun produce the identical corpus?" answered
+    in one scan, without sorting or diffing). Each row renders
+    canonically (unit-separator join, explicit null token), digests to
+    a 60-bit md5 prefix, and the table folds to TWO independently
+    salted bit_xor accumulators plus the row count. bit_xor is
+    commutative/associative -> partition- and order-invariant, fully
+    map-side combinable, ZERO shuffle beyond the 1-row final combine.
+
+    Stated limitation (why two salts + count): an EVEN number of
+    extra copies of a row cancels out of the xors (a single extra
+    copy still flips them) — count catches cardinality changes, and
+    a different-rows collision would have to fool BOTH salted digests
+    simultaneously (~2^-120). The same rendering runs in DuckDB (hex
+    literal cast instead of conv), so the checksum is engine-portable
+    — a rerun on EITHER engine must reproduce all three numbers."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        _row_digest(_CK_COLS, "s1").alias("_d1"),
+        _row_digest(_CK_COLS, "s2").alias("_d2"),
+    ).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.coalesce(F.expr("bit_xor(_d1)"), F.lit(0))
+        .cast("long")
+        .alias("xor1"),
+        F.coalesce(F.expr("bit_xor(_d2)"), F.lit(0))
+        .cast("long")
+        .alias("xor2"),
+    )
+
+
 def _attach_deferred_oracles() -> None:
     """Oracles composed from other modules' CTE fragments are attached
     post-registration (the fragments import cleanly only after the

@@ -324,3 +324,58 @@ def test_interleave_schedule_round_robins_domains(spark):
         per_src.setdefault(r.source, []).append(r.rank_in_source)
     for src, ranks in per_src.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), src
+
+
+def test_corpus_checksum_invariance_and_sensitivity(spark):
+    """pl3: the checksum is partition/order-invariant (repartitioned
+    input folds to identical numbers), flips on a single-character
+    change to one row and on a single duplicated row, and pair-wise
+    duplicate injection — xor-invisible by construction — is caught
+    by n_rows."""
+    from pyspark.sql import functions as F
+
+    from a3_fp_bigdata_spark.operators.packing import (
+        _CK_COLS,
+        _row_digest,
+    )
+
+    def fold(df):
+        return tuple(
+            df.select(
+                _row_digest(_CK_COLS, "s1").alias("_d1"),
+                _row_digest(_CK_COLS, "s2").alias("_d2"),
+            )
+            .agg(
+                F.count("*").cast("long"),
+                F.coalesce(F.expr("bit_xor(_d1)"), F.lit(0)).cast("long"),
+                F.coalesce(F.expr("bit_xor(_d2)"), F.lit(0)).cast("long"),
+            )
+            .first()
+        )
+
+    from a3_fp_bigdata_spark.data import table
+
+    docs = table(spark, SF0001, "documents")
+    base = fold(docs)
+    assert fold(docs.repartition(13)) == base
+    assert fold(docs.orderBy(F.desc("doc_id"))) == base
+
+    mutated = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 7, F.concat(F.col("text"), F.lit("!")))
+        .otherwise(F.col("text")),
+    )
+    m = fold(mutated)
+    assert m[0] == base[0] and m[1] != base[1] and m[2] != base[2]
+
+    one_dup = docs.unionByName(docs.filter(F.col("doc_id") == 7))
+    d1 = fold(one_dup)
+    # ONE extra copy flips both xors (odd occurrence count)...
+    assert d1[0] == base[0] + 1 and d1[1] != base[1] and d1[2] != base[2]
+    # ...but a PAIR of extra copies is xor-invisible (even count
+    # cancels) — the documented limitation, caught only by n_rows
+    extra = docs.filter(F.col("doc_id") == 7)
+    two_dups = docs.unionByName(extra).unionByName(extra)
+    d2 = fold(two_dups)
+    assert d2[1] == base[1] and d2[2] == base[2]
+    assert d2[0] == base[0] + 2
