@@ -459,13 +459,19 @@ def _verify_candidate_pairs(
     )
 
 
-#: Fixed scratch location for the d4 containment audit: the oracle SQL
-#: is a static string, so the Spark side must land the LSH pairs at a
-#: path DuckDB can name. Overwritten per invocation; the audit's Spark
-#: query always runs before its oracle (both the driver and
-#: check_parity execute that order), so the file holds the pairs of
-#: the CURRENT sf when the oracle reads it.
-_D4_AUDIT_SCRATCH = "/tmp/a3_fp_d4_containment_pairs"
+#: Scratch location for the d4 containment audit: the oracle SQL is a
+#: static string, so the Spark side must land the LSH pairs at a path
+#: DuckDB can name — which rules out sf-scoping (the oracle cannot
+#: know sf_dir). UID-scoped so two users on a shared box never
+#: collide on permissions; overwritten per invocation, and the
+#: audit's Spark query always runs before its oracle in the same
+#: process (both the driver and check_parity execute that order), so
+#: the file holds the CURRENT sf's pairs when the oracle reads it.
+#: Residual caveat, stated: two concurrent runs by the SAME user at
+#: different sfs can interleave — run audits sequentially per user.
+_D4_AUDIT_SCRATCH = (
+    f"/tmp/a3_fp_d4_containment_pairs_uid{os.getuid()}"
+)
 
 
 @query(

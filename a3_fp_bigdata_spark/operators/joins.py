@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from a3_fp_bigdata_spark.data import table
+from a3_fp_bigdata_spark.functions.rounding import half_up, half_up_sql
 from a3_fp_bigdata_spark.registry import query
 
 
@@ -316,10 +317,10 @@ def bloom_might_contain(key, words: list[int]):
 
 @query(
     "j11_bloom_prefilter_join",
-    oracle="""
+    oracle=f"""
     SELECT o.o_orderstatus,
            count(*) AS n,
-           round(sum(o.o_totalprice), 2) AS total
+           {half_up_sql('sum(o.o_totalprice)', 2)} AS total
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     WHERE c.c_mktsegment = 'BUILDING'
@@ -357,5 +358,5 @@ def j11_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        half_up(F.sum("o_totalprice"), 2).alias("total"),
     )

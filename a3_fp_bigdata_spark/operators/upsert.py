@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from a3_fp_bigdata_spark.data import table
+from a3_fp_bigdata_spark.functions.rounding import half_up, half_up_sql
 from a3_fp_bigdata_spark.registry import query
 
 
@@ -289,13 +290,15 @@ def merge_upsert_evolving(
 
 @query(
     "u4_schema_evolution_merge",
-    oracle="""
+    oracle=f"""
     WITH updates AS (
-      SELECT c_custkey, c_name, round(c_acctbal + 500, 2) AS c_acctbal,
+      SELECT c_custkey, c_name,
+             {half_up_sql('c_acctbal + 500', 2)} AS c_acctbal,
              'gold' AS tier
       FROM customer WHERE c_custkey % 7 = 0
     )
-    SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, tier
+    SELECT c_custkey, c_name, {half_up_sql('c_acctbal', 2)} AS c_acctbal,
+           tier
     FROM (
       SELECT c_custkey, c_name, c_acctbal, NULL AS tier
       FROM customer WHERE c_custkey % 7 <> 0
@@ -325,7 +328,7 @@ def u4_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_custkey",
             "c_name",
-            F.round(F.col("c_acctbal") + 500, 2).alias("c_acctbal"),
+            half_up(F.col("c_acctbal") + 500, 2).alias("c_acctbal"),
             F.lit("gold").alias("tier"),
         )
     )
@@ -333,6 +336,6 @@ def u4_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "c_custkey",
         "c_name",
-        F.round("c_acctbal", 2).alias("c_acctbal"),
+        half_up(F.col("c_acctbal"), 2).alias("c_acctbal"),
         "tier",
     )

@@ -130,9 +130,13 @@ def all_oracles() -> dict[str, str]:
 #: the alphabetically-first 50 exposed query names (round 1 checked
 #: a10..p3 and nothing after — the whole top-k/window/streaming/serving
 #: surface got no driver row). CANONICAL curates one window that covers
-#: EVERY SURVEY §2 operator family with oracle-backed representatives
+#: every SURVEY §2 operator family with oracle-backed representatives
 #: (plus the three rows-only flagships d4/ml1/mm2, whose families have
-#: no stronger check possible). Entries outside the set are depth/
+#: no stronger check possible) — EXCEPT filters/projections, whose
+#: slot rotated out in r6 after p6 earned its driver-green row
+#: (test_registry.ROTATED_OUT_FAMILIES records the exception; the
+#: p1..p8 ladder stays parity-checked as z_ twins). Entries outside
+#: the set are depth/
 #: variant queries; exposure renames them with a "z_" prefix so they
 #: sort after the window. Nothing is hidden — all tiers are exposed,
 #: run by bench.py, and value-verified by tools/check_parity.py; the

@@ -13,6 +13,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 
 from a3_fp_bigdata_spark.data import table
+from a3_fp_bigdata_spark.functions.rounding import half_up, half_up_sql
 from a3_fp_bigdata_spark.registry import query
 from a3_fp_bigdata_spark.schemas import TESTDATA
 from a3_fp_bigdata_spark.sources import csv_io, kafka_io
@@ -222,8 +223,8 @@ CORRUPT_MOD = 37
                       THEN 1 END) AS BIGINT) AS n_good,
            CAST(count(CASE WHEN event_id % {CORRUPT_MOD} = 0
                       THEN 1 END) AS BIGINT) AS n_corrupt,
-           round(sum(CASE WHEN event_id % {CORRUPT_MOD} <> 0
-                     THEN value END), 4) AS good_value_total
+           {half_up_sql(f'sum(CASE WHEN event_id % {CORRUPT_MOD} <> 0 '
+                        'THEN value END)')} AS good_value_total
     FROM events
     """,
 )
@@ -274,7 +275,7 @@ def src7_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.agg(
         F.count(F.when(good, 1)).cast("long").alias("n_good"),
         F.count(F.when(~good, 1)).cast("long").alias("n_corrupt"),
-        F.round(F.sum(F.when(good, F.col("value"))), 4).alias(
+        half_up(F.sum(F.when(good, F.col("value")))).alias(
             "good_value_total"
         ),
     )

@@ -82,9 +82,15 @@ def chunk_index_sink(
     batches (e.g. a Kafka topic keyed by something other than doc_id)
     silently over-counts distinct docs — callers of such sources MUST
     pass ``docs_arrive_whole=False``, which switches to
-    ``chunk_membership_sink``'s exact per-(bucket, doc_id) view (same
-    replay protocol, occupancy derived at read time via
-    ``occupancy_from_membership``)."""
+    ``chunk_membership_sink``'s per-(bucket, doc_id) view (same replay
+    protocol, occupancy derived at read time via
+    ``occupancy_from_membership``). Membership mode makes ``n_docs``
+    exact under ANY delivery; ``n_chunks`` is exact under doc
+    SPLITTING but — like every at-least-once additive count — still
+    double-counts a row the source re-delivers under a new batch id
+    (same-lineage replays are watermark-deduped). A source that can
+    duplicate rows needs row-level idempotence keys; that is a
+    source contract, not something a sink can reconstruct."""
     if not docs_arrive_whole:
         return chunk_membership_sink(
             doc_stream, spark, out_dir, checkpoint_dir
@@ -133,11 +139,13 @@ def chunk_membership_sink(
     out_dir: str,
     checkpoint_dir: str | None = None,
 ) -> StreamingQuery:
-    """Exact-mode chunk index: the view is keyed per (bucket, doc_id)
-    pair, so distinct-doc counting never relies on batch boundaries —
-    correct under doc-splitting sources at the cost of one view row per
-    pair (an index-sized table, still bucket-partition-pruned on merge)
-    instead of one per LSH bucket."""
+    """Membership-mode chunk index: the view is keyed per
+    (bucket, doc_id) pair, so distinct-doc counting never relies on
+    batch boundaries — n_docs exact under any delivery, n_chunks
+    correct under doc-splitting (see chunk_index_sink's contract for
+    the row-re-delivery caveat) — at the cost of one view row per
+    pair (an index-sized table, still bucket-partition-pruned on
+    merge) instead of one per LSH bucket."""
 
     def combine(unioned: DataFrame) -> DataFrame:
         return unioned.groupBy(_PAIR_COL).agg(

@@ -190,14 +190,20 @@ def read_watermark(out_dir: str, lineage: str | None = None) -> int:
     watermark (data loss, not dedup). The watermark therefore records
     WHICH checkpoint wrote it; a different lineage reads as -1 (nothing
     from *this* run is committed yet). A legacy single-line file (no
-    lineage) keeps its old meaning for backward compatibility."""
+    lineage) is treated as FOREIGN when the caller names a lineage:
+    its writer's checkpoint is unknown, and assuming "same run" would
+    silently skip a fresh-lineage run's first batches (data loss) —
+    the worse of the two errors. The cost is bounded: at most the
+    legacy run's LAST batch can double-merge if the same checkpoint
+    resumes, the already-documented plain-parquet residue. A
+    lineage-agnostic read (lineage=None) still returns the bare id."""
     path = os.path.join(out_dir, _WM_FILE)
     if not os.path.isfile(path):
         return -1
     with open(path) as fh:
         lines = fh.read().strip().splitlines()
     if len(lines) == 1:  # legacy format: bare batch id, lineage unknown
-        return int(lines[0])
+        return int(lines[0]) if lineage is None else -1
     stored_lineage, batch_id = lines[0], int(lines[1])
     if lineage is not None and stored_lineage != lineage:
         return -1

@@ -341,8 +341,11 @@ def test_delta_merge_sink_replay_and_fresh_lineage(spark, tmp_path):
 
 def test_watermark_lineage_scoping(tmp_path):
     """read/write_watermark unit semantics: lineage match returns the
-    id, mismatch returns -1, legacy bare-int files keep their old
-    (unscoped) meaning so pre-upgrade views still dedup replays."""
+    id, mismatch returns -1, and a legacy bare-int file reads as
+    FOREIGN (-1) for any named lineage — its writer's checkpoint is
+    unknown, and assuming "same run" would skip a fresh run's first
+    batches (data loss, worse than the bounded double-merge the -1
+    trades it for)."""
     from a3_fp_bigdata_spark.streaming import materialized as MV
 
     out = str(tmp_path)
@@ -352,7 +355,8 @@ def test_watermark_lineage_scoping(tmp_path):
     assert MV.read_watermark(out, "cpB") == -1
     assert MV.read_watermark(out) == 7  # lineage-agnostic read
     MV.write_watermark(out, 3)  # legacy writer (no lineage)
-    assert MV.read_watermark(out, "cpB") == 3  # legacy file: unscoped
+    assert MV.read_watermark(out, "cpB") == -1  # legacy = foreign
+    assert MV.read_watermark(out) == 3  # agnostic read keeps old sense
 
 
 def test_chunk_index_exact_mode_counts_redelivered_doc_once(spark, tmp_path):

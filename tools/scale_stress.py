@@ -33,12 +33,10 @@ Usage: python tools/scale_stress.py [> SCALE.md]
 
 from __future__ import annotations
 
-import json
 import os
 import random
 import sys
 import time
-import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
