@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from a3_fp_bigdata_spark.data import table
+from a3_fp_bigdata_spark.functions.rounding import half_up
 from a3_fp_bigdata_spark.registry import query
 
 
@@ -56,7 +57,7 @@ def a3_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a4_mean_surrogate",
     oracle="""
     SELECT event_id,
-           round(coalesce(value, avg(value) OVER ()), 2) AS value_imputed
+           floor((coalesce(value, avg(value) OVER ())) * 100 + 0.5) / CAST(100 AS DOUBLE) AS value_imputed
     FROM events
     """,
 )
@@ -69,7 +70,7 @@ def a4_mean_surrogate(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean = ev.agg(F.avg("value").alias("_mean"))
     return ev.crossJoin(F.broadcast(mean)).select(
         "event_id",
-        F.round(F.coalesce(F.col("value"), F.col("_mean")), 2).alias(
+        half_up(F.coalesce(F.col("value"), F.col("_mean")), 2).alias(
             "value_imputed"
         ),
     )
@@ -79,8 +80,8 @@ def a4_mean_surrogate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a5_stddev",
     oracle="""
     SELECT l_returnflag,
-           round(avg(l_quantity), 2) AS avg_qty,
-           round(stddev_samp(l_quantity), 2) AS std_qty
+           floor((avg(l_quantity)) * 100 + 0.5) / CAST(100 AS DOUBLE) AS avg_qty,
+           floor((stddev_samp(l_quantity)) * 100 + 0.5) / CAST(100 AS DOUBLE) AS std_qty
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -91,8 +92,8 @@ def a5_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.stddev_samp("l_quantity"), 2).alias("std_qty"),
+            half_up(F.avg("l_quantity"), 2).alias("avg_qty"),
+            half_up(F.stddev_samp("l_quantity"), 2).alias("std_qty"),
         )
     )
 
@@ -127,8 +128,8 @@ def a6_freq_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "a7_rmse",
     oracle="""
-    SELECT round(sqrt(avg(power(l_extendedprice * (1 - l_discount)
-                               - l_extendedprice, 2))), 2) AS rmse
+    SELECT floor((sqrt(avg(power(l_extendedprice * (1 - l_discount)
+                               - l_extendedprice, 2)))) * 100 + 0.5) / CAST(100 AS DOUBLE) AS rmse
     FROM lineitem
     """,
 )
@@ -140,7 +141,7 @@ def a7_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice"
     )
     return li.agg(
-        F.round(F.sqrt(F.avg(F.pow(err, F.lit(2)))), 2).alias("rmse")
+        half_up(F.sqrt(F.avg(F.pow(err, F.lit(2)))), 2).alias("rmse")
     )
 
 
@@ -148,14 +149,14 @@ def a7_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a8_tpch_q1",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+           floor((sum(l_quantity)) * 100 + 0.5) / CAST(100 AS DOUBLE) AS sum_qty,
+           floor((sum(l_extendedprice)) * 100 + 0.5) / CAST(100 AS DOUBLE) AS sum_base_price,
+           floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / CAST(100 AS DOUBLE) AS sum_disc_price,
+           floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100 + 0.5) / CAST(100 AS DOUBLE)
                AS sum_charge,
-           round(avg(l_quantity), 2) AS avg_qty,
-           round(avg(l_extendedprice), 2) AS avg_price,
-           round(avg(l_discount), 4) AS avg_disc,
+           floor((avg(l_quantity)) * 100 + 0.5) / CAST(100 AS DOUBLE) AS avg_qty,
+           floor((avg(l_extendedprice)) * 100 + 0.5) / CAST(100 AS DOUBLE) AS avg_price,
+           floor((avg(l_discount)) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-02'
@@ -172,13 +173,13 @@ def a8_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-        F.round(F.sum(charge), 2).alias("sum_charge"),
-        F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        half_up(F.sum("l_quantity"), 2).alias("sum_qty"),
+        half_up(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        half_up(F.sum(disc_price), 2).alias("sum_disc_price"),
+        half_up(F.sum(charge), 2).alias("sum_charge"),
+        half_up(F.avg("l_quantity"), 2).alias("avg_qty"),
+        half_up(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        half_up(F.avg("l_discount"), 4).alias("avg_disc"),
         F.count("*").alias("count_order"),
     )
 
@@ -187,7 +188,7 @@ def a8_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a9_rollup",
     oracle="""
     SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-           round(sum(l_quantity), 2) AS sum_qty
+           floor((sum(l_quantity)) * 100 + 0.5) / CAST(100 AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -201,7 +202,7 @@ def a9_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("cnt"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            half_up(F.sum("l_quantity"), 2).alias("sum_qty"),
         )
     )
 
@@ -275,7 +276,7 @@ def a12_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "a13_tpch_q6",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT floor((sum(l_extendedprice * l_discount)) * 100 + 0.5) / CAST(100 AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -300,7 +301,7 @@ def a13_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            half_up(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
                 "revenue"
             ),
             F.count("*").alias("n_items"),
@@ -312,7 +313,7 @@ def a13_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a14_tpch_q3_shape",
     oracle="""
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / CAST(100 AS DOUBLE) AS revenue,
            CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR) AS orderdate
     FROM customer JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -347,7 +348,7 @@ def a14_tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy("l_orderkey")
         .agg(
-            F.round(
+            half_up(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue"),
             F.min(F.col("o_orderdate")).cast("date").cast("string").alias(
@@ -361,14 +362,14 @@ def a14_tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+       floor((sum(l_quantity)) * 100 + 0.5) / CAST(100 AS DOUBLE) AS sum_qty,
+       floor((sum(l_extendedprice)) * 100 + 0.5) / CAST(100 AS DOUBLE) AS sum_base_price,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / CAST(100 AS DOUBLE) AS sum_disc_price,
+       floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100 + 0.5) / CAST(100 AS DOUBLE)
            AS sum_charge,
-       round(avg(l_quantity), 2) AS avg_qty,
-       round(avg(l_extendedprice), 2) AS avg_price,
-       round(avg(l_discount), 4) AS avg_disc,
+       floor((avg(l_quantity)) * 100 + 0.5) / CAST(100 AS DOUBLE) AS avg_qty,
+       floor((avg(l_extendedprice)) * 100 + 0.5) / CAST(100 AS DOUBLE) AS avg_price,
+       floor((avg(l_discount)) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2001-09-02'
@@ -411,8 +412,8 @@ def a15_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a16_exact_percentiles",
     oracle="""
     SELECT l_returnflag,
-           round(quantile_cont(l_quantity, 0.5), 4) AS p50,
-           round(quantile_cont(l_quantity, 0.95), 4) AS p95
+           floor((quantile_cont(l_quantity, 0.5)) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS p50,
+           floor((quantile_cont(l_quantity, 0.95)) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS p95
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -425,8 +426,8 @@ def a16_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50"),
-            F.round(F.percentile("l_quantity", F.lit(0.95)), 4).alias("p95"),
+            half_up(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50"),
+            half_up(F.percentile("l_quantity", F.lit(0.95)), 4).alias("p95"),
         )
     )
 
@@ -434,8 +435,8 @@ def a16_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "a17_corr_covar",
     oracle="""
-    SELECT round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
-           round(covar_samp(l_discount, l_tax), 6) AS disc_tax_covar
+    SELECT floor((corr(l_quantity, l_extendedprice)) * 1000000 + 0.5) / CAST(1000000 AS DOUBLE) AS qty_price_corr,
+           floor((covar_samp(l_discount, l_tax)) * 1000000 + 0.5) / CAST(1000000 AS DOUBLE) AS disc_tax_covar
     FROM lineitem
     """,
 )
@@ -445,10 +446,10 @@ def a17_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation works exactly like sum/count)."""
     li = table(spark, sf_dir, "lineitem")
     return li.agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+        half_up(F.corr("l_quantity", "l_extendedprice"), 6).alias(
             "qty_price_corr"
         ),
-        F.round(F.covar_samp("l_discount", "l_tax"), 6).alias(
+        half_up(F.covar_samp("l_discount", "l_tax"), 6).alias(
             "disc_tax_covar"
         ),
     )
@@ -458,7 +459,7 @@ def a17_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a18_grouping_sets",
     oracle="""
     SELECT o_orderpriority, o_orderstatus,
-           count(*) AS n, round(sum(o_totalprice), 2) AS total
+           count(*) AS n, floor((sum(o_totalprice)) * 100 + 0.5) / CAST(100 AS DOUBLE) AS total
     FROM orders
     GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
     """,
@@ -472,7 +473,7 @@ def a18_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderpriority, o_orderstatus,
-               count(*) AS n, round(sum(o_totalprice), 2) AS total
+               count(*) AS n, floor((sum(o_totalprice)) * 100 + 0.5) / CAST(100 AS DOUBLE) AS total
         FROM orders_v
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
         """

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from a3_fp_bigdata_spark.data import table
 from a3_fp_bigdata_spark.functions import text as TX
+from a3_fp_bigdata_spark.functions.rounding import half_up, half_up_sql
 from a3_fp_bigdata_spark.operators.text_analysis import _SQL_NORM, _SQL_TOKS
 from pyspark import StorageLevel
 
@@ -174,7 +175,7 @@ def _exact_jaccard_pairs(ex: DataFrame, threshold: float) -> DataFrame:
     return (
         common.join(na, "doc_a")
         .join(nb, "doc_b")
-        .withColumn("jaccard", F.round(jac, 4))
+        .withColumn("jaccard", half_up(jac))
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -285,7 +286,7 @@ _D3_CTES = f"""words AS (
     )"""
 
 _D3_SELECT = f"""SELECT doc_a, doc_b,
-           round(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 4) AS jaccard
+           {half_up_sql('CAST(c AS DOUBLE) / (ca.n + cb.n - c)')} AS jaccard
     FROM common
     JOIN cnt ca ON ca.doc_id = doc_a
     JOIN cnt cb ON cb.doc_id = doc_b
@@ -453,7 +454,7 @@ def _verify_candidate_pairs(
     return (
         candidates.join(a, "doc_a")
         .join(b, "doc_b")
-        .withColumn("jaccard", F.round(jac, 4))
+        .withColumn("jaccard", half_up(jac))
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -591,7 +592,7 @@ def d7_ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("datasetA.doc_id").alias("doc_a"),
             F.col("datasetB.doc_id").alias("doc_b"),
-            F.round(1 - F.col("jaccard_dist"), 4).alias("jaccard"),
+            half_up(1 - F.col("jaccard_dist")).alias("jaccard"),
         )
     )
 
@@ -979,7 +980,7 @@ def d11_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (
         common.join(na_cnt, "doc_a")
         .join(nb_cnt, "doc_b")
-        .withColumn("jaccard", F.round(jac, 4))
+        .withColumn("jaccard", half_up(jac))
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -1231,15 +1232,16 @@ def d14_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_maybe_broadcast_drop — forced only while the cluster table is
     provably small; at high dup rates it degrades to a shuffled
     anti-join). At low dup rates the corpus is scanned once and never
-    shuffled. Ranking uses round(quality, 4)
-    so the order key is the same value both engines hash-compare in
-    tx2 — no dependence on sub-ulp double agreement."""
+    shuffled. Ranking uses the shared half_up(quality, 4)
+    (functions.rounding) so the order key is the same value both
+    engines hash-compare in tx2 — no dependence on sub-ulp double
+    agreement and no native-round half-tipping."""
     from a3_fp_bigdata_spark.functions import text as TXF
 
     clusters = d12_dedup_clusters(spark, sf_dir)
     docs = table(spark, sf_dir, "documents")
     q = docs.select(
-        "doc_id", F.round(TXF.quality_score(F.col("text")), 4).alias("q")
+        "doc_id", half_up(TXF.quality_score(F.col("text"))).alias("q")
     )
     ranked = (
         clusters.join(q, "doc_id")
@@ -1285,13 +1287,13 @@ def _d14_oracle() -> str:
     ), {_SQL_QUALITY_CTES}, ranked AS (
       SELECT c.doc,
              row_number() OVER (PARTITION BY c.cluster_id
-                                ORDER BY round(q.quality, 4) DESC, c.doc)
+                                ORDER BY {half_up_sql('q.quality')} DESC, c.doc)
                AS rn
       FROM clusters c JOIN quality q ON q.doc_id = c.doc
     ), dropped AS (
       SELECT doc FROM ranked WHERE rn > 1
     )
-    SELECT d.doc_id, d.lang, d.source, round(q.quality, 4) AS quality
+    SELECT d.doc_id, d.lang, d.source, {half_up_sql('q.quality')} AS quality
     FROM documents d JOIN quality q ON q.doc_id = d.doc_id
     WHERE d.doc_id NOT IN (SELECT doc FROM dropped)
     """

@@ -16,6 +16,7 @@ this operator exists for the cases that genuinely need pandas.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -42,7 +43,11 @@ def zscore_per_group(df: DataFrame, key: str, value: str) -> DataFrame:
             # NULL (single-row group) or zero (constant group)
             z = pd.Series([None] * len(v), index=v.index, dtype=object)
         else:
-            z = ((v - v.mean()) / std).round(4)
+            # shared half-up rounding (functions.rounding's form,
+            # replayed in numpy): pandas .round is half-EVEN, the SQL
+            # engines' native rounds tip differently again — the floor
+            # form is the one definition all three share
+            z = np.floor(((v - v.mean()) / std) * 10000 + 0.5) / 10000
             mask = z.notna()
             z = z.astype(object).where(mask, None)
         return pd.DataFrame(
@@ -62,9 +67,9 @@ def zscore_per_group(df: DataFrame, key: str, value: str) -> DataFrame:
     "g1_zscore_grouped_map",
     oracle="""
     SELECT event_id, event_type,
-           round((value - avg(value) OVER (PARTITION BY event_type))
-                 / stddev_samp(value) OVER (PARTITION BY event_type),
-                 4) AS z
+           floor((value - avg(value) OVER (PARTITION BY event_type))
+                 / stddev_samp(value) OVER (PARTITION BY event_type)
+                 * 10000 + 0.5) / 10000.0 AS z
     FROM events
     WHERE NOT isnan(value) AND value IS NOT NULL
     """,

@@ -105,9 +105,9 @@ def j4_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "j5_multiway_join",
-    oracle="""
+    oracle=f"""
     SELECT r_name, count(*) AS n_customers,
-           round(sum(c_acctbal), 2) AS total_acctbal
+           {half_up_sql('sum(c_acctbal)', 2)} AS total_acctbal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -126,7 +126,7 @@ def j5_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            half_up(F.sum("c_acctbal"), 2).alias("total_acctbal"),
         )
     )
 
@@ -198,8 +198,9 @@ def salted_join(
 
 @query(
     "j7_salted_skew_join",
-    oracle="""
-    SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    oracle=f"""
+    SELECT c_mktsegment, count(*) AS n,
+           {half_up_sql('sum(o_totalprice)', 2)} AS total
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
     """,
@@ -215,19 +216,20 @@ def j7_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(orders, customer, "o_custkey", "c_custkey")
     return joined.groupBy("c_mktsegment").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        half_up(F.sum("o_totalprice"), 2).alias("total"),
     )
 
 
 @query(
     "j10_salted_hotkey",
-    oracle="""
+    oracle=f"""
     WITH skewed AS (
       SELECT CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE o_custkey END AS k,
              o_totalprice
       FROM orders
     )
-    SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    SELECT c_mktsegment, count(*) AS n,
+           {half_up_sql('sum(o_totalprice)', 2)} AS total
     FROM skewed JOIN customer ON k = c_custkey
     GROUP BY c_mktsegment
     """,
@@ -250,7 +252,7 @@ def j10_salted_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(orders, customer, "k", "c_custkey")
     return joined.groupBy("c_mktsegment").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        half_up(F.sum("o_totalprice"), 2).alias("total"),
     )
 
 

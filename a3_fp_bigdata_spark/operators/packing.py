@@ -826,7 +826,7 @@ def pl1_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     q = docs.select(
-        "doc_id", F.round(TXF.quality_score(F.col("text")), 4).alias("q")
+        "doc_id", half_up(TXF.quality_score(F.col("text"))).alias("q")
     )
     clusters = d12_dedup_clusters(spark, sf_dir)
     ranked = clusters.join(q, "doc_id").withColumn(
@@ -896,7 +896,8 @@ def _pl1_oracle() -> str:
     ), {_SQL_QUALITY_CTES}, ranked AS (
       SELECT c.doc,
              row_number() OVER (PARTITION BY c.cluster_id
-                                ORDER BY round(q.quality, 4) DESC, c.doc)
+                                ORDER BY floor(q.quality * 10000 + 0.5)
+                                         DESC, c.doc)
                AS rn
       FROM clusters c JOIN quality q ON q.doc_id = c.doc
     ), dropped AS (
@@ -907,7 +908,8 @@ def _pl1_oracle() -> str:
              row_number() OVER (PARTITION BY d.doc_id % {NSHARDS}
                                 ORDER BY d.doc_id) AS rn
       FROM documents d JOIN quality q ON q.doc_id = d.doc_id
-      WHERE round(q.quality, 4) >= {MANIFEST_MIN_QUALITY}
+      WHERE floor(q.quality * 10000 + 0.5) / 10000.0
+              >= {MANIFEST_MIN_QUALITY}
         AND d.doc_id NOT IN (SELECT doc FROM dropped)
     ), step AS (
       SELECT shard, rn, doc_id, cost,

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from a3_fp_bigdata_spark.data import table
 from a3_fp_bigdata_spark.functions.text import rewrite_icon_url
+from a3_fp_bigdata_spark.functions.rounding import half_up, half_up_sql
 from a3_fp_bigdata_spark.registry import query
 
 
@@ -111,10 +112,11 @@ def f6_rename_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "f7_display_format",
-    oracle="""
+    oracle=f"""
     SELECT o_orderpriority,
-           format('{:,}', CAST(count(*) AS BIGINT)) AS n_display,
-           printf('%.2f', round(avg(o_totalprice), 2)) AS avg_display
+           format('{{:,}}', CAST(count(*) AS BIGINT)) AS n_display,
+           printf('%.2f', {half_up_sql('avg(o_totalprice)', 2)})
+             AS avg_display
     FROM orders GROUP BY o_orderpriority
     """,
 )
@@ -129,6 +131,6 @@ def f7_display_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.groupBy("o_orderpriority").agg(
         F.format_number(F.count("*"), 0).alias("n_display"),
         F.format_string(
-            "%.2f", F.round(F.avg("o_totalprice"), 2)
+            "%.2f", half_up(F.avg("o_totalprice"), 2)
         ).alias("avg_display"),
     )

@@ -13,14 +13,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from a3_fp_bigdata_spark.data import table
+from a3_fp_bigdata_spark.functions.rounding import half_up, half_up_sql
 from a3_fp_bigdata_spark.registry import query
 
 
 @query(
     "x1_json_extract",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
-           round(avg(CAST(json_extract(props, '$.k') AS INTEGER)), 4)
+           {half_up_sql("avg(CAST(json_extract(props, '$.k') AS INTEGER))")}
                AS avg_k,
            max(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k,
            count(*) AS n
@@ -37,7 +38,7 @@ def x1_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
     return ev.groupBy("event_type").agg(
-        F.round(F.avg(k), 4).alias("avg_k"),
+        half_up(F.avg(k)).alias("avg_k"),
         F.max(k).alias("max_k"),
         F.count("*").alias("n"),
     )

@@ -92,7 +92,7 @@ def f2_token_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
              / greatest(len(t), 1) AS ratio
       FROM toks
     )
-    SELECT doc_id, round(ratio, 4) AS en_ratio,
+    SELECT doc_id, floor((ratio) * 10000 + 0.5) / 10000.0 AS en_ratio,
            CASE WHEN ratio >= 0.12 THEN 'en' ELSE 'other' END AS lang_guess
     FROM scored
     """,
@@ -104,7 +104,7 @@ def tx1_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio = TX.stopword_ratio(F.col("text"))
     return docs.select(
         "doc_id",
-        F.round(ratio, 4).alias("en_ratio"),
+        half_up(ratio, 4).alias("en_ratio"),
         TX.lang_guess(F.col("text")).alias("lang_guess"),
     )
 
@@ -138,7 +138,7 @@ _SQL_QUALITY_CTES = _build_quality_ctes()
     "tx2_quality_score",
     oracle=f"""
     WITH {_SQL_QUALITY_CTES}
-    SELECT doc_id, round(quality, 4) AS quality FROM quality
+    SELECT doc_id, floor((quality) * 10000 + 0.5) / 10000.0 AS quality FROM quality
     """,
 )
 def tx2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -147,7 +147,7 @@ def tx2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.round(TX.quality_score(F.col("text")), 4).alias("quality"),
+        half_up(TX.quality_score(F.col("text")), 4).alias("quality"),
     )
 
 
@@ -309,7 +309,7 @@ REP_NGRAM = 3  # repetition measured over word trigrams (Gopher-style)
     SELECT doc_id,
            count(*) AS n_ngrams,
            count(DISTINCT g) AS n_distinct,
-           round(1 - count(DISTINCT g) / CAST(count(*) AS DOUBLE), 4) + 0.0
+           floor((1 - count(DISTINCT g) / CAST(count(*) AS DOUBLE)) * 10000 + 0.5) / 10000.0 + 0.0
              AS rep_ratio
     FROM g GROUP BY doc_id
     """,
@@ -332,7 +332,7 @@ def tx8_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex_all.groupBy("doc_id").agg(
         F.count("*").alias("n_ngrams"),
         F.count_distinct("shingle").alias("n_distinct"),
-        (F.round(ratio, 4) + F.lit(0.0)).alias("rep_ratio"),
+        (half_up(ratio, 4) + F.lit(0.0)).alias("rep_ratio"),
     )
 
 
@@ -617,10 +617,10 @@ def tx10_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang, source,
            count(*) AS n_docs,
            CAST(sum(cost) AS BIGINT) AS total_tokens,
-           round(avg(cost), 4) AS mean_tokens,
-           round(quantile_cont(cost, 0.5), 4) AS p50_tokens,
-           round(quantile_cont(cost, 0.95), 4) AS p95_tokens,
-           round(stddev_samp(cost), 4) AS sd_tokens
+           floor((avg(cost)) * 10000 + 0.5) / 10000.0 AS mean_tokens,
+           floor((quantile_cont(cost, 0.5)) * 10000 + 0.5) / 10000.0 AS p50_tokens,
+           floor((quantile_cont(cost, 0.95)) * 10000 + 0.5) / 10000.0 AS p95_tokens,
+           floor((stddev_samp(cost)) * 10000 + 0.5) / 10000.0 AS sd_tokens
     FROM c GROUP BY lang, source
     """,
 )
@@ -644,10 +644,10 @@ def tx11_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"),
         F.sum("cost").cast("bigint").alias("total_tokens"),
-        F.round(F.avg("cost"), 4).alias("mean_tokens"),
-        F.round(F.expr("percentile(cost, 0.5)"), 4).alias("p50_tokens"),
-        F.round(F.expr("percentile(cost, 0.95)"), 4).alias("p95_tokens"),
-        F.round(F.stddev_samp("cost"), 4).alias("sd_tokens"),
+        half_up(F.avg("cost"), 4).alias("mean_tokens"),
+        half_up(F.expr("percentile(cost, 0.5)"), 4).alias("p50_tokens"),
+        half_up(F.expr("percentile(cost, 0.95)"), 4).alias("p95_tokens"),
+        half_up(F.stddev_samp("cost"), 4).alias("sd_tokens"),
     )
 
 

@@ -30,17 +30,18 @@ def merge_upsert(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
 
 @query(
     "u1_merge_upsert",
-    oracle="""
+    oracle=f"""
     WITH updates AS (
       SELECT c_custkey, c_name, c_nationkey,
-             round(c_acctbal + 1000, 2) AS c_acctbal, c_mktsegment
+             {half_up_sql('c_acctbal + 1000', 2)} AS c_acctbal, c_mktsegment
       FROM customer WHERE c_custkey % 10 = 0
       UNION ALL
       SELECT 9000000 + c_custkey, 'new#' || CAST(c_custkey AS VARCHAR),
              c_nationkey, 0.0, c_mktsegment
       FROM customer WHERE c_custkey % 100 = 0
     )
-    SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, c_mktsegment
+    SELECT c_custkey, c_name, {half_up_sql('c_acctbal', 2)} AS c_acctbal,
+           c_mktsegment
     FROM (
       SELECT * FROM customer WHERE c_custkey NOT IN
         (SELECT c_custkey FROM updates)
@@ -58,7 +59,7 @@ def u1_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_name",
         "c_nationkey",
-        F.round(F.col("c_acctbal") + 1000, 2).alias("c_acctbal"),
+        half_up(F.col("c_acctbal") + 1000, 2).alias("c_acctbal"),
         "c_mktsegment",
     )
     inserts = cust.filter(F.col("c_custkey") % 100 == 0).select(
@@ -74,7 +75,7 @@ def u1_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "c_custkey",
         "c_name",
-        F.round("c_acctbal", 2).alias("c_acctbal"),
+        half_up(F.col("c_acctbal"), 2).alias("c_acctbal"),
         "c_mktsegment",
     )
 
@@ -153,14 +154,14 @@ def scd2_merge(
     "u2_scd2_history",
     oracle=f"""
     SELECT c_custkey,
-           round(c_acctbal, 2) AS acctbal,
+           {half_up_sql('c_acctbal', 2)} AS acctbal,
            c_mktsegment,
            0 AS valid_from,
            CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE {SCD_OPEN} END
              AS valid_to
     FROM customer
     UNION ALL
-    SELECT c_custkey, round(c_acctbal + 1000, 2), c_mktsegment,
+    SELECT c_custkey, {half_up_sql('c_acctbal + 1000', 2)}, c_mktsegment,
            1, {SCD_OPEN}
     FROM customer WHERE c_custkey % 10 = 0
     """,
@@ -173,14 +174,14 @@ def u2_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic derivation, like u1."""
     cust = table(spark, sf_dir, "customer").select(
         "c_custkey",
-        F.round("c_acctbal", 2).alias("acctbal"),
+        half_up(F.col("c_acctbal"), 2).alias("acctbal"),
         "c_mktsegment",
     )
     base = cust.withColumn("valid_from", F.lit(0)).withColumn(
         "valid_to", F.lit(SCD_OPEN)
     )
     updates = cust.filter(F.col("c_custkey") % 10 == 0).withColumn(
-        "acctbal", F.round(F.col("acctbal") + 1000, 2)
+        "acctbal", half_up(F.col("acctbal") + 1000, 2)
     )
     return scd2_merge(base, updates, "c_custkey", batch_id=1)
 

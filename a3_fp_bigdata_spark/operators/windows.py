@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from a3_fp_bigdata_spark.data import table
+from a3_fp_bigdata_spark.functions.rounding import half_up, half_up_sql
 from a3_fp_bigdata_spark.registry import query
 from a3_fp_bigdata_spark.tscompat import epoch_micros, epoch_seconds
 
@@ -61,10 +62,11 @@ def w1_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "w2_lag_delta",
-    oracle="""
+    oracle=f"""
     SELECT event_id, user_id,
-           round(value - lag(value) OVER (PARTITION BY user_id
-                                          ORDER BY ts, event_id), 2) AS delta
+           {half_up_sql('''value - lag(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)''', 2)}
+             AS delta
     FROM events
     """,
 )
@@ -76,17 +78,18 @@ def w2_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+        half_up(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
     )
 
 
 @query(
     "w3_running_sum",
-    oracle="""
+    oracle=f"""
     SELECT event_id, user_id,
-           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           {half_up_sql('''sum(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
                                   ROWS BETWEEN UNBOUNDED PRECEDING
-                                  AND CURRENT ROW), 2) AS running_value
+                                  AND CURRENT ROW)''', 2)} AS running_value
     FROM events
     """,
 )
@@ -101,7 +104,7 @@ def w3_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.round(F.sum("value").over(w), 2).alias("running_value"),
+        half_up(F.sum("value").over(w), 2).alias("running_value"),
     )
 
 
@@ -172,12 +175,12 @@ def w5_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "w6_ntile_percent_rank",
-    oracle="""
+    oracle=f"""
     SELECT c_custkey, c_mktsegment,
            ntile(4) OVER (PARTITION BY c_mktsegment
                           ORDER BY c_acctbal, c_custkey) AS quartile,
-           round(percent_rank() OVER (PARTITION BY c_mktsegment
-                          ORDER BY c_acctbal, c_custkey), 6) AS pr
+           {half_up_sql('''percent_rank() OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal, c_custkey)''', 6)} AS pr
     FROM customer
     """,
 )
@@ -194,19 +197,19 @@ def w6_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_mktsegment",
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        half_up(F.percent_rank().over(w), 6).alias("pr"),
     )
 
 
 @query(
     "w7_time_range_rolling",
-    oracle="""
+    oracle=f"""
     SELECT event_id,
-           round(sum(value) OVER (
+           {half_up_sql('''sum(value) OVER (
                PARTITION BY user_id
                ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                RANGE BETWEEN 600 PRECEDING AND CURRENT ROW
-           ), 4) AS roll_10m
+           )''')} AS roll_10m
     FROM events
     """,
 )
@@ -228,5 +231,5 @@ def w7_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rangeBetween(-600, Window.currentRow)
     )
     return ev.select(
-        "event_id", F.round(F.sum("value").over(w), 4).alias("roll_10m")
+        "event_id", half_up(F.sum("value").over(w)).alias("roll_10m")
     )

@@ -46,10 +46,10 @@ def src1_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "src2_json_roundtrip",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
            count(*) AS n,
-           round(sum(value), 4) AS total_value,
+           {half_up_sql('sum(value)')} AS total_value,
            max(ts) AS max_ts,
            count(user_id) AS n_users
     FROM events
@@ -73,7 +73,7 @@ def src2_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = kafka_io.parse_payload(payload, ev.schema)
     return parsed.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("value"), 4).alias("total_value"),
+        half_up(F.sum("value")).alias("total_value"),
         F.max("ts").alias("max_ts"),
         F.count("user_id").alias("n_users"),
     )
@@ -117,8 +117,9 @@ def src3_json_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "src5_latest_snapshot",
-    oracle="""
-    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    oracle=f"""
+    SELECT o_orderstatus, count(*) AS n,
+           {half_up_sql('sum(o_totalprice)', 2)} AS total
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -151,15 +152,16 @@ def src5_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            half_up(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
 
 
 @query(
     "src4_compaction_roundtrip",
-    oracle="""
-    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+    oracle=f"""
+    SELECT event_type, count(*) AS n,
+           {half_up_sql('sum(value)', 2)} AS total
     FROM events GROUP BY event_type
     """,
 )
@@ -182,7 +184,7 @@ def src4_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 2).alias("total"),
+            half_up(F.sum("value"), 2).alias("total"),
         )
     )
 

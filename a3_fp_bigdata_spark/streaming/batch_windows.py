@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from a3_fp_bigdata_spark.data import table
+from a3_fp_bigdata_spark.functions.rounding import half_up, half_up_sql
 from a3_fp_bigdata_spark.registry import query
 
 
@@ -30,7 +31,7 @@ def tumbling_counts(events: DataFrame, duration: str = "1 hour") -> DataFrame:
         )
         .agg(
             F.count("*").alias("cnt"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            half_up(F.sum("value"), 2).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -43,9 +44,9 @@ def tumbling_counts(events: DataFrame, duration: str = "1 hour") -> DataFrame:
 
 @query(
     "st1_tumbling_window",
-    oracle="""
+    oracle=f"""
     SELECT date_trunc('hour', ts) AS window_start, event_type,
-           count(*) AS cnt, round(sum(value), 2) AS sum_value
+           count(*) AS cnt, {half_up_sql('sum(value)', 2)} AS sum_value
     FROM events
     GROUP BY 1, 2
     """,

@@ -39,6 +39,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from a3_fp_bigdata_spark.data import table as batch_table
 from a3_fp_bigdata_spark.data import widen_legacy_long_ts
+from a3_fp_bigdata_spark.functions.rounding import half_up, half_up_sql
 from a3_fp_bigdata_spark.registry import query
 from a3_fp_bigdata_spark.sources.csv_io import append_csv_batch
 
@@ -99,7 +100,7 @@ def windowed_counts(events: DataFrame, delay: str = "2 hours") -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
         .agg(
             F.count("*").alias("cnt"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            half_up(F.sum("value"), 2).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -235,9 +236,9 @@ def enrich_events(events: DataFrame) -> DataFrame:
 
 @query(
     "st5_stream_tumbling",
-    oracle="""
+    oracle=f"""
     SELECT date_trunc('hour', ts) AS window_start, event_type,
-           count(*) AS cnt, round(sum(value), 2) AS sum_value
+           count(*) AS cnt, {half_up_sql('sum(value)', 2)} AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -348,8 +349,8 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
 
 @query(
     "st8_stateful_op",
-    oracle="""
-    SELECT user_id, count(*) AS cnt, round(sum(value), 2) AS total
+    oracle=f"""
+    SELECT user_id, count(*) AS cnt, {half_up_sql('sum(value)', 2)} AS total
     FROM events WHERE user_id IS NOT NULL
     GROUP BY user_id
     """,
@@ -370,7 +371,7 @@ def st8_stateful_op(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             F.col("s.cnt").alias("cnt"),
-            F.round(F.col("s.total"), 2).alias("total"),
+            half_up(F.col("s.total"), 2).alias("total"),
         )
     )
     return final
@@ -378,8 +379,9 @@ def st8_stateful_op(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "st9_materialized_view",
-    oracle="""
-    SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+    oracle=f"""
+    SELECT event_type, count(*) AS cnt, {half_up_sql('sum(value)', 2)}
+             AS sum_value
     FROM events
     GROUP BY event_type
     """,

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from a3_fp_bigdata_spark.functions.rounding import half_up
 from a3_fp_bigdata_spark.operators.upsert import merge_upsert
 
 #: Default key-bucket count. Small here (tests touch few keys); at
@@ -171,7 +172,7 @@ def read_view(spark: SparkSession, out_dir: str) -> DataFrame:
 def event_type_counts_stream(events: DataFrame) -> DataFrame:
     """The demo aggregate: running count + value sum per event type."""
     return events.groupBy("event_type").agg(
-        F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value")
+        F.count("*").alias("cnt"), half_up(F.sum("value"), 2).alias("sum_value")
     )
 
 

@@ -91,6 +91,7 @@ def test_materialized_view_incremental_merge(spark, tmp_path):
     checkpoint leaves it unchanged (idempotent merge)."""
     from pyspark.sql import functions as F
 
+    from a3_fp_bigdata_spark.functions.rounding import half_up
     from a3_fp_bigdata_spark.streaming import materialized as MV
 
     out = str(tmp_path / "mv")
@@ -107,7 +108,10 @@ def test_materialized_view_incremental_merge(spark, tmp_path):
         r.event_type: (r.cnt, r.sum_value)
         for r in table(spark, SF0001, "events")
         .groupBy("event_type")
-        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(
+            F.count("*").alias("cnt"),
+            half_up(F.sum("value"), 2).alias("sum_value"),
+        )
         .collect()
     }
     assert got == want
