@@ -843,3 +843,80 @@ def sim9_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(ANN_TOPK)
     )
+
+
+#: sim10's deterministic arrival split: vectors in this residue class
+#: "arrive tonight" and are appended to the already-materialized index.
+INCR_IDX_MOD = 5
+INCR_IDX_RESIDUE = 1
+
+
+def append_to_bucketed_index(
+    spark: SparkSession, new_vectors: DataFrame, sf_dir: str, index_dir: str
+) -> None:
+    """Append new vectors into an existing bucket-partitioned index:
+    bucket them with the SAME plane set the index was built with (one
+    definition, _buckets), cluster by bucket, and parquet-append —
+    only the partition dirs the new vectors hash into gain files;
+    nothing existing is rewritten or even listed. Vectors are
+    immutable rows, so append IS the correct merge (no upsert needed,
+    unlike the keyed materialized views)."""
+    for k in [k for k in _SIM4_IDX_DF if k[1] == index_dir]:
+        _SIM4_IDX_DF.pop(k)  # cached listing is stale after append
+    emb = table(spark, sf_dir, "embeddings")
+    planes = _planes(emb)
+    with_bucket = new_vectors.join(_buckets(new_vectors, planes), "vec_id")
+    (
+        with_bucket.repartition("bucket")
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(index_dir)
+    )
+
+
+@query("sim10_incremental_index", oracle=None)  # sim2's SQL, attached below
+def sim10_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance — the nightly-arrivals shape:
+    the index is built WITHOUT tonight's batch (every
+    {INCR_IDX_MOD}th vector held back), the batch is then APPENDED
+    into the bucketed layout, and the probe must rank exactly as
+    sim2's one-shot derivation over the full corpus — which is this
+    query's oracle, shared verbatim. At 100 TB the build is paid once
+    per corpus and each arrival batch costs one bucketing pass over
+    ITS OWN rows plus appends into the few partitions it touches; the
+    probe plan (partition-pruned scan) never changes."""
+    import tempfile
+
+    emb = table(spark, sf_dir, "embeddings")
+    is_delta = F.col("vec_id") % INCR_IDX_MOD == INCR_IDX_RESIDUE
+    out = tempfile.mkdtemp(prefix="a3_sim10_idx_")
+    _SIM4_INDEX[("sim10-scratch", id(out))] = out  # atexit cleanup ride
+    base, delta = emb.filter(~is_delta), emb.filter(is_delta)
+    planes = _planes(emb)
+    with_bucket = base.join(_buckets(base, planes), "vec_id")
+    (
+        with_bucket.repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(out)
+    )
+    append_to_bucketed_index(spark, delta, sf_dir, out)
+    return probe_bucketed_ann(spark, out, sf_dir=sf_dir)
+
+
+def _attach_sim10_oracle() -> None:
+    """sim10 shares sim2's oracle verbatim — the incremental index must
+    answer exactly like the one-shot full-corpus derivation."""
+    import dataclasses
+
+    from a3_fp_bigdata_spark import registry as _R
+
+    rq = _R._REGISTRY["sim10_incremental_index"]
+    sim2 = _R._REGISTRY.get("sim2_lsh_ann")
+    if rq.oracle is None and sim2 is not None and sim2.oracle:
+        _R._REGISTRY["sim10_incremental_index"] = dataclasses.replace(
+            rq, oracle=sim2.oracle
+        )
+
+
+_attach_sim10_oracle()
