@@ -36,8 +36,14 @@ def half_up(col: Column, scale: int = 4) -> Column:
 
 
 def half_up_sql(expr: str, scale: int = 4) -> str:
-    """The same arithmetic rendered as ANSI SQL for the DuckDB oracle."""
+    """The same arithmetic rendered as ANSI SQL — valid on BOTH
+    engines, so shared Spark-SQL strings (sql1, a18) and DuckDB
+    oracles render from the one definition. The divisor is
+    ``CAST(P AS DOUBLE)``, never a ``P.0`` literal: Spark SQL parses
+    ``100.0`` as DECIMAL(4,1) and BIGINT/DECIMAL silently widens the
+    result to decimal (caught by the dtype-class parity checker);
+    DuckDB treats both spellings identically."""
     p = 10 ** scale
     if scale == 0:
         return f"CAST(floor(({expr}) + 0.5) AS DOUBLE)"
-    return f"floor(({expr}) * {p} + 0.5) / {p}.0"
+    return f"floor(({expr}) * {p} + 0.5) / CAST({p} AS DOUBLE)"

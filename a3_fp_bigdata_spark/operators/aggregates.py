@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from a3_fp_bigdata_spark.data import table
-from a3_fp_bigdata_spark.functions.rounding import half_up
+from a3_fp_bigdata_spark.functions.rounding import half_up, half_up_sql
 from a3_fp_bigdata_spark.registry import query
 
 
@@ -55,9 +55,9 @@ def a3_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "a4_mean_surrogate",
-    oracle="""
+    oracle=f"""
     SELECT event_id,
-           floor((coalesce(value, avg(value) OVER ())) * 100 + 0.5) / CAST(100 AS DOUBLE) AS value_imputed
+           {half_up_sql('coalesce(value, avg(value) OVER ())', 2)} AS value_imputed
     FROM events
     """,
 )
@@ -78,10 +78,10 @@ def a4_mean_surrogate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "a5_stddev",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
-           floor((avg(l_quantity)) * 100 + 0.5) / CAST(100 AS DOUBLE) AS avg_qty,
-           floor((stddev_samp(l_quantity)) * 100 + 0.5) / CAST(100 AS DOUBLE) AS std_qty
+           {half_up_sql('avg(l_quantity)', 2)} AS avg_qty,
+           {half_up_sql('stddev_samp(l_quantity)', 2)} AS std_qty
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -127,9 +127,9 @@ def a6_freq_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "a7_rmse",
-    oracle="""
-    SELECT floor((sqrt(avg(power(l_extendedprice * (1 - l_discount)
-                               - l_extendedprice, 2)))) * 100 + 0.5) / CAST(100 AS DOUBLE) AS rmse
+    oracle=f"""
+    SELECT {half_up_sql('''sqrt(avg(power(l_extendedprice * (1 - l_discount)
+                               - l_extendedprice, 2)))''', 2)} AS rmse
     FROM lineitem
     """,
 )
@@ -147,16 +147,16 @@ def a7_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "a8_tpch_q1",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           floor((sum(l_quantity)) * 100 + 0.5) / CAST(100 AS DOUBLE) AS sum_qty,
-           floor((sum(l_extendedprice)) * 100 + 0.5) / CAST(100 AS DOUBLE) AS sum_base_price,
-           floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / CAST(100 AS DOUBLE) AS sum_disc_price,
-           floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100 + 0.5) / CAST(100 AS DOUBLE)
+           {half_up_sql('sum(l_quantity)', 2)} AS sum_qty,
+           {half_up_sql('sum(l_extendedprice)', 2)} AS sum_base_price,
+           {half_up_sql('sum(l_extendedprice * (1 - l_discount))', 2)} AS sum_disc_price,
+           {half_up_sql('sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))', 2)}
                AS sum_charge,
-           floor((avg(l_quantity)) * 100 + 0.5) / CAST(100 AS DOUBLE) AS avg_qty,
-           floor((avg(l_extendedprice)) * 100 + 0.5) / CAST(100 AS DOUBLE) AS avg_price,
-           floor((avg(l_discount)) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS avg_disc,
+           {half_up_sql('avg(l_quantity)', 2)} AS avg_qty,
+           {half_up_sql('avg(l_extendedprice)', 2)} AS avg_price,
+           {half_up_sql('avg(l_discount)')} AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-02'
@@ -186,9 +186,9 @@ def a8_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "a9_rollup",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-           floor((sum(l_quantity)) * 100 + 0.5) / CAST(100 AS DOUBLE) AS sum_qty
+           {half_up_sql('sum(l_quantity)', 2)} AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -275,8 +275,8 @@ def a12_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "a13_tpch_q6",
-    oracle="""
-    SELECT floor((sum(l_extendedprice * l_discount)) * 100 + 0.5) / CAST(100 AS DOUBLE) AS revenue,
+    oracle=f"""
+    SELECT {half_up_sql('sum(l_extendedprice * l_discount)', 2)} AS revenue,
            count(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -311,9 +311,9 @@ def a13_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "a14_tpch_q3_shape",
-    oracle="""
+    oracle=f"""
     SELECT l_orderkey,
-           floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / CAST(100 AS DOUBLE) AS revenue,
+           {half_up_sql('sum(l_extendedprice * (1 - l_discount))', 2)} AS revenue,
            CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR) AS orderdate
     FROM customer JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -360,16 +360,16 @@ def a14_tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q1_SQL = """
+_Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-       floor((sum(l_quantity)) * 100 + 0.5) / CAST(100 AS DOUBLE) AS sum_qty,
-       floor((sum(l_extendedprice)) * 100 + 0.5) / CAST(100 AS DOUBLE) AS sum_base_price,
-       floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / CAST(100 AS DOUBLE) AS sum_disc_price,
-       floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100 + 0.5) / CAST(100 AS DOUBLE)
+       {half_up_sql('sum(l_quantity)', 2)} AS sum_qty,
+       {half_up_sql('sum(l_extendedprice)', 2)} AS sum_base_price,
+       {half_up_sql('sum(l_extendedprice * (1 - l_discount))', 2)} AS sum_disc_price,
+       {half_up_sql('sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))', 2)}
            AS sum_charge,
-       floor((avg(l_quantity)) * 100 + 0.5) / CAST(100 AS DOUBLE) AS avg_qty,
-       floor((avg(l_extendedprice)) * 100 + 0.5) / CAST(100 AS DOUBLE) AS avg_price,
-       floor((avg(l_discount)) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS avg_disc,
+       {half_up_sql('avg(l_quantity)', 2)} AS avg_qty,
+       {half_up_sql('avg(l_extendedprice)', 2)} AS avg_price,
+       {half_up_sql('avg(l_discount)')} AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2001-09-02'
@@ -410,10 +410,10 @@ def a15_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "a16_exact_percentiles",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
-           floor((quantile_cont(l_quantity, 0.5)) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS p50,
-           floor((quantile_cont(l_quantity, 0.95)) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS p95
+           {half_up_sql('quantile_cont(l_quantity, 0.5)')} AS p50,
+           {half_up_sql('quantile_cont(l_quantity, 0.95)')} AS p95
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -434,9 +434,9 @@ def a16_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "a17_corr_covar",
-    oracle="""
-    SELECT floor((corr(l_quantity, l_extendedprice)) * 1000000 + 0.5) / CAST(1000000 AS DOUBLE) AS qty_price_corr,
-           floor((covar_samp(l_discount, l_tax)) * 1000000 + 0.5) / CAST(1000000 AS DOUBLE) AS disc_tax_covar
+    oracle=f"""
+    SELECT {half_up_sql('corr(l_quantity, l_extendedprice)', 6)} AS qty_price_corr,
+           {half_up_sql('covar_samp(l_discount, l_tax)', 6)} AS disc_tax_covar
     FROM lineitem
     """,
 )
@@ -457,9 +457,9 @@ def a17_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "a18_grouping_sets",
-    oracle="""
+    oracle=f"""
     SELECT o_orderpriority, o_orderstatus,
-           count(*) AS n, floor((sum(o_totalprice)) * 100 + 0.5) / CAST(100 AS DOUBLE) AS total
+           count(*) AS n, {half_up_sql('sum(o_totalprice)', 2)} AS total
     FROM orders
     GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
     """,
@@ -471,9 +471,9 @@ def a18_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact table is scanned once however many sets are requested."""
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
     return spark.sql(
-        """
+        f"""
         SELECT o_orderpriority, o_orderstatus,
-               count(*) AS n, floor((sum(o_totalprice)) * 100 + 0.5) / CAST(100 AS DOUBLE) AS total
+               count(*) AS n, {half_up_sql('sum(o_totalprice)', 2)} AS total
         FROM orders_v
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
         """

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from a3_fp_bigdata_spark.data import table
+from a3_fp_bigdata_spark.functions.rounding import half_up_sql
 from a3_fp_bigdata_spark.registry import query
 
 
@@ -63,13 +64,19 @@ def zscore_per_group(df: DataFrame, key: str, value: str) -> DataFrame:
     )
 
 
+#: g1's z-score rendered through the shared rounding definition
+#: (a module constant: py3.11 f-strings cannot nest triple quotes).
+_Z_EXPR = half_up_sql(
+    "(value - avg(value) OVER (PARTITION BY event_type))"
+    " / stddev_samp(value) OVER (PARTITION BY event_type)"
+)
+
+
 @query(
     "g1_zscore_grouped_map",
-    oracle="""
+    oracle=f"""
     SELECT event_id, event_type,
-           floor((value - avg(value) OVER (PARTITION BY event_type))
-                 / stddev_samp(value) OVER (PARTITION BY event_type)
-                 * 10000 + 0.5) / 10000.0 AS z
+           {_Z_EXPR} AS z
     FROM events
     WHERE NOT isnan(value) AND value IS NOT NULL
     """,

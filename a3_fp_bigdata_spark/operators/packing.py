@@ -896,6 +896,9 @@ def _pl1_oracle() -> str:
     ), {_SQL_QUALITY_CTES}, ranked AS (
       SELECT c.doc,
              row_number() OVER (PARTITION BY c.cluster_id
+                                -- division-free: ordering by the
+                                -- floor numerator equals ordering by
+                                -- half_up (positive constant divisor)
                                 ORDER BY floor(q.quality * 10000 + 0.5)
                                          DESC, c.doc)
                AS rn
@@ -908,8 +911,7 @@ def _pl1_oracle() -> str:
              row_number() OVER (PARTITION BY d.doc_id % {NSHARDS}
                                 ORDER BY d.doc_id) AS rn
       FROM documents d JOIN quality q ON q.doc_id = d.doc_id
-      WHERE floor(q.quality * 10000 + 0.5) / 10000.0
-              >= {MANIFEST_MIN_QUALITY}
+      WHERE {half_up_sql('q.quality')} >= {MANIFEST_MIN_QUALITY}
         AND d.doc_id NOT IN (SELECT doc FROM dropped)
     ), step AS (
       SELECT shard, rn, doc_id, cost,

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from a3_fp_bigdata_spark.data import table
+from a3_fp_bigdata_spark.functions.rounding import half_up, half_up_sql
 from a3_fp_bigdata_spark.registry import query
 
 #: Value-range expectation for lineitem quantities (TPC-H generates
@@ -233,8 +234,8 @@ DRIFT_TOL = 0.02
       FROM a, b
     )
     SELECT metric,
-           floor(snap_a * 10000 + 0.5) / 10000.0 AS snap_a,
-           floor(snap_b * 10000 + 0.5) / 10000.0 AS snap_b,
+           {half_up_sql('snap_a')} AS snap_a,
+           {half_up_sql('snap_b')} AS snap_b,
            CAST(abs(snap_b - snap_a)
                 > {DRIFT_TOL} * abs(snap_a) + 1e-12 AS BOOLEAN)
              AS drifted

@@ -290,6 +290,15 @@ def w8_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: w9's interpolant, rendered through the shared rounding definition.
+_W9_INTERP = """CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN nv IS NULL THEN pv
+             ELSE pv + (nv - pv)
+                  * (epoch(hour) - epoch(ph)) / (epoch(nh) - epoch(ph))
+           END"""
+
+
 @query(
     "w9_linear_interp",
     oracle=f"""
@@ -313,12 +322,7 @@ def w8_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
     )
     SELECT user_id, hour,
-           floor((CASE
-             WHEN v IS NOT NULL THEN v
-             WHEN nv IS NULL THEN pv
-             ELSE pv + (nv - pv)
-                  * (epoch(hour) - epoch(ph)) / (epoch(nh) - epoch(ph))
-           END) * 10000 + 0.5) / 10000.0 AS value_interp
+           {half_up_sql(_W9_INTERP)} AS value_interp
     FROM joined
     """,
 )

@@ -92,7 +92,7 @@ def f2_token_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
              / greatest(len(t), 1) AS ratio
       FROM toks
     )
-    SELECT doc_id, floor((ratio) * 10000 + 0.5) / 10000.0 AS en_ratio,
+    SELECT doc_id, {half_up_sql('ratio')} AS en_ratio,
            CASE WHEN ratio >= 0.12 THEN 'en' ELSE 'other' END AS lang_guess
     FROM scored
     """,
@@ -138,7 +138,7 @@ _SQL_QUALITY_CTES = _build_quality_ctes()
     "tx2_quality_score",
     oracle=f"""
     WITH {_SQL_QUALITY_CTES}
-    SELECT doc_id, floor((quality) * 10000 + 0.5) / 10000.0 AS quality FROM quality
+    SELECT doc_id, {half_up_sql('quality')} AS quality FROM quality
     """,
 )
 def tx2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -309,7 +309,7 @@ REP_NGRAM = 3  # repetition measured over word trigrams (Gopher-style)
     SELECT doc_id,
            count(*) AS n_ngrams,
            count(DISTINCT g) AS n_distinct,
-           floor((1 - count(DISTINCT g) / CAST(count(*) AS DOUBLE)) * 10000 + 0.5) / 10000.0 + 0.0
+           {half_up_sql('1 - count(DISTINCT g) / CAST(count(*) AS DOUBLE)')} + 0.0
              AS rep_ratio
     FROM g GROUP BY doc_id
     """,
@@ -607,7 +607,7 @@ def tx10_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tx11_corpus_stats",
-    oracle=r"""
+    oracle=rf"""
     WITH c AS (
       SELECT lang, source,
              CAST(len(regexp_extract_all(lower(text),
@@ -617,10 +617,10 @@ def tx10_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang, source,
            count(*) AS n_docs,
            CAST(sum(cost) AS BIGINT) AS total_tokens,
-           floor((avg(cost)) * 10000 + 0.5) / 10000.0 AS mean_tokens,
-           floor((quantile_cont(cost, 0.5)) * 10000 + 0.5) / 10000.0 AS p50_tokens,
-           floor((quantile_cont(cost, 0.95)) * 10000 + 0.5) / 10000.0 AS p95_tokens,
-           floor((stddev_samp(cost)) * 10000 + 0.5) / 10000.0 AS sd_tokens
+           {half_up_sql('avg(cost)')} AS mean_tokens,
+           {half_up_sql('quantile_cont(cost, 0.5)')} AS p50_tokens,
+           {half_up_sql('quantile_cont(cost, 0.95)')} AS p95_tokens,
+           {half_up_sql('stddev_samp(cost)')} AS sd_tokens
     FROM c GROUP BY lang, source
     """,
 )

@@ -90,7 +90,9 @@ def test_incremental_index_append_touches_only_new_buckets(spark, tmp_path):
         for r in S._buckets(delta, planes).select("bucket").collect()
     }
     for p in new_files:
-        assert any(b in p for b in delta_buckets), p
+        # exact path-component match: substring matching would let
+        # bucket=2 spuriously cover a file misplaced under bucket=25
+        assert os.path.basename(os.path.dirname(p)) in delta_buckets, p
 
     full = str(tmp_path / "full")
     S.build_bucketed_ann_index(spark, SF001, full)
