@@ -111,6 +111,13 @@ def main() -> None:
     try_force(
         lambda: queries["sim4_bucketed_ann"](spark, sf_dir), "warm:sim4"
     )
+    # sim10 is the same build-once/probe-many shape (base index +
+    # appended batch memoized per sf): warm the build so its timed row
+    # is the steady-state partition-pruned probe, like sim4's
+    try_force(
+        lambda: queries["z_sim10_incremental_index"](spark, sf_dir),
+        "warm:sim10",
+    )
     # warm the Python worker pool + Arrow runner path: the FIRST Arrow
     # stage of a session forks every worker (pandas/pyarrow imports ×
     # ncpus) and JITs the JVM-side ArrowPythonRunner — an ~8-10 s
