@@ -257,6 +257,69 @@ def a11_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: a19's scratch: the audit oracle must read Spark's sketch estimates
+#: from a path the static SQL can name (uid-scoped, same protocol and
+#: caveats as dedup's d4 containment audit).
+import os as _os
+
+_A19_SCRATCH = f"/tmp/a3_fp_a19_approx_audit_uid{_os.getuid()}"
+
+
+@query(
+    "a19_approx_distinct_audit",
+    oracle=f"""
+    WITH exact AS (
+      SELECT event_type, count(DISTINCT user_id) AS exact_users
+      FROM events GROUP BY event_type
+    ), approx AS (
+      SELECT event_type, approx_users
+      FROM read_parquet('{_A19_SCRATCH}/*.parquet')
+    )
+    SELECT e.event_type,
+           CAST(e.exact_users AS BIGINT) AS exact_users,
+           CAST(a.approx_users AS BIGINT) AS approx_users,
+           CAST(abs(a.approx_users - e.exact_users)
+                <= 0.05 * e.exact_users AS BOOLEAN) AS within_5pct
+    FROM exact e JOIN approx a USING (event_type)
+    """,
+)
+def a19_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-BACKED error-bound attestation for a12's HyperLogLog++
+    estimates (whose sketch internals have no SQL twin): Spark
+    materializes the per-key estimates to scratch parquet, and BOTH
+    engines independently join them against their own exact distinct
+    counts — so `within_5pct` is verified against ground truth the
+    sketch never touched (rsd=0.02, so 5% is a comfortable bound at
+    these cardinalities). Upgrades a12's evidence from rows-only to
+    an audited error bound, the d4-containment pattern applied to
+    sketches."""
+    approx = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias(
+                "approx_users"
+            )
+        )
+    )
+    approx.coalesce(1).write.mode("overwrite").parquet(_A19_SCRATCH)
+    back = spark.read.parquet(_A19_SCRATCH)
+    exact = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+    )
+    return exact.join(back, "event_type").select(
+        "event_type",
+        F.col("exact_users").cast("long").alias("exact_users"),
+        F.col("approx_users").cast("long").alias("approx_users"),
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("within_5pct"),
+    )
+
+
 @query("a12_approx_distinct", oracle=None)
 def a12_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct + quantiles (HyperLogLog++ / KLL-style

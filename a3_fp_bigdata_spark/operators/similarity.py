@@ -933,3 +933,52 @@ def _attach_sim10_oracle() -> None:
 
 
 _attach_sim10_oracle()
+
+
+#: sim11's scratch — same static-oracle protocol/caveats as the d4/a19
+#: audits (uid-scoped fixed path the SQL string can name).
+_SIM11_SCRATCH = f"/tmp/a3_fp_sim11_ivf_hits_uid{os.getuid()}"
+
+
+@query(
+    "sim11_ivf_recall_audit",
+    oracle=f"""
+    WITH vecs AS (
+      SELECT vec_id, {_SQL_D.format(col='embedding')} AS e
+      FROM embeddings
+    ), q AS (
+      SELECT e AS qe FROM vecs WHERE vec_id = 0
+    ), exact AS (
+      SELECT v.vec_id
+      FROM vecs v CROSS JOIN q
+      WHERE v.vec_id <> 0
+      ORDER BY {half_up_sql(_sql_cos('v.e', 'q.qe'))} DESC, v.vec_id
+      LIMIT {ANN_TOPK}
+    ), ivf AS (
+      SELECT vec_id FROM read_parquet('{_SIM11_SCRATCH}/*.parquet')
+    )
+    SELECT CAST({ANN_TOPK} AS BIGINT) AS k,
+           CAST((SELECT count(*) FROM exact SEMI JOIN ivf USING (vec_id))
+                AS BIGINT) AS n_hit
+    """,
+)
+def sim11_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-BACKED recall attestation for sim3's IVF path (whose
+    seeded KMeans cells have no SQL twin): Spark materializes sim3's
+    result ids to scratch parquet and counts how many of ITS exact
+    top-{ANN_TOPK} they cover; the DuckDB oracle re-derives the exact
+    top-{ANN_TOPK} INDEPENDENTLY and semi-joins the same materialized
+    ids — so the recall number is verified against ground truth the
+    IVF probe never touched (the sim8 pattern for sim2, extended to
+    the seed-specific path via the d4-audit scratch protocol).
+    tests/test_similarity.py separately pins recall >= 0.8."""
+    hits = sim3_ivf_ann(spark, sf_dir).select("vec_id")
+    hits.coalesce(1).write.mode("overwrite").parquet(_SIM11_SCRATCH)
+    back = spark.read.parquet(_SIM11_SCRATCH)
+    exact = sim1_cosine_topk(spark, sf_dir).limit(ANN_TOPK).select("vec_id")
+    n_hit = exact.join(back, "vec_id", "left_semi").agg(
+        F.count("*").cast("long").alias("n_hit")
+    )
+    return n_hit.select(
+        F.lit(ANN_TOPK).cast("long").alias("k"), "n_hit"
+    )

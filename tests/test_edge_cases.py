@@ -609,3 +609,17 @@ print("METRICS_OK")
         capture_output=True, text=True, timeout=300,
     )
     assert "METRICS_OK" in out.stdout, (out.stdout[-800:], out.stderr[-800:])
+
+
+def test_sketch_and_ivf_audits_pass_their_bounds(spark):
+    """a19/sim11 — the Spark halves of the two audit queries whose
+    oracle halves re-verify against independent ground truth: every
+    HLL estimate sits within its 5% bound, and the IVF probe recovers
+    at least 80% of the exact top-k."""
+    from a3_fp_bigdata_spark import registry
+
+    qs = registry.all_queries()
+    a19 = qs["a19_approx_distinct_audit"](spark, SF0001).collect()
+    assert a19 and all(r.within_5pct for r in a19)
+    r = qs["sim11_ivf_recall_audit"](spark, SF0001).collect()[0]
+    assert r.n_hit >= 0.8 * r.k
