@@ -258,8 +258,11 @@ def a11_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: a19's scratch: the audit oracle must read Spark's sketch estimates
-#: from a path the static SQL can name (uid-scoped, same protocol and
-#: caveats as dedup's d4 containment audit).
+#: from a path the static SQL can name (uid-scoped, same protocol as
+#: dedup's d4 containment audit, including the stale-scratch guard:
+#: rows carry ``n_src`` = count(events) at write time and the oracle
+#: filters on it against its live events view, so scratch from a
+#: different sf red-flags as a row/hash mismatch, never a false PASS).
 import os as _os
 
 _A19_SCRATCH = f"/tmp/a3_fp_a19_approx_audit_uid{_os.getuid()}"
@@ -274,6 +277,7 @@ _A19_SCRATCH = f"/tmp/a3_fp_a19_approx_audit_uid{_os.getuid()}"
     ), approx AS (
       SELECT event_type, approx_users
       FROM read_parquet('{_A19_SCRATCH}/*.parquet')
+      WHERE n_src = (SELECT count(*) FROM events)
     )
     SELECT e.event_type,
            CAST(e.exact_users AS BIGINT) AS exact_users,
@@ -302,8 +306,13 @@ def a19_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    n_src = (
+        table(spark, sf_dir, "events")
+        .agg(F.count("*").cast("long").alias("n_src"))
+    )
+    approx = approx.crossJoin(F.broadcast(n_src))
     approx.coalesce(1).write.mode("overwrite").parquet(_A19_SCRATCH)
-    back = spark.read.parquet(_A19_SCRATCH)
+    back = spark.read.parquet(_A19_SCRATCH).drop("n_src")
     exact = (
         table(spark, sf_dir, "events")
         .groupBy("event_type")

@@ -464,12 +464,13 @@ def _verify_candidate_pairs(
 #: static string, so the Spark side must land the LSH pairs at a path
 #: DuckDB can name — which rules out sf-scoping (the oracle cannot
 #: know sf_dir). UID-scoped so two users on a shared box never
-#: collide on permissions; overwritten per invocation, and the
-#: audit's Spark query always runs before its oracle in the same
-#: process (both the driver and check_parity execute that order), so
-#: the file holds the CURRENT sf's pairs when the oracle reads it.
-#: Residual caveat, stated: two concurrent runs by the SAME user at
-#: different sfs can interleave — run audits sequentially per user.
+#: collide on permissions; overwritten per invocation. Stale-scratch
+#: guard: every scratch row carries ``n_src`` = count(documents) at
+#: write time, and the oracle FILTERS on n_src matching ITS live
+#: documents view — scratch left over from a run at a different scale
+#: factor therefore yields an empty/zero oracle side and a red
+#: hash-mismatch, never a false PASS (the sf row counts differ 10×
+#: between testdata tiers, so the fingerprint cannot collide).
 _D4_AUDIT_SCRATCH = (
     f"/tmp/a3_fp_d4_containment_pairs_uid{os.getuid()}"
 )
@@ -483,6 +484,7 @@ _D4_AUDIT_SCRATCH = (
     ), lsh AS (
       SELECT doc_a, doc_b
       FROM read_parquet('{_D4_AUDIT_SCRATCH}/*.parquet')
+      WHERE n_src = (SELECT count(*) FROM documents)
     )
     SELECT CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_lsh_pairs,
            CAST((SELECT count(*)
@@ -508,9 +510,17 @@ def d4_containment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     protocol), not the full table; the audit query itself adds one
     tiny write + two counting joins on top of the shared staged
     shingle/bucket tables."""
-    pairs = d4_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    n_src = (
+        table(spark, sf_dir, "documents")
+        .agg(F.count("*").cast("long").alias("n_src"))
+    )
+    pairs = (
+        d4_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .crossJoin(F.broadcast(n_src))
+    )
     pairs.coalesce(1).write.mode("overwrite").parquet(_D4_AUDIT_SCRATCH)
-    back = spark.read.parquet(_D4_AUDIT_SCRATCH)
+    back = spark.read.parquet(_D4_AUDIT_SCRATCH).drop("n_src")
     exact = d3_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     outside = back.join(exact, ["doc_a", "doc_b"], "left_anti")
     return back.agg(

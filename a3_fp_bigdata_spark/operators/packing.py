@@ -977,21 +977,25 @@ def pk10_interleave_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: pl3's canonical row rendering: every column coalesced (a NULL must
-#: not collapse into an adjacent empty string) and joined on the ASCII
-#: unit separator, which cannot appear in the data.
-_CK_NULL = "\u2400"  # ␀ symbol-for-null: visible, not in any column
+#: pl3's canonical row rendering must be INJECTIVE for ARBITRARY cell
+#: content (document text is raw, so no byte is "reserved"): each field
+#: renders as a netstring-style tagged token — 'N' for NULL, else
+#: 'V' || char_length(s) || ':' || s — so a value containing the join
+#: separator (or any sentinel) cannot re-parse as a different row. A
+#: left-to-right parser recovers the fields unambiguously: read the
+#: tag; on 'V' read digits to ':', consume exactly that many chars,
+#: expect the separator. The \x1f join stays purely for readability.
 _CK_SEP = "\x1f"
 
 
 def _row_digest(cols: list[str], salt: str) -> Column:
-    rendered = F.concat_ws(
-        _CK_SEP,
-        *[
-            F.coalesce(F.col(c).cast("string"), F.lit(_CK_NULL))
-            for c in cols
-        ],
-    )
+    def field(c: str) -> Column:
+        s = F.col(c).cast("string")
+        return F.when(s.isNull(), F.lit("N")).otherwise(
+            F.concat(F.lit("V"), F.length(s).cast("string"), F.lit(":"), s)
+        )
+
+    rendered = F.concat_ws(_CK_SEP, *[field(c) for c in cols])
     # 15 hex chars = 60 bits: fits a positive BIGINT in both engines
     # (Spark conv(...,16,10); DuckDB CAST('0x...' AS BIGINT))
     return F.conv(
@@ -1000,12 +1004,17 @@ def _row_digest(cols: list[str], salt: str) -> Column:
 
 
 def _ck_sql(cols: list[str], salt: str) -> str:
-    # chr() renders the separator/null tokens — raw control bytes or
-    # non-ASCII inside a SQL literal trip DuckDB's parser
-    null_tok = f"chr({ord(_CK_NULL)})"
-    rendered = f" || chr({ord(_CK_SEP)}) || ".join(
-        f"COALESCE(CAST({c} AS VARCHAR), {null_tok})" for c in cols
-    )
+    # chr() renders the separator — a raw control byte inside a SQL
+    # literal trips DuckDB's parser. DuckDB length(VARCHAR) counts
+    # characters, matching Spark's F.length on strings.
+    def field(c: str) -> str:
+        s = f"CAST({c} AS VARCHAR)"
+        return (
+            f"CASE WHEN {c} IS NULL THEN 'N' "
+            f"ELSE 'V' || CAST(length({s}) AS VARCHAR) || ':' || {s} END"
+        )
+
+    rendered = f" || chr({ord(_CK_SEP)}) || ".join(field(c) for c in cols)
     return (
         f"CAST(('0x' || substr(md5('{salt}' || {rendered}), 1, 15))"
         " AS BIGINT)"

@@ -935,8 +935,11 @@ def _attach_sim10_oracle() -> None:
 _attach_sim10_oracle()
 
 
-#: sim11's scratch — same static-oracle protocol/caveats as the d4/a19
-#: audits (uid-scoped fixed path the SQL string can name).
+#: sim11's scratch — same static-oracle protocol as the d4/a19 audits
+#: (uid-scoped fixed path the SQL string can name), including the
+#: stale-scratch guard: rows carry ``n_src`` = count(embeddings) at
+#: write time and the oracle filters on it against its live view, so
+#: scratch from a different sf red-flags instead of validating.
 _SIM11_SCRATCH = f"/tmp/a3_fp_sim11_ivf_hits_uid{os.getuid()}"
 
 
@@ -956,6 +959,7 @@ _SIM11_SCRATCH = f"/tmp/a3_fp_sim11_ivf_hits_uid{os.getuid()}"
       LIMIT {ANN_TOPK}
     ), ivf AS (
       SELECT vec_id FROM read_parquet('{_SIM11_SCRATCH}/*.parquet')
+      WHERE n_src = (SELECT count(*) FROM embeddings)
     )
     SELECT CAST({ANN_TOPK} AS BIGINT) AS k,
            CAST((SELECT count(*) FROM exact SEMI JOIN ivf USING (vec_id))
@@ -972,9 +976,17 @@ def sim11_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF probe never touched (the sim8 pattern for sim2, extended to
     the seed-specific path via the d4-audit scratch protocol).
     tests/test_similarity.py separately pins recall >= 0.8."""
-    hits = sim3_ivf_ann(spark, sf_dir).select("vec_id")
+    n_src = (
+        table(spark, sf_dir, "embeddings")
+        .agg(F.count("*").cast("long").alias("n_src"))
+    )
+    hits = (
+        sim3_ivf_ann(spark, sf_dir)
+        .select("vec_id")
+        .crossJoin(F.broadcast(n_src))
+    )
     hits.coalesce(1).write.mode("overwrite").parquet(_SIM11_SCRATCH)
-    back = spark.read.parquet(_SIM11_SCRATCH)
+    back = spark.read.parquet(_SIM11_SCRATCH).drop("n_src")
     exact = sim1_cosine_topk(spark, sf_dir).limit(ANN_TOPK).select("vec_id")
     n_hit = exact.join(back, "vec_id", "left_semi").agg(
         F.count("*").cast("long").alias("n_hit")

@@ -147,21 +147,28 @@ CANONICAL = frozenset(
         # Q3 shape by a8+j5+t1; a5 stddev by a8's agg surface — all
         # parity-checked as z_ twins)
         "a8_tpch_q1", "a9_rollup",
-        # data-quality expectation suite (publish gate)
-        "dq1_expectations",
+        # data-quality expectation suite (publish gate) + profile drift
+        # (dq2 rotated IN r7)
+        "dq1_expectations", "dq2_profile_drift",
         # dedup ladder (+ d8: Arrow-numpy winnowing, a distinct plan
-        # shape; d12 connected-components clusters; d14 quality keeper;
-        # d2's window-dedup shape is w1's, parity-checked as z_d2)
+        # shape; d12 connected-components clusters; d14 quality keeper
+        # rotated out r7 after its green r6 driver row — its
+        # quality-rank shape is carried by tx2 + w1 and parity-checked
+        # as z_d14; d2's window-dedup shape is w1's, parity-checked as
+        # z_d2)
         "d1_exact_dedup", "d3_ngram_jaccard",
         "d4_minhash_lsh", "d8_winnow_fingerprint",
-        "d12_dedup_clusters", "d14_quality_keeper",
+        "d12_dedup_clusters",
         # scalar/text functions (f2 token-overlap is f1's plan twin)
         "f1_extract_keywords",
         # grouped-map / cogroup Arrow surface
         "g1_zscore_grouped_map", "g2_cogroup_conversion",
-        # joins (broadcast, multiway, salted-skew, as-of, range)
+        # joins (broadcast, multiway, salted-skew, as-of, bloom-prefilter;
+        # j9 range join rotated out r7 after its green r6 driver row —
+        # its range-condition shape is carried by j8, parity-checked as
+        # z_j9; j11 rotated IN)
         "j1_left_outer_broadcast", "j5_multiway_join", "j7_salted_skew_join",
-        "j8_asof_join", "j9_range_join",
+        "j8_asof_join", "j11_bloom_prefilter_join",
         # ML + multimodal
         "ml1_cluster_sizes", "mm1_binary_metadata", "mm2_image_features",
         # filters/projections: no dedicated canonical row — t1's scan
@@ -170,13 +177,19 @@ CANONICAL = frozenset(
         # training-batch assembly (greedy packer, data-derived domain
         # mixture, near-dup split-leakage audit, end-to-end manifest,
         # chunk-index stats over pk8's sliding chunks)
+        # (pl2 rotated out r7 after its green r6 driver row — its
+        # chunk-index agg shape is carried by pl1 + st12, parity-checked
+        # as z_pl2; pl3 order-invariant corpus checksum rotated IN)
         "pk2_greedy_pack", "pk5_domain_mixture", "pk7_split_leakage",
-        "pl1_training_manifest", "pl2_chunk_index_stats",
+        "pl1_training_manifest", "pl3_corpus_checksum",
         # similarity search (+ sim4: partition-pruned materialized
-        # index; sim8: ANN-vs-exact recall harness; sim9: int8 coarse
-        # scan -> exact rerank; sim2's LSH shape is z_sim2)
+        # index; sim9: int8 coarse scan -> exact rerank; sim10
+        # incremental index maintenance rotated IN r7; sim8's
+        # ANN-vs-exact recall harness rotated out after its green r6
+        # driver row, parity-checked as z_sim8; sim2's LSH shape is
+        # z_sim2)
         "sim1_cosine_topk", "sim4_bucketed_ann",
-        "sim8_ann_recall", "sim9_quantized_rerank",
+        "sim10_incremental_index", "sim9_quantized_rerank",
         # set ops (so1 union-all is plan-trivial; so3 covers the family)
         "so3_except",
         # SQL surface + sources
@@ -186,11 +199,13 @@ CANONICAL = frozenset(
         # and search_suggestions' substring shape == z_p6)
         "srv_top_apps",
         # streaming (st5 is the REAL micro-batch tumbling run — st1's
-        # batch twin rotates out as z_st1; st11 streams pk8's chunk
-        # index through a foreachBatch delta-merge; st4's dedup shape
-        # is st10's micro-batch core, parity-checked as z_st4/z_st6)
+        # batch twin rotates out as z_st1; st12 REAL streaming session
+        # windows rotated IN r7; st11's foreachBatch delta-merge rotated
+        # out after its green r6 driver row, parity-checked as z_st11;
+        # st4's dedup shape is st10's micro-batch core, parity-checked
+        # as z_st4/z_st6)
         "st5_stream_tumbling", "st7_stream_stream_join",
-        "st11_chunk_index_stream",
+        "st12_stream_session_window",
         # top-k / sort (t2's distinct+topk shape covered by t1+a3)
         "t1_topk_multikey",
         # text analysis (+ tx7: relational train-and-classify lang-ID —
@@ -201,10 +216,16 @@ CANONICAL = frozenset(
         # upsert/CDC (+ u2: SCD2 versioned-dimension merge; u3's
         # snapshot-diff is a thinner diff shape, parity-checked as z_u3)
         "u1_merge_upsert", "u2_scd2_history",
-        # windows (w2 lag-delta is a thinner w1-family window; w8/w9
-        # are the dense-grid gap-fill pair — LOCF and linear interp)
+        # tokenizer induction (tk2 frozen-model accounting, DuckDB
+        # re-derives segmentation independently — rotated IN r7; tk1's
+        # BPE fit stays rows-only + replay-pinned as z_tk1)
+        "tk2_bpe_token_stats",
+        # windows (w2 lag-delta is a thinner w1-family window; w8 is
+        # the dense-grid gap-fill flagship; w9 linear-interp rotated
+        # out r7 after its green r6 driver row — same dense-grid plan
+        # shape as w8, parity-checked as z_w9)
         "w1_topk_per_group", "w5_sessionize",
-        "w8_gapfill_locf", "w9_linear_interp",
+        "w8_gapfill_locf",
         # semistructured (x2 array-agg covered by x1 + a9's agg surface)
         "x1_json_extract",
     }

@@ -266,7 +266,14 @@ def src7_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     staged.write.mode("overwrite").text(path)
 
-    schema = ev.schema.add("_corrupt_record", "string")
+    # fresh StructType — StructType.add would MUTATE ev's cached schema
+    # object in place, leaving a phantom column on later introspection
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        list(ev.schema.fields)
+        + [StructField("_corrupt_record", StringType())]
+    )
     back = (
         spark.read.schema(schema)
         .option("mode", "PERMISSIVE")

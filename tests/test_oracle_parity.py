@@ -95,3 +95,29 @@ def test_entry_smoke(spark):
 
 def test_oracle_keys_subset():
     assert set(ORACLES) <= set(ALL)
+
+
+def test_audit_scratch_stale_sf_red_flags(spark):
+    """The audit queries (a19/d4/sim11) share a fixed uid-scoped scratch
+    path; the guard against STALE scratch (written at a different scale
+    factor) is the n_src fingerprint each scratch row carries, which the
+    oracle filters against its live view. Pin the failure mode: scratch
+    written at sf0.001 must make the sf0.01 oracle come back EMPTY on
+    the scratch side (a red row-count mismatch), not silently validate."""
+    from tests.conftest import SF001
+
+    # Spark half writes fresh scratch fingerprinted with sf0.001's count
+    ALL["a19_approx_distinct_audit"](spark, SF0001).collect()
+
+    # oracle half runs against DIFFERENT-sf views: the n_src filter must
+    # reject every scratch row, so the exact-join yields zero rows
+    con = duck_con(SF001)
+    stale_rows = con.execute(ORACLES["a19_approx_distinct_audit"]).fetchall()
+    con.close()
+    assert stale_rows == [], "stale scratch validated instead of red-flagging"
+
+    # and the matched-sf oracle still returns the real per-key rows
+    con = duck_con(SF0001)
+    fresh_rows = con.execute(ORACLES["a19_approx_distinct_audit"]).fetchall()
+    con.close()
+    assert len(fresh_rows) > 0

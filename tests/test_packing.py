@@ -379,3 +379,32 @@ def test_corpus_checksum_invariance_and_sensitivity(spark):
     d2 = fold(two_dups)
     assert d2[1] == base[1] and d2[2] == base[2]
     assert d2[0] == base[0] + 2
+
+
+def test_corpus_checksum_rendering_injective(spark):
+    """Document text is raw, so the renderer may not assume ANY byte is
+    absent from the data: adversarial rows that would collide under a
+    naive separator-join — field content containing the \\x1f separator
+    shifted across a field boundary, and a literal ␀ vs a real NULL —
+    must produce distinct digests (netstring-style length-prefixed
+    rendering)."""
+    from a3_fp_bigdata_spark.operators.packing import _row_digest
+
+    def digests(rows):
+        df = spark.createDataFrame(rows, "a string, b string")
+        return [
+            r[0]
+            for r in df.select(_row_digest(["a", "b"], "s1")).collect()
+        ]
+
+    # separator smuggled across the field boundary: naive join renders
+    # both as  a \x1f b \x1f c
+    d_left = digests([("a\x1fb", "c")])
+    d_right = digests([("a", "b\x1fc")])
+    assert d_left != d_right
+
+    # a cell whose VALUE is the old null sentinel vs an actual NULL
+    assert digests([("␀", "x")]) != digests([(None, "x")])
+
+    # length-prefix digits can't bleed into content either
+    assert digests([("1", "x")]) != digests([("", "1x")])

@@ -10,7 +10,7 @@ from a3_fp_bigdata_spark import registry
 #: Query-name prefix per SURVEY §2 operator family.
 FAMILIES = [
     "a", "d", "dq", "f", "g", "j", "ml", "mm", "p", "pk", "pl", "sim",
-    "so", "sql", "src", "srv", "st", "t", "tx", "u", "w", "x",
+    "so", "sql", "src", "srv", "st", "t", "tk", "tx", "u", "w", "x",
 ]
 
 DRIVER_WINDOW = 50  # round-1 driver checked exactly the first 50 names
