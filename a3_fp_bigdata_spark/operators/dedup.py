@@ -746,6 +746,39 @@ SIMHASH_MAX_HAMMING = 5    # = bands-1: the pigeonhole GUARANTEE — a pair
                            # within this distance must share >= 1 band
 
 
+def _uncapped_bands(sh: DataFrame) -> DataFrame:
+    """(doc_id, simhash, band_idx, band_val) for the {SIMHASH_BANDS}
+    8-bit bands of each fingerprint, with hot band buckets (>
+    MAX_BUCKET_DOCS docs) dropped — the shared derivation behind d9's
+    candidate join and the d9 pigeonhole audit."""
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright("simhash", i * 8)
+                        .bitwiseAND(F.lit(0xFF))
+                        .alias("band_val"),
+                    )
+                    for i in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
+    # super-bucket cap (see d9 docstring): count docs per band bucket
+    # and drop the hot ones before any self-join
+    return bands.join(
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") <= MAX_BUCKET_DOCS)
+        .select("band_idx", "band_val"),
+        ["band_idx", "band_val"],
+    )
+
+
 @query("d9_simhash_pairs", oracle=None)
 def d9_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup PAIRS — the rung d5's signatures feed.
@@ -771,32 +804,7 @@ def d9_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the tokenize+explode+agg subtree runs twice (dedup.py's measured
     # multi-reference rule; released by sweeps via release_pinned)
     sh = pin(sh)
-    bands = sh.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.shiftright("simhash", i * 8)
-                        .bitwiseAND(F.lit(0xFF))
-                        .alias("band_val"),
-                    )
-                    for i in range(SIMHASH_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
-    # super-bucket cap (see docstring): count docs per band bucket and
-    # drop the hot ones before the self-join
-    bands = bands.join(
-        bands.groupBy("band_idx", "band_val")
-        .agg(F.count("*").alias("n_docs"))
-        .filter(F.col("n_docs") <= MAX_BUCKET_DOCS)
-        .select("band_idx", "band_val"),
-        ["band_idx", "band_val"],
-    )
+    bands = _uncapped_bands(sh)
     a = bands.select(
         F.col("doc_id").alias("doc_a"),
         F.col("simhash").alias("sh_a"),
@@ -818,6 +826,150 @@ def d9_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .distinct()  # a pair may collide in several bands
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+
+
+#: d9 audit scratch — same static-oracle protocol as the d4/a19/sim11
+#: audits (uid-scoped paths the SQL string can name; every row carries
+#: the ``n_src`` = count(documents) fingerprint the oracle filters on,
+#: so stale scratch from a different sf red-flags instead of
+#: validating).
+_D9_AUDIT_FP_SCRATCH = f"/tmp/a3_fp_d9_audit_fps_uid{os.getuid()}"
+_D9_AUDIT_PAIRS_SCRATCH = f"/tmp/a3_fp_d9_audit_pairs_uid{os.getuid()}"
+
+
+@query(
+    "d9_pigeonhole_audit",
+    oracle=f"""
+    WITH fps AS (
+      SELECT doc_id, simhash
+      FROM read_parquet('{_D9_AUDIT_FP_SCRATCH}/*.parquet')
+      WHERE n_src = (SELECT count(*) FROM documents)
+    ), prs AS (
+      SELECT doc_a, doc_b, hamming
+      FROM read_parquet('{_D9_AUDIT_PAIRS_SCRATCH}/*.parquet')
+      WHERE n_src = (SELECT count(*) FROM documents)
+    ), bands AS (
+      SELECT doc_id, b.i AS band_idx,
+             (simhash >> (b.i * 8)) & 255 AS band_val
+      FROM fps CROSS JOIN (SELECT unnest(range({SIMHASH_BANDS})) AS i) b
+    ), uncapped AS (
+      SELECT band_idx, band_val FROM bands
+      GROUP BY band_idx, band_val
+      HAVING count(*) <= {MAX_BUCKET_DOCS}
+    ), expected AS (
+      SELECT fa.doc_id AS doc_a, fb.doc_id AS doc_b,
+             CAST(bit_count(xor(fa.simhash, fb.simhash)) AS INTEGER)
+               AS hamming
+      FROM fps fa JOIN fps fb ON fa.doc_id < fb.doc_id
+      WHERE bit_count(xor(fa.simhash, fb.simhash))
+              <= {SIMHASH_MAX_HAMMING}
+        AND EXISTS (
+          SELECT 1 FROM uncapped u
+          WHERE ((fa.simhash >> (u.band_idx * 8)) & 255) = u.band_val
+            AND ((fb.simhash >> (u.band_idx * 8)) & 255) = u.band_val
+        )
+    )
+    SELECT
+      CAST((SELECT count(*) FROM prs) AS BIGINT) AS n_pairs,
+      CAST((SELECT count(*) FROM expected) AS BIGINT) AS n_expected,
+      CAST((SELECT count(*) FROM prs
+            ANTI JOIN expected USING (doc_a, doc_b, hamming))
+           AS BIGINT) AS n_extra,
+      CAST((SELECT count(*) FROM expected
+            ANTI JOIN prs USING (doc_a, doc_b, hamming))
+           AS BIGINT) AS n_missing
+    """,
+)
+def d9_pigeonhole_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-BACKED completeness attestation for d9 (whose xxhash-
+    seeded fingerprints have no SQL twin): given the fingerprints, the
+    banding must emit EXACTLY the pairs within hamming distance
+    {SIMHASH_MAX_HAMMING} that agree on at least one uncapped band —
+    the pigeonhole guarantee, previously only pytest-pinned. Spark
+    materializes the 48-bit fingerprints AND d9's emitted pairs to
+    scratch; the DuckDB oracle re-derives the expected pair set
+    INDEPENDENTLY (a direct quadratic self-join over the fingerprints
+    with bit_count(xor) distances and an EXISTS over recomputed band
+    values — no candidate-join topology shared with d9) and counts
+    set-difference both ways on (doc_a, doc_b, hamming), so wrong
+    hamming values are caught too. Green = n_extra = n_missing = 0 and
+    n_pairs = n_expected, verified against ground truth d9's own join
+    never touched. The Spark half computes the same four numbers from
+    its own quadratic re-derivation (quad semi-joined to the banded
+    candidates), so an engine-side banding bug surfaces as a value
+    mismatch between the halves.
+
+    Scale: the quadratic re-derivation is the AUDIT rung, run on
+    corpus samples (like d4's containment audit over d3) — d9 itself
+    stays work-proportional-to-collisions."""
+    n_src = table(spark, sf_dir, "documents").agg(
+        F.count("*").cast("long").alias("n_src")
+    )
+    sh = pin(
+        simhash_frame(spark, sf_dir, SIMHASH_PAIR_BITS).select(
+            "doc_id", "simhash"
+        )
+    )
+    sh.crossJoin(F.broadcast(n_src)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(_D9_AUDIT_FP_SCRATCH)
+    d9_simhash_pairs(spark, sf_dir).crossJoin(
+        F.broadcast(n_src)
+    ).coalesce(1).write.mode("overwrite").parquet(
+        _D9_AUDIT_PAIRS_SCRATCH
+    )
+
+    fps = spark.read.parquet(_D9_AUDIT_FP_SCRATCH).drop("n_src")
+    prs = spark.read.parquet(_D9_AUDIT_PAIRS_SCRATCH).drop("n_src")
+
+    # Spark's own re-derivation: quadratic hamming pairs, restricted to
+    # those sharing >= 1 uncapped band (semi-join against the banded
+    # candidate set — audit-scale only, the BNLJ is deliberate)
+    a = fps.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b = fps.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    quad = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))),
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+    bands = _uncapped_bands(fps)
+    cand = (
+        bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_val")
+        .join(
+            bands.select(
+                F.col("doc_id").alias("doc_b"), "band_idx", "band_val"
+            ),
+            ["band_idx", "band_val"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    expected = quad.join(cand, ["doc_a", "doc_b"], "left_semi").select(
+        "doc_a", "doc_b", "hamming"
+    )
+    expected = pin(expected)
+    prs = pin(prs)
+    on = ["doc_a", "doc_b", "hamming"]
+    return (
+        prs.agg(F.count("*").cast("long").alias("n_pairs"))
+        .crossJoin(
+            expected.agg(F.count("*").cast("long").alias("n_expected"))
+        )
+        .crossJoin(
+            prs.join(expected, on, "left_anti").agg(
+                F.count("*").cast("long").alias("n_extra")
+            )
+        )
+        .crossJoin(
+            expected.join(prs, on, "left_anti").agg(
+                F.count("*").cast("long").alias("n_missing")
+            )
+        )
     )
 
 
