@@ -530,3 +530,76 @@ def test_bpe_merge_fold_matches_python(spark, seqs, pair):
         ).collect()
     }
     assert got == {i: py_merge(s) for i, s in enumerate(seqs)}
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+def test_bloom_no_false_negatives_and_bounded_fp(spark, seed):
+    """j11's bloom geometry (4096 bits / 3 hashes): membership is
+    EXACT for inserted keys (a bloom filter may only err toward
+    keeping), and at the canonical ~300-key build the false-positive
+    rate over disjoint probes stays well under the filter's working
+    envelope (theory ~0.8%; assert < 2.5%, a ~10-sigma slack at 3000
+    probes)."""
+    import random
+
+    from a3_fp_bigdata_spark.operators.joins import (
+        bloom_might_contain,
+        build_bloom,
+    )
+
+    rng = random.Random(seed)
+    universe = rng.sample(range(1, 1_000_000_000), 3300)
+    members, probes = universe[:300], universe[300:]
+
+    keys_df = spark.createDataFrame([(k,) for k in members], "k long")
+    words = build_bloom(keys_df)
+
+    n_members_kept = keys_df.filter(
+        bloom_might_contain(F.col("k"), words)
+    ).count()
+    assert n_members_kept == len(members), "bloom dropped a real key"
+
+    probe_df = spark.createDataFrame([(k,) for k in probes], "k long")
+    n_fp = probe_df.filter(
+        bloom_might_contain(F.col("k"), words)
+    ).count()
+    assert n_fp / len(probes) < 0.025, f"fp rate {n_fp}/{len(probes)}"
+
+
+def test_bloom_fp_rate_matches_claimed_geometry(spark):
+    """Pin the ~0.8% figure asserted in joins.py's geometry comment:
+    aggregate 9000 disjoint probes over three independent 300-key
+    builds; the pooled rate must sit in [0.25%, 1.6%] (theory
+    (1-e^(-kn/m))^k = 0.77% at k=3, n=300, m=4096; the band is
+    ~±4 sigma of the pooled estimate)."""
+    import math
+    import random
+
+    from a3_fp_bigdata_spark.operators.joins import (
+        BLOOM_BITS,
+        BLOOM_HASHES,
+        bloom_might_contain,
+        build_bloom,
+    )
+
+    theory = (1 - math.exp(-BLOOM_HASHES * 300 / BLOOM_BITS)) ** BLOOM_HASHES
+    assert 0.005 < theory < 0.011  # the comment's "~0.8%"
+
+    total_fp, total_probes = 0, 0
+    for seed in (11, 22, 33):
+        rng = random.Random(seed)
+        universe = rng.sample(range(1, 1_000_000_000), 3300)
+        members, probes = universe[:300], universe[300:]
+        words = build_bloom(
+            spark.createDataFrame([(k,) for k in members], "k long")
+        )
+        total_fp += (
+            spark.createDataFrame([(k,) for k in probes], "k long")
+            .filter(bloom_might_contain(F.col("k"), words))
+            .count()
+        )
+        total_probes += len(probes)
+
+    rate = total_fp / total_probes
+    assert 0.0025 < rate < 0.016, f"pooled fp rate {rate:.4f}"
