@@ -12,9 +12,12 @@ train/val split, data-derived domain mixture, multi-epoch repetition
 plan), PII redaction, corpus profiling stats, quality-aware dedup
 keeper policy, corpus snapshot diff (CDC), ANN recall@k eval,
 repetition removal, unigram-LM quality scoring, near-dup
-split-leakage audit, and int8-quantized two-stage retrieval —
-backed by ``a3_fp_bigdata_spark.registry`` (151 queries, 137 with
-oracles —
+split-leakage audit, int8-quantized two-stage retrieval, BPE
+tokenizer induction + frozen-model accounting, order-invariant corpus
+checksums, bloom-prefilter joins, incremental ANN index maintenance,
+and the scratch-oracle audit tier (d4 containment, d9 pigeonhole, a19
+HLL error, sim11 IVF recall) — backed by
+``a3_fp_bigdata_spark.registry`` (166 queries, 151 with oracles —
 including pl1, the whole curation chain composed end-to-end: quality
 floor -> near-dup keeper policy -> greedy packing -> manifest). Each
 query is a pure (spark, sf_dir) -> DataFrame function; oracles are

@@ -1149,6 +1149,100 @@ def d11_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(candidates, ["doc_a", "doc_b"], "left_semi")
 
 
+#: d11 audit scratch — the d4/a19/sim11/d9 protocol (uid-scoped path,
+#: ``n_src`` stale-sf guard).
+_D11_AUDIT_SCRATCH = f"/tmp/a3_fp_d11_incr_pairs_uid{os.getuid()}"
+
+
+def _d11_audit_oracle() -> str:
+    from a3_fp_bigdata_spark.operators.text_analysis import (
+        sample_predicate_sql,
+    )
+
+    new_a = sample_predicate_sql("doc_a", INCR_BATCH_PCT)
+    new_b = sample_predicate_sql("doc_b", INCR_BATCH_PCT)
+    return f"""
+    WITH {_D3_CTES}, exact AS (
+      {_D3_SELECT}
+    ), lsh AS (
+      SELECT doc_a, doc_b, jaccard
+      FROM read_parquet('{_D11_AUDIT_SCRATCH}/*.parquet')
+      WHERE n_src = (SELECT count(*) FROM documents)
+    )
+    SELECT
+      CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_pairs,
+      CAST((SELECT count(*) FROM lsh
+            ANTI JOIN exact USING (doc_a, doc_b))
+           AS BIGINT) AS n_outside_exact,
+      CAST((SELECT count(*)
+            FROM lsh l JOIN exact e USING (doc_a, doc_b)
+            WHERE abs(l.jaccard - e.jaccard) > 1e-9)
+           AS BIGINT) AS n_jaccard_mismatch,
+      CAST((SELECT count(*) FROM lsh
+            WHERE NOT (({new_a}) OR ({new_b})))
+           AS BIGINT) AS n_without_new_member
+    """
+
+
+@query("d11_containment_audit", oracle=_d11_audit_oracle())
+def d11_containment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-BACKED attestation for d11 (rows-only itself: minhash
+    seeds): every pair the nightly incremental LSH emits must (a)
+    appear in d3's exact Jaccard pair set, (b) carry the exact rounded
+    jaccard value, and (c) involve at least one NEW-batch doc — the
+    oracle re-derives all three INDEPENDENTLY (its own d3 CTEs, its
+    own rendering of the deterministic batch predicate) from the
+    materialized pairs, so green = (n_outside_exact, n_jaccard_mismatch,
+    n_without_new_member) all zero against ground truth d11 never
+    touched. Containment, not equality: LSH recall at the threshold is
+    probabilistic (the pytest equality pin vs d4-filtered covers the
+    found-set itself).
+
+    Scale: like the d4 audit, the exact rung runs on corpus SAMPLES at
+    100 TB; the audit adds one tiny write + counting joins."""
+    from a3_fp_bigdata_spark.operators.text_analysis import (
+        sample_predicate,
+    )
+
+    n_src = table(spark, sf_dir, "documents").agg(
+        F.count("*").cast("long").alias("n_src")
+    )
+    d11_incremental_lsh(spark, sf_dir).crossJoin(
+        F.broadcast(n_src)
+    ).coalesce(1).write.mode("overwrite").parquet(_D11_AUDIT_SCRATCH)
+    back = pin(spark.read.parquet(_D11_AUDIT_SCRATCH).drop("n_src"))
+    exact = pin(
+        d3_ngram_jaccard(spark, sf_dir).withColumnRenamed(
+            "jaccard", "jaccard_exact"
+        )
+    )
+    outside = back.join(exact, ["doc_a", "doc_b"], "left_anti")
+    mismatch = back.join(exact, ["doc_a", "doc_b"]).filter(
+        F.abs(F.col("jaccard") - F.col("jaccard_exact")) > 1e-9
+    )
+    is_new_a = sample_predicate(F.col("doc_a"), INCR_BATCH_PCT)
+    is_new_b = sample_predicate(F.col("doc_b"), INCR_BATCH_PCT)
+    no_new = back.filter(~(is_new_a | is_new_b))
+    return (
+        back.agg(F.count("*").cast("long").alias("n_pairs"))
+        .crossJoin(
+            outside.agg(
+                F.count("*").cast("long").alias("n_outside_exact")
+            )
+        )
+        .crossJoin(
+            mismatch.agg(
+                F.count("*").cast("long").alias("n_jaccard_mismatch")
+            )
+        )
+        .crossJoin(
+            no_new.agg(
+                F.count("*").cast("long").alias("n_without_new_member")
+            )
+        )
+    )
+
+
 # --- d12: near-dup pairs -> dedup CLUSTERS (connected components) -------
 
 CC_MAX_ITERS = 25  # propagation rounds; components here have tiny diameter

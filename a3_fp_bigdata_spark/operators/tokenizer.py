@@ -25,8 +25,11 @@ Spark shape — the scalable fit:
   (count desc, pair asc — the deterministic tie-break); the merge
   applies scan-side as a native F.aggregate fold (greedy
   left-to-right, non-overlapping — no UDF, no Python). The histogram
-  is re-persisted and the previous iteration dropped, so lineage
-  stays shallow without checkpoints.
+  is re-persisted each iteration, the previous iteration dropped, and
+  every CHECKPOINT_EVERY iterations the lineage is truncated with an
+  eager localCheckpoint — persist alone caches data but leaves the
+  plan chain growing one fold per merge, which OOMs plan
+  analysis/rendering long before production merge counts.
 - Driver traffic is ONE ROW per iteration (the chosen pair) — the
   model being built — plus nothing else.
 
@@ -55,6 +58,17 @@ N_MERGES = 12
 
 #: Fit-sample percentage (tx6 predicate) — same rationale as tx7/tx13.
 BPE_SAMPLE_PCT = 25
+
+#: Truncate the fit's lineage every K merge iterations. persist()
+#: caches DATA but the logical plan still chains one fold projection
+#: per iteration, and plan analysis/rendering over that chain grows
+#: fast enough to OOM a default-heap driver near ~16 iterations
+#: (measured: the scale-stress n_merges=16 rung died in AQE's
+#: explainString at 1g driver heap). localCheckpoint (eager) cuts the
+#: plan back to a leaf — the same treatment d12's iterative label
+#: propagation uses per round, and the thing any production-N
+#: (30k-100k merge) fit needs structurally, not as tuning.
+CHECKPOINT_EVERY = 6
 
 #: End-of-word marker symbol ("low" vs "lower" must not share their
 #: trailing 'w' across a word boundary). '<' cannot appear in
@@ -160,7 +174,14 @@ def fit_bpe(
             merges.append((step, a, b, a + b, pc))
             new_hist = hist.select(
                 "cnt", _merge_pair(F.col("syms"), a, b).alias("syms")
-            ).persist()
+            )
+            if (step + 1) % CHECKPOINT_EVERY == 0:
+                # eager: materializes now AND truncates the logical
+                # plan to a leaf, so the chained-fold lineage can never
+                # outgrow the driver however large n_merges is
+                new_hist = new_hist.localCheckpoint()
+            else:
+                new_hist = new_hist.persist()
             prev, hist = hist, new_hist
     finally:
         hist.unpersist()
