@@ -804,6 +804,13 @@ def d9_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the tokenize+explode+agg subtree runs twice (dedup.py's measured
     # multi-reference rule; released by sweeps via release_pinned)
     sh = pin(sh)
+    return _pairs_from_simhash(sh)
+
+
+def _pairs_from_simhash(sh: DataFrame) -> DataFrame:
+    """d9's banded pair derivation from a (doc_id, simhash) frame —
+    shared with the pigeonhole audit so the audited pairs provably
+    derive from the audited (materialized) fingerprints."""
     bands = _uncapped_bands(sh)
     a = bands.select(
         F.col("doc_id").alias("doc_a"),
@@ -826,6 +833,76 @@ def d9_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .distinct()  # a pair may collide in several bands
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+
+
+#: Blocked all-pairs hamming: block count for the audit's quadratic
+#: rung. At 100 TB the audit runs on corpus samples; within a sample,
+#: size blocks so one block pair's (n x m) xor matrix fits a task.
+HAMMING_BLOCKS = 8
+
+
+def _blocked_hamming_pairs(fps: DataFrame, max_hamming: int) -> DataFrame:
+    """(doc_a, doc_b, hamming) for every unordered fingerprint pair
+    within ``max_hamming`` — the exact quadratic, executed as one
+    numpy popcount matrix per block pair (Arrow mapInPandas), never a
+    nested-loop join. Each unordered pair lands in exactly one block
+    pair (blk_a <= blk_b; upper triangle within a block), so no
+    distinct() pass is needed."""
+    import numpy as np
+    import pandas as pd
+
+    blocks = fps.groupBy(
+        F.pmod(F.col("doc_id"), F.lit(HAMMING_BLOCKS)).alias("blk")
+    ).agg(F.collect_list(F.struct("doc_id", "simhash")).alias("fp"))
+    bpairs = (
+        blocks.select(F.col("blk").alias("blk_a"), F.col("fp").alias("fa"))
+        .join(
+            blocks.select(
+                F.col("blk").alias("blk_b"), F.col("fp").alias("fb")
+            ),
+            F.col("blk_a") <= F.col("blk_b"),
+        )
+        .repartition(HAMMING_BLOCKS * (HAMMING_BLOCKS + 1) // 2)
+    )
+    lut = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
+
+    def ham(it):
+        for pdf in it:
+            oa: list[int] = []
+            ob: list[int] = []
+            oh: list[int] = []
+            for fa, fb, same in zip(
+                pdf["fa"], pdf["fb"], pdf["blk_a"] == pdf["blk_b"]
+            ):
+                ia = np.array([r["doc_id"] for r in fa], dtype=np.int64)
+                ib = np.array([r["doc_id"] for r in fb], dtype=np.int64)
+                sa = np.array([r["simhash"] for r in fa], dtype=np.int64)
+                sb = np.array([r["simhash"] for r in fb], dtype=np.int64)
+                x = np.ascontiguousarray(np.bitwise_xor.outer(sa, sb))
+                # byte-LUT popcount: view the (n, m) int64 xor matrix
+                # as (n, m, 8) bytes and sum per-byte bit counts
+                h = (
+                    lut[x.view(np.uint8).reshape(x.shape + (8,))]
+                    .sum(axis=-1)
+                    .astype(np.int64)
+                )
+                mask = h <= max_hamming
+                if same:
+                    mask &= np.triu(np.ones_like(mask, dtype=bool), k=1)
+                ii, jj = np.nonzero(mask)
+                pa, pb = ia[ii], ib[jj]
+                lo = np.minimum(pa, pb)
+                hi = np.maximum(pa, pb)
+                oa.extend(lo.tolist())
+                ob.extend(hi.tolist())
+                oh.extend(h[ii, jj].tolist())
+            yield pd.DataFrame(
+                {"doc_a": oa, "doc_b": ob, "hamming": oh}
+            )
+
+    return bpairs.mapInPandas(
+        ham, schema="doc_a long, doc_b long, hamming int"
     )
 
 
@@ -906,36 +983,33 @@ def d9_pigeonhole_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_src = table(spark, sf_dir, "documents").agg(
         F.count("*").cast("long").alias("n_src")
     )
-    sh = pin(
-        simhash_frame(spark, sf_dir, SIMHASH_PAIR_BITS).select(
-            "doc_id", "simhash"
-        )
+    sh = simhash_frame(spark, sf_dir, SIMHASH_PAIR_BITS).select(
+        "doc_id", "simhash"
     )
     sh.crossJoin(F.broadcast(n_src)).coalesce(1).write.mode(
         "overwrite"
     ).parquet(_D9_AUDIT_FP_SCRATCH)
-    d9_simhash_pairs(spark, sf_dir).crossJoin(
+    # the pairs under audit derive from the MATERIALIZED fingerprints
+    # (same shared derivation d9 runs; simhash_frame is deterministic,
+    # so these are exactly d9's pairs — without paying the 48-column
+    # token-vote aggregation a second time)
+    fps = pin(spark.read.parquet(_D9_AUDIT_FP_SCRATCH).drop("n_src"))
+    _pairs_from_simhash(fps).crossJoin(
         F.broadcast(n_src)
     ).coalesce(1).write.mode("overwrite").parquet(
         _D9_AUDIT_PAIRS_SCRATCH
     )
-
-    fps = spark.read.parquet(_D9_AUDIT_FP_SCRATCH).drop("n_src")
     prs = spark.read.parquet(_D9_AUDIT_PAIRS_SCRATCH).drop("n_src")
 
-    # Spark's own re-derivation: quadratic hamming pairs, restricted to
-    # those sharing >= 1 uncapped band (semi-join against the banded
-    # candidate set — audit-scale only, the BNLJ is deliberate)
-    a = fps.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
-    b = fps.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
-    quad = (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))),
-        )
-        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
-    )
+    # Spark's own re-derivation: ALL-PAIRS hamming, restricted to
+    # pairs sharing >= 1 uncapped band (semi-join against the banded
+    # candidate set). The all-pairs pass is BLOCKED numpy popcount
+    # (d6's blocked-GEMM shape, one block pair per task) — a
+    # BroadcastNestedLoopJoin over the same pairs measured 145 s at
+    # sf0.1 vs ~2 s blocked, and numpy's LUT popcount is a THIRD
+    # independent hamming derivation alongside d9's JVM bit_count and
+    # the oracle's DuckDB bit_count.
+    quad = _blocked_hamming_pairs(fps, SIMHASH_MAX_HAMMING)
     bands = _uncapped_bands(fps)
     cand = (
         bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_val")
