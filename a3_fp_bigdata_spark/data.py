@@ -124,3 +124,41 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     oracle's pre-registered DuckDB view names."""
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+#: Modulus for the content half of the audit-scratch fingerprint: keeps
+#: sum(key % M) far from BIGINT overflow (~9e12 rows before wrap) while
+#: computing identically in Spark and DuckDB (both use C-style % on
+#: non-negative BIGINT keys).
+FINGERPRINT_MOD = 1_000_003
+
+
+def src_fingerprint(df: DataFrame, key_col: str) -> DataFrame:
+    """1-row source fingerprint the audit-scratch protocol stamps on
+    every scratch row: ``n_src`` = count(*) plus ``src_ck`` =
+    sum(key % FINGERPRINT_MOD) over a bigint key column. The count
+    alone separates the shipped sf tiers (10x apart), but a
+    regenerated corpus at the SAME cardinality would slip past it —
+    the content checksum closes that hole cheaply, and both halves
+    compute identically in Spark and DuckDB (see
+    ``fingerprint_where``). Not cryptographic: a fingerprint, scoped
+    to catching stale/foreign scratch, not adversarial collisions."""
+    return df.agg(
+        F.count("*").cast("long").alias("n_src"),
+        F.sum(F.col(key_col) % FINGERPRINT_MOD)
+        .cast("long")
+        .alias("src_ck"),
+    )
+
+
+def fingerprint_where(table_name: str, key_col: str) -> str:
+    """The DuckDB WHERE fragment matching ``src_fingerprint``: filters
+    scratch rows to those whose stamped (n_src, src_ck) equal the
+    fingerprint of the oracle's LIVE view of ``table_name`` — stale
+    scratch (different sf, regenerated same-cardinality corpus) yields
+    an empty oracle side and a red mismatch, never a false PASS."""
+    return (
+        f"n_src = (SELECT count(*) FROM {table_name}) "
+        f"AND src_ck = (SELECT CAST(sum({key_col} % {FINGERPRINT_MOD})"
+        f" AS BIGINT) FROM {table_name})"
+    )

@@ -15,7 +15,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from a3_fp_bigdata_spark.data import table
+from a3_fp_bigdata_spark.data import (
+    fingerprint_where,
+    src_fingerprint,
+    table,
+)
 from a3_fp_bigdata_spark.functions.rounding import half_up, half_up_sql
 from a3_fp_bigdata_spark.registry import query
 
@@ -260,9 +264,10 @@ def a11_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: a19's scratch: the audit oracle must read Spark's sketch estimates
 #: from a path the static SQL can name (uid-scoped, same protocol as
 #: dedup's d4 containment audit, including the stale-scratch guard:
-#: rows carry ``n_src`` = count(events) at write time and the oracle
-#: filters on it against its live events view, so scratch from a
-#: different sf red-flags as a row/hash mismatch, never a false PASS).
+#: rows carry the (``n_src``, ``src_ck``) fingerprint of events at
+#: write time and the oracle filters on both against its live events
+#: view, so scratch from a different sf — or a regenerated corpus at
+#: the same cardinality — red-flags as a row/hash mismatch).
 import os as _os
 
 _A19_SCRATCH = f"/tmp/a3_fp_a19_approx_audit_uid{_os.getuid()}"
@@ -277,7 +282,7 @@ _A19_SCRATCH = f"/tmp/a3_fp_a19_approx_audit_uid{_os.getuid()}"
     ), approx AS (
       SELECT event_type, approx_users
       FROM read_parquet('{_A19_SCRATCH}/*.parquet')
-      WHERE n_src = (SELECT count(*) FROM events)
+      WHERE {fingerprint_where('events', 'event_id')}
     )
     SELECT e.event_type,
            CAST(e.exact_users AS BIGINT) AS exact_users,
@@ -306,13 +311,12 @@ def a19_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    n_src = (
-        table(spark, sf_dir, "events")
-        .agg(F.count("*").cast("long").alias("n_src"))
+    fp = src_fingerprint(
+        table(spark, sf_dir, "events"), "event_id"
     )
-    approx = approx.crossJoin(F.broadcast(n_src))
+    approx = approx.crossJoin(F.broadcast(fp))
     approx.coalesce(1).write.mode("overwrite").parquet(_A19_SCRATCH)
-    back = spark.read.parquet(_A19_SCRATCH).drop("n_src")
+    back = spark.read.parquet(_A19_SCRATCH).drop("n_src", "src_ck")
     exact = (
         table(spark, sf_dir, "events")
         .groupBy("event_type")

@@ -23,7 +23,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from a3_fp_bigdata_spark.data import table
+from a3_fp_bigdata_spark.data import (
+    fingerprint_where,
+    src_fingerprint,
+    table,
+)
 from a3_fp_bigdata_spark.functions import text as TX
 from a3_fp_bigdata_spark.functions.rounding import half_up, half_up_sql
 from a3_fp_bigdata_spark.operators.text_analysis import _SQL_NORM, _SQL_TOKS
@@ -465,12 +469,13 @@ def _verify_candidate_pairs(
 #: DuckDB can name — which rules out sf-scoping (the oracle cannot
 #: know sf_dir). UID-scoped so two users on a shared box never
 #: collide on permissions; overwritten per invocation. Stale-scratch
-#: guard: every scratch row carries ``n_src`` = count(documents) at
-#: write time, and the oracle FILTERS on n_src matching ITS live
-#: documents view — scratch left over from a run at a different scale
-#: factor therefore yields an empty/zero oracle side and a red
-#: hash-mismatch, never a false PASS (the sf row counts differ 10×
-#: between testdata tiers, so the fingerprint cannot collide).
+#: guard: every scratch row carries the (``n_src``, ``src_ck``)
+#: source fingerprint (count + key checksum, data.src_fingerprint)
+#: stamped at write time, and the oracle FILTERS on BOTH matching ITS
+#: live documents view — scratch from a different sf (10× counts) or
+#: a regenerated same-cardinality corpus (checksum differs) yields an
+#: empty/zero oracle side and a red mismatch. Scope: catches stale or
+#: foreign scratch; it is a fingerprint, not a cryptographic hash.
 _D4_AUDIT_SCRATCH = (
     f"/tmp/a3_fp_d4_containment_pairs_uid{os.getuid()}"
 )
@@ -484,7 +489,7 @@ _D4_AUDIT_SCRATCH = (
     ), lsh AS (
       SELECT doc_a, doc_b
       FROM read_parquet('{_D4_AUDIT_SCRATCH}/*.parquet')
-      WHERE n_src = (SELECT count(*) FROM documents)
+      WHERE {fingerprint_where('documents', 'doc_id')}
     )
     SELECT CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_lsh_pairs,
            CAST((SELECT count(*)
@@ -510,17 +515,16 @@ def d4_containment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     protocol), not the full table; the audit query itself adds one
     tiny write + two counting joins on top of the shared staged
     shingle/bucket tables."""
-    n_src = (
-        table(spark, sf_dir, "documents")
-        .agg(F.count("*").cast("long").alias("n_src"))
+    fp = src_fingerprint(
+        table(spark, sf_dir, "documents"), "doc_id"
     )
     pairs = (
         d4_minhash_lsh(spark, sf_dir)
         .select("doc_a", "doc_b")
-        .crossJoin(F.broadcast(n_src))
+        .crossJoin(F.broadcast(fp))
     )
     pairs.coalesce(1).write.mode("overwrite").parquet(_D4_AUDIT_SCRATCH)
-    back = spark.read.parquet(_D4_AUDIT_SCRATCH).drop("n_src")
+    back = spark.read.parquet(_D4_AUDIT_SCRATCH).drop("n_src", "src_ck")
     exact = d3_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     outside = back.join(exact, ["doc_a", "doc_b"], "left_anti")
     return back.agg(
@@ -889,7 +893,15 @@ def _blocked_hamming_pairs(fps: DataFrame, max_hamming: int) -> DataFrame:
                 )
                 mask = h <= max_hamming
                 if same:
-                    mask &= np.triu(np.ones_like(mask, dtype=bool), k=1)
+                    # value-based half-triangle: collect_list order is
+                    # non-deterministic after a shuffle, so the two
+                    # sides of a same-block pair may hold the docs in
+                    # different orders — a positional triu(k=1) would
+                    # then drop/duplicate pairs or emit self-pairs.
+                    # ia < ib keeps exactly one orientation per
+                    # unordered pair and no self-pairs, independent of
+                    # list order.
+                    mask &= ia[:, None] < ib[None, :]
                 ii, jj = np.nonzero(mask)
                 pa, pb = ia[ii], ib[jj]
                 lo = np.minimum(pa, pb)
@@ -907,10 +919,10 @@ def _blocked_hamming_pairs(fps: DataFrame, max_hamming: int) -> DataFrame:
 
 
 #: d9 audit scratch — same static-oracle protocol as the d4/a19/sim11
-#: audits (uid-scoped paths the SQL string can name; every row carries
-#: the ``n_src`` = count(documents) fingerprint the oracle filters on,
-#: so stale scratch from a different sf red-flags instead of
-#: validating).
+#: audits (uid-scoped paths the SQL string can name; every row
+#: carries the (``n_src``, ``src_ck``) fingerprint of documents the
+#: oracle filters on, so stale scratch — different sf or regenerated
+#: same-cardinality corpus — red-flags instead of validating).
 _D9_AUDIT_FP_SCRATCH = f"/tmp/a3_fp_d9_audit_fps_uid{os.getuid()}"
 _D9_AUDIT_PAIRS_SCRATCH = f"/tmp/a3_fp_d9_audit_pairs_uid{os.getuid()}"
 
@@ -921,11 +933,11 @@ _D9_AUDIT_PAIRS_SCRATCH = f"/tmp/a3_fp_d9_audit_pairs_uid{os.getuid()}"
     WITH fps AS (
       SELECT doc_id, simhash
       FROM read_parquet('{_D9_AUDIT_FP_SCRATCH}/*.parquet')
-      WHERE n_src = (SELECT count(*) FROM documents)
+      WHERE {fingerprint_where('documents', 'doc_id')}
     ), prs AS (
       SELECT doc_a, doc_b, hamming
       FROM read_parquet('{_D9_AUDIT_PAIRS_SCRATCH}/*.parquet')
-      WHERE n_src = (SELECT count(*) FROM documents)
+      WHERE {fingerprint_where('documents', 'doc_id')}
     ), bands AS (
       SELECT doc_id, b.i AS band_idx,
              (simhash >> (b.i * 8)) & 255 AS band_val
@@ -980,26 +992,32 @@ def d9_pigeonhole_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the quadratic re-derivation is the AUDIT rung, run on
     corpus samples (like d4's containment audit over d3) — d9 itself
     stays work-proportional-to-collisions."""
-    n_src = table(spark, sf_dir, "documents").agg(
-        F.count("*").cast("long").alias("n_src")
+    fp = src_fingerprint(
+        table(spark, sf_dir, "documents"), "doc_id"
     )
     sh = simhash_frame(spark, sf_dir, SIMHASH_PAIR_BITS).select(
         "doc_id", "simhash"
     )
-    sh.crossJoin(F.broadcast(n_src)).coalesce(1).write.mode(
+    sh.crossJoin(F.broadcast(fp)).coalesce(1).write.mode(
         "overwrite"
     ).parquet(_D9_AUDIT_FP_SCRATCH)
     # the pairs under audit derive from the MATERIALIZED fingerprints
     # (same shared derivation d9 runs; simhash_frame is deterministic,
     # so these are exactly d9's pairs — without paying the 48-column
     # token-vote aggregation a second time)
-    fps = pin(spark.read.parquet(_D9_AUDIT_FP_SCRATCH).drop("n_src"))
+    fps = pin(
+        spark.read.parquet(_D9_AUDIT_FP_SCRATCH).drop(
+            "n_src", "src_ck"
+        )
+    )
     _pairs_from_simhash(fps).crossJoin(
-        F.broadcast(n_src)
+        F.broadcast(fp)
     ).coalesce(1).write.mode("overwrite").parquet(
         _D9_AUDIT_PAIRS_SCRATCH
     )
-    prs = spark.read.parquet(_D9_AUDIT_PAIRS_SCRATCH).drop("n_src")
+    prs = spark.read.parquet(_D9_AUDIT_PAIRS_SCRATCH).drop(
+        "n_src", "src_ck"
+    )
 
     # Spark's own re-derivation: ALL-PAIRS hamming, restricted to
     # pairs sharing >= 1 uncapped band (semi-join against the banded
@@ -1224,7 +1242,7 @@ def d11_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: d11 audit scratch — the d4/a19/sim11/d9 protocol (uid-scoped path,
-#: ``n_src`` stale-sf guard).
+#: (``n_src``, ``src_ck``) stale-scratch fingerprint guard).
 _D11_AUDIT_SCRATCH = f"/tmp/a3_fp_d11_incr_pairs_uid{os.getuid()}"
 
 
@@ -1241,7 +1259,7 @@ def _d11_audit_oracle() -> str:
     ), lsh AS (
       SELECT doc_a, doc_b, jaccard
       FROM read_parquet('{_D11_AUDIT_SCRATCH}/*.parquet')
-      WHERE n_src = (SELECT count(*) FROM documents)
+      WHERE {fingerprint_where('documents', 'doc_id')}
     )
     SELECT
       CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_pairs,
@@ -1278,13 +1296,15 @@ def d11_containment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_predicate,
     )
 
-    n_src = table(spark, sf_dir, "documents").agg(
-        F.count("*").cast("long").alias("n_src")
+    fp = src_fingerprint(
+        table(spark, sf_dir, "documents"), "doc_id"
     )
     d11_incremental_lsh(spark, sf_dir).crossJoin(
-        F.broadcast(n_src)
+        F.broadcast(fp)
     ).coalesce(1).write.mode("overwrite").parquet(_D11_AUDIT_SCRATCH)
-    back = pin(spark.read.parquet(_D11_AUDIT_SCRATCH).drop("n_src"))
+    back = pin(
+        spark.read.parquet(_D11_AUDIT_SCRATCH).drop("n_src", "src_ck")
+    )
     exact = pin(
         d3_ngram_jaccard(spark, sf_dir).withColumnRenamed(
             "jaccard", "jaccard_exact"

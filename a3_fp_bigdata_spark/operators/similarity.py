@@ -25,7 +25,11 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from a3_fp_bigdata_spark.data import table
+from a3_fp_bigdata_spark.data import (
+    fingerprint_where,
+    src_fingerprint,
+    table,
+)
 from a3_fp_bigdata_spark.functions.rounding import half_up, half_up_sql
 from a3_fp_bigdata_spark.registry import query
 
@@ -937,9 +941,10 @@ _attach_sim10_oracle()
 
 #: sim11's scratch — same static-oracle protocol as the d4/a19 audits
 #: (uid-scoped fixed path the SQL string can name), including the
-#: stale-scratch guard: rows carry ``n_src`` = count(embeddings) at
-#: write time and the oracle filters on it against its live view, so
-#: scratch from a different sf red-flags instead of validating.
+#: stale-scratch guard: rows carry the (``n_src``, ``src_ck``)
+#: fingerprint of embeddings at write time and the oracle filters on
+#: both against its live view, so scratch from a different sf — or a
+#: regenerated same-cardinality corpus — red-flags, never validates.
 _SIM11_SCRATCH = f"/tmp/a3_fp_sim11_ivf_hits_uid{os.getuid()}"
 
 
@@ -959,7 +964,7 @@ _SIM11_SCRATCH = f"/tmp/a3_fp_sim11_ivf_hits_uid{os.getuid()}"
       LIMIT {ANN_TOPK}
     ), ivf AS (
       SELECT vec_id FROM read_parquet('{_SIM11_SCRATCH}/*.parquet')
-      WHERE n_src = (SELECT count(*) FROM embeddings)
+      WHERE {fingerprint_where('embeddings', 'vec_id')}
     )
     SELECT CAST({ANN_TOPK} AS BIGINT) AS k,
            CAST((SELECT count(*) FROM exact SEMI JOIN ivf USING (vec_id))
@@ -976,17 +981,16 @@ def sim11_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF probe never touched (the sim8 pattern for sim2, extended to
     the seed-specific path via the d4-audit scratch protocol).
     tests/test_similarity.py separately pins recall >= 0.8."""
-    n_src = (
-        table(spark, sf_dir, "embeddings")
-        .agg(F.count("*").cast("long").alias("n_src"))
+    fp = src_fingerprint(
+        table(spark, sf_dir, "embeddings"), "vec_id"
     )
     hits = (
         sim3_ivf_ann(spark, sf_dir)
         .select("vec_id")
-        .crossJoin(F.broadcast(n_src))
+        .crossJoin(F.broadcast(fp))
     )
     hits.coalesce(1).write.mode("overwrite").parquet(_SIM11_SCRATCH)
-    back = spark.read.parquet(_SIM11_SCRATCH).drop("n_src")
+    back = spark.read.parquet(_SIM11_SCRATCH).drop("n_src", "src_ck")
     exact = sim1_cosine_topk(spark, sf_dir).limit(ANN_TOPK).select("vec_id")
     n_hit = exact.join(back, "vec_id", "left_semi").agg(
         F.count("*").cast("long").alias("n_hit")

@@ -178,7 +178,18 @@ def fit_bpe(
             if (step + 1) % CHECKPOINT_EVERY == 0:
                 # eager: materializes now AND truncates the logical
                 # plan to a leaf, so the chained-fold lineage can never
-                # outgrow the driver however large n_merges is
+                # outgrow the driver however large n_merges is.
+                # Two caveats at production merge counts (30k-100k):
+                # (a) unpersist() below is a no-op on a checkpointed
+                # frame (its blocks bypass the cache manager), so each
+                # superseded histogram copy lingers until the
+                # ContextCleaner GCs the dereferenced RDD — prefer
+                # keeping the prior checkpointed frame's .rdd handle
+                # and calling rdd.unpersist() explicitly, and (b)
+                # localCheckpoint blocks are NOT recoverable on
+                # executor loss — a long fit on a real cluster should
+                # use reliable checkpoint() to HDFS/object storage
+                # instead.
                 new_hist = new_hist.localCheckpoint()
             else:
                 new_hist = new_hist.persist()

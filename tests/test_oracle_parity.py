@@ -121,3 +121,30 @@ def test_audit_scratch_stale_sf_red_flags(spark):
     fresh_rows = con.execute(ORACLES["a19_approx_distinct_audit"]).fetchall()
     con.close()
     assert len(fresh_rows) > 0
+
+    # round-8 strengthening: a corpus regenerated at the SAME
+    # cardinality slips past a count-only guard; the src_ck content
+    # checksum must catch it. Simulate by doctoring the scratch rows:
+    # keep n_src (count matches the live view) but perturb src_ck —
+    # the oracle must come back empty again.
+    import glob
+
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    from a3_fp_bigdata_spark.operators.aggregates import _A19_SCRATCH
+
+    files = glob.glob(f"{_A19_SCRATCH}/*.parquet")
+    assert files, "a19 scratch missing after the fresh run"
+    for fpath in files:
+        t = pq.read_table(fpath)
+        ck = pc.add(t["src_ck"], 1)
+        t = t.set_column(t.schema.get_field_index("src_ck"), "src_ck", ck)
+        pq.write_table(t, fpath)
+    con = duck_con(SF0001)
+    doctored = con.execute(ORACLES["a19_approx_distinct_audit"]).fetchall()
+    con.close()
+    assert doctored == [], (
+        "same-cardinality scratch with a foreign content checksum "
+        "validated instead of red-flagging"
+    )
