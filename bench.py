@@ -108,16 +108,18 @@ def main() -> None:
         warm_sim4_index(spark, sf_dir)
     except Exception as e:  # noqa: BLE001
         errors["warm:sim4_index"] = f"{type(e).__name__}: {str(e)[:300]}"
-    try_force(
-        lambda: queries["sim4_bucketed_ann"](spark, sf_dir), "warm:sim4"
-    )
+    # warm-up lookups go through exposure_name(): the CANONICAL window
+    # rotates between rounds, so a hard-coded two-tier spelling goes
+    # stale (round 7: "z_sim10_incremental_index" had rotated to the
+    # canonical tier, the warm-up KeyError'd silently into `errors`,
+    # and sim10's timed row ran cold)
+    _sim4 = registry.exposure_name("sim4_bucketed_ann")
+    try_force(lambda: queries[_sim4](spark, sf_dir), "warm:sim4")
     # sim10 is the same build-once/probe-many shape (base index +
     # appended batch memoized per sf): warm the build so its timed row
     # is the steady-state partition-pruned probe, like sim4's
-    try_force(
-        lambda: queries["z_sim10_incremental_index"](spark, sf_dir),
-        "warm:sim10",
-    )
+    _sim10 = registry.exposure_name("sim10_incremental_index")
+    try_force(lambda: queries[_sim10](spark, sf_dir), "warm:sim10")
     # warm the Python worker pool + Arrow runner path: the FIRST Arrow
     # stage of a session forks every worker (pandas/pyarrow imports ×
     # ncpus) and JITs the JVM-side ArrowPythonRunner — an ~8-10 s
@@ -234,6 +236,20 @@ def main() -> None:
             {k: line_dict[k] for k in ("metric", "value", "unit", "sf")}
         )
     print(line)
+    if errors:
+        # LOUD, on stderr, so a swallowed per-query fault (stale warm
+        # name, crashed query) can never again skew a timed row without
+        # anyone noticing. Exit code stays 0 on purpose: a non-zero rc
+        # would cost the round its whole bench artifact (the round-3
+        # failure mode) — the banner plus the `errors` key on the
+        # printed line are the alarm.
+        print(
+            "BENCH ERRORS ({}): {}".format(
+                len(errors),
+                "; ".join(f"{k} -> {v}" for k, v in sorted(errors.items())),
+            ),
+            file=sys.stderr,
+        )
     spark.stop()
 
 
