@@ -17,7 +17,8 @@ tokenizer induction + frozen-model accounting, order-invariant corpus
 checksums, bloom-prefilter joins, incremental ANN index maintenance,
 and the scratch-oracle audit tier (d4 containment, d9 pigeonhole, a19
 HLL error, sim11 IVF recall) — backed by
-``a3_fp_bigdata_spark.registry`` (166 queries, 151 with oracles —
+``a3_fp_bigdata_spark.registry`` ({N_QUERIES} queries, {N_ORACLES}
+with oracles —
 including pl1, the whole curation chain composed end-to-end: quality
 floor -> near-dup keeper policy -> greedy packing -> manifest). Each
 query is a pure (spark, sf_dir) -> DataFrame function; oracles are
@@ -33,6 +34,15 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from a3_fp_bigdata_spark import registry
+
+# The query/oracle tallies in the module docstring are RENDERED from
+# the registry, never hand-written: two consecutive rounds shipped
+# off-by-N counts when audits landed after the docs-refresh commit
+# (VERDICT r6/r7). tests/test_registry.py pins the rendered form.
+if __doc__:
+    __doc__ = __doc__.replace(
+        "{N_QUERIES}", str(len(registry.exposed_queries()))
+    ).replace("{N_ORACLES}", str(len(registry.exposed_oracles())))
 
 SF0001 = "/root/testdata/sf0.001"
 

@@ -90,3 +90,29 @@ def test_headline_queries_resolve():
     exposed = set(registry.exposed_queries())
     missing = set(bench.HEADLINE) - exposed
     assert not missing, f"HEADLINE names not exposed: {missing}"
+
+
+def test_doc_counts_rendered_from_registry():
+    """The query/oracle tallies in __spark_entry__'s docstring and the
+    README/SURVEY prose must equal the live registry — two consecutive
+    rounds shipped off-by-N hand-written counts (VERDICT r6 #3, r7 #3),
+    so the docstring is now token-rendered at import and this test pins
+    every remaining prose tally to the registry."""
+    import os
+
+    import __spark_entry__ as e
+
+    n_q = len(registry.exposed_queries())
+    n_o = len(registry.exposed_oracles())
+    doc = e.__doc__ or ""
+    assert "{N_QUERIES}" not in doc and "{N_ORACLES}" not in doc
+    assert f"({n_q} queries, {n_o}" in doc.replace("\n", " ")
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for fname in ("README.md", "SURVEY.md"):
+        text = open(os.path.join(root, fname)).read()
+        joined = " ".join(text.split())
+        for m in re.finditer(r"(\d+) registered queries", joined):
+            assert int(m.group(1)) == n_q, (fname, m.group(0))
+        for m in re.finditer(r"(\d+) oracle-backed as of round", joined):
+            assert int(m.group(1)) == n_o, (fname, m.group(0))
