@@ -145,30 +145,37 @@ CANONICAL = frozenset(
     {
         # aggregates (a1 group-count subsumed by a8; a13 q6 and a14's
         # Q3 shape by a8+j5+t1; a5 stddev by a8's agg surface — all
-        # parity-checked as z_ twins)
-        "a8_tpch_q1", "a9_rollup",
-        # data-quality expectation suite (publish gate) + profile drift
-        # (dq2 rotated IN r7)
-        "dq1_expectations", "dq2_profile_drift",
+        # parity-checked as z_ twins; a19 HLL error-bound audit
+        # rotated IN r8 so the driver attests the sketch tier directly)
+        "a8_tpch_q1", "a9_rollup", "a19_approx_distinct_audit",
+        # data-quality expectation suite (publish gate); dq2 profile
+        # drift rotated out r8 after its green r7 driver row, parity-
+        # checked as z_dq2
+        "dq1_expectations",
         # dedup ladder (+ d8: Arrow-numpy winnowing, a distinct plan
         # shape; d12 connected-components clusters; d14 quality keeper
         # rotated out r7 after its green r6 driver row — its
         # quality-rank shape is carried by tx2 + w1 and parity-checked
         # as z_d14; d2's window-dedup shape is w1's, parity-checked as
-        # z_d2)
-        "d1_exact_dedup", "d3_ngram_jaccard",
-        "d4_minhash_lsh", "d8_winnow_fingerprint",
-        "d12_dedup_clusters",
+        # z_d2; r8 rotates the d9 pigeonhole and d11 containment
+        # audits IN — the driver artifact now attests the approximate
+        # tier's oracle audits directly — and d3 OUT after its green
+        # r7 row: its exact-Jaccard ground truth stays parity-checked
+        # as z_d3 AND re-derived inside the d11 audit's oracle)
+        "d1_exact_dedup", "d4_minhash_lsh",
+        "d8_winnow_fingerprint", "d9_pigeonhole_audit",
+        "d11_containment_audit", "d12_dedup_clusters",
         # scalar/text functions (f2 token-overlap is f1's plan twin)
         "f1_extract_keywords",
         # grouped-map / cogroup Arrow surface
         "g1_zscore_grouped_map", "g2_cogroup_conversion",
-        # joins (broadcast, multiway, salted-skew, as-of, bloom-prefilter;
-        # j9 range join rotated out r7 after its green r6 driver row —
-        # its range-condition shape is carried by j8, parity-checked as
-        # z_j9; j11 rotated IN)
+        # joins (broadcast, multiway, salted-skew, as-of; j9 range
+        # join rotated out r7 after its green r6 driver row — its
+        # range-condition shape is carried by j8, parity-checked as
+        # z_j9; j11 bloom-prefilter rotated out r8 after its green r7
+        # driver row, parity-checked as z_j11)
         "j1_left_outer_broadcast", "j5_multiway_join", "j7_salted_skew_join",
-        "j8_asof_join", "j11_bloom_prefilter_join",
+        "j8_asof_join",
         # ML + multimodal
         "ml1_cluster_sizes", "mm1_binary_metadata", "mm2_image_features",
         # filters/projections: no dedicated canonical row — t1's scan
@@ -183,13 +190,13 @@ CANONICAL = frozenset(
         "pk2_greedy_pack", "pk5_domain_mixture", "pk7_split_leakage",
         "pl1_training_manifest", "pl3_corpus_checksum",
         # similarity search (+ sim4: partition-pruned materialized
-        # index; sim9: int8 coarse scan -> exact rerank; sim10
-        # incremental index maintenance rotated IN r7; sim8's
-        # ANN-vs-exact recall harness rotated out after its green r6
-        # driver row, parity-checked as z_sim8; sim2's LSH shape is
-        # z_sim2)
+        # index; sim9: int8 coarse scan -> exact rerank; sim11 IVF
+        # recall audit rotated IN r8; sim10 incremental-index rotated
+        # out r8 after its green r7 driver row (z_sim10), sim8's
+        # ANN-vs-exact recall harness out r7 (z_sim8); sim2's LSH
+        # shape is z_sim2)
         "sim1_cosine_topk", "sim4_bucketed_ann",
-        "sim10_incremental_index", "sim9_quantized_rerank",
+        "sim9_quantized_rerank", "sim11_ivf_recall_audit",
         # set ops (so1 union-all is plan-trivial; so3 covers the family)
         "so3_except",
         # SQL surface + sources

@@ -43,7 +43,9 @@ HEADLINE = [
     "f1_extract_keywords",
     "tx2_quality_score",
     "d1_exact_dedup",
-    "d3_ngram_jaccard",
+    # d3 rotated out of the driver window in r8 (registry.CANONICAL);
+    # same query under the z_ tier — keeps the headline sum comparable.
+    "z_d3_ngram_jaccard",
     "d4_minhash_lsh",
     "sim1_cosine_topk",
     "z_sim2_lsh_ann",
@@ -67,6 +69,7 @@ def main() -> None:
     queries = registry.exposed_queries()
 
     headline = [n for n in HEADLINE if n in queries]
+    missing_headline = [n for n in HEADLINE if n not in queries]
     if os.environ.get("SPARK_GRAFT_BENCH_HEADLINE_ONLY"):
         to_time = list(headline)
     else:
@@ -86,6 +89,14 @@ def main() -> None:
     from a3_fp_bigdata_spark.data import TABLES, table
 
     errors: dict[str, str] = {}
+    for n in missing_headline:
+        # a HEADLINE spelling that fell out of the exposed names (e.g.
+        # an unrecorded CANONICAL rotation) must be LOUD, not silently
+        # shrink the round-over-round sum
+        errors[f"headline_missing:{n}"] = (
+            "HEADLINE name not in exposed queries — update bench.py "
+            "after the rotation"
+        )
 
     def try_force(df_fn, label: str) -> float | None:
         t0 = time.perf_counter()
@@ -181,7 +192,7 @@ def main() -> None:
     # A partial sum is NOT comparable round-over-round (a crashed
     # headline query would read as a speedup): null the headline value
     # and mark the line when any headline query is missing.
-    partial = len(headline_timed) < len(headline)
+    partial = bool(missing_headline) or len(headline_timed) < len(HEADLINE)
     total = (
         None
         if partial
@@ -224,7 +235,9 @@ def main() -> None:
         "calib": [calib_before, calib_after],
     }
     if partial:
-        line_dict["partial"] = sorted(set(headline) - set(headline_timed))
+        line_dict["partial"] = sorted(
+            set(HEADLINE) - set(headline_timed)
+        )
     if errors:
         # names only on the printed line (messages live in full_out) so
         # a long error can't overflow the driver's tail capture

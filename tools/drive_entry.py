@@ -97,8 +97,8 @@ except ValueError:
 except ImportError as e:
     print("top_records import skipped:", e)
 
-d3 = {(r.doc_a, r.doc_b) for r in qs["d3_ngram_jaccard"](spark, SF).collect()}
-d4 = {(r.doc_a, r.doc_b) for r in qs["d4_minhash_lsh"](spark, SF).collect()}
+d3 = {(r.doc_a, r.doc_b) for r in qs[exposure_name("d3_ngram_jaccard")](spark, SF).collect()}
+d4 = {(r.doc_a, r.doc_b) for r in qs[exposure_name("d4_minhash_lsh")](spark, SF).collect()}
 print(f"d4 pairs subset of d3: {d4 <= d3} ({len(d4)}/{len(d3)})")
 assert d4 <= d3
 
