@@ -429,30 +429,13 @@ NEARDUP_BLOCKS = 8
 NEARDUP_SLACK = 1e-6
 
 
-@query(
-    "d6_embedding_neardup",
-    oracle=f"""
-    WITH vecs AS (
-      SELECT vec_id, {_SQL_D.format(col='embedding')} AS e FROM embeddings
-    )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           {half_up_sql(_sql_cos('a.e', 'b.e'))} AS cosine
-    FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
-    WHERE {_sql_cos('a.e', 'b.e')} >= {NEARDUP_COSINE}
-    """,
-)
-def d6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs embedding cosine near-dup (threshold {NEARDUP_COSINE}),
-    as blocked GEMM: candidate pairs come from per-block-pair matrix
-    multiplies (Arrow mapInPandas + numpy BLAS — measured 6x over the
-    per-pair zip_with join at sf0.1), then the exact JVM cosine
-    re-scores candidates so emitted values are bit-identical to the
-    declarative form the SQL oracle mirrors. Same shape as d4: cheap
-    approximate candidates, exact verification of survivors only."""
+def _d6_gemm_candidates(emb: DataFrame) -> DataFrame:
+    """d6's approximate stage alone: blocked-GEMM candidate pairs at
+    the slacked threshold. Factored out so the d6_gemm_audit query can
+    materialize and attest EXACTLY the candidate set d6 consumes."""
     import numpy as np
     import pandas as pd
 
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     blocks = emb.groupBy(
         F.pmod(F.col("vec_id"), F.lit(NEARDUP_BLOCKS)).alias("blk")
     ).agg(
@@ -492,11 +475,17 @@ def d6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 A /= np.linalg.norm(A, axis=1, keepdims=True)
                 Bm /= np.linalg.norm(Bm, axis=1, keepdims=True)
                 C = A @ Bm.T
+                keepm = C >= cut
                 if same:
-                    # same-block: upper triangle only, so each pair is
-                    # emitted exactly once and no dedup pass is needed
-                    C = np.triu(C, k=1)
-                ii, jj = np.nonzero(C >= cut)
+                    # same-block: keep one orientation per unordered
+                    # pair by VALUE (ia < ib), not matrix position — the
+                    # two collect_list sides may order the same docs
+                    # differently after a shuffle, so a positional
+                    # triu(k=1) could drop a pair from both triangle
+                    # slots or emit it twice (the d9 audit had the same
+                    # latent bug; fixed together)
+                    keepm &= ia[:, None] < ib[None, :]
+                ii, jj = np.nonzero(keepm)
                 pa, pb = ia[ii], ib[jj]
                 lo = np.minimum(pa, pb)
                 hi = np.maximum(pa, pb)
@@ -506,8 +495,39 @@ def d6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"vec_a": out_a, "vec_b": out_b})
 
     # each unordered pair appears in exactly one block pair (blk_a <=
-    # blk_b; upper triangle within a block), so no distinct() shuffle
-    cand = bpairs.mapInPandas(gemm, schema="vec_a long, vec_b long")
+    # blk_b; value-keyed half-triangle within a block), so no
+    # distinct() shuffle
+    return bpairs.mapInPandas(gemm, schema="vec_a long, vec_b long")
+
+
+@query(
+    "d6_embedding_neardup",
+    oracle=f"""
+    WITH vecs AS (
+      SELECT vec_id, {_SQL_D.format(col='embedding')} AS e FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {half_up_sql(_sql_cos('a.e', 'b.e'))} AS cosine
+    FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+    WHERE {_sql_cos('a.e', 'b.e')} >= {NEARDUP_COSINE}
+    """,
+)
+def d6_embedding_neardup(
+    spark: SparkSession, sf_dir: str, cand: DataFrame | None = None
+) -> DataFrame:
+    """All-pairs embedding cosine near-dup (threshold {NEARDUP_COSINE}),
+    as blocked GEMM: candidate pairs come from per-block-pair matrix
+    multiplies (Arrow mapInPandas + numpy BLAS — measured 6x over the
+    per-pair zip_with join at sf0.1), then the exact JVM cosine
+    re-scores candidates so emitted values are bit-identical to the
+    declarative form the SQL oracle mirrors. Same shape as d4: cheap
+    approximate candidates, exact verification of survivors only.
+    ``cand`` lets the audit substitute ITS materialized copy of the
+    candidate set so the attested pairs are byte-identical to the
+    audited ones."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if cand is None:
+        cand = _d6_gemm_candidates(emb)
 
     # exact re-score of the (tiny) candidate set with the SAME JVM
     # expression the oracle mirrors — GEMM only prunes, never decides
@@ -535,6 +555,94 @@ def d6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_cos") >= NEARDUP_COSINE)
         .select("vec_a", "vec_b", half_up(F.col("_cos")).alias("cosine"))
     )
+
+
+#: d6 audit scratch — the d4/a19/sim11/d9/d11 protocol (uid-scoped
+#: path, (``n_src``, ``src_ck``) stale-scratch fingerprint guard).
+_D6_AUDIT_SCRATCH = f"/tmp/a3_fp_d6_gemm_cands_uid{os.getuid()}"
+
+
+@query(
+    "d6_gemm_audit",
+    oracle=f"""
+    WITH vecs AS (
+      SELECT vec_id, {_SQL_D.format(col='embedding')} AS e FROM embeddings
+    ), exact AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+      WHERE {_sql_cos('a.e', 'b.e')} >= {NEARDUP_COSINE}
+    ), cand AS (
+      SELECT vec_a, vec_b
+      FROM read_parquet('{_D6_AUDIT_SCRATCH}/*.parquet')
+      WHERE {fingerprint_where('embeddings', 'vec_id')}
+    )
+    SELECT
+      CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+      CAST((SELECT count(*) FROM cand
+            WHERE vec_a >= vec_b) AS BIGINT) AS n_bad_orient,
+      CAST((SELECT count(*) FROM cand) -
+           (SELECT count(*) FROM (SELECT DISTINCT vec_a, vec_b
+                                  FROM cand))
+           AS BIGINT) AS n_dup,
+      CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+      CAST((SELECT count(*) FROM exact
+            ANTI JOIN cand USING (vec_a, vec_b))
+           AS BIGINT) AS n_missed
+    """,
+)
+def d6_gemm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-BACKED attestation for d6's approximate stage (the
+    blocked-GEMM candidate pruner — the one piece of d6 the row-level
+    oracle exercises only indirectly): Spark materializes the exact
+    candidate set d6 consumes to fingerprinted scratch; the DuckDB
+    oracle re-derives the TRUE near-dup pair set with an independent
+    quadratic self-join (its own list_dot_product cosine — no GEMM, no
+    blocking topology) and checks, from the same materialized bytes:
+    n_missed = 0 (the {NEARDUP_SLACK} slack really does make pruning
+    lossless), n_dup = 0 and n_bad_orient = 0 (each unordered pair
+    emitted exactly once as vec_a < vec_b — the value-keyed
+    half-triangle contract that replaced the order-sensitive
+    positional mask). The Spark half reports the same five numbers
+    with ITS exact set derived by the JVM fold-expression rescorer
+    (d6's own final output, a different math path from numpy BLAS) —
+    if GEMM silently dropped a true pair, Spark would claim n_missed=0
+    while the oracle's independent count disagrees: a red hash
+    mismatch, which is the point.
+
+    Scale: the quadratic re-derivation is the AUDIT rung, run on
+    corpus samples like d4/d9's; d6 itself stays blocked (B(B+1)/2
+    tasks, each one BLAS matmul)."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    fp = src_fingerprint(emb, "vec_id")
+    _d6_gemm_candidates(emb).crossJoin(F.broadcast(fp)).coalesce(
+        1
+    ).write.mode("overwrite").parquet(_D6_AUDIT_SCRATCH)
+    cand = spark.read.parquet(_D6_AUDIT_SCRATCH).drop("n_src", "src_ck")
+
+    # exact set per the JVM rescorer = d6's final pairs over the SAME
+    # materialized candidates (lossless pruning makes this the full
+    # exact set; if that premise is wrong the ORACLE's independent
+    # quadratic derivation disagrees and the row goes red)
+    exact = d6_embedding_neardup(spark, sf_dir, cand=cand).select(
+        "vec_a", "vec_b"
+    )
+    n_cand = cand.agg(F.count("*").cast("long").alias("n_candidates"))
+    n_bad = cand.filter(F.col("vec_a") >= F.col("vec_b")).agg(
+        F.count("*").cast("long").alias("n_bad_orient")
+    )
+    n_dup = cand.agg(
+        (F.count("*") - F.count_distinct("vec_a", "vec_b"))
+        .cast("long")
+        .alias("n_dup")
+    )
+    n_exact = exact.agg(F.count("*").cast("long").alias("n_exact"))
+    n_missed = exact.join(cand, ["vec_a", "vec_b"], "left_anti").agg(
+        F.count("*").cast("long").alias("n_missed")
+    )
+    out = n_cand
+    for frame in (n_bad, n_dup, n_exact, n_missed):
+        out = out.crossJoin(F.broadcast(frame))
+    return out
 
 
 @query(

@@ -623,3 +623,18 @@ def test_sketch_and_ivf_audits_pass_their_bounds(spark):
     assert a19 and all(r.within_5pct for r in a19)
     r = qs["sim11_ivf_recall_audit"](spark, SF0001).collect()[0]
     assert r.n_hit >= 0.8 * r.k
+
+
+def test_d6_gemm_audit_lossless_and_canonical(spark):
+    """The d6 blocked-GEMM pruner's audit invariants, Spark half: no
+    exact pair missed (the slack makes pruning lossless), no duplicate
+    emissions, every pair oriented vec_a < vec_b regardless of
+    collect_list order (the value-keyed half-triangle contract)."""
+    from a3_fp_bigdata_spark import registry
+
+    qs = registry.all_queries()
+    r = qs["d6_gemm_audit"](spark, SF0001).collect()[0]
+    assert r.n_missed == 0
+    assert r.n_dup == 0
+    assert r.n_bad_orient == 0
+    assert r.n_candidates >= r.n_exact > 0
