@@ -148,3 +148,28 @@ def test_audit_scratch_stale_sf_red_flags(spark):
         "same-cardinality scratch with a foreign content checksum "
         "validated instead of red-flagging"
     )
+
+
+def test_src_fingerprint_cross_engine_identical(spark):
+    """The scratch-guard fingerprint must compute IDENTICALLY in Spark
+    and DuckDB for every audited (table, key) — the property the whole
+    stale-scratch protocol rests on."""
+    from a3_fp_bigdata_spark.data import (
+        FINGERPRINT_MOD,
+        src_fingerprint,
+        table,
+    )
+
+    for t, key in (
+        ("documents", "doc_id"),
+        ("events", "event_id"),
+        ("embeddings", "vec_id"),
+    ):
+        row = src_fingerprint(table(spark, SF0001, t), key).collect()[0]
+        con = duck_con(SF0001)
+        n, ck = con.execute(
+            f"SELECT count(*), CAST(sum({key} % {FINGERPRINT_MOD}) AS "
+            f"BIGINT) FROM {t}"
+        ).fetchone()
+        con.close()
+        assert (row.n_src, row.src_ck) == (n, ck), t

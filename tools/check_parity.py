@@ -23,9 +23,20 @@ from pyspark.sql import SparkSession
 spark = (
     SparkSession.builder.master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
+    # cosmetic only (not an engine config the driver would need): the
+    # console progress bar writes \r-framed stage spam that corrupted
+    # result lines in the committed PARITY_FULL_r7.log — a reviewer's
+    # `grep -c "^  ok"` undercounted. Keep the LOG grep-parseable.
+    .config("spark.ui.showConsoleProgress", "false")
     .getOrCreate()
 )
 spark.sparkContext.setLogLevel("ERROR")
+
+# same log-hygiene rationale: pandas/pyarrow FutureWarnings interleaved
+# into two r7 result lines; route them away from the captured stream
+import warnings
+
+warnings.simplefilter("ignore", FutureWarning)
 
 import duckdb
 
