@@ -15,8 +15,9 @@ repetition removal, unigram-LM quality scoring, near-dup
 split-leakage audit, int8-quantized two-stage retrieval, BPE
 tokenizer induction + frozen-model accounting, order-invariant corpus
 checksums, bloom-prefilter joins, incremental ANN index maintenance,
-and the scratch-oracle audit tier (d4 containment, d9 pigeonhole, a19
-HLL error, sim11 IVF recall) — backed by
+and the scratch-oracle audit tier covering every approximate path
+(d4/d11 containment, d9 pigeonhole, d6 GEMM losslessness, a19 HLL
+error, sim11 IVF recall) — backed by
 ``a3_fp_bigdata_spark.registry`` ({N_QUERIES} queries, {N_ORACLES}
 with oracles —
 including pl1, the whole curation chain composed end-to-end: quality

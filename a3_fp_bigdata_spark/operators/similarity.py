@@ -31,7 +31,7 @@ from a3_fp_bigdata_spark.data import (
     table,
 )
 from a3_fp_bigdata_spark.functions.rounding import half_up, half_up_sql
-from a3_fp_bigdata_spark.registry import query
+from a3_fp_bigdata_spark.registry import pin, query
 
 NEARDUP_COSINE = 0.4
 N_PLANES = 8
@@ -617,14 +617,21 @@ def d6_gemm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     _d6_gemm_candidates(emb).crossJoin(F.broadcast(fp)).coalesce(
         1
     ).write.mode("overwrite").parquet(_D6_AUDIT_SCRATCH)
-    cand = spark.read.parquet(_D6_AUDIT_SCRATCH).drop("n_src", "src_ck")
+    # pin: cand feeds five aggregates and exact feeds two (the d9/d11
+    # audits' measured multi-reference rule — without it each count
+    # re-scans the scratch parquet / re-runs the rescore join)
+    cand = pin(
+        spark.read.parquet(_D6_AUDIT_SCRATCH).drop("n_src", "src_ck")
+    )
 
     # exact set per the JVM rescorer = d6's final pairs over the SAME
     # materialized candidates (lossless pruning makes this the full
     # exact set; if that premise is wrong the ORACLE's independent
     # quadratic derivation disagrees and the row goes red)
-    exact = d6_embedding_neardup(spark, sf_dir, cand=cand).select(
-        "vec_a", "vec_b"
+    exact = pin(
+        d6_embedding_neardup(spark, sf_dir, cand=cand).select(
+            "vec_a", "vec_b"
+        )
     )
     n_cand = cand.agg(F.count("*").cast("long").alias("n_candidates"))
     n_bad = cand.filter(F.col("vec_a") >= F.col("vec_b")).agg(

@@ -28,31 +28,33 @@ from a3_fp_bigdata_spark.session import local_session
 #: broadcast + multiway joins, wide aggs, windows, sessionization,
 #: event-time windows, text analysis, dedup (exact + near-dup), and
 #: vector similarity. Keep stable across rounds — `value` sums these.
-HEADLINE = [
+#: REGISTRY names (tier-free): the driver-facing spelling is resolved
+#: per run via registry.exposure_name(), so a CANONICAL rotation can
+#: never orphan a headline entry (r8 review: the old hard-coded z_
+#: spellings needed a hand edit every time a member changed tiers).
+HEADLINE_BASE = [
     "a8_tpch_q1",
     "t1_topk_multikey",
     "j1_left_outer_broadcast",
     "j5_multiway_join",
     "w1_topk_per_group",
     "w5_sessionize",
-    # st1/sim2 rotated out of the driver window in r6 (registry.CANONICAL)
-    # — same queries, now exposed under the z_ depth tier; keeping them
-    # in HEADLINE keeps the round-over-round sum comparable.
-    "z_st1_tumbling_window",
+    "st1_tumbling_window",
     "st5_stream_tumbling",
     "f1_extract_keywords",
     "tx2_quality_score",
     "d1_exact_dedup",
-    # d3 rotated out of the driver window in r8 (registry.CANONICAL);
-    # same query under the z_ tier — keeps the headline sum comparable.
-    "z_d3_ngram_jaccard",
+    "d3_ngram_jaccard",
     "d4_minhash_lsh",
     "sim1_cosine_topk",
-    "z_sim2_lsh_ann",
+    "sim2_lsh_ann",
     "mm2_image_features",
     "src2_json_roundtrip",
     "srv_top_apps",
 ]
+#: resolved at import for this run; same 18 queries every round, whatever
+#: tier each is currently exposed under
+HEADLINE = [registry.exposure_name(n) for n in HEADLINE_BASE]
 
 
 def force(df) -> None:

@@ -18,6 +18,12 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 names = sys.argv[1:]
 
+# set BEFORE the JVM/session starts so Python WORKER processes (forked
+# with the executor's env) inherit it — the driver-side simplefilter
+# below cannot reach them, and their FutureWarnings corrupted two
+# result lines in the committed r7 parity log
+os.environ.setdefault("PYTHONWARNINGS", "ignore::FutureWarning")
+
 from pyspark.sql import SparkSession
 
 spark = (
@@ -34,6 +40,8 @@ spark.sparkContext.setLogLevel("ERROR")
 
 # same log-hygiene rationale: pandas/pyarrow FutureWarnings interleaved
 # into two r7 result lines; route them away from the captured stream
+# (the worker-side half of this fix — PYTHONWARNINGS — is set above,
+# before the JVM launches, so forked workers inherit it)
 import warnings
 
 warnings.simplefilter("ignore", FutureWarning)
