@@ -29,7 +29,9 @@ Further rungs stress the rest of the extension surface:
   enough that the dense grid is ~25x the observed rows;
 - ANN (d6 blocked GEMM, sim2, sim4 build+probe) on generated
   clustered embeddings with one hot cell holding 40% of the vectors
-  and the probe vector inside it — the worst-bucket serving case.
+  and the probe vector inside it — the worst-bucket serving case —
+  plus a 1x-vs-10x-vector probe-scaling rung (brute force grows with
+  the corpus, the pruned probe only with its bucket's occupancy).
 
 Usage: python tools/scale_stress.py [> SCALE.md]
 """
@@ -135,20 +137,23 @@ CENTER_SCALE = 0.45  # intra-cluster cosine ~ c^2/(c^2+1) ~ 0.17
 PLANT_DUP_FRACTION = 0.05
 
 
-def build_embeddings() -> dict:
+def build_embeddings(
+    n_vecs: int = N_VECS, out_dir: str = CORPUS_DIR
+) -> dict:
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(SEED)
     centers = rng.standard_normal((EMB_CLUSTERS, EMB_DIM))
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
     # hot cell: cluster 0 takes HOT_CLUSTER_SHARE of all vectors
     p = np.full(EMB_CLUSTERS, (1 - HOT_CLUSTER_SHARE) / (EMB_CLUSTERS - 1))
     p[0] = HOT_CLUSTER_SHARE
-    labels = rng.choice(EMB_CLUSTERS, size=N_VECS, p=p)
+    labels = rng.choice(EMB_CLUSTERS, size=n_vecs, p=p)
     vecs = CENTER_SCALE * centers[labels] + rng.standard_normal(
-        (N_VECS, EMB_DIM)
+        (n_vecs, EMB_DIM)
     )
     # vec 0 probes the HOT cell so sim2/sim4 read the worst bucket —
     # pinned BEFORE dup planting so a plant can never copy (and then
@@ -157,8 +162,8 @@ def build_embeddings() -> dict:
     vecs[0] = CENTER_SCALE * centers[0] + rng.standard_normal(EMB_DIM)
     # planted near-identical pairs: overwrite the tail with perturbed
     # copies of earlier vectors (cosine ~0.995 >> the 0.4 threshold)
-    n_plant = int(N_VECS * PLANT_DUP_FRACTION)
-    src = rng.choice(N_VECS - n_plant, size=n_plant, replace=False)
+    n_plant = int(n_vecs * PLANT_DUP_FRACTION)
+    src = rng.choice(n_vecs - n_plant, size=n_plant, replace=False)
     vecs[-n_plant:] = vecs[src] + 0.1 * rng.standard_normal(
         (n_plant, EMB_DIM)
     )
@@ -166,7 +171,7 @@ def build_embeddings() -> dict:
 
     t = pa.table(
         {
-            "vec_id": pa.array(range(N_VECS), pa.int64()),
+            "vec_id": pa.array(range(n_vecs), pa.int64()),
             "embedding": pa.array(
                 [v.astype(np.float32) for v in vecs],
                 pa.list_(pa.float32()),
@@ -174,9 +179,9 @@ def build_embeddings() -> dict:
             "label": pa.array(labels.astype("int32"), pa.int32()),
         }
     )
-    pq.write_table(t, f"{CORPUS_DIR}/embeddings.parquet")
+    pq.write_table(t, f"{out_dir}/embeddings.parquet")
     return {
-        "n_vecs": N_VECS,
+        "n_vecs": n_vecs,
         "hot_cluster_share": HOT_CLUSTER_SHARE,
         "planted_dups": n_plant,
     }
@@ -655,6 +660,53 @@ def main() -> None:
     print("write; the probe row then reads ONE bucket directory")
     print("(PartitionFilters) — the build/probe asymmetry is the 100 TB")
     print("serving story.")
+
+    # ---- probe cost vs corpus scale: same generator at 10x vectors.
+    # Brute-force sim1 must grow ~linearly with the corpus; sim4's
+    # partition-pruned probe must grow only with its one bucket's
+    # occupancy. Both measured steady-state (index built + one warm
+    # probe first, the bench.py methodology).
+    print()
+    print("### ANN probe cost vs corpus scale (1x vs 10x vectors)")
+    print()
+    print("Same generator at 10x vectors (hot cell and planted dups")
+    print("scale with it). sim1 is the linear-scan baseline; sim4's")
+    print("probe reads ONE bucket partition of the prebuilt index, so")
+    print("its cost tracks bucket occupancy, not corpus size — the")
+    print("serving-path property that makes the index worth its build.")
+    print()
+    print("| stage | rows out | wall s | shuffle write | shuffle read | peak JVM mem |")
+    print("|---|---|---|---|---|---|")
+    emb10_dir = f"{CORPUS_DIR}_emb_x10"
+    emb10 = build_embeddings(n_vecs=N_VECS * 10, out_dir=emb10_dir)
+    probe_wall: dict[str, float] = {}
+    for tag, d, nv in (
+        ("x1", sf_dir, emb_stats["n_vecs"]),
+        ("x10", emb10_dir, emb10["n_vecs"]),
+    ):
+        S.warm_sim4_index(spark, d)
+        qs["sim4_bucketed_ann"](spark, d).count()  # warm probe
+        timed_row.w0, timed_row.r0 = _shuffle_totals(spark)
+        timed_row(
+            f"sim1 brute-force {tag} ({nv} vecs)",
+            lambda dd=d: qs["sim1_cosine_topk"](spark, dd).count(),
+        )
+        probe_wall[f"sim1@{tag}"] = timed_row.last_dt
+        timed_row(
+            f"sim4 probe (pruned) {tag} ({nv} vecs)",
+            lambda dd=d: qs["sim4_bucketed_ann"](spark, dd).count(),
+        )
+        probe_wall[f"sim4@{tag}"] = timed_row.last_dt
+    print()
+    print(
+        f"10x corpus: brute-force {probe_wall['sim1@x1']:.2f} -> "
+        f"{probe_wall['sim1@x10']:.2f} s "
+        f"({probe_wall['sim1@x10'] / max(probe_wall['sim1@x1'], 1e-3):.1f}x), "
+        f"pruned probe {probe_wall['sim4@x1']:.2f} -> "
+        f"{probe_wall['sim4@x10']:.2f} s "
+        f"({probe_wall['sim4@x10'] / max(probe_wall['sim4@x1'], 1e-3):.1f}x) "
+        "— the probe pays bucket occupancy, not corpus size."
+    )
 
     # ---- bloom-prefilter rung: j11's geometry under a 60%-hot key
     print()
