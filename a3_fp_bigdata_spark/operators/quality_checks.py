@@ -34,15 +34,33 @@ QTY_MIN, QTY_MAX = 1, 50
 ORDER_STATUS_DOMAIN = ("O", "F", "P")
 
 
-def _check(name: str, checked: F.Column, violations: F.Column):
-    # coalesce: sum() over an EMPTY table is NULL, and a NULL violation
-    # count would slip through any `> 0` gate — an empty input must
-    # read as "0 violations over 0 rows" and fail the gate via the
-    # n_checked floor instead
-    return (
-        F.lit(name).alias("check_name"),
-        checked.cast("long").alias("n_checked"),
-        F.coalesce(violations, F.lit(0)).cast("long").alias("n_violations"),
+def _check_rows(
+    agg_df: DataFrame, checks: list[tuple[str, F.Column, F.Column]]
+) -> DataFrame:
+    """One EXECUTED aggregate -> one report row per check, via a
+    scan-free explode of literal structs. Selecting each check off the
+    agg frame separately and unioning re-executes the aggregate (and
+    its table scan) once per row — Spark does not reuse the exchange
+    across union branches (measured: 3 lineitem scans for 3 checks);
+    this keeps it at exactly one scan per table however many checks
+    the suite grows.
+
+    coalesce: sum() over an EMPTY table is NULL, and a NULL violation
+    count would slip through any `> 0` gate — an empty input must read
+    as "0 violations over 0 rows" and fail the gate via the n_checked
+    floor instead."""
+    entries = [
+        F.struct(
+            F.lit(name).alias("check_name"),
+            checked.cast("long").alias("n_checked"),
+            F.coalesce(violations, F.lit(0))
+            .cast("long")
+            .alias("n_violations"),
+        )
+        for name, checked, violations in checks
+    ]
+    return agg_df.select(F.explode(F.array(*entries)).alias("c")).select(
+        "c.*"
     )
 
 
@@ -93,10 +111,12 @@ def _check(name: str, checked: F.Column, violations: F.Column):
 def dq1_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The expectation suite as one DataFrame: per check, how many rows
     were inspected and how many violate. All six checks compile to
-    conditional aggregates — each table is scanned ONCE for its checks
-    (Catalyst collapses the per-table sums into a single aggregate
-    node), and the FK expectation reuses the broadcast join shape of a
-    normal enrichment. Violation counts are exact, so the publish gate
+    conditional aggregates, and each table is scanned ONCE for ALL its
+    checks: one aggregate per table, exploded into per-check report
+    rows (_check_rows — the earlier per-row select+union shape
+    re-executed the aggregate per check: 3 lineitem scans). The FK
+    expectation reuses the broadcast join shape of a normal
+    enrichment. Violation counts are exact, so the publish gate
     (`n_violations > 0 -> abort`) is deterministic; on the driver
     testdata every check passes with zero violations, and the pytest
     twin corrupts rows to prove each check actually fires."""
@@ -117,11 +137,12 @@ def dq1_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("_dom"),
     )
-    pk_row = orders_checks.select(
-        *_check("orders_pk_unique", F.col("_n"), F.col("_pk"))
-    )
-    dom_row = orders_checks.select(
-        *_check("orders_status_domain", F.col("_n"), F.col("_dom"))
+    orders_rows = _check_rows(
+        orders_checks,
+        [
+            ("orders_pk_unique", F.col("_n"), F.col("_pk")),
+            ("orders_status_domain", F.col("_n"), F.col("_dom")),
+        ],
     )
     # No explicit broadcast hint: customer is a full dimension, and at
     # the 100 TB posture forcing it driver-side is the OOM anti-pattern
@@ -137,8 +158,8 @@ def dq1_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_v"
         ),
     )
-    fk_row = fk.select(
-        *_check("orders_fk_customer", F.col("_n"), F.col("_v"))
+    fk_row = _check_rows(
+        fk, [("orders_fk_customer", F.col("_n"), F.col("_v"))]
     )
     li_checks = lineitem.agg(
         F.count("*").alias("_n"),
@@ -156,22 +177,15 @@ def dq1_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("l_extendedprice") <= 0, 1).otherwise(0)
         ).alias("_price"),
     )
-    null_row = li_checks.select(
-        *_check("lineitem_qty_not_null", F.col("_n"), F.col("_null"))
+    li_rows = _check_rows(
+        li_checks,
+        [
+            ("lineitem_qty_not_null", F.col("_n"), F.col("_null")),
+            ("lineitem_qty_range", F.col("_n"), F.col("_rng")),
+            ("lineitem_price_positive", F.col("_n"), F.col("_price")),
+        ],
     )
-    rng_row = li_checks.select(
-        *_check("lineitem_qty_range", F.col("_n"), F.col("_rng"))
-    )
-    price_row = li_checks.select(
-        *_check("lineitem_price_positive", F.col("_n"), F.col("_price"))
-    )
-    return (
-        pk_row.unionByName(fk_row)
-        .unionByName(dom_row)
-        .unionByName(null_row)
-        .unionByName(rng_row)
-        .unionByName(price_row)
-    )
+    return orders_rows.unionByName(fk_row).unionByName(li_rows)
 
 
 def run_expectations(df_report: DataFrame) -> None:
