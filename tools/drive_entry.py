@@ -47,6 +47,9 @@ _SPOT_BASE = [
     "pl2_chunk_index_stats", "st11_chunk_index_stream",
     "w8_gapfill_locf", "w9_linear_interp", "pk9_weighted_sample",
     "dq1_expectations",
+    # round-8: the scratch-oracle audit tier (driver-window flagships)
+    "a19_approx_distinct_audit", "d9_pigeonhole_audit",
+    "d11_containment_audit", "sim11_ivf_recall_audit", "d6_gemm_audit",
 ]
 SPOT = [exposure_name(n) for n in _SPOT_BASE]
 
