@@ -163,12 +163,16 @@ CANONICAL = frozenset(
         # r7 row: its exact-Jaccard ground truth stays parity-checked
         # as z_d3 AND re-derived inside the d11 audit's oracle)
         "d1_exact_dedup", "d4_minhash_lsh",
-        "d8_winnow_fingerprint", "d9_pigeonhole_audit",
-        "d11_containment_audit", "d12_dedup_clusters",
+        "d6_gemm_audit", "d8_winnow_fingerprint",
+        "d9_pigeonhole_audit", "d11_containment_audit",
+        "d12_dedup_clusters",
         # scalar/text functions (f2 token-overlap is f1's plan twin)
         "f1_extract_keywords",
-        # grouped-map / cogroup Arrow surface
-        "g1_zscore_grouped_map", "g2_cogroup_conversion",
+        # grouped-map / cogroup Arrow surface (g2 cogroup rotated out
+        # r8 after its green r7 driver row — g1 keeps the family's
+        # oracle-backed Arrow-grouped-map slot; g2 stays parity-checked
+        # as z_g2)
+        "g1_zscore_grouped_map",
         # joins (broadcast, multiway, salted-skew, as-of; j9 range
         # join rotated out r7 after its green r6 driver row — its
         # range-condition shape is carried by j8, parity-checked as
