@@ -192,7 +192,7 @@ def run_expectations(df_report: DataFrame) -> None:
     """The publish gate: raise if any expectation fired — and FAIL
     CLOSED on degenerate inputs: a check that inspected zero rows
     means the table is empty (the classic broken-upstream-write), and
-    a NULL violation count (impossible after _check's coalesce, but
+    a NULL violation count (impossible after _check_rows' coalesce, but
     guarded anyway) must never read as a pass. Kept separate from the
     report query so pipelines can log the report AND gate."""
     bad = df_report.filter(

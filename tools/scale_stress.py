@@ -686,6 +686,11 @@ def main() -> None:
     ):
         S.warm_sim4_index(spark, d)
         qs["sim4_bucketed_ann"](spark, d).count()  # warm probe
+        # Warm the brute-force leg too: without this the x1 sim1 row
+        # pays first-execution codegen/broadcast setup the x10 row
+        # (same plan shape, already compiled) doesn't — inflating the
+        # published growth ratio this rung exists to attest.
+        qs["sim1_cosine_topk"](spark, d).count()
         timed_row.w0, timed_row.r0 = _shuffle_totals(spark)
         timed_row(
             f"sim1 brute-force {tag} ({nv} vecs)",
