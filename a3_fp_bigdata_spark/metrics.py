@@ -94,3 +94,53 @@ class stage_metrics:
         self.result.shuffle_write_bytes = w1 - self._w0
         self.result.shuffle_read_bytes = r1 - self._r0
         self.result.peak_jvm_bytes = peak_jvm_memory(self._spark)
+
+
+def completed_stage_ids(spark: SparkSession) -> set[int]:
+    """IDs of all completed stages so far — snapshot before a block to
+    scope a skew probe to just the stages that block ran."""
+    return {
+        s["stageId"] for s in _rest(spark, "stages?status=complete")
+    }
+
+
+def join_stage_task_skew(
+    spark: SparkSession, prior_ids: set[int]
+) -> dict | None:
+    """Per-TASK skew facts for the heaviest new shuffle-reading stage
+    (the join stage, in a join block): min/median/max task shuffle
+    read and max task runtime, from the stage's taskSummary quantiles.
+
+    This is the metric that exposes a hot key: stage-level totals are
+    identical however the key is distributed — only the per-task
+    distribution shows one reducer melting (max/median >> 1) vs the
+    load spread flat (max/median ~ 1). Returns None if no new stage
+    read shuffle data (e.g. the join broadcast instead)."""
+    best = None
+    for s in _rest(spark, "stages?status=complete"):
+        if s["stageId"] in prior_ids:
+            continue
+        rb = s.get("shuffleReadBytes", 0)
+        if rb > 0 and (best is None or rb > best[2]):
+            best = (s["stageId"], s.get("attemptId", 0), rb, s)
+    if best is None:
+        return None
+    sid, att, _, stage = best
+    ts = _rest(
+        spark,
+        f"stages/{sid}/{att}/taskSummary?quantiles=0.0,0.5,1.0",
+    )
+    reads = (ts.get("shuffleReadMetrics") or {}).get("readBytes") or [
+        0.0,
+        0.0,
+        0.0,
+    ]
+    run_ms = ts.get("executorRunTime") or [0.0, 0.0, 0.0]
+    return {
+        "stage_id": sid,
+        "n_tasks": stage.get("numCompleteTasks", 0),
+        "read_min": int(reads[0]),
+        "read_med": int(reads[1]),
+        "read_max": int(reads[2]),
+        "run_max_ms": int(run_ms[2]),
+    }

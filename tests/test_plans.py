@@ -392,3 +392,18 @@ def test_bloom_prefilter_sits_below_the_exchange(spark, qs):
 
     filt = re.search(r"Filter .*xxhash64", plan)
     assert filt, plan[:800]
+
+
+def test_dq1_scans_each_table_once_per_pass(spark, qs):
+    """dq1: every check over a table must ride ONE aggregate over ONE
+    scan (the r8 explode-of-structs rewrite) — the per-check
+    select+union shape re-executed the fact scan per report row
+    (measured: 3 lineitem scans for 3 checks). lineitem: exactly one
+    scan for its three checks; orders: two (one for its own checks,
+    one inherent to the FK join pass); at 100 TB the fact-table scan
+    count IS the cost of this query."""
+    df = qs["dq1_expectations"](spark, SF0001)
+    plan = PI.formatted_plan(df)
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert plan.count("orders.parquet") == 2, plan
+    assert plan.count("customer.parquet") == 1, plan

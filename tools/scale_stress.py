@@ -785,9 +785,156 @@ def main() -> None:
     print("invisible to correctness); the shuffle columns show what the")
     print("filter saves at the exchange. When the dim DOES contain the")
     print("hot key, the skew moves into the join itself — that is")
-    print("j7/j10's salting rung, not the bloom's job.")
+    print("the salted-join rung below, not the bloom's job.")
     fact.unpersist()
     dim.unpersist()
+
+    # ---- skew IN the join: manual salting (j7/j10) vs AQE skew-join.
+    # Same 60%-hot geometry as the bloom rung, but the hot key EXISTS
+    # in the dim, so every hot row survives to the join — the skew
+    # lands on one reducer. Three plans, identical results (asserted):
+    #   plain   : static shuffle join, AQE off — the straggler baseline
+    #   AQE     : adaptive skew-join splits the hot partition at runtime
+    #   salted  : j7's salted_join spreads (key, salt) — no AQE needed
+    # Stage totals are identical for all three; ONLY the per-task
+    # distribution (taskSummary quantiles) shows the hot reducer, so
+    # that is the reported metric.
+    from a3_fp_bigdata_spark.metrics import (
+        completed_stage_ids,
+        join_stage_task_skew,
+    )
+    from a3_fp_bigdata_spark.operators.joins import (
+        SALT_BUCKETS,
+        salted_join,
+    )
+
+    print()
+    print("## Salted join vs AQE skew-join (hot key IN the dim)")
+    print()
+    SKEW_FACT_ROWS = 3_000_000
+    HOT_DIM_KEY = 7
+    fact2 = (
+        spark.range(SKEW_FACT_ROWS)
+        .select(
+            F.when(F.pmod("id", F.lit(10)) < 6, F.lit(HOT_DIM_KEY))
+            .otherwise(F.pmod(F.xxhash64("id"), F.lit(300)))
+            .alias("k"),
+            (F.col("id") % 997).alias("v"),  # long: sums compare EXACT
+        )
+        .persist()
+    )
+    n_fact2 = fact2.count()
+    dim2 = (
+        spark.range(300)
+        .select(
+            F.col("id").alias("kd"),
+            F.pmod("id", F.lit(7)).alias("g"),
+        )
+        .persist()
+    )
+    dim2.count()
+    print(
+        f"Fact: {n_fact2} rows, key {HOT_DIM_KEY} holds 60% and IS in "
+        "the 300-key dim — every hot row joins. At 100 TB the hot "
+        "reducer is the job: one task reads 60% of the exchange while "
+        "its stage peers idle. AQE thresholds are scaled to the rung "
+        "(skewedPartitionThresholdInBytes=4m, advisory=2m) the same "
+        "way real sizes exceed the 256m default at full scale."
+    )
+    print()
+
+    def skew_join_agg(joined):
+        return sorted(
+            joined.groupBy("g")
+            .agg(F.count("*").alias("n"), F.sum("v").alias("sv"))
+            .collect()
+        )
+
+    AQE_KEYS = {
+        "spark.sql.adaptive.enabled": None,  # filled from current conf
+        "spark.sql.adaptive.skewJoin.enabled": None,
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": None,
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": None,
+    }
+    for key in AQE_KEYS:
+        AQE_KEYS[key] = spark.conf.get(key, None)
+
+    def set_confs(pairs):
+        for key, val in pairs.items():
+            if val is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, val)
+
+    variants = [
+        (
+            "plain shuffle join (AQE off)",
+            {"spark.sql.adaptive.enabled": "false"},
+            lambda: fact2.join(
+                dim2.hint("merge"), F.col("k") == F.col("kd")
+            ),
+        ),
+        (
+            "AQE skew-join",
+            {
+                "spark.sql.adaptive.enabled": "true",
+                "spark.sql.adaptive.skewJoin.enabled": "true",
+                "spark.sql.adaptive.skewJoin."
+                "skewedPartitionThresholdInBytes": "4m",
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2m",
+            },
+            lambda: fact2.join(
+                dim2.hint("merge"), F.col("k") == F.col("kd")
+            ),
+        ),
+        (
+            f"salted x{SALT_BUCKETS} (AQE off)",
+            {"spark.sql.adaptive.enabled": "false"},
+            lambda: salted_join(fact2, dim2.hint("merge"), "k", "kd"),
+        ),
+    ]
+    print(
+        "| variant | wall s | join-stage tasks | max task read |"
+        " median task read | max/med | max task ms |"
+    )
+    print("|---|---|---|---|---|---|---|")
+    skew_results = {}
+    mib = 1 << 20
+    for label, confs, plan in variants:
+        set_confs(confs)
+        try:
+            # warm once per variant: plan compilation off the clock
+            skew_join_agg(plan())
+            ids0 = completed_stage_ids(spark)
+            t0 = time.perf_counter()
+            skew_results[label] = skew_join_agg(plan())
+            dt = time.perf_counter() - t0
+            sk = join_stage_task_skew(spark, ids0) or {}
+        finally:
+            set_confs(AQE_KEYS)
+        ratio = sk.get("read_max", 0) / max(sk.get("read_med", 0), 1)
+        print(
+            f"| {label} | {dt:.1f} | {sk.get('n_tasks', 0)} | "
+            f"{sk.get('read_max', 0) / mib:.1f} MiB | "
+            f"{sk.get('read_med', 0) / mib:.2f} MiB | "
+            f"{ratio:.0f}x | {sk.get('run_max_ms', 0)} |"
+        )
+    assert (
+        skew_results[variants[0][0]]
+        == skew_results[variants[1][0]]
+        == skew_results[variants[2][0]]
+    ), "skew variants disagree on the join result"
+    print()
+    print("All three variants aggregate to IDENTICAL rows (asserted")
+    print("in-run; v is integral so the sums compare exact). The")
+    print("max/median task-read column is the skew story: the plain")
+    print("join funnels the hot key through one task; AQE splits that")
+    print("partition at runtime into advisory-sized chunks; salting")
+    print(f"spreads (key, salt) over {SALT_BUCKETS} reducers at plan")
+    print("time — the form that also protects the FIRST write of a")
+    print("table, before AQE has runtime stats to act on.")
+    fact2.unpersist()
+    dim2.unpersist()
     spark.stop()
 
 
