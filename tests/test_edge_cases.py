@@ -669,3 +669,45 @@ def test_d6_gemm_audit_lossless_and_canonical(spark):
     assert true_pairs <= cand_pairs, (
         f"GEMM pruning dropped {len(true_pairs - cand_pairs)} true pairs"
     )
+
+
+def test_join_stage_task_skew_sees_hot_reducer_subprocess():
+    """join_stage_task_skew (the salted-vs-AQE rung's metric) must
+    report per-TASK quantiles that actually expose a hot key: on a
+    60%-hot shuffled join the max task read must dominate the median.
+    Stage-level totals are distribution-blind — this helper is the
+    only committed evidence path for reducer skew, so pin it. AQE is
+    disabled in-test: the probe measures the STATIC plan's skew (AQE
+    splitting the partition is the rung's separate, compared leg)."""
+    import subprocess
+    import sys
+
+    code = """
+import os, sys
+sys.path.insert(0, "/root/repo")
+os.environ["SPARK_GRAFT_UI"] = "true"
+from a3_fp_bigdata_spark.session import local_session
+from a3_fp_bigdata_spark.metrics import completed_stage_ids, join_stage_task_skew
+from pyspark.sql import functions as F
+spark = local_session(cores=4, app_name="skew-metric-test")
+spark.conf.set("spark.sql.adaptive.enabled", "false")
+fact = spark.range(200_000).select(
+    F.when(F.pmod("id", F.lit(10)) < 6, F.lit(7))
+     .otherwise(F.pmod(F.xxhash64("id"), F.lit(300))).alias("k"),
+    (F.col("id") % 997).alias("v"))
+dim = spark.range(300).select(F.col("id").alias("kd"))
+ids0 = completed_stage_ids(spark)
+fact.join(dim.hint("merge"), F.col("k") == F.col("kd")).agg(
+    F.count("*"), F.sum("v")).collect()
+sk = join_stage_task_skew(spark, ids0)
+assert sk is not None
+assert sk["n_tasks"] > 1, sk
+assert sk["read_max"] > 3 * max(sk["read_med"], 1), sk
+spark.stop()
+print("SKEW_METRIC_OK")
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert "SKEW_METRIC_OK" in out.stdout, (out.stdout[-800:], out.stderr[-800:])
