@@ -1396,6 +1396,97 @@ def _maybe_broadcast_drop(dropped: DataFrame, member_rows: int) -> DataFrame:
     return dropped
 
 
+def connected_components(
+    spark: SparkSession,
+    pairs: DataFrame,
+    *,
+    max_iters: int = CC_MAX_ITERS,
+) -> tuple[DataFrame, int]:
+    """Connected components of an undirected pair list (doc_a, doc_b)
+    by iterative min-label propagation; returns the converged
+    ``(doc_id, lab)`` frame and the number of propagation rounds run
+    (the last round is the one that observes no change).
+
+    Each round is one join + one aggregation over the edge list, and
+    the minimum label spreads ONE hop per round — so rounds used
+    tracks the component's diameter (exactly: the max over components
+    of the min-label node's eccentricity, +1 to observe convergence).
+    SCALE.md's connected-components rung measures that on synthetic
+    chain/star/clique graphs: near-dup clusters are cliques-ish
+    (diameter 1-3), which is why the dedup ladder can afford an
+    iterative algorithm at 100 TB — cost is rounds x edge-shuffle,
+    not corpus size. ``max_iters`` is the explicit guard for
+    adversarial chain-shaped graphs.
+
+    Per-round eager checkpoints keep the logical plan O(1): each
+    round's frame references the previous one twice (neighbor agg +
+    the least() join), so without truncation the plan doubles per
+    round — 2^rounds analysis blowup even though persist would cap
+    execution. With SPARK_GRAFT_CHECKPOINT_DIR set the checkpoints are
+    reliable (HDFS/object storage — survives executor loss at cluster
+    scale); unset (one local JVM), localCheckpoint is both correct
+    and faster."""
+    ck_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ck_dir:
+        spark.sparkContext.setCheckpointDir(ck_dir)
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if ck_dir else df.localCheckpoint(
+            eager=True
+        )
+
+    edges = pin(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("lab", F.col("doc_id"))
+        .persist()
+    )
+    rounds = 0
+    for _ in range(max_iters):
+        rounds += 1
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("lab").alias("nlab"))
+        )
+        new_labels = (
+            labels.join(
+                neighbor_min, labels.doc_id == neighbor_min.src, "left"
+            )
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))
+                ).alias("lab"),
+            )
+        )
+        new_labels = _truncate(new_labels)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:  # pragma: no cover - diameter exceeded the cap
+        raise RuntimeError(
+            f"label propagation not converged in {max_iters}"
+        )
+    return labels, rounds
+
+
 @query(
     "d12_dedup_clusters",
     oracle=f"""
@@ -1443,76 +1534,10 @@ def d12_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     _evict_dead_entries(_CLUSTER_STAGE, unpersist=False)
     if key in _CLUSTER_STAGE:
         return _CLUSTER_STAGE[key]
-    # Reliable (storage-backed) checkpoints when configured: a
-    # localCheckpoint lives on executor disks, so at cluster scale a
-    # lost executor kills the truncated lineage mid-propagation. Set
-    # SPARK_GRAFT_CHECKPOINT_DIR to a shared path (HDFS/S3) and every
-    # round checkpoints there instead; unset (this sandbox, one JVM),
-    # local is both correct and faster.
-    ck_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
-    if ck_dir:
-        spark.sparkContext.setCheckpointDir(ck_dir)
-
-    def _truncate(df: DataFrame) -> DataFrame:
-        return df.checkpoint(eager=True) if ck_dir else df.localCheckpoint(
-            eager=True
-        )
-
     pairs = pin(
         d3_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     )
-    edges = pin(
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            pairs.select(
-                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
-            )
-        )
-    )
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("lab", F.col("doc_id"))
-        .persist()
-    )
-    for _ in range(CC_MAX_ITERS):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy("src")
-            .agg(F.min("lab").alias("nlab"))
-        )
-        new_labels = (
-            labels.join(
-                neighbor_min, labels.doc_id == neighbor_min.src, "left"
-            )
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))
-                ).alias("lab"),
-            )
-            # Checkpoint EVERY round, eagerly: each round's frame
-            # references the previous one twice (neighbor agg + the
-            # least() join), so without truncation the LOGICAL plan
-            # doubles per round — 2^rounds analysis blowup even though
-            # persist would cap execution. Checkpointing keeps plan
-            # size and stage-recovery cost O(1) per round; _truncate
-            # picks reliable vs local (see SPARK_GRAFT_CHECKPOINT_DIR).
-        )
-        new_labels = _truncate(new_labels)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.lab") != F.col("o.lab"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    else:  # pragma: no cover - diameter exceeded the cap
-        raise RuntimeError(f"label propagation not converged in {CC_MAX_ITERS}")
+    labels, _rounds = connected_components(spark, pairs)
     # NOT added to _PINNED: the memo outlives per-query release_pinned()
     # (same policy as _SHINGLE_STAGE); the frame is tiny — cluster
     # members only — and localCheckpoint-backed.

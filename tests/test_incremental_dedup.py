@@ -107,3 +107,48 @@ def test_d11_equals_d4_restricted_to_new(spark):
     # and of course every pair is real (subset of d4, which pytest ties
     # to d3's exact ground truth elsewhere)
     assert d11 <= d4
+
+
+def test_connected_components_rounds_track_diameter(spark):
+    """The extracted connected_components(pairs) helper (d12's loop):
+    rounds used = min-label eccentricity + 1 (one hop per synchronous
+    round, plus the round that observes convergence), labels exact.
+    SCALE.md's CC rung asserts the same at 100k nodes; this pins the
+    semantics at unit size, plus the max_iters guard raising loudly
+    on a graph deeper than the cap (the adversarial chain shape)."""
+    import pytest
+
+    from a3_fp_bigdata_spark import registry as reg
+    from a3_fp_bigdata_spark.operators.dedup import connected_components
+
+    def pairs_df(pairs):
+        return spark.createDataFrame(pairs, "doc_a long, doc_b long")
+
+    # chain 0-1-2-3-4: min label 0 travels 4 hops -> 5 rounds
+    labels, rounds = connected_components(
+        spark, pairs_df([(i, i + 1) for i in range(4)])
+    )
+    got = {r.doc_id: r.lab for r in labels.collect()}
+    assert got == {i: 0 for i in range(5)}
+    assert rounds == 5
+    labels.unpersist()
+    reg.release_pinned()
+
+    # two triangles (cliques, diam 1): converge in 1 round + 1 observe
+    labels, rounds = connected_components(
+        spark,
+        pairs_df([(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12)]),
+    )
+    got = {r.doc_id: r.lab for r in labels.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10}
+    assert rounds == 2
+    labels.unpersist()
+    reg.release_pinned()
+
+    # a chain deeper than the cap must refuse loudly, never return
+    # half-propagated labels
+    with pytest.raises(RuntimeError, match="not converged in 3"):
+        connected_components(
+            spark, pairs_df([(i, i + 1) for i in range(6)]), max_iters=3
+        )
+    reg.release_pinned()

@@ -935,6 +935,85 @@ def main() -> None:
     print("table, before AQE has runtime stats to act on.")
     fact2.unpersist()
     dim2.unpersist()
+
+    # ---- connected components: rounds track DIAMETER, not size.
+    # d12's min-label propagation costs rounds x edge-shuffle; the
+    # docstring claim ("near-dup clusters are cliques-ish, so a few
+    # rounds even at 100 TB") is only safe if rounds really follow
+    # component shape. Three synthetic 100k-node graphs with known
+    # diameter; the rung ASSERTS the predicted round count and zero
+    # label errors, then reports wall.
+    from a3_fp_bigdata_spark import registry as _registry
+    from a3_fp_bigdata_spark.operators.dedup import connected_components
+
+    print()
+    print("## Connected components: rounds = diameter (d12's loop)")
+    print()
+    print(
+        "100k nodes in fixed-size components of three shapes — the"
+        " min label travels one hop per synchronous round, so rounds"
+        " = (min-label node's eccentricity) + 1 to observe"
+        " convergence. Production near-dup clusters are the clique"
+        " row; the chain row is the adversarial bound the"
+        " CC_MAX_ITERS=25 guard exists for."
+    )
+    print()
+    nodes16 = spark.range(100_000).select(
+        "id", (F.col("id") - F.pmod("id", F.lit(16))).alias("blk")
+    )
+    clique = (
+        nodes16.join(
+            nodes16.select(
+                F.col("id").alias("id2"), F.col("blk").alias("blk2")
+            ),
+            (F.col("blk") == F.col("blk2"))
+            & (F.col("id") < F.col("id2")),
+        )
+        .select(F.col("id").alias("doc_a"), F.col("id2").alias("doc_b"))
+    )
+    star = nodes16.filter(F.pmod("id", F.lit(16)) != 15).select(
+        F.col("id").alias("doc_a"), (F.col("blk") + 15).alias("doc_b")
+    )
+    chain = (
+        spark.range(99_984)
+        .filter(F.pmod("id", F.lit(24)) != 23)
+        .select(F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
+    )
+    cc_cases = [
+        ("clique-16 (diam 1)", clique, 16, 2),
+        ("star-16, min at a leaf (diam 2)", star, 16, 3),
+        ("chain-24 (diam 23)", chain, 24, 24),
+    ]
+    print("| graph | edges | expected rounds | rounds | wall s | label errors |")
+    print("|---|---|---|---|---|---|")
+    for label, prs, block, want_rounds in cc_cases:
+        prs = prs.persist()
+        n_edges = prs.count()
+        t0 = time.perf_counter()
+        labels, rounds = connected_components(spark, prs)
+        # every node's component min is its block start — exact check
+        n_bad = labels.filter(
+            F.col("lab")
+            != F.col("doc_id") - F.pmod("doc_id", F.lit(block))
+        ).count()
+        dt = time.perf_counter() - t0
+        print(
+            f"| {label} | {n_edges} | {want_rounds} | {rounds} | "
+            f"{dt:.1f} | {n_bad} |"
+        )
+        assert rounds == want_rounds, (label, rounds, want_rounds)
+        assert n_bad == 0, (label, n_bad)
+        labels.unpersist()
+        prs.unpersist()
+        _registry.release_pinned()  # frees the pinned edge frames
+    print()
+    print("Rounds match the prediction exactly and labels are exact")
+    print("(asserted in-run). Wall is ~linear in rounds at fixed edge")
+    print("count — each round is one edge join + one agg + a 1-row")
+    print("convergence probe — so the 100 TB cost model is (diameter")
+    print("+ 1) x edge-shuffle. Clique-ish dedup graphs finish in 2-3")
+    print("rounds however large the corpus; a chain-shaped graph is")
+    print("the case CC_MAX_ITERS exists to refuse loudly.")
     spark.stop()
 
 
