@@ -1693,3 +1693,227 @@ def _attach_d14_oracle() -> None:
 
 
 _attach_d14_oracle()
+
+
+#: d15 window length in TOKENS. Any duplicated run of >= DUPSPAN_K
+#: tokens contains a duplicated DUPSPAN_K-gram, so the union of
+#: duplicated-window positions covers exactly the runs of length >= K
+#: (shorter repeats are invisible by design — that's the precision
+#: knob). 8 fits this corpus's short docs (avg ~54 tokens at sf0.01);
+#: web-scale corpora use 25-50 (Lee et al. 2022 use 50 BPE tokens).
+DUPSPAN_K = 8
+
+
+@query(
+    "d15_duplicated_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, u - 1 AS pos,
+             array_to_string(t[u:u+{DUPSPAN_K - 1}], ' ') AS g
+      FROM (SELECT doc_id, t,
+                   unnest(range(1, len(t) - {DUPSPAN_K - 2})) AS u
+            FROM toks)
+    ), dup AS (
+      SELECT g FROM grams GROUP BY g HAVING count(*) >= 2
+    ), hits AS (
+      SELECT doc_id, pos FROM grams JOIN dup USING (g)
+    ), brk AS (
+      SELECT doc_id, pos,
+        CASE WHEN pos > coalesce(max(pos + {DUPSPAN_K}) OVER (
+            PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        THEN 1 ELSE 0 END AS b
+      FROM hits
+    ), isl AS (
+      SELECT doc_id, pos,
+             sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM brk
+    )
+    SELECT doc_id, min(pos) AS span_start,
+           max(pos) + {DUPSPAN_K} AS span_end,
+           count(*) AS n_windows
+    FROM isl GROUP BY doc_id, island
+    """,
+)
+def d15_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring dedup (the windowed form of Lee et
+    al. 2022, 'Deduplicating Training Data Makes Language Models
+    Better'): find, per document, the maximal token spans covered by
+    {DUPSPAN_K}-grams that occur >= 2 times CORPUS-WIDE (cross-doc or
+    within-doc — boilerplate headers, quoted blocks, templated
+    pages). Output (doc_id, span_start, span_end, n_windows) in
+    0-based token positions, end-exclusive: the removal list a
+    downstream pass cuts out, leaving the rest of the document —
+    strictly finer-grained than the doc-level ladder (d1 drops exact
+    copies, d3/d4 drop whole near-dups; d15 surgically removes the
+    duplicated PASSAGE from otherwise-unique docs). Suffix arrays
+    give the exact variable-length answer on one node; the k-gram
+    window approximation is the shuffle-friendly form, finds every
+    duplicated run >= K tokens, and is what corpus pipelines actually
+    deploy at scale.
+
+    Spark shape, three bounded shuffles: (1) tokens shuffle by doc_id
+    for the lead() window that forms positioned gram hashes (same
+    pattern + rationale as _shingle_rows: rows + lead keep the
+    tokenizer out of per-element lambdas); (2) gram rows shuffle by
+    the 8-byte xxhash64 gram key for a windowed count(*) — one pass
+    marks every duplicated occurrence in place, no groupBy + re-join
+    of two corpus-sized sides; (3) only the HIT rows (duplicated
+    windows, a small fraction of the corpus) shuffle back by doc_id
+    for the gaps-and-islands merge: new island when pos > running
+    max(pos + K) over preceding rows, island id = running sum of
+    breaks, then one aggregation to (min, max + K, count) — which
+    reuses the window's doc_id partitioning (HashPartitioning(doc_id)
+    satisfies the (doc_id, island) clustering), so no fourth
+    exchange. Grams are compared by xxhash64 like d3's shingles —
+    collisions (~n^2/2^64) are far below the oracle's resolution; the
+    oracle groups by the gram STRING and must agree."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(TX.tokens(F.col("text"))).alias("pos", "word")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("word", i).over(w) for i in range(1, DUPSPAN_K)]
+    grams = (
+        toks.select(
+            "doc_id",
+            "pos",
+            F.xxhash64("word", *leads).alias("h"),
+            leads[-1].alias("_tail"),
+        )
+        .filter(F.col("_tail").isNotNull())  # full K-grams only
+        .drop("_tail")
+    )
+    hits = (
+        grams.withColumn("c", F.count("*").over(Window.partitionBy("h")))
+        .filter(F.col("c") >= 2)
+        .drop("c", "h")
+    )
+    prev_end = F.max(F.col("pos") + DUPSPAN_K).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        hits.withColumn(
+            "b",
+            F.when(
+                prev_end.isNull() | (F.col("pos") > prev_end), F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("island", F.sum("b").over(w))
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + DUPSPAN_K).cast("long").alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_windows")
+    )
+
+
+# d16's oracle re-derives d15's spans, then anti-joins token rows out
+# of them — composed from d15's CTEs so both stay in lockstep.
+_D15_SPAN_CTES = f"""toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, u - 1 AS pos,
+             array_to_string(t[u:u+{DUPSPAN_K - 1}], ' ') AS g
+      FROM (SELECT doc_id, t,
+                   unnest(range(1, len(t) - {DUPSPAN_K - 2})) AS u
+            FROM toks)
+    ), dup AS (
+      SELECT g FROM grams GROUP BY g HAVING count(*) >= 2
+    ), hits AS (
+      SELECT doc_id, pos FROM grams JOIN dup USING (g)
+    ), brk AS (
+      SELECT doc_id, pos,
+        CASE WHEN pos > coalesce(max(pos + {DUPSPAN_K}) OVER (
+            PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        THEN 1 ELSE 0 END AS b
+      FROM hits
+    ), isl AS (
+      SELECT doc_id, pos,
+             sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM brk
+    ), spans AS (
+      SELECT doc_id, min(pos) AS span_start, max(pos) + {DUPSPAN_K} AS span_end
+      FROM isl GROUP BY doc_id, island
+    )"""
+
+
+@query(
+    "d16_span_cut",
+    oracle=f"""
+    WITH {_D15_SPAN_CTES}, tokrows AS (
+      SELECT doc_id, unnest(t) AS tok, unnest(range(0, len(t))) AS pos
+      FROM toks
+    ), kept AS (
+      SELECT g.doc_id, g.pos, g.tok FROM tokrows g
+      WHERE NOT EXISTS (SELECT 1 FROM spans s
+                        WHERE s.doc_id = g.doc_id
+                          AND g.pos >= s.span_start AND g.pos < s.span_end)
+    ), kagg AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(k.clean_text, '') AS clean_text,
+           coalesce(k.n_kept, 0) AS n_kept,
+           len(d.t) - coalesce(k.n_kept, 0) AS n_cut
+    FROM toks d LEFT JOIN kagg k USING (doc_id)
+    """,
+)
+def d16_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the span-cleaned corpus from d15's removal list —
+    the cut step that completes the substring-dedup pipeline (detect
+    -> cut), the same pattern as d12 -> d13 (clusters -> corpus).
+    Output one row per document: (doc_id, clean_text = the tokens
+    outside every duplicated span re-joined, n_kept, n_cut); a doc
+    that is entirely boilerplate comes out with clean_text = '' and
+    n_kept = 0 rather than vanishing, so downstream counts stay
+    corpus-aligned.
+
+    Spark shape: d15's spans aggregate to ONE array-of-(start, end)
+    row per flagged doc (tiny — flagged docs only), then join back to
+    the corpus on doc_id; the cut itself is a positional
+    F.filter((tok, i) -> no span covers i) + concat_ws over the token
+    array — scan-side, no explode of the corpus into token ROWS (the
+    oracle does explode, DuckDB has no positional lambda). The spans
+    side is corpus-proportional only in the worst case, so no
+    broadcast hint: AQE broadcasts it when it fits. At 100 TB you
+    materialize d15's spans once per snapshot and this join reads
+    them back partition-pruned, exactly like d13 reads d12's
+    clusters."""
+    docs = table(spark, sf_dir, "documents")
+    span_arr = (
+        d15_duplicated_spans(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct("span_start", "span_end")
+            ).alias("spans")
+        )
+    )
+    toks = TX.tokens(F.col("text"))
+    spans = F.coalesce(
+        F.col("spans"),
+        F.array().cast("array<struct<span_start:bigint,span_end:bigint>>"),
+    )
+    kept = F.filter(
+        toks,
+        lambda tok, i: ~F.exists(
+            spans,
+            lambda s: (i >= s.span_start) & (i < s.span_end),
+        ),
+    )
+    return (
+        docs.join(span_arr, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.concat_ws(" ", kept).alias("clean_text"),
+            F.size(kept).cast("long").alias("n_kept"),
+            (F.size(toks) - F.size(kept)).cast("long").alias("n_cut"),
+        )
+    )

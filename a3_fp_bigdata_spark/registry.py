@@ -165,7 +165,7 @@ CANONICAL = frozenset(
         "d1_exact_dedup", "d4_minhash_lsh",
         "d6_gemm_audit", "d8_winnow_fingerprint",
         "d9_pigeonhole_audit", "d11_containment_audit",
-        "d12_dedup_clusters",
+        "d12_dedup_clusters", "d15_duplicated_spans",
         # scalar/text functions (f2 token-overlap is f1's plan twin)
         "f1_extract_keywords",
         # grouped-map / cogroup Arrow surface (g2 cogroup rotated out
@@ -237,8 +237,11 @@ CANONICAL = frozenset(
         # shape as w8, parity-checked as z_w9)
         "w1_topk_per_group", "w5_sessionize",
         "w8_gapfill_locf",
-        # semistructured (x2 array-agg covered by x1 + a9's agg surface)
-        "x1_json_extract",
+        # semistructured: no canonical row since r8 — x1 earned its
+        # green driver row in CORRECTNESS_r07 and ceded the 50th slot
+        # to d15_duplicated_spans (span-level substring dedup); the
+        # x1/x2/x3 ladder stays oracle-backed as z_ twins
+        # (test_registry.ROTATED_OUT_FAMILIES records the exception)
     }
 )
 

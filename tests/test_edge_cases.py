@@ -711,3 +711,91 @@ print("SKEW_METRIC_OK")
         capture_output=True, text=True, timeout=300,
     )
     assert "SKEW_METRIC_OK" in out.stdout, (out.stdout[-800:], out.stderr[-800:])
+
+
+def test_d15_span_semantics_on_synthetic_corpus(spark, monkeypatch):
+    """d15_duplicated_spans on a hand-built corpus pins every semantic
+    the oracle also encodes: cross-doc duplicated runs merge adjacent
+    windows into ONE maximal span; disjoint runs in a doc stay
+    separate islands; a within-doc repeat (same 8-gram twice in one
+    document) counts as duplicated with no second doc involved; docs
+    shorter than DUPSPAN_K emit nothing."""
+    from a3_fp_bigdata_spark.operators import dedup as D
+
+    R = "a b c d e f g h i j"          # 10 tokens, shared by docs 1/2/3
+    S = "p q r s t u v w"              # exactly K=8, shared by docs 3/4
+    U = "k1 k2 k3 k4 k5 k6 k7 k8"      # K tokens, repeated INSIDE doc 5
+    docs = spark.createDataFrame(
+        [
+            (1, f"u1 u2 u3 {R} v1 v2 v3"),
+            (2, f"{R} w1 w2 w3 w4"),
+            (3, f"{R} x1 x2 x3 {S}"),
+            (4, f"y1 y2 {S} y3"),
+            (5, f"{U} z1 z2 {U}"),
+            (6, "short one two"),
+        ],
+        "doc_id long, text string",
+    )
+
+    real_table = D.table
+
+    def patched(spark_, sf_dir_, name):
+        return docs if name == "documents" else real_table(spark_, sf_dir_, name)
+
+    monkeypatch.setattr(D, "table", patched)
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_windows)
+        for r in D.d15_duplicated_spans(spark, SF0001).collect()
+    }
+    assert got == {
+        (1, 3, 13, 3),   # R at offset 3: windows 3,4,5 merge to [3,13)
+        (2, 0, 10, 3),
+        (3, 0, 10, 3),   # R island ...
+        (3, 13, 21, 1),  # ... and S island, separated by the x-gap
+        (4, 2, 10, 1),
+        (5, 0, 8, 1),    # within-doc repeat: both copies flagged,
+        (5, 10, 18, 1),  # gap z1 z2 keeps them separate islands
+        # doc 6: < K tokens, no window, no row
+    }
+
+
+def test_d16_span_cut_on_synthetic_corpus(spark, monkeypatch):
+    """d16_span_cut over the same hand-built corpus as the d15 test:
+    tokens inside every span vanish, survivors keep their original
+    order, an untouched doc passes through verbatim (n_cut = 0), and
+    counts reconcile (n_kept + n_cut = token count)."""
+    from a3_fp_bigdata_spark.operators import dedup as D
+
+    R = "a b c d e f g h i j"
+    S = "p q r s t u v w"
+    U = "k1 k2 k3 k4 k5 k6 k7 k8"
+    docs = spark.createDataFrame(
+        [
+            (1, f"u1 u2 u3 {R} v1 v2 v3"),
+            (2, f"{R} w1 w2 w3 w4"),
+            (3, f"{R} x1 x2 x3 {S}"),
+            (4, f"y1 y2 {S} y3"),
+            (5, f"{U} z1 z2 {U}"),
+            (6, "short one two"),
+        ],
+        "doc_id long, text string",
+    )
+
+    real_table = D.table
+
+    def patched(spark_, sf_dir_, name):
+        return docs if name == "documents" else real_table(spark_, sf_dir_, name)
+
+    monkeypatch.setattr(D, "table", patched)
+    got = {
+        r.doc_id: (r.clean_text, r.n_kept, r.n_cut)
+        for r in D.d16_span_cut(spark, SF0001).collect()
+    }
+    assert got == {
+        1: ("u1 u2 u3 v1 v2 v3", 6, 10),
+        2: ("w1 w2 w3 w4", 4, 10),
+        3: ("x1 x2 x3", 3, 18),
+        4: ("y1 y2 y3", 3, 8),
+        5: ("z1 z2", 2, 16),
+        6: ("short one two", 3, 0),  # untouched doc passes through
+    }

@@ -54,6 +54,11 @@ ROTATED_OUT_FAMILIES = {
     # p6_substring_predicate: green in CORRECTNESS_r05; pushed-scan
     # surface carried by t1, ladder parity-checked as z_p1..z_p8
     "p",
+    # x1_json_extract: green in CORRECTNESS_r07; ceded the 50th slot
+    # to d15_duplicated_spans (r8) — the x1/x2/x3 semistructured
+    # ladder stays oracle-backed as z_ twins, and x1's from_json
+    # surface also runs inside src2/src3's JSON round-trips
+    "x",
 }
 
 
