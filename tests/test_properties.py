@@ -603,3 +603,65 @@ def test_bloom_fp_rate_matches_claimed_geometry(spark):
 
     rate = total_fp / total_probes
     assert 0.0025 < rate < 0.016, f"pooled fp rate {rate:.4f}"
+
+
+def test_d15_d16_tx3_reconcile_on_real_corpus(spark):
+    """Cross-operator invariants of the substring-dedup pipeline on the
+    real sf0.001 corpus: d15's spans are well-formed (length >= K,
+    window count bounded by span room) and disjoint with a gap per doc
+    (that is what maximal means); d16's n_cut equals the summed span
+    lengths; and n_kept + n_cut equals tx3's whitespace token count —
+    three independently-written operators agreeing on every document."""
+    from pyspark.sql import Window as W
+
+    from a3_fp_bigdata_spark.operators.dedup import (
+        DUPSPAN_K,
+        d15_duplicated_spans,
+        d16_span_cut,
+    )
+    from a3_fp_bigdata_spark.operators.text_analysis import tx3_token_count
+    from tests.conftest import SF0001
+
+    spans = d15_duplicated_spans(spark, SF0001).persist()
+    bad_shape = spans.filter(
+        (F.col("span_end") - F.col("span_start") < DUPSPAN_K)
+        | (F.col("n_windows") < 1)
+        | (
+            F.col("n_windows")
+            > F.col("span_end") - F.col("span_start") - DUPSPAN_K + 1
+        )
+    ).count()
+    assert bad_shape == 0
+    # maximality: consecutive spans of a doc never touch or overlap
+    prev_end = F.lag("span_end").over(
+        W.partitionBy("doc_id").orderBy("span_start")
+    )
+    overlapping = spans.withColumn("prev_end", prev_end).filter(
+        F.col("prev_end").isNotNull()
+        & (F.col("span_start") <= F.col("prev_end"))
+    ).count()
+    assert overlapping == 0
+
+    cut = d16_span_cut(spark, SF0001)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum(F.col("span_end") - F.col("span_start")).alias("span_len")
+    )
+    joined = (
+        cut.join(per_doc, "doc_id", "left")
+        .join(tx3_token_count(spark, SF0001), "doc_id")
+        .select(
+            "doc_id",
+            "n_kept",
+            "n_cut",
+            F.coalesce("span_len", F.lit(0)).alias("span_len"),
+            "n_ws_tokens",
+        )
+    )
+    n_docs = joined.count()
+    assert n_docs > 0
+    mismatches = joined.filter(
+        (F.col("n_cut") != F.col("span_len"))
+        | (F.col("n_kept") + F.col("n_cut") != F.col("n_ws_tokens"))
+    ).count()
+    assert mismatches == 0
+    spans.unpersist()
