@@ -29,8 +29,9 @@ from a3_fp_bigdata_spark.registry import query
 #: Committed icon fixture set (6 deterministic PNGs — incl. one
 #: color-type-3 palette/PLTE image, tools/make_png_fixtures.py — + 2
 #: deterministic baseline JPEGs, one 4:4:4, one 4:2:0 with restart
-#: markers; tools/make_jpeg_fixtures.py). pytest pins their exact
-#: channel means.
+#: markers; tools/make_jpeg_fixtures.py — + 2 deterministic GIFs, one
+#: static interlaced, one 4-frame animation with transparency;
+#: tools/make_gif_fixtures.py). pytest pins their exact channel means.
 FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "fixtures")
 
 
@@ -60,10 +61,28 @@ def image_dir_source(
 @query("mm4_image_dir_features")
 def mm4_image_dir_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end reference shape (feature_extractor.py:15-34): scan an
-    image directory, decode every PNG and JPEG for real (png_codec /
-    jpeg_codec; PIL when present), emit per-image channel means +
-    dimensions. Rows-only: the input is the committed fixture
-    directory, not a parquet table, so there is no DuckDB twin; pytest
-    pins the exact feature values."""
-    media = image_dir_source(spark, FIXTURE_DIR, glob="*.{png,jpg,jpeg}")
+    image directory, decode every PNG, JPEG and GIF for real
+    (png_codec / jpeg_codec / gif_codec; PIL when present), emit
+    per-image channel means + dimensions (animated GIF contributes its
+    first frame, PIL's convert('RGB') behavior). Rows-only: the input
+    is the committed fixture directory, not a parquet table, so there
+    is no DuckDB twin; pytest pins the exact feature values."""
+    media = image_dir_source(
+        spark, FIXTURE_DIR, glob="*.{png,jpg,jpeg,gif}"
+    )
     return extract_features(media).orderBy("media_id")
+
+
+@query("mm6_gif_frame_features")
+def mm6_gif_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over a REAL container format: binaryFile-scan the
+    committed GIFs, explode each into composited frames inside the
+    Arrow batch (gif_codec decodes transparency + disposal), emit
+    per-frame channel means. The video-pipeline shape — demux to
+    frames, featurize per frame — with genuine bytes instead of
+    frame_sample's synthetic fixed-stride payloads. Rows-only: fixture
+    directory input, no DuckDB twin; pytest pins the per-frame values."""
+    from a3_fp_bigdata_spark.multimodal.images import gif_frame_features
+
+    media = image_dir_source(spark, FIXTURE_DIR, glob="*.gif")
+    return gif_frame_features(media).orderBy("media_id", "frame_idx")

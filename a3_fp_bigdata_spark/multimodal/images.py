@@ -10,11 +10,11 @@ width/height -> parquet side table) re-expressed distributed.
 Decode dispatch is keyed on media_type: ``image/fake`` always uses
 the deterministic stub (synthetic media_table payloads are text bytes
 PIL could never open — the stub exists so the Arrow plumbing is
-testable on them); real formats prefer PIL when installed; PNG
-additionally decodes for REAL without PIL via the pure-python codec
-(png_codec.py, exercised by the committed icon fixtures through
-binary_files.image_dir_source); other real formats without PIL raise
-NotImplementedError rather than guessing.
+testable on them); real formats prefer PIL when installed; PNG, JPEG
+and GIF additionally decode for REAL without PIL via the pure-python
+codecs (png_codec.py, jpeg_codec.py, gif_codec.py — exercised by the
+committed fixtures through binary_files.image_dir_source); other real
+formats without PIL raise NotImplementedError rather than guessing.
 
 Scale notes: mapInPandas streams Arrow record batches (bounded by
 spark.sql.execution.arrow.maxRecordsPerBatch), so executor memory is
@@ -89,10 +89,17 @@ def decode_image(payload: bytes, media_type: str = "image/fake") -> np.ndarray:
         from a3_fp_bigdata_spark.multimodal.jpeg_codec import decode_jpeg
 
         return decode_jpeg(payload)
+    if media_type == "image/gif":
+        # real decode, no image libs: GIF87a/89a + LZW per the public
+        # spec; frame 0 (PIL's convert('RGB') on an animation does the
+        # same)
+        from a3_fp_bigdata_spark.multimodal.gif_codec import decode_gif
+
+        return decode_gif(payload)
     raise NotImplementedError(
         f"decoding {media_type!r} requires PIL, which is not installed; "
-        "'image/png', 'image/jpeg' (pure-python codecs) and 'image/fake' "
-        "work without it"
+        "'image/png', 'image/jpeg', 'image/gif' (pure-python codecs) "
+        "and 'image/fake' work without it"
     )
 
 
@@ -218,6 +225,48 @@ def frame_sample(
     return media.mapInPandas(
         batches, schema="media_id long, frame_idx int, frame binary"
     )
+
+
+_FRAME_FEATURE_SCHEMA = (
+    "media_id long, frame_idx int, n_frames int, "
+    "img_avg_red double, img_avg_green double, img_avg_blue double, "
+    "img_width int, img_height int"
+)
+
+
+def gif_frame_features(media: DataFrame) -> DataFrame:
+    """Real-container frame sampling: explode each animated GIF into
+    its composited frames (gif_codec) and emit per-frame channel means
+    — the genuine-format counterpart of ``frame_sample``'s fixed-stride
+    byte slicing. One input row fans out to n_frames output rows inside
+    the Arrow batch; no shuffle, executor memory stays O(batch)."""
+    from a3_fp_bigdata_spark.multimodal.gif_codec import decode_gif_frames
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list[Any]] = {
+                k: []
+                for k in (
+                    "media_id", "frame_idx", "n_frames", "img_avg_red",
+                    "img_avg_green", "img_avg_blue", "img_width",
+                    "img_height",
+                )
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames = decode_gif_frames(bytes(payload))
+                for i, arr in enumerate(frames):
+                    means = arr.reshape(-1, 3).mean(axis=0)
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["n_frames"].append(len(frames))
+                    out["img_avg_red"].append(float(means[0]))
+                    out["img_avg_green"].append(float(means[1]))
+                    out["img_avg_blue"].append(float(means[2]))
+                    out["img_width"].append(arr.shape[1])
+                    out["img_height"].append(arr.shape[0])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=_FRAME_FEATURE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

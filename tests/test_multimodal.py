@@ -168,7 +168,7 @@ def test_mm4_registered_and_deterministic(spark):
     q = registry.all_queries()["mm4_image_dir_features"]
     a = [tuple(r) for r in q(spark, SF0001).collect()]
     b = [tuple(r) for r in q(spark, SF0001).collect()]
-    assert a == b and len(a) == 8  # 6 PNGs + 2 JPEGs
+    assert a == b and len(a) == 10  # 6 PNGs + 2 JPEGs + 2 GIFs
 
 
 def test_binaryfile_jpeg_fixture_features(spark):
@@ -345,3 +345,110 @@ def test_png_palette_codec_roundtrip_and_errors():
                 b"".join(b"\x00" + idx[y].tobytes() for y in range(9))))
             + P._chunk(b"IEND", b"")
         )
+
+
+def test_gif_codec_roundtrip_and_compositing():
+    """GIF87a/89a decode: LZW (incl. 12-bit table growth), interlace,
+    multi-frame compositing with transparency and disposal; every
+    strict prefix of a valid file raises (truncation never passes as a
+    shorter animation)."""
+    from a3_fp_bigdata_spark.multimodal import gif_codec as G
+
+    rng = np.random.default_rng(7)
+
+    # static few-color round trip, plain and interlaced
+    img = rng.integers(0, 4, (23, 17, 3)).astype(np.uint8) * 60
+    assert np.array_equal(G.decode_gif(G.encode_gif([img])), img)
+    assert np.array_equal(
+        G.decode_gif(G.encode_gif([img], interlace=True)), img
+    )
+
+    # full 256-entry palette forces the LZW table through 12-bit codes
+    pal = np.unique(rng.integers(0, 256, (256, 3)).astype(np.uint8), axis=0)
+    big = pal[rng.integers(0, len(pal), (64, 64))]
+    assert np.array_equal(G.decode_gif(G.encode_gif([big])), big)
+
+    # animation: frames after the first encode the background color as
+    # transparent — the decoder's composite must reproduce each full
+    # frame by painting over the previous canvas
+    f0 = np.full((10, 12, 3), 200, np.uint8)
+    f1 = f0.copy(); f1[2:5, 3:7] = (10, 20, 30)
+    f2 = f1.copy(); f2[7:9, 0:4] = (90, 0, 90)
+    g = G.encode_gif([f0, f1, f2], transparent_color=(200, 200, 200))
+    dec = G.decode_gif_frames(g)
+    assert len(dec) == 3
+    for got, want in zip(dec, [f0, f1, f2]):
+        assert np.array_equal(got, want)
+
+    # decode_image dispatch: image/gif -> frame 0 without PIL
+    assert np.array_equal(M.decode_image(g, "image/gif"), f0)
+
+    # truncation and garbage fail loudly at every cut point
+    with pytest.raises(ValueError, match="signature"):
+        G.decode_gif_frames(b"NOPE")
+    for cut in range(6, len(g)):
+        with pytest.raises(ValueError):
+            G.decode_gif_frames(g[:cut])
+
+    # raw LZW round trip at a non-trivial alphabet
+    stream = rng.integers(0, 256, 70000).astype(np.uint8).tobytes()
+    assert G._lzw_decode(G._lzw_encode(stream, 8), 8, len(stream)) == stream
+
+
+def test_binaryfile_gif_fixture_features(spark):
+    """The two committed GIF fixtures decode through the pure-python
+    codec inside the Spark pipeline (mm4's glob includes *.gif); the
+    animated fixture contributes its FIRST frame. Pins are
+    tools/make_gif_fixtures.py's printed values — GIF is lossless
+    palettized color, so they are PIL-safe like the PNG pins."""
+    from a3_fp_bigdata_spark.multimodal import binary_files as B
+
+    media = B.image_dir_source(spark, B.FIXTURE_DIR, glob="*.gif")
+    named = B.extract_features(media).join(media, "media_id").select(
+        "meta.origin", "img_avg_red", "img_avg_green", "img_avg_blue",
+        "img_width", "img_height",
+    )
+    feats = {
+        r.origin: (
+            round(r.img_avg_red, 4), round(r.img_avg_green, 4),
+            round(r.img_avg_blue, 4), r.img_width, r.img_height,
+        )
+        for r in named.collect()
+    }
+    # static interlaced, 32-entry palette
+    assert feats["icon_spiral.gif"] == (119.4044, 150.3834, 89.7681, 33, 26)
+    # animation -> frame 0 (solid background)
+    assert feats["anim_pulse.gif"] == (40.0, 40.0, 40.0, 24, 16)
+    assert len(feats) == 2
+
+
+def test_mm6_gif_frame_features_pinned(spark):
+    """mm6: the real-container frame explode — anim_pulse.gif fans out
+    to its 4 composited frames, icon_spiral.gif to 1; per-frame channel
+    means pinned to the fixture generator's analytic values."""
+    from a3_fp_bigdata_spark import registry
+
+    q = registry.all_queries()["mm6_gif_frame_features"]
+    rows = q(spark, SF0001).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in q(spark, SF0001).collect()]
+    # media_id hashes the filename; recover origin via n_frames (4 vs 1)
+    anim = [r for r in rows if r.n_frames == 4]
+    static = [r for r in rows if r.n_frames == 1]
+    assert len(anim) == 4 and len(static) == 1
+    assert [r.frame_idx for r in anim] == [0, 1, 2, 3]
+    pins = [
+        (40.0, 40.0, 40.0),
+        (58.2292, 45.7292, 37.3958),
+        (76.4583, 55.625, 34.7917),
+        (94.6875, 69.6875, 32.1875),
+    ]
+    for r, (pr, pg, pb) in zip(anim, pins):
+        assert (
+            round(r.img_avg_red, 4), round(r.img_avg_green, 4),
+            round(r.img_avg_blue, 4), r.img_width, r.img_height,
+        ) == (pr, pg, pb, 24, 16)
+    s = static[0]
+    assert (
+        round(s.img_avg_red, 4), round(s.img_avg_green, 4),
+        round(s.img_avg_blue, 4), s.img_width, s.img_height,
+    ) == (119.4044, 150.3834, 89.7681, 33, 26)
