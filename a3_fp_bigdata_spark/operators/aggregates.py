@@ -333,6 +333,118 @@ def a19_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_A20_SCRATCH = f"/tmp/a3_fp_a20_quantile_audit_uid{_os.getuid()}"
+_A20_QS = (0.25, 0.5, 0.9)
+_A20_ACCURACY = 10000
+
+
+@query(
+    "a20_quantile_rank_audit",
+    oracle=f"""
+    WITH vals AS (
+      SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ), ap AS (
+      SELECT event_type, q, approx_val
+      FROM read_parquet('{_A20_SCRATCH}/*.parquet')
+      WHERE {fingerprint_where('events', 'event_id')}
+    ), rk AS (
+      SELECT a.event_type, a.q,
+             count(*) AS n_vals,
+             count_if(v.value < a.approx_val) AS cnt_lt,
+             count_if(v.value <= a.approx_val) AS cnt_le
+      FROM ap a JOIN vals v USING (event_type)
+      GROUP BY a.event_type, a.q
+    )
+    SELECT event_type, CAST(q AS DOUBLE) AS q,
+           CAST(n_vals AS BIGINT) AS n_vals,
+           CAST(cnt_lt AS BIGINT) AS cnt_lt,
+           CAST(cnt_le AS BIGINT) AS cnt_le,
+           CAST(cnt_le >= q * n_vals - n_vals / {_A20_ACCURACY}.0 - 1
+            AND cnt_lt <= q * n_vals + n_vals / {_A20_ACCURACY}.0
+            AS BOOLEAN) AS within_rank_bound
+    FROM rk
+    """,
+)
+def a20_quantile_rank_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-BACKED rank-error attestation for a12's percentile_approx
+    (Greenwald-Khanna sketch, the quantile half of the approximate
+    tier; its internals have no SQL twin). Spark materializes the
+    per-(event_type, quantile) estimates to fingerprint-stamped
+    scratch; BOTH engines then independently recount, over their own
+    scan of the raw values, how many fall below / at-or-below each
+    estimate — so ``within_rank_bound`` (GK contract: the estimate's
+    rank interval [cnt_lt+1, cnt_le] must overlap q*n ± n/accuracy,
+    with a +1 slack absorbing rank rounding) is checked against ground
+    truth the sketch never touched. Same protocol as a19/d4/d9/sim11;
+    with this, every approximate operator in the engine is audited.
+
+    Scale: the estimate frame is |event_types| x |quantiles| rows —
+    broadcast to the rank recount, whose single shuffle is the
+    map-side-combinable (event_type, q) aggregate; the sketch itself
+    merges per-partition, so nothing here is driver-bound at 100 TB.
+    """
+    ev = table(spark, sf_dir, "events")
+    qarr = F.array(*[F.lit(q) for q in _A20_QS])
+    ap = (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", qarr, _A20_ACCURACY).alias(
+                "avals"
+            )
+        )
+        .select(
+            "event_type", F.posexplode("avals").alias("pos", "approx_val")
+        )
+        .select(
+            "event_type",
+            F.element_at(qarr, F.col("pos") + 1).alias("q"),
+            "approx_val",
+        )
+    )
+    fp = src_fingerprint(ev, "event_id")
+    ap.crossJoin(F.broadcast(fp)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(_A20_SCRATCH)
+    back = spark.read.parquet(_A20_SCRATCH).drop("n_src", "src_ck")
+    vals = ev.filter(F.col("value").isNotNull()).select(
+        "event_type", "value"
+    )
+    rk = (
+        vals.join(F.broadcast(back), "event_type")
+        .groupBy("event_type", "q")
+        .agg(
+            F.count("*").cast("long").alias("n_vals"),
+            F.sum(
+                F.when(F.col("value") < F.col("approx_val"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("cnt_lt"),
+            F.sum(
+                F.when(F.col("value") <= F.col("approx_val"), 1).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("cnt_le"),
+        )
+    )
+    eps_n = F.col("n_vals") / _A20_ACCURACY
+    return rk.select(
+        "event_type",
+        F.col("q").cast("double").alias("q"),
+        "n_vals",
+        "cnt_lt",
+        "cnt_le",
+        (
+            (
+                F.col("cnt_le")
+                >= F.col("q") * F.col("n_vals") - eps_n - 1
+            )
+            & (F.col("cnt_lt") <= F.col("q") * F.col("n_vals") + eps_n)
+        ).alias("within_rank_bound"),
+    )
+
+
 @query("a12_approx_distinct", oracle=None)
 def a12_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct + quantiles (HyperLogLog++ / KLL-style

@@ -623,6 +623,12 @@ def test_sketch_and_ivf_audits_pass_their_bounds(spark):
     assert a19 and all(r.within_5pct for r in a19)
     r = qs["sim11_ivf_recall_audit"](spark, SF0001).collect()[0]
     assert r.n_hit >= 0.8 * r.k
+    # a20: every percentile_approx estimate's rank interval must
+    # overlap q*n +- n/accuracy (the GK contract), per (group, q)
+    a20 = qs["a20_quantile_rank_audit"](spark, SF0001).collect()
+    assert len(a20) == 15 and all(r.within_rank_bound for r in a20)
+    # and the interval itself must be coherent ground truth
+    assert all(0 <= r.cnt_lt <= r.cnt_le <= r.n_vals for r in a20)
 
 
 def test_d6_gemm_audit_lossless_and_canonical(spark):
