@@ -404,10 +404,17 @@ def main() -> None:
     for factor in (1, 10):
         amp_dir, amp_rows = amplify_corpus(spark, factor)
         timed_row.w0, timed_row.r0 = _shuffle_totals(spark)
+        # d15 rides the same amplified corpus: replica word-suffixes
+        # keep replicas disjoint for ANY k-gram length, so the
+        # duplicated-8-gram rate is held exactly like the shingle
+        # rate — its gram-key shuffle should scale with rows, and its
+        # island merge with HIT rows only (d16 is d15 + a join back,
+        # no new shuffle shape to measure).
         for name in (
             "d1_exact_dedup",
             "d4_minhash_lsh",
             "d12_dedup_clusters",
+            "d15_duplicated_spans",
         ):
             n_out = timed_row(
                 f"{name} x{factor} ({amp_rows} docs)",
@@ -416,7 +423,12 @@ def main() -> None:
             ratio_wall[f"{name}@{factor}"] = timed_row.last_dt
             ratio_rows[f"{name}@{factor}"] = n_out
     print()
-    for name in ("d1_exact_dedup", "d4_minhash_lsh", "d12_dedup_clusters"):
+    for name in (
+        "d1_exact_dedup",
+        "d4_minhash_lsh",
+        "d12_dedup_clusters",
+        "d15_duplicated_spans",
+    ):
         w1, w10 = ratio_wall[f"{name}@1"], ratio_wall[f"{name}@10"]
         r1, r10 = ratio_rows[f"{name}@1"], ratio_rows[f"{name}@10"]
         print(
