@@ -147,7 +147,13 @@ CANONICAL = frozenset(
         # Q3 shape by a8+j5+t1; a5 stddev by a8's agg surface — all
         # parity-checked as z_ twins; a19 HLL error-bound audit
         # rotated IN r8 so the driver attests the sketch tier directly)
-        "a8_tpch_q1", "a9_rollup", "a19_approx_distinct_audit",
+        # a8 TPC-H Q1 rotated out mid-r8 after its green r7 driver row
+        # (parity-checked as z_a8; still bench's headline via
+        # exposure_name) — its slot attests the NEW a20
+        # percentile_approx rank audit, completing the driver-attested
+        # audit tier; the agg family keeps a9 + a19 oracle-backed
+        "a9_rollup", "a19_approx_distinct_audit",
+        "a20_quantile_rank_audit",
         # data-quality expectation suite (publish gate); dq2 profile
         # drift rotated out r8 after its green r7 driver row, parity-
         # checked as z_dq2
