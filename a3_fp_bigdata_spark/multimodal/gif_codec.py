@@ -314,7 +314,11 @@ def encode_gif(
     union of colors; > 256 distinct colors raises — fixtures are
     synthetic). With ``transparent_color``, pixels of that color are
     encoded as transparent in frames AFTER the first (frame 0 paints
-    the full canvas so composites stay deterministic)."""
+    the full canvas so composites stay deterministic). Contract: a
+    transparent-colored pixel in frame N>0 decodes to frame N-1's
+    pixel ("unchanged"), so round-trip equality holds only for
+    monotone delta-animations where that color never repaints over a
+    foreground pixel — the shape GIF transparency exists for."""
     if not frames:
         raise ValueError("need at least one frame")
     h, w = frames[0].shape[:2]

@@ -665,3 +665,72 @@ def test_d15_d16_tx3_reconcile_on_real_corpus(spark):
     ).count()
     assert mismatches == 0
     spans.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# GIF codec round trip (pure python, no Spark session needed)
+# ---------------------------------------------------------------------------
+
+_GIF_FRAME_SHAPES = st.tuples(
+    st.integers(min_value=1, max_value=21),  # height
+    st.integers(min_value=1, max_value=19),  # width
+)
+
+
+@settings(max_examples=30, deadline=None, derandomize=True)
+@given(
+    shape=_GIF_FRAME_SHAPES,
+    n_colors=st.integers(min_value=1, max_value=11),
+    n_frames=st.integers(min_value=1, max_value=3),
+    interlace=st.booleans(),
+    transparent=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_gif_roundtrip_property(
+    shape, n_colors, n_frames, interlace, transparent, seed
+):
+    """encode_gif -> decode_gif_frames is the identity on arbitrary
+    small palettized animations: any frame shape, palette size 1-11
+    (crossing the 1/2/4-bit color-table size boundaries), 1-3 frames,
+    interlaced or not, with or without a transparent background color.
+    Each input frame is a full canvas, so equality pins BOTH the LZW
+    layer and the compositing rules. Encoder contract honored when
+    transparent: a transparent-colored pixel in frame N>0 means
+    "unchanged from frame N-1", so those animations are generated
+    monotone — frame 0 is all-background and later frames only PAINT
+    non-background rectangles (a background pixel never reappears over
+    a painted one), exactly the delta-animation shape the transparency
+    feature exists for."""
+    import numpy as np
+
+    from a3_fp_bigdata_spark.multimodal import gif_codec as G
+
+    h, w = shape
+    rng = np.random.default_rng(seed)
+    palette = np.unique(
+        rng.integers(0, 256, (n_colors, 3)).astype(np.uint8), axis=0
+    )
+    if transparent and len(palette) > 1:
+        t_color = tuple(int(c) for c in palette[0])
+        fg = palette[1:]
+        frames = [np.broadcast_to(palette[0], (h, w, 3)).copy()]
+        for _ in range(n_frames - 1):
+            f = frames[-1].copy()
+            y0, x0 = rng.integers(0, h), rng.integers(0, w)
+            y1, x1 = rng.integers(y0, h) + 1, rng.integers(x0, w) + 1
+            f[y0:y1, x0:x1] = fg[rng.integers(0, len(fg), (y1 - y0, x1 - x0))]
+            frames.append(f)
+    else:
+        t_color = None
+        frames = [
+            palette[rng.integers(0, len(palette), (h, w))]
+            for _ in range(n_frames)
+        ]
+    payload = G.encode_gif(
+        frames, interlace=interlace, transparent_color=t_color
+    )
+    decoded = G.decode_gif_frames(payload)
+    assert len(decoded) == n_frames
+    for got, want in zip(decoded, frames):
+        assert got.shape == want.shape
+        assert np.array_equal(got, want)
