@@ -335,9 +335,15 @@ def encode_gif(
     pal[: len(colors)] = colors
     lut = {tuple(c): i for i, c in enumerate(colors)}
     min_code = max(size_bits, 2)
+    # honest background index: the transparent color if one was named
+    # (disposal-2 restores must reveal it), else frame 0's top-left
+    bg_idx = lut.get(
+        tuple(np.uint8(transparent_color)) if transparent_color else None,
+        int(lut[tuple(frames[0][0, 0])]),
+    )
 
     out = bytearray(b"GIF89a")
-    out += struct.pack("<HHBBB", w, h, 0x80 | (size_bits - 1), 0, 0)
+    out += struct.pack("<HHBBB", w, h, 0x80 | (size_bits - 1), bg_idx, 0)
     out += pal.tobytes()
     if len(frames) > 1:
         # Netscape looping extension — exercises the decoder's generic
