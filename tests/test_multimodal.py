@@ -452,3 +452,65 @@ def test_mm6_gif_frame_features_pinned(spark):
         round(s.img_avg_red, 4), round(s.img_avg_green, 4),
         round(s.img_avg_blue, 4), s.img_width, s.img_height,
     ) == (119.4044, 150.3834, 89.7681, 33, 26)
+
+
+def test_gif_lzw_foreign_encoder_variants():
+    """Real-world GIFs come from encoders we didn't write. Two spec-
+    legal variants our encoder never emits must still decode: (a) a
+    'deferred clear' stream that fills the 12-bit table and keeps
+    going without ever resetting (the table freezes at 4096 — decoders
+    that keep growing their table desync), and (b) a stream that emits
+    CLEAR mid-stream at an arbitrary point."""
+    from a3_fp_bigdata_spark.multimodal import gif_codec as G
+
+    # (a) deferred clear: encoder that freezes its table at 4096
+    def encode_frozen(indices: bytes, min_code: int) -> bytes:
+        clear, end = 1 << min_code, (1 << min_code) + 1
+        table = {bytes([i]): i for i in range(clear)}
+        next_code, code_size = end + 1, min_code + 1
+        out, acc, nbits = bytearray(), 0, 0
+
+        def emit(code: int) -> None:
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += code_size
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        emit(clear)
+        w = b""
+        for b in indices:
+            wk = w + bytes([b])
+            if wk in table:
+                w = wk
+                continue
+            emit(table[w])
+            if next_code < (1 << 12):  # freeze, never reset
+                table[wk] = next_code
+                next_code += 1
+                if next_code - 1 == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            w = bytes([b])
+        if w:
+            emit(table[w])
+        emit(end)
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    rng = np.random.default_rng(11)
+    # enough entropy to overflow 4096 table entries at 8-bit codes
+    idx = rng.integers(0, 256, 60000).astype(np.uint8).tobytes()
+    got = G._lzw_decode(encode_frozen(idx, 8), 8, len(idx))
+    assert got == idx
+
+    # (b) mid-stream CLEAR + full table reset: a high-entropy stream
+    # long enough to wrap the 12-bit table more than twice forces our
+    # encoder to emit CLEAR at arbitrary mid-stream points, exercising
+    # the decoder's reset path (fresh table, narrow code size, prev
+    # dropped) several times in one image
+    idx2 = rng.integers(0, 256, 150000).astype(np.uint8).tobytes()
+    enc2 = G._lzw_encode(idx2, 8)
+    assert G._lzw_decode(enc2, 8, len(idx2)) == idx2
