@@ -79,6 +79,91 @@ def write_bucketed_table(
     w.saveAsTable(name)
 
 
+def zorder_key(cols: list[str], bits: int = 16):
+    """Z-order (Morton) key over integer columns as pure Column bit
+    algebra — interleave the low ``bits`` bits of each column so rows
+    close in EVERY dimension land close on the 1-D sort key. All
+    JVM-side (shift/and/or fold, whole-stage codegen); no UDF.
+
+    Callers must pre-quantize values into [0, 2^bits): at the shipped
+    scale factors the join keys already fit 16 bits; a 100 TB deploy
+    maps each column through a rank/range quantizer first (the layout
+    is a clustering hint — quantization never affects query RESULTS,
+    only pruning quality)."""
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            bit = F.shiftright(F.col(c).cast("long"), i).bitwiseAND(
+                F.lit(1)
+            )
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zcols: list[str],
+    *,
+    n_files: int = 16,
+    bits: int = 8,
+) -> None:
+    """Multi-dimensional clustering sink (Delta's OPTIMIZE ZORDER shape,
+    declaratively): range-partition + sort by the Morton key, so
+    parquet footer min/max stats become selective in EVERY z-ed
+    dimension at once. A 1-D ``sortBy(col)`` layout prunes box queries
+    on that column only; the z-layout prunes boxes on any combination
+    — at 100 TB that is the difference between scanning ~sqrt of the
+    files and scanning all of them whenever the filter misses the sort
+    column.
+
+    Each dimension is first quantized to ``bits`` bits across its own
+    min/max (one tiny agg job): interleaving RAW values hands the
+    wider-ranged column's high bits the whole sort order and the
+    narrow column gets no locality at all (measured: suppkey pruning
+    was zero against raw 16-bit interleave). Equal-width quantization
+    is what OPTIMIZE ZORDER's range-id pass does too. The helper key
+    column is dropped before write (a projection — intra-partition
+    order survives, no exchange)."""
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[
+            f
+            for c in zcols
+            for f in (
+                F.min(c).cast("long").alias(f"_min_{c}"),
+                F.max(c).cast("long").alias(f"_max_{c}"),
+            )
+        ]
+    ).collect()[0]
+    scale = 1 << bits
+    qcols = []
+    for c in zcols:
+        lo, hi = stats[f"_min_{c}"], stats[f"_max_{c}"]
+        span = max(hi - lo + 1, 1)
+        qcols.append(
+            F.least(
+                ((F.col(c).cast("long") - lo) * scale / span).cast("long"),
+                F.lit(scale - 1),
+            ).alias(f"_q_{c}")
+        )
+    (
+        df.select("*", *qcols)
+        .withColumn(
+            "_zkey", zorder_key([f"_q_{c}" for c in zcols], bits)
+        )
+        .repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey", *[f"_q_{c}" for c in zcols])
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def compact_parquet_dir(
     spark: SparkSession,
     path: str,

@@ -288,3 +288,77 @@ def src7_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             "good_value_total"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# S-extension: Z-order clustered layout (multi-dimensional pruning)
+# ---------------------------------------------------------------------------
+
+#: memoized z-layout per sf_dir (bench warms it so the timed row is the
+#: pruned box SCAN, not the one-time layout write — same convention as
+#: warm_sim4_index)
+_ZORDER_LAYOUT: dict[str, str] = {}
+
+ZBOX_PK = (500, 900)
+ZBOX_SK = (20, 60)
+
+
+def warm_zorder_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Write (or reuse) the z-ordered lineitem layout for sf_dir and
+    return its path. One range shuffle on the Morton key; at 100 TB
+    this is the nightly OPTIMIZE job, amortized over every box query
+    that follows."""
+    from a3_fp_bigdata_spark.sources.parquet_io import write_zordered
+
+    key = os.path.abspath(sf_dir)
+    if key not in _ZORDER_LAYOUT:
+        out = tempfile.mkdtemp(prefix="a3_src8_zorder_")
+        write_zordered(
+            table(spark, sf_dir, "lineitem"),
+            out,
+            ["l_partkey", "l_suppkey"],
+            n_files=16,
+        )
+        _ZORDER_LAYOUT[key] = out
+    return _ZORDER_LAYOUT[key]
+
+
+@query(
+    "src8_zorder_box_query",
+    oracle=f"""
+    SELECT count(*) AS n_rows,
+           {half_up_sql('sum(l_quantity)', 2)} AS sum_qty,
+           CAST(min(l_partkey) AS BIGINT) AS min_pk,
+           CAST(max(l_suppkey) AS BIGINT) AS max_sk
+    FROM lineitem
+    WHERE l_partkey BETWEEN {ZBOX_PK[0]} AND {ZBOX_PK[1]}
+      AND l_suppkey BETWEEN {ZBOX_SK[0]} AND {ZBOX_SK[1]}
+    """,
+)
+def src8_zorder_box_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering end-to-end (Delta OPTIMIZE ZORDER shape):
+    lineitem rewritten once into a Morton-key-clustered layout
+    (parquet_io.write_zordered — range partition + sort on the
+    interleaved (l_partkey, l_suppkey) bits), then a 2-D box query
+    reads it back. The oracle runs the same box on the ORIGINAL table,
+    so any row lost/duplicated/reordered by the layout rewrite is a
+    value-hash mismatch. The PLAN evidence is the point: both
+    predicates push into the scan of the clustered layout, and because
+    the layout is z-sorted the parquet footer min/max stats are
+    selective in BOTH dimensions — a 1-D sort prunes only its own
+    column's boxes (tests/test_plans.py pins the file-level pruning
+    counts for z vs 1-D layouts)."""
+    import pyspark.sql.functions as F
+
+    path = warm_zorder_layout(spark, sf_dir)
+    li = spark.read.parquet(path)
+    box = (
+        F.col("l_partkey").between(*ZBOX_PK)
+        & F.col("l_suppkey").between(*ZBOX_SK)
+    )
+    return li.filter(box).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        half_up(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.min("l_partkey").cast("long").alias("min_pk"),
+        F.max("l_suppkey").cast("long").alias("max_sk"),
+    )
