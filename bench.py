@@ -133,6 +133,15 @@ def main() -> None:
     # is the steady-state partition-pruned probe, like sim4's
     _sim10 = registry.exposure_name("sim10_incremental_index")
     try_force(lambda: queries[_sim10](spark, sf_dir), "warm:sim10")
+    # src8 is layout-once/box-query-many: warm the z-ordered rewrite so
+    # the timed row is the footer-pruned scan (the per-query cost at
+    # scale), not the one-time OPTIMIZE-style layout job
+    try:
+        from a3_fp_bigdata_spark.sources.queries import warm_zorder_layout
+
+        warm_zorder_layout(spark, sf_dir)
+    except Exception as e:  # noqa: BLE001
+        errors["warm:src8_zorder"] = f"{type(e).__name__}: {str(e)[:300]}"
     # warm the Python worker pool + Arrow runner path: the FIRST Arrow
     # stage of a session forks every worker (pandas/pyarrow imports ×
     # ncpus) and JITs the JVM-side ArrowPythonRunner — an ~8-10 s
