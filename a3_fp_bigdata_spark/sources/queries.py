@@ -307,12 +307,15 @@ def warm_zorder_layout(spark: SparkSession, sf_dir: str) -> str:
     """Write (or reuse) the z-ordered lineitem layout for sf_dir and
     return its path. One range shuffle on the Morton key; at 100 TB
     this is the nightly OPTIMIZE job, amortized over every box query
-    that follows."""
+    that follows. The layout lives at the module's fixed _scratch path
+    (one dir per sf tier, overwritten — NOT a fresh mkdtemp per
+    process, which would strand a lineitem-sized copy in /tmp on every
+    bench/parity/pytest run)."""
     from a3_fp_bigdata_spark.sources.parquet_io import write_zordered
 
     key = os.path.abspath(sf_dir)
     if key not in _ZORDER_LAYOUT:
-        out = tempfile.mkdtemp(prefix="a3_src8_zorder_")
+        out = _scratch("zorder", sf_dir)
         write_zordered(
             table(spark, sf_dir, "lineitem"),
             out,

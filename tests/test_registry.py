@@ -116,6 +116,11 @@ def test_doc_counts_rendered_from_registry():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for fname in ("README.md", "SURVEY.md"):
         text = open(os.path.join(root, fname)).read()
+        # strip blockquote markers BEFORE joining: a tally that wraps
+        # across '> '-prefixed lines otherwise reads '155 > oracle-…'
+        # and escapes the regex pin (exactly how a stale count shipped
+        # green mid-round-8)
+        text = re.sub(r"^> ?", "", text, flags=re.M)
         joined = " ".join(text.split())
         for m in re.finditer(r"(\d+) registered queries", joined):
             assert int(m.group(1)) == n_q, (fname, m.group(0))
