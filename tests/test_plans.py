@@ -497,3 +497,39 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
 
     # correctness of the layout rewrite: same rows back
     assert spark.read.parquet(z_dir).count() == li.count()
+
+
+def test_zorder_key_matches_independent_morton(spark):
+    """The 32-term Column bit fold in zorder_key equals a straight
+    Python Morton interleave on a grid + random sample of 2-D points
+    (bit index convention: column j contributes bit i at position
+    i*n + j), and is injective over the sampled domain."""
+    import numpy as np
+
+    from a3_fp_bigdata_spark.sources.parquet_io import zorder_key
+
+    rng = np.random.default_rng(3)
+    pts = [(int(a), int(b)) for a in range(0, 256, 17) for b in range(0, 256, 23)]
+    pts += [
+        (int(a), int(b))
+        for a, b in zip(
+            rng.integers(0, 256, 200), rng.integers(0, 256, 200)
+        )
+    ]
+    df = spark.createDataFrame(pts, "a long, b long")
+    got = {
+        (r.a, r.b): r.z
+        for r in df.select(
+            "a", "b", zorder_key(["a", "b"], bits=8).alias("z")
+        ).collect()
+    }
+
+    def morton(a: int, b: int) -> int:
+        z = 0
+        for i in range(8):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == {(a, b): morton(a, b) for a, b in set(pts)}
+    assert len(set(got.values())) == len(got)  # injective
