@@ -105,7 +105,7 @@ def completed_stage_ids(spark: SparkSession) -> set[int]:
 
 
 def join_stage_task_skew(
-    spark: SparkSession, prior_ids: set[int]
+    spark: SparkSession, prior_ids: set[int], name_filter: str | None = None
 ) -> dict | None:
     """Per-TASK skew facts for the heaviest new shuffle-reading stage
     (the join stage, in a join block): min/median/max task shuffle
@@ -115,10 +115,23 @@ def join_stage_task_skew(
     identical however the key is distributed — only the per-task
     distribution shows one reducer melting (max/median >> 1) vs the
     load spread flat (max/median ~ 1). Returns None if no new stage
-    read shuffle data (e.g. the join broadcast instead)."""
+    read shuffle data (e.g. the join broadcast instead).
+
+    ATTRIBUTION CAVEAT: "heaviest new shuffle-reading stage" assumes
+    the join dominates the block's shuffle reads (true for the salted
+    rung this serves). In a block whose downstream aggregation
+    exchange reads MORE shuffle bytes than the join, the quantiles
+    would attribute to the wrong stage — pass ``name_filter`` (a
+    substring matched case-insensitively against the stage's name,
+    e.g. the call site shown in it) to scope candidates when reusing
+    this more broadly."""
     best = None
     for s in _rest(spark, "stages?status=complete"):
         if s["stageId"] in prior_ids:
+            continue
+        if name_filter is not None and name_filter.lower() not in (
+            s.get("name") or ""
+        ).lower():
             continue
         rb = s.get("shuffleReadBytes", 0)
         if rb > 0 and (best is None or rb > best[2]):

@@ -194,7 +194,10 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
     Frames are full-canvas composites (what a viewer shows), not raw
     sub-rectangles: each image descriptor is painted onto the logical
     screen honoring transparency, then disposal decides what the NEXT
-    frame starts from.
+    frame starts from. The initial canvas is zero-filled (black) like
+    PIL/browser compositing, so a first frame smaller than the logical
+    screen is surrounded by black; disposal 2 restores its rectangle
+    to the file's background COLOR (spec + PIL fill-with-background).
     """
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF (bad signature)")
@@ -212,15 +215,19 @@ def _decode_body(payload: bytes) -> list[np.ndarray]:
         global_pal, pos = _color_table(payload, pos, packed & 0x07)
     if W == 0 or H == 0:
         raise ValueError("zero-sized logical screen")
-    # background: spec says bg color index into the global table; most
-    # real decoders treat the initial canvas as transparent-black.
-    # Use the bg color when a global table exists (deterministic and
-    # matches the encoder below), else black.
+    # Initial canvas: ZERO-filled (black), matching PIL / browsers,
+    # which composite onto transparent-black — NOT the spec's
+    # background color (a first frame smaller than the logical screen
+    # therefore shows black around it, like PIL's convert('RGB')).
+    # The background COLOR still exists separately: disposal method 2
+    # ("restore to background color") fills the disposed rectangle
+    # with it when a global table names one, per the spec and PIL's
+    # fill-with-background dispose.
+    canvas = np.zeros((H, W, 3), np.uint8)
     if global_pal is not None and bg_idx < len(global_pal):
         background = np.broadcast_to(global_pal[bg_idx], (H, W, 3)).copy()
     else:
         background = np.zeros((H, W, 3), np.uint8)
-    canvas = background.copy()
     frames: list[np.ndarray] = []
     transparent: int | None = None
     disposal = 0
@@ -336,11 +343,20 @@ def encode_gif(
     lut = {tuple(c): i for i, c in enumerate(colors)}
     min_code = max(size_bits, 2)
     # honest background index: the transparent color if one was named
-    # (disposal-2 restores must reveal it), else frame 0's top-left
-    bg_idx = lut.get(
-        tuple(np.uint8(transparent_color)) if transparent_color else None,
-        int(lut[tuple(frames[0][0, 0])]),
-    )
+    # (disposal-2 restores must reveal it — a silent fallback here
+    # would make a disposal-2 restore reveal the WRONG color), else
+    # frame 0's top-left
+    if transparent_color is not None:
+        t_key = tuple(int(c) for c in np.uint8(transparent_color))
+        if t_key not in lut:
+            raise ValueError(
+                "transparent_color does not appear in any frame; the "
+                "palette is built from frame pixels, so it has no "
+                "index to encode as transparent"
+            )
+        bg_idx = int(lut[t_key])
+    else:
+        bg_idx = int(lut[tuple(frames[0][0, 0])])
 
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", w, h, 0x80 | (size_bits - 1), bg_idx, 0)

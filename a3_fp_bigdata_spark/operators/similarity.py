@@ -512,9 +512,7 @@ def _d6_gemm_candidates(emb: DataFrame) -> DataFrame:
     WHERE {_sql_cos('a.e', 'b.e')} >= {NEARDUP_COSINE}
     """,
 )
-def d6_embedding_neardup(
-    spark: SparkSession, sf_dir: str, cand: DataFrame | None = None
-) -> DataFrame:
+def d6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs embedding cosine near-dup (threshold {NEARDUP_COSINE}),
     as blocked GEMM: candidate pairs come from per-block-pair matrix
     multiplies (Arrow mapInPandas + numpy BLAS — measured 6x over the
@@ -522,12 +520,10 @@ def d6_embedding_neardup(
     re-scores candidates so emitted values are bit-identical to the
     declarative form the SQL oracle mirrors. Same shape as d4: cheap
     approximate candidates, exact verification of survivors only.
-    ``cand`` lets the audit substitute ITS materialized copy of the
-    candidate set so the attested pairs are byte-identical to the
-    audited ones."""
+    (d6_gemm_audit attests the pruning stage with an independent
+    quadratic derivation on both engines.)"""
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    if cand is None:
-        cand = _d6_gemm_candidates(emb)
+    cand = _d6_gemm_candidates(emb)
 
     # exact re-score of the (tiny) candidate set with the SAME JVM
     # expression the oracle mirrors — GEMM only prunes, never decides
@@ -603,11 +599,15 @@ def d6_gemm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted exactly once as vec_a < vec_b — the value-keyed
     half-triangle contract that replaced the order-sensitive
     positional mask). The Spark half reports the same five numbers
-    with ITS exact set derived by the JVM fold-expression rescorer
-    (d6's own final output, a different math path from numpy BLAS) —
-    if GEMM silently dropped a true pair, Spark would claim n_missed=0
-    while the oracle's independent count disagrees: a red hash
-    mismatch, which is the point.
+    with ITS exact set derived by a GENUINELY independent path: the
+    full per-pair JVM zip_with join over all vec_a < vec_b — no GEMM,
+    no blocking, no reuse of the materialized candidates (the fold
+    accumulates in index order, the same association DuckDB's
+    list_dot_product uses, so threshold decisions agree bit-for-bit)
+    — so a pruning miss drives n_missed > 0 on BOTH engines, not only
+    a cross-engine hash mismatch (round-8 review: the previous
+    rescore-the-candidates form had Spark's n_missed = 0 by
+    construction and detection rested on the oracle alone).
 
     Scale: the quadratic re-derivation is the AUDIT rung, run on
     corpus samples like d4/d9's; d6 itself stays blocked (B(B+1)/2
@@ -619,19 +619,31 @@ def d6_gemm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).write.mode("overwrite").parquet(_D6_AUDIT_SCRATCH)
     # pin: cand feeds five aggregates and exact feeds two (the d9/d11
     # audits' measured multi-reference rule — without it each count
-    # re-scans the scratch parquet / re-runs the rescore join)
+    # re-scans the scratch parquet / re-runs the quadratic join)
     cand = pin(
         spark.read.parquet(_D6_AUDIT_SCRATCH).drop("n_src", "src_ck")
     )
 
-    # exact set per the JVM rescorer = d6's final pairs over the SAME
-    # materialized candidates (lossless pruning makes this the full
-    # exact set; if that premise is wrong the ORACLE's independent
-    # quadratic derivation disagrees and the row goes red)
+    # independent exact set: ALL pairs via the JVM fold expression — a
+    # broadcast-nested-loop join on vec_a < vec_b (quadratic: the
+    # audit's sample-scoped cost), sharing neither topology nor math
+    # path with the blocked-GEMM candidates under audit
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        norm(F.col("embedding")).alias("na"),
+    ).repartition(32)  # BNLJ parallelism = stream-side partitions; the
+    # single-file scan would otherwise run the whole quadratic one-task
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        norm(F.col("embedding")).alias("nb"),
+    )
+    pair_cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     exact = pin(
-        d6_embedding_neardup(spark, sf_dir, cand=cand).select(
-            "vec_a", "vec_b"
-        )
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(pair_cos >= NEARDUP_COSINE)
+        .select("vec_a", "vec_b")
     )
     n_cand = cand.agg(F.count("*").cast("long").alias("n_candidates"))
     n_bad = cand.filter(F.col("vec_a") >= F.col("vec_b")).agg(

@@ -307,23 +307,65 @@ def warm_zorder_layout(spark: SparkSession, sf_dir: str) -> str:
     """Write (or reuse) the z-ordered lineitem layout for sf_dir and
     return its path. One range shuffle on the Morton key; at 100 TB
     this is the nightly OPTIMIZE job, amortized over every box query
-    that follows. The layout lives at the module's fixed _scratch path
-    (one dir per sf tier, overwritten — NOT a fresh mkdtemp per
-    process, which would strand a lineitem-sized copy in /tmp on every
-    bench/parity/pytest run)."""
+    that follows.
+
+    Concurrency-safe publish (round-8 review: overwriting one fixed
+    shared dir let a second process clobber the layout mid-scan):
+    each cold process builds into its OWN pid-suffixed version dir,
+    then atomically repoints a ``.current`` symlink (os.replace on a
+    symlink is atomic). Warm processes reuse the symlink target iff
+    its Spark ``_SUCCESS`` marker proves the build completed — a
+    version dir is never written twice, so a reader can never observe
+    a half-overwritten layout. Dead processes' stale version dirs are
+    pruned at build time (pid liveness check), so /tmp holds at most
+    the live versions — not one copy per historical run."""
     from a3_fp_bigdata_spark.sources.parquet_io import write_zordered
 
     key = os.path.abspath(sf_dir)
-    if key not in _ZORDER_LAYOUT:
-        out = _scratch("zorder", sf_dir)
-        write_zordered(
-            table(spark, sf_dir, "lineitem"),
-            out,
-            ["l_partkey", "l_suppkey"],
-            n_files=16,
-        )
-        _ZORDER_LAYOUT[key] = out
-    return _ZORDER_LAYOUT[key]
+    if key in _ZORDER_LAYOUT:
+        return _ZORDER_LAYOUT[key]
+    base = _scratch("zorder", sf_dir)
+    link = base + ".current"
+    if os.path.islink(link):
+        target = os.path.realpath(link)
+        if os.path.exists(os.path.join(target, "_SUCCESS")):
+            _ZORDER_LAYOUT[key] = target
+            return target
+    build = f"{base}.v{os.getpid()}"
+    # prune version dirs whose owning process is gone (never the one
+    # the live symlink still names — a racing reader may be mid-scan)
+    import glob as _glob
+    import shutil
+
+    current = os.path.realpath(link) if os.path.islink(link) else None
+    for old in _glob.glob(f"{base}.v*"):
+        if old in (build, current):
+            continue
+        try:
+            pid = int(old.rsplit(".v", 1)[-1])
+            os.kill(pid, 0)  # raises if the owner is dead
+        except ValueError:
+            continue
+        except (ProcessLookupError, PermissionError) as e:
+            if isinstance(e, PermissionError):
+                continue  # alive under another uid
+            shutil.rmtree(old, ignore_errors=True)
+    write_zordered(
+        table(spark, sf_dir, "lineitem"),
+        build,
+        ["l_partkey", "l_suppkey"],
+        n_files=16,
+    )
+    tmp_link = f"{link}.tmp{os.getpid()}"
+    try:
+        if os.path.lexists(tmp_link):
+            os.unlink(tmp_link)
+        os.symlink(build, tmp_link)
+        os.replace(tmp_link, link)
+    except OSError:
+        pass  # publish is best-effort; this process reads its own build
+    _ZORDER_LAYOUT[key] = build
+    return build
 
 
 @query(

@@ -395,6 +395,75 @@ def test_gif_codec_roundtrip_and_compositing():
     assert G._lzw_decode(G._lzw_encode(stream, 8), 8, len(stream)) == stream
 
 
+def test_gif_subrect_first_frame_and_disposal2():
+    """PIL-convention compositing on frames that do NOT cover the
+    logical screen: the initial canvas is zero-filled (black), so a
+    sub-rectangle first frame is surrounded by black — not by the
+    file's background color; disposal 2 then restores the frame's
+    rectangle to the background COLOR before the next frame paints.
+    The GIF is assembled block-by-block here (descriptor offsets, GCE
+    bytes) rather than through encode_gif, which only emits
+    full-canvas frames."""
+    import struct
+
+    from a3_fp_bigdata_spark.multimodal import gif_codec as G
+
+    W, H = 8, 6
+    # global palette: idx0 = background (blue), idx1 = red, idx2 = green
+    pal = b"\x00\x00\xff" + b"\xff\x00\x00" + b"\x00\xff\x00" + b"\x00\x00\x00"
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", W, H, 0x80 | 1, 0, 0)  # 4-entry GCT, bg=0
+    out += pal
+
+    def image(left, top, w, h, indices, disposal):
+        buf = bytearray(
+            bytes([0x21, 0xF9, 4, disposal << 2, 0, 0, 0, 0])
+        )  # GCE: disposal, no transparency
+        buf += b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0)
+        buf.append(2)  # min code size
+        stream = G._lzw_encode(bytes(indices), 2)
+        buf.append(len(stream))
+        buf += stream
+        buf.append(0)
+        return buf
+
+    # frame 0: 3x2 red rect at (2,1), disposal=2 (restore bg after)
+    out += image(2, 1, 3, 2, [1] * 6, disposal=2)
+    # frame 1: 2x1 green rect at (0,0), disposal=0
+    out += image(0, 0, 2, 1, [2] * 2, disposal=0)
+    out.append(0x3B)
+
+    frames = G.decode_gif_frames(bytes(out))
+    assert len(frames) == 2
+    f0, f1 = frames
+    # frame 0: red rect; EVERYTHING else black (zero-filled canvas,
+    # NOT the blue background color)
+    assert (f0[1:3, 2:5] == (255, 0, 0)).all()
+    mask = np.ones((H, W), bool)
+    mask[1:3, 2:5] = False
+    assert (f0[mask] == 0).all()
+    # frame 1: disposal 2 restored frame 0's rect to the BACKGROUND
+    # color (blue), then the green rect painted at the origin
+    assert (f1[0, 0:2] == (0, 255, 0)).all()
+    assert (f1[1:3, 2:5] == (0, 0, 255)).all()
+    mask2 = np.ones((H, W), bool)
+    mask2[1:3, 2:5] = False
+    mask2[0, 0:2] = False
+    assert (f1[mask2] == 0).all()
+
+
+def test_encode_gif_rejects_unpaintable_transparent_color():
+    """encode_gif must refuse a transparent_color that appears in no
+    frame: the palette is built from frame pixels, so the color has no
+    index — the old silent fallback made the background index lie to
+    disposal-2 restores."""
+    from a3_fp_bigdata_spark.multimodal import gif_codec as G
+
+    frames = [np.full((4, 4, 3), 200, np.uint8)]
+    with pytest.raises(ValueError, match="transparent_color"):
+        G.encode_gif(frames, transparent_color=(1, 2, 3))
+
+
 def test_binaryfile_gif_fixture_features(spark):
     """The two committed GIF fixtures decode through the pure-python
     codec inside the Spark pipeline (mm4's glob includes *.gif); the
