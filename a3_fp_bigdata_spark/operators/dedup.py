@@ -753,11 +753,18 @@ SIMHASH_MAX_HAMMING = 5    # = bands-1: the pigeonhole GUARANTEE — a pair
                            # within this distance must share >= 1 band
 
 
-def _uncapped_bands(sh: DataFrame) -> DataFrame:
-    """(doc_id, simhash, band_idx, band_val) for the {SIMHASH_BANDS}
+def _uncapped_bands(
+    sh: DataFrame,
+    n_bands: int = SIMHASH_BANDS,
+    max_bucket: int = MAX_BUCKET_DOCS,
+) -> DataFrame:
+    """(doc_id, simhash, band_idx, band_val) for the ``n_bands``
     8-bit bands of each fingerprint, with hot band buckets (>
-    MAX_BUCKET_DOCS docs) dropped — the shared derivation behind d9's
-    candidate join and the d9 pigeonhole audit."""
+    ``max_bucket`` docs) dropped — the shared derivation behind d9's
+    candidate join, the d9 pigeonhole audit, and (at n_bands=8 over
+    64-bit perceptual hashes) mm7's image near-dup pairs. Arithmetic
+    shiftright's sign-extension bits are masked off by the & 0xFF, so
+    negative 64-bit hashes band correctly."""
     bands = sh.select(
         "doc_id",
         "simhash",
@@ -770,7 +777,7 @@ def _uncapped_bands(sh: DataFrame) -> DataFrame:
                         .bitwiseAND(F.lit(0xFF))
                         .alias("band_val"),
                     )
-                    for i in range(SIMHASH_BANDS)
+                    for i in range(n_bands)
                 ]
             )
         ).alias("band"),
@@ -780,7 +787,7 @@ def _uncapped_bands(sh: DataFrame) -> DataFrame:
     return bands.join(
         bands.groupBy("band_idx", "band_val")
         .agg(F.count("*").alias("n_docs"))
-        .filter(F.col("n_docs") <= MAX_BUCKET_DOCS)
+        .filter(F.col("n_docs") <= max_bucket)
         .select("band_idx", "band_val"),
         ["band_idx", "band_val"],
     )
@@ -814,11 +821,19 @@ def d9_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pairs_from_simhash(sh)
 
 
-def _pairs_from_simhash(sh: DataFrame) -> DataFrame:
+def _pairs_from_simhash(
+    sh: DataFrame,
+    n_bands: int = SIMHASH_BANDS,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    max_bucket: int = MAX_BUCKET_DOCS,
+) -> DataFrame:
     """d9's banded pair derivation from a (doc_id, simhash) frame —
     shared with the pigeonhole audit so the audited pairs provably
-    derive from the audited (materialized) fingerprints."""
-    bands = _uncapped_bands(sh)
+    derive from the audited (materialized) fingerprints. The
+    pigeonhole guarantee holds whenever ``max_hamming <= n_bands - 1``
+    (d9: 6 bands over 48 bits, radius 5; mm7: 8 bands over 64-bit
+    perceptual hashes, radius 7)."""
+    bands = _uncapped_bands(sh, n_bands, max_bucket)
     a = bands.select(
         F.col("doc_id").alias("doc_a"),
         F.col("simhash").alias("sh_a"),
@@ -839,7 +854,7 @@ def _pairs_from_simhash(sh: DataFrame) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .distinct()  # a pair may collide in several bands
-        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .filter(F.col("hamming") <= max_hamming)
     )
 
 

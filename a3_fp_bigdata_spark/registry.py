@@ -104,6 +104,7 @@ def _load_all_modules() -> None:
         audio,
         binary_files,
         images,
+        phash,
     )
     from a3_fp_bigdata_spark.sources import queries as source_queries  # noqa: F401
     from a3_fp_bigdata_spark.streaming import (  # noqa: F401

@@ -583,3 +583,114 @@ def test_gif_lzw_foreign_encoder_variants():
     idx2 = rng.integers(0, 256, 150000).astype(np.uint8).tobytes()
     enc2 = G._lzw_encode(idx2, 8)
     assert G._lzw_decode(enc2, 8, len(idx2)) == idx2
+
+
+# ---------------------------------------------------------------------------
+# mm7: perceptual-hash image near-dup
+# ---------------------------------------------------------------------------
+
+
+def test_dhash64_bit_level_independent():
+    """dhash64 pinned bit-by-bit against an inline re-derivation with
+    explicit loops (no shared pooling/packing code): same luma, same
+    integer-boundary tiling, same gradient rule — any drift in the
+    engine's vectorized math shows up as a differing bit index."""
+    from a3_fp_bigdata_spark.multimodal import phash as P
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, (21, 30, 3)).astype(np.uint8)
+
+    # independent: per-cell Python loops over the 8x9 tiling
+    h, w = 21, 30
+    g = [
+        [
+            0.299 * float(arr[y, x, 0])
+            + 0.587 * float(arr[y, x, 1])
+            + 0.114 * float(arr[y, x, 2])
+            for x in range(w)
+        ]
+        for y in range(h)
+    ]
+    rb = [(r * h) // 8 for r in range(8)] + [h]
+    cb = [(c * w) // 9 for c in range(9)] + [w]
+    pooled = [
+        [
+            sum(
+                g[y][x]
+                for y in range(rb[r], rb[r + 1])
+                for x in range(cb[c], cb[c + 1])
+            )
+            / ((rb[r + 1] - rb[r]) * (cb[c + 1] - cb[c]))
+            for c in range(9)
+        ]
+        for r in range(8)
+    ]
+    want = 0
+    for r in range(8):
+        for c in range(8):
+            if pooled[r][c] > pooled[r][c + 1]:
+                want |= 1 << (r * 8 + c)
+    if want >= 1 << 63:
+        want -= 1 << 64
+    assert P.dhash64(arr) == want
+
+
+def test_dhash64_invariances():
+    """The two planted-twin perturbations are invariances BY DESIGN:
+    a uniform brightness shift without clipping preserves every
+    gradient sign (distance 0); a same-pixel re-encode is trivially
+    distance 0; and scaling 2x preserves the pooled grid closely
+    (small distance)."""
+    from a3_fp_bigdata_spark.multimodal import phash as P
+
+    rng = np.random.default_rng(9)
+    base = rng.integers(40, 200, (16, 24, 3)).astype(np.uint8)
+
+    def dist(a, b):
+        return bin(
+            (P.dhash64(a) & (2**64 - 1)) ^ (P.dhash64(b) & (2**64 - 1))
+        ).count("1")
+
+    bright = np.clip(base.astype(np.int16) + 15, 0, 255).astype(np.uint8)
+    assert dist(base, bright) == 0
+    # scaling is approximate, not exact: 2x changes the integer tile
+    # boundaries when dims aren't multiples of the 8x9 grid, flipping
+    # a few near-tie gradients — but it stays within pairing radius
+    from a3_fp_bigdata_spark.multimodal.phash import IMG_NEARDUP_MAX_HAMMING
+
+    up = M.resize_nn(base, 32, 48)
+    assert dist(base, up) <= IMG_NEARDUP_MAX_HAMMING
+
+
+def test_mm7_planted_pairs_exact(spark):
+    """mm7 recovers EXACTLY the generator's planted perturbed twins
+    (tools/make_image_neardup_fixtures.py prints this list): the
+    re-encoded copies at hamming 0, the brightness shifts at 0, the
+    lossy JPEG twin at 4 — and no false pair among the 50 non-planted
+    combinations. Ground truth is the fixture CONSTRUCTION, not the
+    hash under test."""
+    from a3_fp_bigdata_spark import registry
+    from a3_fp_bigdata_spark.multimodal.binary_files import image_dir_source
+    from a3_fp_bigdata_spark.multimodal.phash import NEARDUP_FIXTURE_DIR
+
+    q = registry.all_queries()["mm7_image_near_dup"]
+    rows = q(spark, SF0001).collect()
+    origin = {
+        r.media_id: r.meta.origin
+        for r in image_dir_source(
+            spark, NEARDUP_FIXTURE_DIR, glob="*.{png,jpg,jpeg,gif}"
+        )
+        .select("media_id", "meta")
+        .collect()
+    }
+    got = {
+        (*sorted((origin[r.media_a], origin[r.media_b])), r.hamming)
+        for r in rows
+    }
+    assert got == {
+        ("nd_blobs.png", "nd_blobs_lossy.jpg", 4),
+        ("nd_grad.png", "nd_grad_bright.png", 0),
+        ("nd_rings.png", "nd_rings_copy.gif", 0),
+        ("nd_stripes.png", "nd_stripes_dim.png", 0),
+        ("nd_waves.png", "nd_waves_copy.png", 0),
+    }
