@@ -56,6 +56,17 @@ HEADLINE_BASE = [
 #: tier each is currently exposed under
 HEADLINE = [registry.exposure_name(n) for n in HEADLINE_BASE]
 
+#: Pinned calibration reference for the NORMALIZED headline: the
+#: calibrate() wall time measured on this box idle (round-8 daytime
+#: captures read ~0.52 s; the same code has read ~0.75 s on a loaded
+#: night window). `value_norm = value * CALIB_REF / mean(calib)`
+#: re-expresses the headline as "seconds on the 0.52-calib box", so the
+#: round-over-round table is self-describing without per-round prose
+#: about host-floor drift. RAW `value` stays the honest primary metric;
+#: the norm is the cross-round comparator. NEVER retune CALIB_REF — its
+#: entire worth is being the same constant in every round's artifact.
+CALIB_REF = 0.52
+
 
 def force(df) -> None:
     """Execute the full plan without collecting to the driver."""
@@ -209,6 +220,16 @@ def main() -> None:
         if partial
         else round(sum(timings[n] for n in headline_timed), 3)
     )
+    # calib-normalized headline (see CALIB_REF): host-speed-corrected
+    # seconds, computable from values already on the line — emitted so
+    # no reader has to do the division or know which runs were on an
+    # idle box
+    calib_mean = (calib_before + calib_after) / 2
+    value_norm = (
+        round(total * CALIB_REF / calib_mean, 3)
+        if total is not None and calib_mean > 0
+        else None
+    )
     # Full per-query map goes to a committed FILE; the printed line must
     # stay small (headline-only) — a 117-entry JSON line overflowed the
     # round driver's tail capture in round 2 and the round lost its
@@ -219,6 +240,8 @@ def main() -> None:
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
+                "value_norm": value_norm,
+                "calib_ref": CALIB_REF,
                 "unit": "sec",
                 "queries": timings,
                 "errors": errors,
@@ -240,6 +263,8 @@ def main() -> None:
     line_dict = {
         "metric": "headline_queries_total_wall",
         "value": total,
+        "value_norm": value_norm,
+        "calib_ref": CALIB_REF,
         "unit": "sec",
         "queries": {n: timings[n] for n in headline_timed},
         "sf": sf,
@@ -257,7 +282,10 @@ def main() -> None:
     if len(line) >= 2000:  # never crash the bench over line size —
         # degrade to the headline metric alone (full data is in full_out)
         line = json.dumps(
-            {k: line_dict[k] for k in ("metric", "value", "unit", "sf")}
+            {
+                k: line_dict[k]
+                for k in ("metric", "value", "value_norm", "unit", "sf")
+            }
         )
     print(line)
     if errors:

@@ -97,6 +97,27 @@ def test_headline_queries_resolve():
     assert not missing, f"HEADLINE names not exposed: {missing}"
 
 
+def test_bench_emits_calib_normalized_headline():
+    """BENCH_r{N}.json must self-describe across host-speed drift
+    (VERDICT r8 'what's wrong' #1): bench.py pins CALIB_REF and its
+    summary carries value_norm = value * CALIB_REF / mean(calib). The
+    constant must never be retuned — its worth is being identical in
+    every round's artifact."""
+    import os
+
+    import bench
+
+    assert bench.CALIB_REF == 0.52
+    src = open(
+        os.path.join(os.path.dirname(os.path.abspath(bench.__file__)))
+        + "/bench.py"
+    ).read()
+    # both the committed full file and the printed driver line carry it
+    assert src.count('"value_norm": value_norm') == 2
+    # the oversize-line fallback keeps it too
+    assert '"value_norm"' in src.split("if len(line) >= 2000")[1][:400]
+
+
 def test_doc_counts_rendered_from_registry():
     """The query/oracle tallies in __spark_entry__'s docstring and the
     README/SURVEY prose must equal the live registry — two consecutive
