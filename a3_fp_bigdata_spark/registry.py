@@ -169,10 +169,15 @@ CANONICAL = frozenset(
         # tier's oracle audits directly — and d3 OUT after its green
         # r7 row: its exact-Jaccard ground truth stays parity-checked
         # as z_d3 AND re-derived inside the d11 audit's oracle)
+        # r9 rotates d16_span_cut IN (the r8 span-dedup flagship's cut
+        # step earns direct driver attestation) and d9_pigeonhole_audit
+        # OUT after its green r8 row — the audit tier keeps five
+        # in-window rows (a19/a20/d6/d11/sim11) and d9 stays
+        # parity-checked as z_d9_pigeonhole_audit + z_d9_simhash_pairs
         "d1_exact_dedup", "d4_minhash_lsh",
         "d6_gemm_audit", "d8_winnow_fingerprint",
-        "d9_pigeonhole_audit", "d11_containment_audit",
-        "d12_dedup_clusters", "d15_duplicated_spans",
+        "d11_containment_audit",
+        "d12_dedup_clusters", "d15_duplicated_spans", "d16_span_cut",
         # scalar/text functions (f2 token-overlap is f1's plan twin)
         "f1_extract_keywords",
         # grouped-map / cogroup Arrow surface (g2 cogroup rotated out
@@ -210,8 +215,13 @@ CANONICAL = frozenset(
         "sim9_quantized_rerank", "sim11_ivf_recall_audit",
         # set ops (so1 union-all is plan-trivial; so3 covers the family)
         "so3_except",
-        # SQL surface + sources
-        "sql1_spark_sql_surface", "src1_csv_roundtrip", "src2_json_roundtrip",
+        # SQL surface + sources (src1 CSV round-trip rotated out r9
+        # after its green r8 driver row — parity-checked as z_src1,
+        # and its CSV writer/scan surface still runs inside st5's
+        # micro-batch sink; src8's z-order clustered layout rotated IN
+        # so the r8 layout flagship is driver-attested directly)
+        "sql1_spark_sql_surface", "src2_json_roundtrip",
+        "src8_zorder_box_query",
         # serving endpoints (srv_top_apps carries the family; the
         # recommend-by-category shape is its parity-checked z_ twin,
         # and search_suggestions' substring shape == z_p6)
