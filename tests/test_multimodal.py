@@ -694,3 +694,73 @@ def test_mm7_planted_pairs_exact(spark):
         ("nd_stripes.png", "nd_stripes_dim.png", 0),
         ("nd_waves.png", "nd_waves_copy.png", 0),
     }
+
+
+# ---------------------------------------------------------------------------
+# foreign-encoder GIF fixtures (bytes no repo tool generated)
+# ---------------------------------------------------------------------------
+
+FOREIGN_DIR = __import__("os").path.join(
+    __import__("os").path.dirname(M.__file__), "fixtures", "foreign"
+)
+
+
+def test_foreign_anim_disposal23_composites():
+    """The hand-assembled foreign-style animation (local palettes,
+    sub-rectangle frames, disposal 1/2/3, transparency, uncompressed
+    fixed-width LZW — see fixtures/foreign/README.md) decodes to
+    EXACTLY the composites the generator derived with its own
+    spec-rule numpy logic. This pins the compositing/disposal paths
+    against bytes the encoder under test cannot produce."""
+    import os
+
+    from a3_fp_bigdata_spark.multimodal import gif_codec as G
+
+    payload = open(
+        os.path.join(FOREIGN_DIR, "anim_disposal23.gif"), "rb"
+    ).read()
+    # structural sanity straight off the bytes: two local color tables
+    # and all three disposal methods present
+    gces = [
+        payload[i + 3] for i in range(len(payload) - 3)
+        if payload[i] == 0x21 and payload[i + 1] == 0xF9
+    ]
+    assert {(g >> 2) & 7 for g in gces} == {1, 2, 3}
+    frames = G.decode_gif_frames(payload)
+    exp = np.load(
+        os.path.join(
+            os.path.dirname(__file__), "golden", "foreign_anim_frames.npz"
+        )
+    )
+    assert len(frames) == 4
+    for i, got in enumerate(frames):
+        assert np.array_equal(got, exp[f"frame_{i}"]), f"frame {i}"
+
+
+def test_foreign_static_gifs_through_spark_pipeline(spark):
+    """Real-world GIF89a icons from the CPython distribution (written
+    by foreign encoders: transparency on frame 0, folder.gif also
+    interlaced) decode through the full Spark plumbing — binaryFile
+    scan -> mapInPandas -> features. Pins are regression values from
+    the pure-python decoder under the zero-filled-canvas convention
+    (transparent first-frame pixels stay black)."""
+    from a3_fp_bigdata_spark.multimodal import binary_files as B
+
+    if M.HAVE_PIL:
+        pytest.skip("pins are pure-python-decoder-specific under PIL")
+    media = B.image_dir_source(spark, FOREIGN_DIR, glob="*.gif")
+    named = B.extract_features(media).join(media, "media_id").select(
+        "meta.origin", "img_avg_red", "img_avg_green", "img_avg_blue",
+        "img_width", "img_height",
+    )
+    feats = {
+        r.origin: (
+            round(r.img_avg_red, 4), round(r.img_avg_green, 4),
+            round(r.img_avg_blue, 4), r.img_width, r.img_height,
+        )
+        for r in named.collect()
+    }
+    assert feats["python.gif"] == (91.5898, 97.1484, 67.4453, 16, 16)
+    assert feats["folder.gif"] == (178.7026, 173.041, 95.3179, 15, 13)
+    assert feats["anim_disposal23.gif"] == (122.5, 122.5, 85.0, 20, 14)
+    assert len(feats) == 3
