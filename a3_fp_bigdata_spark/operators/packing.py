@@ -63,9 +63,11 @@ NSHARDS = 32
 
 #: DuckDB rendering of TX.bpe_ish_token_count — keep in sync with
 #: functions/text.py:104 (tx3's oracle uses the same snippet).
-_SQL_COST = (
-    r"len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))"
-)
+def _sql_cost(expr: str) -> str:
+    return rf"len(regexp_extract_all(lower({expr}), '[a-z]+|[0-9]+|[^a-z0-9\s]'))"
+
+
+_SQL_COST = _sql_cost("text")
 
 
 def _sharded_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1068,6 +1070,183 @@ def pl3_corpus_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pl4_span_clean_manifest",
+    oracle=None,  # assembled below: composes dedup + text_analysis CTEs
+)
+def pl4_span_clean_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SPAN-level curation pipeline end-to-end — pl1's doc-level
+    chain upgraded with substring dedup, the composition a real
+    curation run ships (VERDICT r8 ask #6):
+
+        documents
+          -> tx2 quality floor (score >= 0.5, scored on the RAW text
+             — quality gates on what was crawled, before surgery)
+          -> d15/d16 span cut (corpus-wide duplicated K-gram spans,
+             K = dedup.DUPSPAN_K, removed IN PLACE; docs that are
+             entirely boilerplate come out empty and are dropped here)
+          -> d14 keeper (near-dup clusters from d12, keep the
+             highest-quality member, drop the rest)
+          -> pk2 greedy no-split packing over the CLEANED token costs
+          -> per-sequence manifest (shard, seq_id, n_docs, seq_tokens)
+
+    The decisive difference from pl1: packing costs are computed on
+    clean_text, so sequences budget for the tokens that will actually
+    train, not the boilerplate d16 already cut. Every stage is the
+    already-oracled operator composed; the oracle replays the chain in
+    DuckDB (recursive-CTE components + d15's gaps-and-islands spans +
+    the token-cut anti-join + the recursive greedy walk).
+
+    Scale shape: span detection is d15's three bounded shuffles; the
+    cut is d16's scan-side positional filter (no corpus explode); the
+    keeper drop-set anti-join is size-guarded (_maybe_broadcast_drop);
+    the only Python crossing is pk2's (doc_id, cost) packer — O(docs),
+    never O(bytes). At 100 TB, d15's spans and d12's clusters are
+    materialized once per snapshot and this query reads them back."""
+    import pandas as pd
+
+    from a3_fp_bigdata_spark.functions import text as TXF
+    from a3_fp_bigdata_spark.operators.dedup import (
+        _cluster_member_count,
+        _maybe_broadcast_drop,
+        d12_dedup_clusters,
+        d16_span_cut,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id", half_up(TXF.quality_score(F.col("text"))).alias("q")
+    )
+    clusters = d12_dedup_clusters(spark, sf_dir)
+    ranked = clusters.join(q, "doc_id").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy(
+                F.desc("q"), F.asc("doc_id")
+            )
+        ),
+    )
+    dropped = ranked.filter(F.col("rn") > 1).select("doc_id")
+    cleaned = d16_span_cut(spark, sf_dir)
+    kept = (
+        cleaned.join(q, "doc_id")
+        .filter(
+            (F.col("q") >= MANIFEST_MIN_QUALITY) & (F.col("n_kept") > 0)
+        )
+        .join(
+            _maybe_broadcast_drop(
+                dropped, _cluster_member_count(spark, sf_dir)
+            ),
+            "doc_id",
+            "left_anti",
+        )
+        .select(
+            "doc_id",
+            (F.col("doc_id") % NSHARDS).alias("shard"),
+            TX.bpe_ish_token_count(F.col("clean_text"))
+            .cast("long")
+            .alias("cost"),
+        )
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq_ids = []
+        seq, fill, first = 0, 0, True
+        for cost in pdf["cost"]:
+            if first:
+                fill, first = cost, False
+            elif fill + cost > PACK_BUDGET:
+                seq, fill = seq + 1, cost
+            else:
+                fill += cost
+            seq_ids.append(seq)
+        pdf["seq_id"] = seq_ids
+        return pdf[["doc_id", "shard", "seq_id", "cost"]]
+
+    packed = kept.groupBy("shard").applyInPandas(
+        pack, schema="doc_id long, shard long, seq_id long, cost long"
+    )
+    return packed.groupBy("shard", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("cost").cast("bigint").alias("seq_tokens"),
+    )
+
+
+def _pl4_oracle() -> str:
+    from a3_fp_bigdata_spark.operators.dedup import (
+        _D3_CTES,
+        _D3_SELECT,
+        _D15_SPAN_CTES,
+    )
+    from a3_fp_bigdata_spark.operators.text_analysis import _SQL_QUALITY_CTES
+
+    # CTE roster check (names must stay disjoint across the composed
+    # fragments): d3 = words/sh/ex/common/cnt; quality = qbase/qcomps/
+    # quality; d15 = toks/grams/dup/hits/brk/isl/spans; local additions
+    # renamed where pl1/d16 would collide (keptoks, survivors).
+    return f"""
+    WITH RECURSIVE {_D3_CTES}, pairs AS (
+      {_D3_SELECT}
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ), reach(doc, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc = e.dst
+    ), clusters AS (
+      SELECT doc, min(lab) AS cluster_id FROM reach GROUP BY doc
+    ), {_SQL_QUALITY_CTES}, ranked AS (
+      SELECT c.doc,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                -- division-free: ordering by the
+                                -- floor numerator equals ordering by
+                                -- half_up (positive constant divisor)
+                                ORDER BY floor(q.quality * 10000 + 0.5)
+                                         DESC, c.doc)
+               AS rn
+      FROM clusters c JOIN quality q ON q.doc_id = c.doc
+    ), dropped AS (
+      SELECT doc FROM ranked WHERE rn > 1
+    ), {_D15_SPAN_CTES}, tokrows AS (
+      SELECT doc_id, unnest(t) AS tok, unnest(range(0, len(t))) AS pos
+      FROM toks
+    ), keptoks AS (
+      SELECT g.doc_id, g.pos, g.tok FROM tokrows g
+      WHERE NOT EXISTS (SELECT 1 FROM spans s
+                        WHERE s.doc_id = g.doc_id
+                          AND g.pos >= s.span_start AND g.pos < s.span_end)
+    ), kagg AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      FROM keptoks GROUP BY doc_id
+    ), survivors AS (
+      SELECT k.doc_id, k.doc_id % {NSHARDS} AS shard,
+             CAST({_sql_cost('k.clean_text')} AS BIGINT) AS cost,
+             row_number() OVER (PARTITION BY k.doc_id % {NSHARDS}
+                                ORDER BY k.doc_id) AS rn
+      FROM kagg k JOIN quality q ON q.doc_id = k.doc_id
+      WHERE {half_up_sql('q.quality')} >= {MANIFEST_MIN_QUALITY}
+        AND k.doc_id NOT IN (SELECT doc FROM dropped)
+    ), step AS (
+      SELECT shard, rn, doc_id, cost,
+             CAST(0 AS BIGINT) AS seq_id, cost AS fill
+      FROM survivors WHERE rn = 1
+      UNION ALL
+      SELECT k.shard, k.rn, k.doc_id, k.cost,
+             CASE WHEN s.fill + k.cost > {PACK_BUDGET}
+                  THEN s.seq_id + 1 ELSE s.seq_id END,
+             CASE WHEN s.fill + k.cost > {PACK_BUDGET}
+                  THEN k.cost ELSE s.fill + k.cost END
+      FROM step s JOIN survivors k ON k.shard = s.shard AND k.rn = s.rn + 1
+    )
+    SELECT CAST(shard AS BIGINT) AS shard, seq_id,
+           count(*) AS n_docs, CAST(sum(cost) AS BIGINT) AS seq_tokens
+    FROM step GROUP BY shard, seq_id
+    """
+
+
 def _attach_deferred_oracles() -> None:
     """Oracles composed from other modules' CTE fragments are attached
     post-registration (the fragments import cleanly only after the
@@ -1078,6 +1257,7 @@ def _attach_deferred_oracles() -> None:
 
     for name, build in (
         ("pl1_training_manifest", _pl1_oracle),
+        ("pl4_span_clean_manifest", _pl4_oracle),
         ("pk7_split_leakage", _pk7_oracle),
         ("pk9_weighted_sample", _pk9_oracle),
         ("pl2_chunk_index_stats", _pl2_oracle),

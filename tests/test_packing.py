@@ -408,3 +408,57 @@ def test_corpus_checksum_rendering_injective(spark):
 
     # length-prefix digits can't bleed into content either
     assert digests([("1", "x")]) != digests([("", "1x")])
+
+
+def test_span_clean_manifest_composes_the_declared_stages(spark):
+    """pl4 must equal its own recipe replayed from the component
+    operators' OUTPUTS: survivors = tx2 quality floor AND d14 keeper
+    AND d16 n_kept > 0, costs = BPE-ish count of d16's clean_text,
+    then pk2's greedy walk — so the composition can never drift from
+    the stages it claims to chain (the oracle pins values; this pins
+    the FACTORING)."""
+    import re
+
+    from a3_fp_bigdata_spark.operators.packing import MANIFEST_MIN_QUALITY
+
+    qs = registry.all_queries()
+    man = qs["pl4_span_clean_manifest"](spark, SF0001).collect()
+    cut = {r.doc_id: r for r in qs["d16_span_cut"](spark, SF0001).collect()}
+    keepers = {
+        r.doc_id for r in qs["d14_quality_keeper"](spark, SF0001).collect()
+    }
+    quality = {
+        r.doc_id: r.quality
+        for r in qs["tx2_quality_score"](spark, SF0001).collect()
+    }
+    bpe = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
+    survivors = {
+        d: len(bpe.findall(cut[d].clean_text.lower()))
+        for d in cut
+        if quality[d] >= MANIFEST_MIN_QUALITY
+        and d in keepers
+        and cut[d].n_kept > 0
+    }
+    assert survivors, "fixture corpus must leave survivors"
+    # span cut must actually bite at least once on this corpus, else
+    # the test degenerates to pl1's shape
+    assert any(cut[d].n_cut > 0 for d in survivors)
+    expected: dict[tuple, tuple] = {}
+    for shard in range(NSHARDS):
+        docs = sorted(d for d in survivors if d % NSHARDS == shard)
+        seq, fill, first = 0, 0, True
+        agg: dict[int, tuple] = {}
+        for d in docs:
+            c = survivors[d]
+            if first:
+                fill, first = c, False
+            elif fill + c > PACK_BUDGET:
+                seq, fill = seq + 1, c
+            else:
+                fill += c
+            n, t = agg.get(seq, (0, 0))
+            agg[seq] = (n + 1, t + c)
+        for s, (n, t) in agg.items():
+            expected[(shard, s)] = (n, t)
+    got = {(r.shard, r.seq_id): (r.n_docs, r.seq_tokens) for r in man}
+    assert got == expected

@@ -328,6 +328,7 @@ def main() -> None:
         "d13_dedup_corpus",
         "d14_quality_keeper",
         "pl1_training_manifest",
+        "pl4_span_clean_manifest",  # span-cut composition (r9)
     ]
     print("# SCALE — skewed high-dup stress of the dedup ladder")
     print()
@@ -408,13 +409,17 @@ def main() -> None:
         # keep replicas disjoint for ANY k-gram length, so the
         # duplicated-8-gram rate is held exactly like the shingle
         # rate — its gram-key shuffle should scale with rows, and its
-        # island merge with HIT rows only (d16 is d15 + a join back,
-        # no new shuffle shape to measure).
+        # island merge with HIT rows only. d16 is the CUT step on top:
+        # its extra work is d15's spans aggregated to one array row per
+        # FLAGGED doc + one join back to the corpus (the "only flagged
+        # docs join back" claim, VERDICT r8 ask #5) — so its wall/
+        # shuffle deltas over d15 should stay rows-proportional too.
         for name in (
             "d1_exact_dedup",
             "d4_minhash_lsh",
             "d12_dedup_clusters",
             "d15_duplicated_spans",
+            "d16_span_cut",
         ):
             n_out = timed_row(
                 f"{name} x{factor} ({amp_rows} docs)",
@@ -428,6 +433,7 @@ def main() -> None:
         "d4_minhash_lsh",
         "d12_dedup_clusters",
         "d15_duplicated_spans",
+        "d16_span_cut",
     ):
         w1, w10 = ratio_wall[f"{name}@1"], ratio_wall[f"{name}@10"]
         r1, r10 = ratio_rows[f"{name}@1"], ratio_rows[f"{name}@10"]
