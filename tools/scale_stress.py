@@ -421,9 +421,24 @@ def main() -> None:
             "d15_duplicated_spans",
             "d16_span_cut",
         ):
+            if name == "d16_span_cut":
+                # count() alone would let Catalyst ELIMINATE the cut:
+                # d16 is a left join against a doc_id-unique aggregate,
+                # so a bare count prunes the whole d15+cut subtree and
+                # times a document scan. Filter on n_cut forces the
+                # spans, the join-back, and the positional cut to run;
+                # rows out = docs that actually lost a span.
+                from pyspark.sql import functions as SF
+
+                action = lambda n=name, d=amp_dir: (  # noqa: E731
+                    qs[n](spark, d).filter(SF.col("n_cut") > 0).count()
+                )
+            else:
+                action = lambda n=name, d=amp_dir: qs[n](  # noqa: E731
+                    spark, d
+                ).count()
             n_out = timed_row(
-                f"{name} x{factor} ({amp_rows} docs)",
-                lambda n=name, d=amp_dir: qs[n](spark, d).count(),
+                f"{name} x{factor} ({amp_rows} docs)", action
             )
             ratio_wall[f"{name}@{factor}"] = timed_row.last_dt
             ratio_rows[f"{name}@{factor}"] = n_out
