@@ -1373,3 +1373,171 @@ def sim12_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_hit")
     )
     return n_hit.select(F.lit(ANN_TOPK).cast("long").alias("k"), "n_hit")
+
+
+#: SemDeDup (Abbas et al. 2023, arXiv:2303.09540) parameters: cluster
+#: count for the coarse partitioning and the within-cell cosine above
+#: which two vectors are semantic duplicates. EPS reuses the d6
+#: near-dup threshold so both embedding-dedup rungs agree on "same".
+SEMDEDUP_CELLS = 16
+SEMDEDUP_EPS = NEARDUP_COSINE
+
+
+def _semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cell, embedding) — the seeded coarse k-means
+    assignment (sim3's quantizer recipe, its own k so the dedup grain
+    is tunable independently of the ANN probe)."""
+    from pyspark.ml.clustering import KMeans as MLKMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "vec", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    km = MLKMeans(
+        k=SEMDEDUP_CELLS, seed=IVF_SEED, featuresCol="vec",
+        predictionCol="cell",
+    ).fit(emb)
+    return km.transform(emb).select("vec_id", "cell", "embedding")
+
+
+@query("d17_semantic_dedup", oracle=None)
+def d17_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup — SEMANTIC dedup over embeddings, the rung the text
+    ladder can't reach (paraphrases and re-renderings share no
+    k-grams but land on near-identical embeddings): coarse-cluster
+    the vectors (seeded k-means), then within each cell drop every
+    vector that has a SMALLER-id cell-mate with cosine >=
+    SEMDEDUP_EPS (min-id keeper, d1/d13's deterministic policy).
+    Output one row per vector: (vec_id, cell, is_kept).
+
+    The within-cell restriction is the SemDeDup design point: the
+    exact pair work is sum(|cell|^2), never corpus^2 — at 100 TB you
+    scale the cell count with the corpus so cells stay bounded (the
+    paper dedups 38M CLIP embeddings with 50k clusters), the pair
+    join shuffles on the cell key only, and the cell assignment is
+    the SAME artifact the IVF index already materializes. Cross-cell
+    near-dups are missed by construction — that recall/cost trade is
+    the published algorithm, and d17_semdedup_audit attests the rule
+    holds exactly INSIDE the materialized cells.
+
+    Rows-only (cells are seed-specific, like sim3); the audit query
+    is the oracle-backed attestation."""
+    assigned = pin(_semdedup_cells(spark, sf_dir))
+    a = assigned.select(
+        "cell",
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+    )
+    b = assigned.select(
+        "cell",
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("va") < F.col("vb"))
+        .filter(cosine(F.col("ea"), F.col("eb")) >= SEMDEDUP_EPS)
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+        .withColumn("_d", F.lit(1))
+    )
+    return assigned.join(dropped, "vec_id", "left").select(
+        "vec_id", "cell", F.col("_d").isNull().alias("is_kept")
+    )
+
+
+#: d17's scratch — the d4/a19/sim11/d6/sim12 static-oracle protocol.
+_D17_SCRATCH = f"/tmp/a3_fp_d17_semdedup_uid{os.getuid()}"
+
+
+@query(
+    "d17_semdedup_audit",
+    oracle=f"""
+    WITH vecs AS (
+      SELECT vec_id, {_SQL_D.format(col='embedding')} AS e
+      FROM embeddings
+    ), mat AS (
+      SELECT vec_id, cell, is_kept
+      FROM read_parquet('{_D17_SCRATCH}/*.parquet')
+      WHERE {fingerprint_where('embeddings', 'vec_id')}
+    ), prior AS (
+      SELECT DISTINCT b.vec_id
+      FROM mat a JOIN mat b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN vecs ea ON ea.vec_id = a.vec_id
+      JOIN vecs eb ON eb.vec_id = b.vec_id
+      WHERE {_sql_cos('ea.e', 'eb.e')} >= {SEMDEDUP_EPS}
+    )
+    SELECT CAST((SELECT count(*) FROM mat) AS BIGINT) AS n_vecs,
+           CAST((SELECT count(*) FROM mat WHERE NOT is_kept)
+                AS BIGINT) AS n_dropped,
+           CAST((SELECT count(*) FROM mat
+                 WHERE is_kept <> (vec_id NOT IN (SELECT vec_id FROM prior)))
+                AS BIGINT) AS n_mismatch
+    """,
+)
+def d17_semdedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-BACKED attestation for d17 (whose seeded cells have no
+    SQL twin): Spark materializes d17's full (vec_id, cell, is_kept)
+    verdict to fingerprinted scratch; the DuckDB oracle takes the
+    CELLS as given from the scratch bytes and re-derives the keep rule
+    independently (its own quadratic within-cell list_dot_product
+    join), counting every row whose is_kept contradicts it. The Spark
+    half derives its own check through a GENUINELY different path (the
+    d6 audit lesson): per-cell numpy GEMM with the {NEARDUP_SLACK}
+    slack proposes candidate prior-pairs, the exact JVM fold rescores
+    just those, and the mismatch count comes from comparing the
+    materialized verdicts against THAT — so a rule bug in d17's pair
+    join drives n_mismatch > 0 on both engines, not only a
+    cross-engine hash difference. n_mismatch = 0 is the contract."""
+    import numpy as np
+    import pandas as pd
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    fp = src_fingerprint(emb, "vec_id")
+    d17_semantic_dedup(spark, sf_dir).crossJoin(F.broadcast(fp)).coalesce(
+        1
+    ).write.mode("overwrite").parquet(_D17_SCRATCH)
+    mat = pin(spark.read.parquet(_D17_SCRATCH).drop("n_src", "src_ck"))
+
+    cut = SEMDEDUP_EPS - NEARDUP_SLACK
+
+    def cellpairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        C = Xn @ Xn.T
+        keep = (C >= cut) & (ids[:, None] < ids[None, :])
+        ii, jj = np.nonzero(keep)
+        return pd.DataFrame({"va": ids[ii], "vb": ids[jj]})
+
+    cand = (
+        mat.join(emb, "vec_id")
+        .groupBy("cell")
+        .applyInPandas(cellpairs, schema="va long, vb long")
+    )
+    ea = emb.select(
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea")
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb")
+    )
+    prior = (
+        cand.join(ea, "va")
+        .join(eb, "vb")
+        .filter(cosine(F.col("ea"), F.col("eb")) >= SEMDEDUP_EPS)
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+        .withColumn("_p", F.lit(1))
+    )
+    checked = mat.join(prior, "vec_id", "left")
+    n_vecs = checked.agg(F.count("*").cast("long").alias("n_vecs"))
+    n_dropped = checked.filter(~F.col("is_kept")).agg(
+        F.count("*").cast("long").alias("n_dropped")
+    )
+    n_mismatch = checked.filter(
+        F.col("is_kept") != F.col("_p").isNull()
+    ).agg(F.count("*").cast("long").alias("n_mismatch"))
+    out = n_vecs
+    for frame in (n_dropped, n_mismatch):
+        out = out.crossJoin(F.broadcast(frame))
+    return out

@@ -143,3 +143,42 @@ def test_pq_codebooks_deterministic_and_codes_bounded(spark):
         assert len(r.codes) == PQ_M
         assert all(0 <= c < PQ_K for c in r.codes)
         assert r.vnorm > 0
+
+
+def test_semdedup_rule_replays_exactly(spark):
+    """d17's keep verdicts must equal the rule replayed in numpy from
+    its own output: within each cell, a vector is dropped iff some
+    smaller-id cell-mate has cosine >= SEMDEDUP_EPS (and the fixture
+    corpus must actually contain semantic dups, else the test is
+    vacuous)."""
+    import numpy as np
+
+    from a3_fp_bigdata_spark.data import table
+    from a3_fp_bigdata_spark.operators.similarity import SEMDEDUP_EPS
+
+    qs = registry.all_queries()
+    out = {r.vec_id: r for r in qs["d17_semantic_dedup"](spark, SF001).collect()}
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in table(spark, SF001, "embeddings").collect()
+    }
+    assert set(out) == set(emb)
+    n_dropped = sum(1 for r in out.values() if not r.is_kept)
+    assert n_dropped > 0
+    cells: dict[int, list[int]] = {}
+    for v, r in out.items():
+        cells.setdefault(r.cell, []).append(v)
+    for members in cells.values():
+        members.sort()
+        for i, v in enumerate(members):
+            ev = emb[v] / np.linalg.norm(emb[v])
+            has_prior = False
+            for u in members[:i]:
+                c = float(ev @ (emb[u] / np.linalg.norm(emb[u])))
+                # numpy pairwise summation vs the JVM's sequential
+                # fold can disagree in the last ulps — a pair sitting
+                # ON the threshold would make this test flaky, so
+                # fail loudly instead of silently diverging
+                assert abs(c - SEMDEDUP_EPS) > 1e-9, (u, v, c)
+                has_prior = has_prior or c >= SEMDEDUP_EPS
+            assert out[v].is_kept == (not has_prior), (v, out[v])
