@@ -96,10 +96,16 @@ def decode_image(payload: bytes, media_type: str = "image/fake") -> np.ndarray:
         from a3_fp_bigdata_spark.multimodal.gif_codec import decode_gif
 
         return decode_gif(payload)
+    if media_type in ("image/bmp", "image/x-ms-bmp"):
+        # real decode, no image libs: Windows DIB (24/32-bit BI_RGB +
+        # 1/4/8-bit paletted, both row orders)
+        from a3_fp_bigdata_spark.multimodal.bmp_codec import decode_bmp
+
+        return decode_bmp(payload)
     raise NotImplementedError(
         f"decoding {media_type!r} requires PIL, which is not installed; "
-        "'image/png', 'image/jpeg', 'image/gif' (pure-python codecs) "
-        "and 'image/fake' work without it"
+        "'image/png', 'image/jpeg', 'image/gif', 'image/bmp' (pure-python "
+        "codecs) and 'image/fake' work without it"
     )
 
 

@@ -666,8 +666,9 @@ def test_mm7_planted_pairs_exact(spark):
     """mm7 recovers EXACTLY the generator's planted perturbed twins
     (tools/make_image_neardup_fixtures.py prints this list): the
     re-encoded copies at hamming 0, the brightness shifts at 0, the
-    lossy JPEG twin at 4 — and no false pair among the 50 non-planted
-    combinations. Ground truth is the fixture CONSTRUCTION, not the
+    lossy JPEG twin at 4 — and no false pair among the 59 non-planted
+    combinations (12 images; the waves triple is an identical-pixel
+    PNG/PNG/BMP triangle, so all three of its pairs are planted). Ground truth is the fixture CONSTRUCTION, not the
     hash under test."""
     from a3_fp_bigdata_spark import registry
     from a3_fp_bigdata_spark.multimodal.binary_files import image_dir_source
@@ -678,7 +679,7 @@ def test_mm7_planted_pairs_exact(spark):
     origin = {
         r.media_id: r.meta.origin
         for r in image_dir_source(
-            spark, NEARDUP_FIXTURE_DIR, glob="*.{png,jpg,jpeg,gif}"
+            spark, NEARDUP_FIXTURE_DIR, glob="*.{png,jpg,jpeg,gif,bmp}"
         )
         .select("media_id", "meta")
         .collect()
@@ -692,7 +693,9 @@ def test_mm7_planted_pairs_exact(spark):
         ("nd_grad.png", "nd_grad_bright.png", 0),
         ("nd_rings.png", "nd_rings_copy.gif", 0),
         ("nd_stripes.png", "nd_stripes_dim.png", 0),
+        ("nd_waves.png", "nd_waves_bmp.bmp", 0),
         ("nd_waves.png", "nd_waves_copy.png", 0),
+        ("nd_waves_bmp.bmp", "nd_waves_copy.png", 0),
     }
 
 
@@ -764,3 +767,104 @@ def test_foreign_static_gifs_through_spark_pipeline(spark):
     assert feats["folder.gif"] == (178.7026, 173.041, 95.3179, 15, 13)
     assert feats["anim_disposal23.gif"] == (122.5, 122.5, 85.0, 20, 14)
     assert len(feats) == 3
+
+
+# ---------------------------------------------------------------------------
+# BMP codec (pure python, multimodal/bmp_codec.py)
+# ---------------------------------------------------------------------------
+
+
+def test_bmp_roundtrip_various_shapes():
+    """encode_bmp -> decode_bmp is the identity for 24-bit RGB, across
+    widths that exercise every 4-byte row-padding remainder."""
+    import numpy as np
+
+    from a3_fp_bigdata_spark.multimodal.bmp_codec import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (3, 5), (8, 8), (7, 13), (16, 31), (5, 2)]:
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(arr)), arr), (h, w)
+
+
+def _bmp_header(w, h, bpp, pix_off, compression=0, colors_used=0):
+    import struct
+
+    return struct.pack(
+        "<2sIHHI", b"BM", 0, 0, 0, pix_off
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bpp, compression, 0, 0, 0,
+        colors_used, 0,
+    )
+
+
+def test_bmp_decodes_topdown_32bit_and_paletted():
+    """Hand-assembled foreign-layout BMPs (bytes encode_bmp never
+    produces): negative-height top-down 32-bit BGRA, an 8-bit paletted
+    image, and a 4-bit paletted image with padded rows."""
+    import numpy as np
+
+    from a3_fp_bigdata_spark.multimodal.bmp_codec import decode_bmp
+
+    # --- top-down 32-bit: 2 rows x 1 col, first stored row IS row 0
+    px = bytes([255, 0, 0, 0,   0, 0, 255, 0])  # BGRA: blue px, red px
+    data = _bmp_header(1, -2, 32, 14 + 40) + px
+    out = decode_bmp(data)
+    assert out.shape == (2, 1, 3)
+    assert tuple(out[0, 0]) == (0, 0, 255)  # blue first (top-down)
+    assert tuple(out[1, 0]) == (255, 0, 0)
+
+    # --- 8-bit paletted, bottom-up, 2x2: palette BGRX
+    pal = bytes([0, 0, 255, 0,  0, 255, 0, 0,  255, 0, 0, 0])  # R,G,B
+    rows = bytes([2, 1, 0, 0]) + bytes([0, 2, 0, 0])  # padded to 4
+    data = _bmp_header(2, 2, 8, 14 + 40 + 12, colors_used=3) + pal + rows
+    out = decode_bmp(data)
+    assert out.shape == (2, 2, 3)
+    # bottom-up: stored row 0 is IMAGE row 1
+    assert tuple(out[1, 0]) == (0, 0, 255)   # index 2 -> blue
+    assert tuple(out[1, 1]) == (0, 255, 0)   # index 1 -> green
+    assert tuple(out[0, 0]) == (255, 0, 0)   # index 0 -> red
+    assert tuple(out[0, 1]) == (0, 0, 255)   # index 2 -> blue
+
+    # --- 4-bit paletted, 3 px wide (nibbles MSB-first + padding)
+    rows4 = bytes([0x12, 0x00, 0, 0])  # indices 1,2,0 across 3 px
+    data = _bmp_header(3, -1, 4, 14 + 40 + 12, colors_used=3) + pal + rows4
+    out = decode_bmp(data)
+    assert out.shape == (1, 3, 3)
+    assert tuple(out[0, 0]) == (0, 255, 0)   # 1 -> green
+    assert tuple(out[0, 1]) == (0, 0, 255)   # 2 -> blue
+    assert tuple(out[0, 2]) == (255, 0, 0)   # 0 -> red
+
+
+def test_bmp_rejects_compressed_and_truncated():
+    import numpy as np
+    import pytest as _pytest
+
+    from a3_fp_bigdata_spark.multimodal.bmp_codec import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    arr = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = encode_bmp(arr)
+    with _pytest.raises(NotImplementedError, match="compression"):
+        decode_bmp(_bmp_header(2, 2, 8, 54, compression=1) + b"\0" * 64)
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_bmp(good[:-3])
+    with _pytest.raises(ValueError, match="magic"):
+        decode_bmp(b"notabmp" + bytes(64))
+
+
+def test_decode_image_dispatches_bmp():
+    import numpy as np
+
+    from a3_fp_bigdata_spark.multimodal.bmp_codec import encode_bmp
+    from a3_fp_bigdata_spark.multimodal.images import HAVE_PIL, decode_image
+
+    if HAVE_PIL:  # container has no PIL; guard for dev boxes that do
+        return
+    arr = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    assert np.array_equal(decode_image(encode_bmp(arr), "image/bmp"), arr)

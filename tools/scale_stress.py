@@ -746,6 +746,52 @@ def main() -> None:
         "— the probe pays bucket occupancy, not corpus size."
     )
 
+    # ---- SemDeDup rung: d17's within-cell pair work is sum(|cell|^2);
+    # at FIXED cell count a 10x corpus would pay ~100x pairs, so the
+    # design point is cells ∝ corpus — this rung scales SEMDEDUP_CELLS
+    # 16 -> 160 with the 10x vectors and the wall must track ~10x.
+    print()
+    print("### SemDeDup cost vs corpus scale (cells scaled with the corpus)")
+    print()
+    print("d17's exact pair join runs within coarse k-means cells; the")
+    print("published algorithm holds |cell| bounded by scaling the cell")
+    print("count with the corpus (Abbas et al. use 50k clusters for 38M")
+    print("embeddings). Here: 16 cells at 1x, 160 at 10x — pair work per")
+    print("cell stays constant, so wall should grow ~10x, not the ~100x")
+    print("a fixed-cell (or no-cell, all-pairs) scheme pays. The timed")
+    print("action filters on NOT is_kept: a bare count would let")
+    print("Catalyst eliminate the doc-unique drop join (the d16 lesson).")
+    print()
+    print("| stage | rows out | wall s | shuffle write | shuffle read | peak JVM mem |")
+    print("|---|---|---|---|---|---|")
+    sem_wall: dict[str, float] = {}
+    for tag, d, nv, cells in (
+        ("x1", sf_dir, emb_stats["n_vecs"], S.SEMDEDUP_CELLS),
+        ("x10", emb10_dir, emb10["n_vecs"], S.SEMDEDUP_CELLS * 10),
+    ):
+        old_cells = S.SEMDEDUP_CELLS
+        S.SEMDEDUP_CELLS = cells
+        try:
+            timed_row.w0, timed_row.r0 = _shuffle_totals(spark)
+            timed_row(
+                f"d17 semantic dedup {tag} ({nv} vecs, {cells} cells)",
+                lambda dd=d: qs["d17_semantic_dedup"](spark, dd)
+                .filter(~F.col("is_kept"))
+                .count(),
+            )
+            sem_wall[tag] = timed_row.last_dt
+        finally:
+            S.SEMDEDUP_CELLS = old_cells
+    print()
+    print(
+        f"10x vectors with 10x cells: {sem_wall['x1']:.2f} -> "
+        f"{sem_wall['x10']:.2f} s "
+        f"({sem_wall['x10'] / max(sem_wall['x1'], 1e-3):.1f}x) — pair "
+        "work held ~linear by scaling the cell count, the SemDeDup "
+        "contract (fit cost included in both rows; it is the same "
+        "seeded k-means the IVF index already pays for)."
+    )
+
     # ---- bloom-prefilter rung: j11's geometry under a 60%-hot key
     print()
     print("## Bloom-prefilter join under key skew (j11's geometry)")
