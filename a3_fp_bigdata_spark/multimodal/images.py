@@ -102,10 +102,16 @@ def decode_image(payload: bytes, media_type: str = "image/fake") -> np.ndarray:
         from a3_fp_bigdata_spark.multimodal.bmp_codec import decode_bmp
 
         return decode_bmp(payload)
+    if media_type in ("image/tiff", "image/tif"):
+        # real decode, no image libs: TIFF 6.0 uncompressed baseline
+        # (both byte orders, strips, RGB/gray/palette)
+        from a3_fp_bigdata_spark.multimodal.tiff_codec import decode_tiff
+
+        return decode_tiff(payload)
     raise NotImplementedError(
         f"decoding {media_type!r} requires PIL, which is not installed; "
-        "'image/png', 'image/jpeg', 'image/gif', 'image/bmp' (pure-python "
-        "codecs) and 'image/fake' work without it"
+        "'image/png', 'image/jpeg', 'image/gif', 'image/bmp', 'image/tiff' "
+        "(pure-python codecs) and 'image/fake' work without it"
     )
 
 

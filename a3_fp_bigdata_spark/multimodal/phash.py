@@ -186,7 +186,7 @@ def mm7_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from a3_fp_bigdata_spark.registry import pin
 
     media = image_dir_source(
-        spark, NEARDUP_FIXTURE_DIR, glob="*.{png,jpg,jpeg,gif,bmp}"
+        spark, NEARDUP_FIXTURE_DIR, glob="*.{png,jpg,jpeg,gif,bmp,tif,tiff}"
     )
     # pin: the decode+hash frame feeds both the count stamp and the
     # scratch rows (without it the mapInPandas decode runs twice)

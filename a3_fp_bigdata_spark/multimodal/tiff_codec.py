@@ -1,0 +1,146 @@
+"""Pure-python TIFF codec (baseline, uncompressed) — no image libraries.
+
+Fifth real image container for the multimodal tier (PNG, JPEG baseline,
+GIF87a/89a, BMP, now TIFF): scanned-document and scientific corpora are
+overwhelmingly TIFF, and the uncompressed baseline profile (TIFF 6.0
+spec, Compression=1) covers the archival-dump slice without PIL.
+
+- decode: both byte orders (II little / MM big endian), first IFD;
+  8-bit RGB / RGBA (extra samples ignored), 8-bit grayscale
+  (both PhotometricInterpretation polarities), and palette-color
+  (ColorMap, 16-bit entries); multi-strip and single-strip layouts;
+  chunky planar configuration.
+- encode: single-strip 8-bit RGB little-endian (the universally
+  readable baseline).
+
+LZW/PackBits/JPEG-in-TIFF compression, tiled layouts, and planar
+configuration 2 raise NotImplementedError loudly — the same
+honest-ceiling contract as images.decode_image (reference
+feature_extractor.py:20 accepts anything PIL opens; this module covers
+the uncompressed-TIFF slice without PIL).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from a3_fp_bigdata_spark.pickling import ship_by_value
+
+ship_by_value(__name__)  # Arrow closures must not need repo on sys.path
+
+#: tag ids (TIFF 6.0 §8)
+_W, _H = 256, 257
+_BPS, _COMP, _PHOTO = 258, 259, 262
+_STRIP_OFF, _SPP, _ROWS_PER_STRIP, _STRIP_CNT = 273, 277, 278, 279
+_PLANAR, _COLORMAP, _TILE_OFF = 284, 320, 324
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i"}
+
+
+def _read_ifd(payload: bytes, bo: str) -> dict[int, list[int]]:
+    (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
+    (n,) = struct.unpack_from(bo + "H", payload, ifd_off)
+    tags: dict[int, list[int]] = {}
+    for i in range(n):
+        base = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack_from(bo + "HHI", payload, base)
+        if typ not in _TYPE_FMT:
+            continue  # rationals/undefined: nothing here needs them
+        size = _TYPE_SIZE[typ] * count
+        off = base + 8 if size <= 4 else struct.unpack_from(
+            bo + "I", payload, base + 8
+        )[0]
+        fmt = bo + str(count) + _TYPE_FMT[typ]
+        tags[tag] = list(struct.unpack_from(fmt, payload, off))
+    return tags
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """TIFF bytes -> HxWx3 uint8 RGB array (first IFD)."""
+    if len(payload) < 8 or payload[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF: missing II/MM byte-order mark")
+    bo = "<" if payload[:2] == b"II" else ">"
+    (magic,) = struct.unpack_from(bo + "H", payload, 2)
+    if magic != 42:
+        raise ValueError(f"bad TIFF magic {magic} (want 42)")
+    t = _read_ifd(payload, bo)
+    if _TILE_OFF in t:
+        raise NotImplementedError("tiled TIFF not supported (strips only)")
+    comp = t.get(_COMP, [1])[0]
+    if comp != 1:
+        raise NotImplementedError(
+            f"TIFF compression {comp} not supported (uncompressed only; "
+            "LZW/PackBits/JPEG need PIL)"
+        )
+    if t.get(_PLANAR, [1])[0] != 1:
+        raise NotImplementedError("planar TIFF not supported (chunky only)")
+    w, h = t[_W][0], t[_H][0]
+    spp = t.get(_SPP, [1])[0]
+    bps = t.get(_BPS, [1] * spp)
+    photo = t.get(_PHOTO, [1])[0]
+    if any(b != 8 for b in bps):
+        raise NotImplementedError(f"TIFF bits-per-sample {bps} (8 only)")
+    offs = t[_STRIP_OFF]
+    cnts = t.get(_STRIP_CNT, [w * h * spp])
+    data = b"".join(
+        payload[o : o + c] for o, c in zip(offs, cnts)
+    )
+    if len(data) < w * h * spp:
+        raise ValueError("truncated TIFF strip data")
+    px = np.frombuffer(data, dtype=np.uint8, count=w * h * spp).reshape(
+        h, w, spp
+    )
+    if photo == 3:  # palette-color: ColorMap is 3 planes of 16-bit
+        cmap = t[_COLORMAP]
+        n = len(cmap) // 3
+        pal = (
+            np.array(cmap, dtype=np.uint32).reshape(3, n).T // 257
+        ).astype(np.uint8)
+        return pal[px[:, :, 0]]
+    if photo in (0, 1) and spp == 1:  # grayscale
+        g = px[:, :, 0]
+        if photo == 0:  # WhiteIsZero
+            g = 255 - g
+        return np.repeat(g[:, :, None], 3, axis=2)
+    if photo == 2 and spp >= 3:  # RGB (+ ignored extra samples)
+        return np.ascontiguousarray(px[:, :, :3])
+    raise NotImplementedError(
+        f"TIFF photometric {photo} with {spp} samples not supported"
+    )
+
+
+def encode_tiff(arr: np.ndarray) -> bytes:
+    """HxWx3 uint8 RGB -> single-strip uncompressed little-endian TIFF."""
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_tiff expects HxWx3 uint8")
+    h, w = arr.shape[:2]
+    pix = arr.tobytes()
+    # layout: header(8) | BPS array(6) | pixel data | IFD
+    bps_off = 8
+    pix_off = bps_off + 6
+    ifd_off = pix_off + len(pix)
+    entries = [
+        (_W, 4, 1, w),
+        (_H, 4, 1, h),
+        (_BPS, 3, 3, bps_off),
+        (_COMP, 3, 1, 1),
+        (_PHOTO, 3, 1, 2),
+        (_STRIP_OFF, 4, 1, pix_off),
+        (_SPP, 3, 1, 3),
+        (_ROWS_PER_STRIP, 4, 1, h),
+        (_STRIP_CNT, 4, 1, len(pix)),
+        (_PLANAR, 3, 1, 1),
+    ]
+    ifd = struct.pack("<H", len(entries))
+    for tag, typ, count, val in entries:
+        ifd += struct.pack("<HHII", tag, typ, count, val)
+    ifd += struct.pack("<I", 0)  # no next IFD
+    return (
+        struct.pack("<2sHI", b"II", 42, ifd_off)
+        + struct.pack("<3H", 8, 8, 8)
+        + pix
+        + ifd
+    )

@@ -666,9 +666,10 @@ def test_mm7_planted_pairs_exact(spark):
     """mm7 recovers EXACTLY the generator's planted perturbed twins
     (tools/make_image_neardup_fixtures.py prints this list): the
     re-encoded copies at hamming 0, the brightness shifts at 0, the
-    lossy JPEG twin at 4 — and no false pair among the 59 non-planted
-    combinations (12 images; the waves triple is an identical-pixel
-    PNG/PNG/BMP triangle, so all three of its pairs are planted). Ground truth is the fixture CONSTRUCTION, not the
+    lossy JPEG twin at 4 — and no false pair among the 70 non-planted
+    combinations (13 images; the waves triple is an identical-pixel
+    PNG/PNG/BMP triangle, so all three of its pairs are planted, and
+    the noise base carries an identical-pixel TIFF twin). Ground truth is the fixture CONSTRUCTION, not the
     hash under test."""
     from a3_fp_bigdata_spark import registry
     from a3_fp_bigdata_spark.multimodal.binary_files import image_dir_source
@@ -679,7 +680,7 @@ def test_mm7_planted_pairs_exact(spark):
     origin = {
         r.media_id: r.meta.origin
         for r in image_dir_source(
-            spark, NEARDUP_FIXTURE_DIR, glob="*.{png,jpg,jpeg,gif,bmp}"
+            spark, NEARDUP_FIXTURE_DIR, glob="*.{png,jpg,jpeg,gif,bmp,tif,tiff}"
         )
         .select("media_id", "meta")
         .collect()
@@ -691,6 +692,7 @@ def test_mm7_planted_pairs_exact(spark):
     assert got == {
         ("nd_blobs.png", "nd_blobs_lossy.jpg", 4),
         ("nd_grad.png", "nd_grad_bright.png", 0),
+        ("nd_noise.png", "nd_noise_tiff.tif", 0),
         ("nd_rings.png", "nd_rings_copy.gif", 0),
         ("nd_stripes.png", "nd_stripes_dim.png", 0),
         ("nd_waves.png", "nd_waves_bmp.bmp", 0),
@@ -868,3 +870,146 @@ def test_decode_image_dispatches_bmp():
         return
     arr = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
     assert np.array_equal(decode_image(encode_bmp(arr), "image/bmp"), arr)
+
+
+# ---------------------------------------------------------------------------
+# TIFF codec (pure python, multimodal/tiff_codec.py)
+# ---------------------------------------------------------------------------
+
+
+def test_tiff_roundtrip_various_shapes():
+    import numpy as np
+
+    from a3_fp_bigdata_spark.multimodal.tiff_codec import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(13)
+    for h, w in [(1, 1), (3, 5), (8, 8), (7, 13), (16, 31)]:
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_tiff(encode_tiff(arr)), arr), (h, w)
+
+
+def _tiff_be(entries, tail, pix):
+    """Hand-assemble a BIG-endian TIFF: header | pixel data | IFD."""
+    import struct
+
+    ifd_off = 8 + len(pix)
+    ifd = struct.pack(">H", len(entries))
+    for tag, typ, count, val in entries:
+        if typ == 3 and count == 1:
+            ifd += struct.pack(">HHIHH", tag, typ, count, val, 0)
+        else:
+            ifd += struct.pack(">HHII", tag, typ, count, val)
+    ifd += struct.pack(">I", 0)
+    return struct.pack(">2sHI", b"MM", 42, ifd_off) + pix + ifd + tail
+
+
+def test_tiff_decodes_bigendian_gray_palette_and_multistrip():
+    """Hand-assembled foreign-layout TIFFs (bytes encode_tiff never
+    produces): big-endian grayscale in BOTH photometric polarities,
+    palette-color with a 16-bit ColorMap, and a little-endian
+    two-strip RGB image."""
+    import struct
+
+    import numpy as np
+
+    from a3_fp_bigdata_spark.multimodal.tiff_codec import decode_tiff
+
+    # --- big-endian 2x2 grayscale, BlackIsZero then WhiteIsZero
+    pix = bytes([0, 64, 128, 255])
+    for photo, want00 in ((1, 0), (0, 255)):
+        data = _tiff_be(
+            [(256, 3, 1, 2), (257, 3, 1, 2), (258, 3, 1, 8),
+             (259, 3, 1, 1), (262, 3, 1, photo), (273, 4, 1, 8),
+             (277, 3, 1, 1), (279, 4, 1, 4)],
+            b"", pix,
+        )
+        out = decode_tiff(data)
+        assert out.shape == (2, 2, 3)
+        assert out[0, 0, 0] == want00 and out[0, 0, 0] == out[0, 0, 2]
+
+    # --- big-endian 1x3 palette-color (ColorMap entries are 16-bit;
+    #     65535 -> 255 after the /257 fold)
+    cmap_off = 8 + 4  # pix padded to 4 for alignment
+    cmap = struct.pack(
+        ">24H",
+        65535, 0, 0, 0, 0, 0, 0, 0,   # red plane (8 entries)
+        0, 65535, 0, 0, 0, 0, 0, 0,   # green plane
+        0, 0, 65535, 0, 0, 0, 0, 0,   # blue plane
+    )
+    data = _tiff_be(
+        [(256, 3, 1, 3), (257, 3, 1, 1), (258, 3, 1, 8),
+         (259, 3, 1, 1), (262, 3, 1, 3), (273, 4, 1, 8),
+         (277, 3, 1, 1), (279, 4, 1, 3),
+         (320, 3, 24, cmap_off + 2 + 9 * 12 + 4)],
+        b"", bytes([0, 1, 2]) + b"\0",
+    )
+    # ColorMap data lives AFTER the IFD: recompute its real offset
+    # (header 8 + pix 4 + count 2 + 9 entries * 12 + next-IFD 4)
+    out = decode_tiff(data + cmap)
+    assert out.shape == (1, 3, 3)
+    assert tuple(out[0, 0]) == (255, 0, 0)
+    assert tuple(out[0, 1]) == (0, 255, 0)
+    assert tuple(out[0, 2]) == (0, 0, 255)
+
+    # --- little-endian 2x2 RGB split into two strips
+    import struct as st
+
+    pix = bytes(range(12))
+    ifd_off = 8 + 12
+    tail_off = ifd_off + 2 + 8 * 12 + 4  # 8 IFD entries + next-IFD ptr
+    entries = [
+        (256, 4, 1, 2), (257, 4, 1, 2), (258, 3, 3, tail_off),
+        (259, 3, 1, 1), (262, 3, 1, 2),
+        (273, 4, 2, tail_off + 6),
+        (277, 3, 1, 3), (279, 4, 2, tail_off + 6 + 8),
+    ]
+    ifd = st.pack("<H", len(entries))
+    for tag, typ, count, val in entries:
+        ifd += st.pack("<HHII", tag, typ, count, val)
+    ifd += st.pack("<I", 0)
+    tail = (
+        st.pack("<3H", 8, 8, 8)
+        + st.pack("<2I", 8, 8 + 6)        # strip offsets
+        + st.pack("<2I", 6, 6)            # strip byte counts
+    )
+    data = st.pack("<2sHI", b"II", 42, ifd_off) + pix + ifd + tail
+    out = decode_tiff(data)
+    assert out.shape == (2, 2, 3)
+    assert np.array_equal(out.reshape(-1), np.arange(12, dtype=np.uint8))
+
+
+def test_tiff_rejects_compressed_tiled_planar():
+    import struct
+
+    import pytest as _pytest
+
+    from a3_fp_bigdata_spark.multimodal.tiff_codec import decode_tiff
+
+    def mk(extra):
+        """1x1 big-endian gray TIFF with `extra` IFD entries. SHORT
+        values are left-justified in the 4-byte field per the spec."""
+        entries = sorted(
+            [(256, 3, 1, 1), (257, 3, 1, 1), (258, 3, 1, 8),
+             (262, 3, 1, 1), (273, 4, 1, 8), (277, 3, 1, 1),
+             (279, 4, 1, 1)] + extra
+        )
+        ifd = struct.pack(">H", len(entries))
+        for tag, typ, count, val in entries:
+            if typ == 3:
+                ifd += struct.pack(">HHIHH", tag, typ, count, val, 0)
+            else:
+                ifd += struct.pack(">HHII", tag, typ, count, val)
+        ifd += struct.pack(">I", 0)
+        return struct.pack(">2sHI", b"MM", 42, 12) + b"\0\0\0\0" + ifd
+
+    with _pytest.raises(NotImplementedError, match="compression"):
+        decode_tiff(mk([(259, 3, 1, 5)]))
+    with _pytest.raises(NotImplementedError, match="tiled"):
+        decode_tiff(mk([(259, 3, 1, 1), (324, 4, 1, 8)]))
+    with _pytest.raises(NotImplementedError, match="planar"):
+        decode_tiff(mk([(259, 3, 1, 1), (284, 3, 1, 2)]))
+    with _pytest.raises(ValueError, match="byte-order"):
+        decode_tiff(b"XX" + bytes(16))

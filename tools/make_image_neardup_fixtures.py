@@ -33,6 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from a3_fp_bigdata_spark.multimodal.bmp_codec import decode_bmp, encode_bmp
 from a3_fp_bigdata_spark.multimodal.gif_codec import encode_gif
+from a3_fp_bigdata_spark.multimodal.tiff_codec import decode_tiff, encode_tiff
 from a3_fp_bigdata_spark.multimodal.jpeg_codec import decode_jpeg, encode_jpeg
 from a3_fp_bigdata_spark.multimodal.phash import (
     IMG_NEARDUP_MAX_HAMMING,
@@ -87,6 +88,7 @@ imgs["nd_stripes_dim"] = np.clip(
 imgs["nd_rings_copy"] = imgs["nd_rings"].copy()  # written as GIF below
 imgs["nd_waves_copy"] = imgs["nd_waves"].copy()
 imgs["nd_waves_bmp"] = imgs["nd_waves"].copy()  # written as BMP below
+imgs["nd_noise_tiff"] = imgs["nd_noise"].copy()  # written as TIFF below
 # the lossy twin: what mm7 will SEE is the decoded JPEG, so hash that
 _blobs_jpeg = encode_jpeg(imgs["nd_blobs"], quality=85)
 imgs["nd_blobs_lossy"] = decode_jpeg(_blobs_jpeg)
@@ -98,6 +100,7 @@ PLANTED = {
     frozenset({"nd_waves", "nd_waves_copy"}),
     frozenset({"nd_waves", "nd_waves_bmp"}),
     frozenset({"nd_waves_copy", "nd_waves_bmp"}),
+    frozenset({"nd_noise", "nd_noise_tiff"}),
     frozenset({"nd_blobs", "nd_blobs_lossy"}),
 }
 
@@ -132,7 +135,11 @@ assert {frozenset({a, b}) for a, b, _ in pairs_within} == PLANTED
 # ---- write --------------------------------------------------------------
 os.makedirs(NEARDUP_FIXTURE_DIR, exist_ok=True)
 for name, arr in imgs.items():
-    if name == "nd_waves_bmp":
+    if name == "nd_noise_tiff":
+        path = os.path.join(NEARDUP_FIXTURE_DIR, f"{name}.tif")
+        payload = encode_tiff(arr)
+        assert np.array_equal(decode_tiff(payload), arr)
+    elif name == "nd_waves_bmp":
         path = os.path.join(NEARDUP_FIXTURE_DIR, f"{name}.bmp")
         payload = encode_bmp(arr)
         assert np.array_equal(decode_bmp(payload), arr)
@@ -152,7 +159,7 @@ for name, arr in imgs.items():
     print(f"wrote {path} ({len(payload)} bytes)")
 
 print("\npinned mm7 expected pairs (origin_a, origin_b, hamming):")
-_EXTS = {"nd_rings_copy": "gif", "nd_blobs_lossy": "jpg", "nd_waves_bmp": "bmp"}
+_EXTS = {"nd_rings_copy": "gif", "nd_blobs_lossy": "jpg", "nd_waves_bmp": "bmp", "nd_noise_tiff": "tif"}
 ext = lambda n: f"{n}.{_EXTS.get(n, 'png')}"  # noqa: E731
 for a, b, d in sorted(pairs_within):
     print(f"  ({ext(a)!r}, {ext(b)!r}, {d}),")
