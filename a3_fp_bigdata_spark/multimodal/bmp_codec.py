@@ -76,6 +76,10 @@ def decode_bmp(payload: bytes) -> np.ndarray:
 
     # paletted: entries are BGRX quads right after the DIB header
     n_colors = colors_used or (1 << bpp)
+    if n_colors > (1 << bpp):
+        raise ValueError(
+            f"BMP colors_used {n_colors} exceeds 2^{bpp} palette capacity"
+        )
     pal_off = 14 + hdr_size
     pal = np.frombuffer(
         payload, dtype=np.uint8, count=4 * n_colors, offset=pal_off

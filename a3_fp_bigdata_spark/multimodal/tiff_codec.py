@@ -94,6 +94,8 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         h, w, spp
     )
     if photo == 3:  # palette-color: ColorMap is 3 planes of 16-bit
+        if _COLORMAP not in t:
+            raise ValueError("palette TIFF (photometric 3) missing ColorMap")
         cmap = t[_COLORMAP]
         n = len(cmap) // 3
         pal = (

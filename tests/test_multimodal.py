@@ -858,6 +858,10 @@ def test_bmp_rejects_compressed_and_truncated():
         decode_bmp(good[:-3])
     with _pytest.raises(ValueError, match="magic"):
         decode_bmp(b"notabmp" + bytes(64))
+    with _pytest.raises(ValueError, match="palette capacity"):
+        decode_bmp(
+            _bmp_header(1, 1, 8, 54, colors_used=500) + b"\0" * 2048
+        )
 
 
 def test_decode_image_dispatches_bmp():
@@ -1013,3 +1017,5 @@ def test_tiff_rejects_compressed_tiled_planar():
         decode_tiff(mk([(259, 3, 1, 1), (284, 3, 1, 2)]))
     with _pytest.raises(ValueError, match="byte-order"):
         decode_tiff(b"XX" + bytes(16))
+    with _pytest.raises(ValueError, match="ColorMap"):
+        decode_tiff(mk([(259, 3, 1, 1), (262, 3, 1, 3)]))
