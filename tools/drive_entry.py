@@ -50,6 +50,9 @@ _SPOT_BASE = [
     # round-8: the scratch-oracle audit tier (driver-window flagships)
     "a19_approx_distinct_audit", "d9_pigeonhole_audit",
     "d11_containment_audit", "sim11_ivf_recall_audit", "d6_gemm_audit",
+    # round-9: span-cut composition + PQ/SemDeDup audits + image dedup
+    "pl4_span_clean_manifest", "sim12_pq_recall_audit",
+    "d17_semdedup_audit", "mm7_image_near_dup",
 ]
 SPOT = [exposure_name(n) for n in _SPOT_BASE]
 
