@@ -1383,6 +1383,15 @@ SEMDEDUP_CELLS = 16
 SEMDEDUP_EPS = NEARDUP_COSINE
 
 
+#: Cell assignments memoized per (session, sf_dir, k) — the k-means fit
+#: is the dominant cost of d17 and its audit runs the query a second
+#: time, so one localCheckpoint-backed assignment serves both (the
+#: "materialize once per snapshot" story d17's docstring promises; at
+#: 100 TB this is a parquet table the IVF index shares). k is in the
+#: key because the SCALE harness scales the cell count with the corpus.
+_SEMDEDUP_STAGE: dict[tuple[int, str, int], DataFrame] = {}
+
+
 def _semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cell, embedding) — the seeded coarse k-means
     assignment (sim3's quantizer recipe, its own k so the dedup grain
@@ -1390,6 +1399,12 @@ def _semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans as MLKMeans
     from pyspark.ml.functions import array_to_vector
 
+    from a3_fp_bigdata_spark.operators.dedup import _evict_dead_entries
+
+    key = (id(spark), sf_dir, SEMDEDUP_CELLS)
+    _evict_dead_entries(_SEMDEDUP_STAGE, unpersist=False)
+    if key in _SEMDEDUP_STAGE:
+        return _SEMDEDUP_STAGE[key]
     emb = table(spark, sf_dir, "embeddings").withColumn(
         "vec", array_to_vector(F.col("embedding").cast("array<double>"))
     )
@@ -1397,7 +1412,12 @@ def _semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=SEMDEDUP_CELLS, seed=IVF_SEED, featuresCol="vec",
         predictionCol="cell",
     ).fit(emb)
-    return km.transform(emb).select("vec_id", "cell", "embedding")
+    _SEMDEDUP_STAGE[key] = (
+        km.transform(emb)
+        .select("vec_id", "cell", "embedding")
+        .localCheckpoint()
+    )
+    return _SEMDEDUP_STAGE[key]
 
 
 @query("d17_semantic_dedup", oracle=None)
@@ -1422,7 +1442,8 @@ def d17_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Rows-only (cells are seed-specific, like sim3); the audit query
     is the oracle-backed attestation."""
-    assigned = pin(_semdedup_cells(spark, sf_dir))
+    # already localCheckpoint-backed by the stage memo — no pin needed
+    assigned = _semdedup_cells(spark, sf_dir)
     a = assigned.select(
         "cell",
         F.col("vec_id").alias("va"),
