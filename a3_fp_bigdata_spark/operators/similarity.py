@@ -1381,6 +1381,18 @@ def sim12_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: near-dup threshold so both embedding-dedup rungs agree on "same".
 SEMDEDUP_CELLS = 16
 SEMDEDUP_EPS = NEARDUP_COSINE
+#: Hot-cell guard: a cell larger than this is deterministically
+#: sub-sharded (vec_id-hash salt) before the quadratic pair join. The
+#: degenerate input for a DEDUP operator is exactly a giant cell of
+#: near-identical vectors — k-means sends a billion boilerplate
+#: embeddings to ONE centroid and |cell|^2 melts an executor however
+#: large k is. Sharding bounds per-task pair work at ~CAP^2 and trades
+#: away cross-shard pairs inside the hot cell (the same
+#: recall-for-boundedness trade as d4's super-bucket cap); the audit
+#: verifies the rule against the MATERIALIZED sharded cells, so the
+#: trade is attested, never silent. Test corpora never trigger the
+#: default; tests force a tiny cap to pin the sharded path.
+SEMDEDUP_CELL_CAP = 50_000
 
 
 #: Cell assignments memoized per (session, sf_dir, k) — the k-means fit
@@ -1401,7 +1413,7 @@ def _semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from a3_fp_bigdata_spark.operators.dedup import _evict_dead_entries
 
-    key = (id(spark), sf_dir, SEMDEDUP_CELLS)
+    key = (id(spark), sf_dir, SEMDEDUP_CELLS, SEMDEDUP_CELL_CAP)
     _evict_dead_entries(_SEMDEDUP_STAGE, unpersist=False)
     if key in _SEMDEDUP_STAGE:
         return _SEMDEDUP_STAGE[key]
@@ -1412,11 +1424,28 @@ def _semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=SEMDEDUP_CELLS, seed=IVF_SEED, featuresCol="vec",
         predictionCol="cell",
     ).fit(emb)
-    _SEMDEDUP_STAGE[key] = (
-        km.transform(emb)
-        .select("vec_id", "cell", "embedding")
-        .localCheckpoint()
+    raw = km.transform(emb).select("vec_id", "cell", "embedding")
+    # hot-cell sub-sharding (SEMDEDUP_CELL_CAP): remap every cell to
+    # cell * 2^20 + shard, shard = hash(vec_id) % ceil(n/CAP) — 0 for
+    # cells under the cap, so the remap is uniform and the published
+    # ids stay opaque longs. The k-row count side broadcasts.
+    cnt = raw.groupBy("cell").agg(F.count("*").alias("_n"))
+    shards = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.col("_n") / F.lit(SEMDEDUP_CELL_CAP)).cast("long"),
     )
+    sharded = (
+        raw.join(F.broadcast(cnt), "cell")
+        .select(
+            "vec_id",
+            (
+                F.col("cell").cast("long") * F.lit(1 << 20).cast("long")
+                + F.pmod(F.xxhash64("vec_id"), shards)
+            ).alias("cell"),
+            "embedding",
+        )
+    )
+    _SEMDEDUP_STAGE[key] = sharded.localCheckpoint()
     return _SEMDEDUP_STAGE[key]
 
 
@@ -1438,7 +1467,12 @@ def d17_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SAME artifact the IVF index already materializes. Cross-cell
     near-dups are missed by construction — that recall/cost trade is
     the published algorithm, and d17_semdedup_audit attests the rule
-    holds exactly INSIDE the materialized cells.
+    holds exactly INSIDE the materialized cells. Cells above
+    SEMDEDUP_CELL_CAP are deterministically sub-sharded first (see the
+    constant's note): per-task pair work is bounded by ~CAP^2 even
+    when the embedding distribution dumps the whole corpus on one
+    centroid — the dedup-shaped hot spot, since near-identical vectors
+    cluster together by definition.
 
     Rows-only (cells are seed-specific, like sim3); the audit query
     is the oracle-backed attestation."""

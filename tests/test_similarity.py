@@ -182,3 +182,60 @@ def test_semdedup_rule_replays_exactly(spark):
                 assert abs(c - SEMDEDUP_EPS) > 1e-9, (u, v, c)
                 has_prior = has_prior or c >= SEMDEDUP_EPS
             assert out[v].is_kept == (not has_prior), (v, out[v])
+
+
+def test_semdedup_hot_cell_sharding_bounds_pair_work(spark):
+    """Force SEMDEDUP_CELL_CAP below the fixture cell sizes: every
+    sharded cell must respect the cap, the keep rule must hold exactly
+    per SHARDED cell (numpy replay), and the audit oracle must still
+    hash-match — the recall-for-boundedness trade is attested, never
+    silent."""
+    import numpy as np
+
+    from a3_fp_bigdata_spark import registry
+    from a3_fp_bigdata_spark.data import table
+    from a3_fp_bigdata_spark.operators import similarity as S
+    from tests.test_oracle_parity import as_sorted_rows, duck_con
+
+    old = S.SEMDEDUP_CELL_CAP
+    S.SEMDEDUP_CELL_CAP = 12  # sf0.001: 500 vecs / 16 cells -> forces shards
+    try:
+        qs = registry.all_queries()
+        out = {
+            r.vec_id: r
+            for r in qs["d17_semantic_dedup"](spark, SF001).collect()
+        }
+        emb = {
+            r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in table(spark, SF001, "embeddings").collect()
+        }
+        cells: dict[int, list[int]] = {}
+        for v, r in out.items():
+            cells.setdefault(r.cell, []).append(v)
+        assert len(cells) > S.SEMDEDUP_CELLS  # sharding actually fired
+        # cap respected with hash-split slack (a modulo split is not
+        # perfectly even; 2x the cap would mean the shard count was
+        # derived from the wrong cell size)
+        assert max(len(m) for m in cells.values()) <= 2 * 12
+        for members in cells.values():
+            members.sort()
+            for i, v in enumerate(members):
+                ev = emb[v] / np.linalg.norm(emb[v])
+                has_prior = any(
+                    float(ev @ (emb[u] / np.linalg.norm(emb[u])))
+                    >= S.SEMDEDUP_EPS
+                    for u in members[:i]
+                )
+                assert out[v].is_kept == (not has_prior), (v, out[v])
+        # the audit stays oracle-green against the SHARDED cells
+        sdf = qs["d17_semdedup_audit"](spark, SF001)
+        srows = [tuple(x) for x in sdf.collect()]
+        con = duck_con(SF001)
+        res = con.execute(
+            registry.all_oracles()["d17_semdedup_audit"]
+        ).fetchall()
+        a = as_sorted_rows(sdf.columns, srows)
+        b = as_sorted_rows([d[0] for d in con.description], res)
+        assert a == b and srows[0][-1] == 0  # n_mismatch
+    finally:
+        S.SEMDEDUP_CELL_CAP = old
