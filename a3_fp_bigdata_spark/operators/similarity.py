@@ -1146,6 +1146,13 @@ PQ_ITERS = 25
 PQ_SHORTLIST = 10 * ANN_TOPK
 
 
+#: Codebooks memoized per (session, sf_dir) — tiny driver-side numpy
+#: arrays (M*K*dsub doubles), so no checkpoint needed; the audit runs
+#: sim12 a second time and must not re-pay the distributed fit (the
+#: "train once, encode forever" contract).
+_PQ_CB_STAGE: dict[tuple[int, str], "object"] = {}
+
+
 def _pq_codebooks(spark: SparkSession, sf_dir: str) -> "object":
     """Train the PQ_M per-subspace codebooks (seeded Lloyd, PQ_ITERS
     fixed iterations) and return them as a numpy (M, K, dim/M) array.
@@ -1164,6 +1171,9 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> "object":
     import numpy as np
     import pandas as pd
 
+    key = (id(spark), sf_dir)
+    if key in _PQ_CB_STAGE:
+        return _PQ_CB_STAGE[key]
     emb = table(spark, sf_dir, "embeddings")
     dim = emb.select(F.size("embedding")).first()[0]
     dsub = dim // PQ_M
@@ -1215,6 +1225,7 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> "object":
     cb = np.zeros((PQ_M, PQ_K, dsub))
     for r in rows:
         cb[r.m, r.k] = r.centroid
+    _PQ_CB_STAGE[key] = cb
     return cb
 
 

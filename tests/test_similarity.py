@@ -125,13 +125,16 @@ def test_pq_codebooks_deterministic_and_codes_bounded(spark):
     import numpy as np
 
     from a3_fp_bigdata_spark.operators.similarity import (
+        _PQ_CB_STAGE,
         PQ_K,
         PQ_M,
         _pq_codebooks,
         _pq_encoded,
     )
 
-    cb1 = _pq_codebooks(spark, SF001)
+    _PQ_CB_STAGE.clear()  # force two REAL fits — the memo would make
+    cb1 = _pq_codebooks(spark, SF001)  # this determinism check vacuous
+    _PQ_CB_STAGE.clear()
     cb2 = _pq_codebooks(spark, SF001)
     assert cb1.shape == (PQ_M, PQ_K, 64 // PQ_M)
     assert np.array_equal(cb1, cb2)
