@@ -1932,3 +1932,96 @@ def d16_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.size(toks) - F.size(kept)).cast("long").alias("n_cut"),
         )
     )
+
+
+# --- d18: fuzzy cross-corpus decontamination -------------------------------
+#
+# tx9 flags training docs sharing ANY single 8-gram with the benchmark
+# split — high precision, but blind to paraphrased / lightly-edited
+# leakage where no single long n-gram survives verbatim. d18 is the
+# fuzzy rung of the same pipeline: per (train doc, benchmark doc) pair,
+# the CONTAINMENT of the benchmark doc's 5-gram set in the training
+# doc (|common| / |bench grams|) — the GPT-3/Pile decontamination
+# metric, which is asymmetric on purpose: a 50-token eval question
+# pasted inside a 10k-token web page has tiny Jaccard but containment
+# ~1.0. Exact computation, NOT LSH: an eval suite is MBs against TBs
+# of corpus, so the benchmark gram set broadcasts and the corpus side
+# stays one scan + broadcast join + pair-grain aggregate. Oracle-exact
+# (no sketch seeds anywhere), unlike d4's seed-internal LSH path.
+
+D18_NGRAM = 5          # decontamination gram width (fuzzy rung)
+D18_CONTAIN_TAU = 0.5  # flag pairs where >= half the bench doc leaks
+
+
+def _d18_oracle() -> str:
+    from a3_fp_bigdata_spark.operators.text_analysis import (
+        DECON_BENCH_PCT,
+        _sql_ngrams,
+        sample_predicate_sql,
+    )
+
+    bench_pred = sample_predicate_sql("doc_id", DECON_BENCH_PCT)
+    ratio = "CAST(c.n_common AS DOUBLE) / bc.nb"
+    return f"""
+    WITH words AS (
+      SELECT doc_id, {_SQL_TOKS} AS w FROM documents
+    ), g AS (
+      SELECT DISTINCT doc_id, unnest({_sql_ngrams(D18_NGRAM)}) AS g
+      FROM words WHERE len(w) >= {D18_NGRAM}
+    ), bench AS (
+      SELECT doc_id AS bench_id, g FROM g WHERE {bench_pred}
+    ), bcnt AS (
+      SELECT bench_id, count(*) AS nb FROM bench GROUP BY 1
+    ), train AS (
+      SELECT doc_id, g FROM g WHERE NOT ({bench_pred})
+    ), c AS (
+      SELECT t.doc_id, b.bench_id, count(*) AS n_common
+      FROM train t JOIN bench b USING (g)
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_id, c.bench_id, c.n_common,
+           {half_up_sql('CAST(c.n_common AS DOUBLE) / bc.nb')} AS containment
+    FROM c JOIN bcnt bc USING (bench_id)
+    WHERE {ratio} >= {D18_CONTAIN_TAU}
+    """
+
+
+@query("d18_fuzzy_decontaminate", oracle=_d18_oracle())
+def d18_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark decontamination: per (train doc, bench doc)
+    pair, containment = |shared {D18_NGRAM}-grams| / |bench doc's
+    {D18_NGRAM}-grams|, keeping pairs >= {D18_CONTAIN_TAU}. The held-out
+    split is tx9's deterministic benchmark predicate, so the exact
+    (tx9) and fuzzy (d18) rungs audit the SAME contamination boundary.
+
+    Scale shape: both benchmark frames broadcast (gram rows and per-doc
+    counts — eval suites are MBs against a 100 TB corpus), so the
+    corpus side is ONE scan feeding a broadcast hash join; the only
+    exchange is the pair-grain count, and only gram-colliding pairs
+    reach it. Reference surface: none (the reference has no
+    decontamination); this is the Brown et al. 2020 appendix-C style
+    overlap audit re-expressed as a plan."""
+    from a3_fp_bigdata_spark.operators.text_analysis import (
+        DECON_BENCH_PCT,
+        sample_predicate,
+    )
+
+    ex = _shingle_rows(spark, sf_dir, D18_NGRAM)  # distinct hashed grams
+    is_bench = sample_predicate(F.col("doc_id"), DECON_BENCH_PCT)
+    bench = ex.filter(is_bench).withColumnRenamed("doc_id", "bench_id")
+    bcnt = bench.groupBy("bench_id").agg(F.count("*").alias("nb"))
+    contain = F.col("n_common") / F.col("nb")
+    return (
+        ex.filter(~is_bench)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_common"))
+        .join(F.broadcast(bcnt), "bench_id")
+        .filter(contain >= D18_CONTAIN_TAU)
+        .select(
+            "doc_id",
+            "bench_id",
+            "n_common",
+            half_up(contain).alias("containment"),
+        )
+    )
