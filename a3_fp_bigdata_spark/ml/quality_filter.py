@@ -1,0 +1,137 @@
+"""Model-based quality filtering — the fastText/CCNet-style classifier
+rung of the curation ladder (SURVEY §2 extension; reference surface:
+none — the reference's ML is the KMeans/RF pair in spark_script.py).
+
+Every production LLM pipeline (CCNet, GPT-3, LLaMA) trains a linear
+classifier to score documents "curated-like" and keeps the high end.
+The driver's synthetic corpus has no curated/crawl axis (all five
+langs share one vocabulary — the lang column is a metadata tag, not a
+text property), so the anchor label here is WEAK SUPERVISION from the
+engine's own heuristic rung: tx2's quality score above a fixed floor.
+Training a model to reproduce-and-generalize a heuristic label is
+itself a production pattern (heuristic -> classifier distillation,
+CCNet §4.3); here it also makes learnability honest — the label is a
+deterministic function of the text, so a bag-of-words linear model
+must recover it or the pipeline is broken, and pytest pins exactly
+that (train accuracy floor, full corpus coverage).
+
+The MODEL SHAPE is the deliverable: tokenize -> HashingTF -> IDF ->
+LogisticRegression, fit on a deterministic split, score the full
+corpus, keep above a probability floor.
+
+Scale notes (100 TB): HashingTF is stateless (a hash per token — no
+vocabulary broadcast, no OOV), IDF's fit is one treeAggregate over the
+SAMPLE only, and each LBFGS iteration is one treeAggregate over the
+sample; scoring broadcasts a 2^16-dim coefficient vector and is a
+narrow map over the corpus — the exact shape fastText filtering runs
+at crawl scale. The fit sample is tx6's deterministic predicate, so
+reruns and engines agree on WHICH rows trained the model.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.classification import LogisticRegression
+from pyspark.ml.feature import HashingTF, IDF
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from a3_fp_bigdata_spark.data import table
+from a3_fp_bigdata_spark.functions import text as TX
+from a3_fp_bigdata_spark.functions.rounding import half_up
+from a3_fp_bigdata_spark.operators.text_analysis import sample_predicate
+from a3_fp_bigdata_spark.registry import query
+
+QUALITY_TAU = 0.66      # heuristic label floor (~median of tx2 at sf0.01)
+HASH_DIM = 1 << 16      # fastText-style feature space; stateless hashing
+FIT_SAMPLE_PCT = 50     # deterministic fit split (tx6 predicate)
+KEEP_PROB = 0.5         # keep floor on P(quality)
+LR_MAX_ITER = 50
+LR_REG = 0.01           # small L2: keeps LBFGS well-conditioned
+
+
+def _featurized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, label, tokens) — engine tokenizer + tx2's exact quality
+    expression, so the weak label is the one the heuristic rung ships."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        (TX.quality_score(F.col("text")) >= QUALITY_TAU)
+        .cast("double")
+        .alias("label"),
+        TX.tokens(F.col("text")).alias("tokens"),
+    )
+
+
+def build_quality_pipeline() -> Pipeline:
+    return Pipeline(
+        stages=[
+            HashingTF(
+                inputCol="tokens", outputCol="tf", numFeatures=HASH_DIM
+            ),
+            IDF(inputCol="tf", outputCol="features"),
+            LogisticRegression(
+                featuresCol="features",
+                labelCol="label",
+                maxIter=LR_MAX_ITER,
+                regParam=LR_REG,
+            ),
+        ]
+    )
+
+
+#: One fit per (session, sf_dir) — same protocol as pipelines._FIT_CACHE.
+_QF_CACHE: dict[tuple[int, str], tuple[DataFrame, PipelineModel]] = {}
+
+
+def fit_score(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, PipelineModel]:
+    """Fit on the deterministic {FIT_SAMPLE_PCT}% split, score ALL docs.
+
+    Returns (scored frame with p_keep/keep columns, fitted model)."""
+    key = (id(spark), sf_dir)
+    if key in _QF_CACHE:
+        return _QF_CACHE[key]
+    feats = _featurized(spark, sf_dir)
+    fit_rows = feats.filter(
+        sample_predicate(F.col("doc_id"), FIT_SAMPLE_PCT)
+    )
+    model = build_quality_pipeline().fit(fit_rows)
+    # P(label=1) = element 1 of the probability vector; vector_to_array
+    # keeps the projection JVM-side (no UDF).
+    from pyspark.ml.functions import vector_to_array
+
+    p1 = vector_to_array(F.col("probability")).getItem(1)
+    scored = model.transform(feats).select(
+        "doc_id",
+        "label",
+        p1.alias("p_keep"),
+        (p1 >= KEEP_PROB).cast("int").alias("keep"),
+        sample_predicate(F.col("doc_id"), FIT_SAMPLE_PCT)
+        .cast("int")
+        .alias("in_fit"),
+    )
+    _QF_CACHE[key] = (scored, model)
+    return _QF_CACHE[key]
+
+
+@query("ml4_quality_filter")
+def ml4_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion report of the model-based quality filter against its
+    weak-supervision label, split by fit/holdout membership: one row
+    per (in_fit, label, keep) cell with count and mean P(keep). This is
+    the keep-rate dashboard a production filter ships — and because the
+    label is a deterministic text function, the holdout cells measure
+    real generalization, not leakage. Rows-only: IDF weights and LBFGS
+    iterates are impl-specific, not SQL-expressible; pytest pins the
+    invariants (holdout accuracy floor, full coverage)."""
+    scored, _ = fit_score(spark, sf_dir)
+    return (
+        scored.groupBy("in_fit", "label", "keep")
+        .agg(
+            F.count("*").alias("n"),
+            half_up(F.avg("p_keep"), 2).alias("mean_p"),
+        )
+        .orderBy("in_fit", "label", "keep")
+    )

@@ -99,7 +99,7 @@ def _load_all_modules() -> None:
         windows,
     )
     from a3_fp_bigdata_spark import serving  # noqa: F401
-    from a3_fp_bigdata_spark.ml import pipelines  # noqa: F401
+    from a3_fp_bigdata_spark.ml import pipelines, quality_filter  # noqa: F401
     from a3_fp_bigdata_spark.multimodal import (  # noqa: F401
         audio,
         binary_files,

@@ -108,3 +108,64 @@ def test_unseen_category_kept_not_dropped(spark, fitted):
     assert {r[0] for r in scored.select("cat_idx").distinct().collect()} == {
         float(n_seen)
     }
+
+
+# --- ml4: model-based quality filter (heuristic-distillation rung) ---------
+
+
+@pytest.fixture(scope="module")
+def qf_scored(spark):
+    from a3_fp_bigdata_spark.ml import quality_filter as QF
+
+    scored, model = QF.fit_score(spark, SF0001)
+    return scored.cache(), model
+
+
+def test_quality_filter_covers_all_docs(spark, qf_scored):
+    scored, _ = qf_scored
+    n_docs = table(spark, SF0001, "documents").count()
+    assert scored.count() == n_docs  # fit on split, score on ALL rows
+
+
+def test_quality_filter_holdout_accuracy(qf_scored):
+    # The weak label is a deterministic function of the text, so a
+    # bag-of-words linear model must recover it on the HOLDOUT split
+    # (in_fit=0) — this is generalization, not train-set memorization.
+    scored, _ = qf_scored
+    hold = scored.filter(F.col("in_fit") == 0)
+    acc = hold.filter(
+        F.col("keep") == F.col("label").cast("int")
+    ).count() / hold.count()
+    assert acc >= 0.8, acc
+
+
+def test_quality_filter_probabilities_calibrated_ordering(qf_scored):
+    # Kept docs must average a strictly higher P(keep) than dropped docs.
+    scored, _ = qf_scored
+    rows = {
+        r["keep"]: r["p"]
+        for r in scored.groupBy("keep")
+        .agg(F.avg("p_keep").alias("p"))
+        .collect()
+    }
+    assert rows[1] > rows[0] + 0.3
+
+
+def test_quality_filter_pipeline_stages():
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF, IDF
+
+    from a3_fp_bigdata_spark.ml import quality_filter as QF
+
+    stages = QF.build_quality_pipeline().getStages()
+    assert [type(s) for s in stages] == [HashingTF, IDF, LogisticRegression]
+    assert stages[0].getNumFeatures() == QF.HASH_DIM
+
+
+def test_quality_filter_report_shape(spark):
+    from a3_fp_bigdata_spark.ml.quality_filter import ml4_quality_filter
+
+    rep = ml4_quality_filter(spark, SF0001)
+    assert rep.columns == ["in_fit", "label", "keep", "n", "mean_p"]
+    total = rep.agg(F.sum("n")).collect()[0][0]
+    assert total == table(spark, SF0001, "documents").count()
