@@ -173,11 +173,18 @@ CANONICAL = frozenset(
         # step earns direct driver attestation) and d9_pigeonhole_audit
         # OUT after its green r8 row — the audit tier keeps five
         # in-window rows (a19/a20/d6/d11/sim11) and d9 stays
-        # parity-checked as z_d9_pigeonhole_audit + z_d9_simhash_pairs
+        # parity-checked as z_d9_pigeonhole_audit + z_d9_simhash_pairs.
+        # Later in r9: d15_duplicated_spans OUT after its green r8 row
+        # (d16 stays in-window and composes d15's whole span chain
+        # inside its plan, so span detection remains driver-attested;
+        # d15 is parity-checked as z_d15) — its slot attests the NEW
+        # d18_fuzzy_decontaminate (containment decontamination, the
+        # oracle-exact fuzzy twin of tx9's exact rung)
         "d1_exact_dedup", "d4_minhash_lsh",
         "d6_gemm_audit", "d8_winnow_fingerprint",
         "d11_containment_audit",
-        "d12_dedup_clusters", "d15_duplicated_spans", "d16_span_cut",
+        "d12_dedup_clusters", "d16_span_cut",
+        "d18_fuzzy_decontaminate",
         # scalar/text functions (f2 token-overlap is f1's plan twin)
         "f1_extract_keywords",
         # grouped-map / cogroup Arrow surface (g2 cogroup rotated out
@@ -192,8 +199,14 @@ CANONICAL = frozenset(
         # driver row, parity-checked as z_j11)
         "j1_left_outer_broadcast", "j5_multiway_join", "j7_salted_skew_join",
         "j8_asof_join",
-        # ML + multimodal
-        "ml1_cluster_sizes", "mm1_binary_metadata", "mm2_image_features",
+        # ML + multimodal (r9: mm1_binary_metadata OUT after its green
+        # r8 row — the binary-metadata scan shape is the thin slice of
+        # mm2's decode path, parity-checked as z_mm1 — ceding its slot
+        # to mm7_image_near_dup, the ORACLE-BACKED image-dedup rung
+        # VERDICT r8 scheduled for a driver slot; ml4's model-based
+        # quality filter stays z_-tier: rows-only like ml1, and the
+        # window's rows-only budget is spent on the three flagships)
+        "ml1_cluster_sizes", "mm2_image_features", "mm7_image_near_dup",
         # filters/projections: no dedicated canonical row — t1's scan
         # surface exercises pushed predicates, and the whole p1..p8
         # ladder is parity-checked as z_p1..z_p8 (p6 rotated out r6)

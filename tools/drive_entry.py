@@ -53,6 +53,8 @@ _SPOT_BASE = [
     # round-9: span-cut composition + PQ/SemDeDup audits + image dedup
     "pl4_span_clean_manifest", "sim12_pq_recall_audit",
     "d17_semdedup_audit", "mm7_image_near_dup",
+    # round-9 late additions: fuzzy decontamination (oracle-exact)
+    "d18_fuzzy_decontaminate",
 ]
 SPOT = [exposure_name(n) for n in _SPOT_BASE]
 
