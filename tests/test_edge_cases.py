@@ -805,3 +805,48 @@ def test_d16_span_cut_on_synthetic_corpus(spark, monkeypatch):
         5: ("z1 z2", 2, 16),
         6: ("short one two", 3, 0),  # untouched doc passes through
     }
+
+
+def test_d18_containment_semantics_on_synthetic_corpus(spark, monkeypatch):
+    """d18_fuzzy_decontaminate on a hand-built corpus pins the
+    containment semantics end to end: a train doc embedding a bench
+    doc verbatim scores 1.0; sharing exactly half the bench doc's
+    5-grams scores 0.5 (the boundary is kept); a 4-token overlap
+    shares no 5-gram and emits nothing; two identical bench docs are
+    attributed SEPARATELY; bench docs never appear on the train side.
+    Doc ids are chosen against the sample predicate (5/23/28 are
+    bench at 10%, 1/2/3/4/6 are train)."""
+    from a3_fp_bigdata_spark.operators import dedup as D
+
+    B = "b1 b2 b3 b4 b5 b6"  # bench text: exactly two 5-grams
+    docs = spark.createDataFrame(
+        [
+            (5, B),                              # bench
+            (28, B),                             # bench twin of 5
+            (23, "c1 c2 c3 c4 c5"),              # bench: one 5-gram
+            (1, f"pre1 pre2 {B} post1"),         # contains B fully
+            (2, "b1 b2 b3 b4 b5 q1 q2"),         # 1 of B's 2 grams
+            (3, "b1 b2 b3 b4 x y z w v"),        # 4-token overlap only
+            (4, "c1 c2 c3 c4 c5 gap c1 c2 c3 c4 c5"),  # contains 23 twice
+            (6, "u1 u2 u3 u4 u5 u6 u7"),         # unrelated
+        ],
+        "doc_id long, text string",
+    )
+
+    real_table = D.table
+
+    def patched(spark_, sf_dir_, name):
+        return docs if name == "documents" else real_table(spark_, sf_dir_, name)
+
+    monkeypatch.setattr(D, "table", patched)
+    got = {
+        (r.doc_id, r.bench_id, r.n_common, r.containment)
+        for r in D.d18_fuzzy_decontaminate(spark, SF0001).collect()
+    }
+    assert got == {
+        (1, 5, 2, 1.0),
+        (1, 28, 2, 1.0),
+        (2, 5, 1, 0.5),
+        (2, 28, 1, 0.5),
+        (4, 23, 1, 1.0),
+    }

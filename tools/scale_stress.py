@@ -420,6 +420,12 @@ def main() -> None:
             "d12_dedup_clusters",
             "d15_duplicated_spans",
             "d16_span_cut",
+            # d18 rides the same amplification: the 10% bench split
+            # falls inside each replica, replicas share no 5-grams, so
+            # contaminated (train, bench) pairs scale with rows — the
+            # broadcast-bench join must stay linear, never pair-
+            # quadratic across replicas.
+            "d18_fuzzy_decontaminate",
         ):
             if name == "d16_span_cut":
                 # count() alone would let Catalyst ELIMINATE the cut:
@@ -449,6 +455,7 @@ def main() -> None:
         "d12_dedup_clusters",
         "d15_duplicated_spans",
         "d16_span_cut",
+        "d18_fuzzy_decontaminate",
     ):
         w1, w10 = ratio_wall[f"{name}@1"], ratio_wall[f"{name}@10"]
         r1, r10 = ratio_rows[f"{name}@1"], ratio_rows[f"{name}@10"]
