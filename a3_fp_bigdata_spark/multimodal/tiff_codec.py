@@ -120,10 +120,13 @@ def encode_tiff(arr: np.ndarray) -> bytes:
         raise ValueError("encode_tiff expects HxWx3 uint8")
     h, w = arr.shape[:2]
     pix = arr.tobytes()
-    # layout: header(8) | BPS array(6) | pixel data | IFD
+    # layout: header(8) | BPS array(6) | pixel data | pad? | IFD
     bps_off = 8
     pix_off = bps_off + 6
-    ifd_off = pix_off + len(pix)
+    # TIFF 6.0 requires word-aligned IFDs; an odd strip length would
+    # land the IFD on an odd offset (strict readers reject it)
+    pad = len(pix) % 2
+    ifd_off = pix_off + len(pix) + pad
     entries = [
         (_W, 4, 1, w),
         (_H, 4, 1, h),
@@ -144,5 +147,6 @@ def encode_tiff(arr: np.ndarray) -> bytes:
         struct.pack("<2sHI", b"II", 42, ifd_off)
         + struct.pack("<3H", 8, 8, 8)
         + pix
+        + b"\x00" * pad
         + ifd
     )
