@@ -2025,3 +2025,82 @@ def d18_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             half_up(contain).alias("containment"),
         )
     )
+
+
+def _d19_oracle() -> str:
+    from a3_fp_bigdata_spark.operators.text_analysis import (
+        DECON_BENCH_PCT,
+        DECON_NGRAM,
+        _sql_ngrams,
+        sample_predicate_sql,
+    )
+
+    bench_pred = sample_predicate_sql("doc_id", DECON_BENCH_PCT)
+    exact_grams = _sql_ngrams(DECON_NGRAM)
+    fuzzy_grams = _sql_ngrams(D18_NGRAM)
+    return f"""
+    WITH words AS (
+      SELECT doc_id, {_SQL_TOKS} AS w FROM documents
+    ), ge AS (
+      SELECT DISTINCT doc_id, unnest({exact_grams}) AS g
+      FROM words WHERE len(w) >= {DECON_NGRAM}
+    ), bench_e AS (
+      SELECT DISTINCT g FROM ge WHERE {bench_pred}
+    ), exact_hit AS (
+      SELECT DISTINCT doc_id FROM ge
+      WHERE NOT ({bench_pred}) AND g IN (SELECT g FROM bench_e)
+    ), gf AS (
+      SELECT DISTINCT doc_id, unnest({fuzzy_grams}) AS g
+      FROM words WHERE len(w) >= {D18_NGRAM}
+    ), bench_f AS (
+      SELECT doc_id AS bench_id, g FROM gf WHERE {bench_pred}
+    ), bcnt AS (
+      SELECT bench_id, count(*) AS nb FROM bench_f GROUP BY 1
+    ), fuzzy_hit AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT t.doc_id, b.bench_id, count(*) AS c
+        FROM gf t JOIN bench_f b USING (g)
+        WHERE NOT ({bench_pred})
+        GROUP BY 1, 2
+      ) p JOIN bcnt USING (bench_id)
+      WHERE CAST(p.c AS DOUBLE) / bcnt.nb >= {D18_CONTAIN_TAU}
+    )
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE NOT ({bench_pred})
+      AND doc_id NOT IN (SELECT doc_id FROM exact_hit)
+      AND doc_id NOT IN (SELECT doc_id FROM fuzzy_hit)
+    """
+
+
+@query("d19_decontaminated_corpus", oracle=_d19_oracle())
+def d19_decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUT step completing the decontamination pair (the d12->d13 /
+    d15->d16 pattern): the training corpus with every document flagged
+    by EITHER rung removed — tx9's exact shared-8-gram hits or
+    d18's containment pairs — and the benchmark split itself excluded
+    (eval documents never train). Output one row per surviving doc.
+
+    Scale shape: both flag sets are contamination-sized (tiny against
+    the corpus — broadcast anti-joins; AQE picks broadcast from their
+    runtime size, no hint needed), and the bench-split exclusion is a
+    scan-pushable predicate, so the whole cut is one corpus scan. This
+    is the manifest a training run actually reads after the
+    decontamination audit signs off."""
+    from a3_fp_bigdata_spark.operators.text_analysis import (
+        DECON_BENCH_PCT,
+        sample_predicate,
+        tx9_decontaminate,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    exact_hit = tx9_decontaminate(spark, sf_dir).select("doc_id")
+    fuzzy_hit = (
+        d18_fuzzy_decontaminate(spark, sf_dir).select("doc_id").distinct()
+    )
+    flagged = exact_hit.union(fuzzy_hit).distinct()
+    return (
+        docs.filter(~sample_predicate(F.col("doc_id"), DECON_BENCH_PCT))
+        .join(flagged, "doc_id", "left_anti")
+        .select("doc_id", "n_chars")
+    )

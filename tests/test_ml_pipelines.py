@@ -169,3 +169,24 @@ def test_quality_filter_report_shape(spark):
     assert rep.columns == ["in_fit", "label", "keep", "n", "mean_p"]
     total = rep.agg(F.sum("n")).collect()[0][0]
     assert total == table(spark, SF0001, "documents").count()
+
+
+def test_quality_filter_model_save_load_roundtrip(spark, qf_scored, tmp_path):
+    """S6 for the quality filter: the fitted HashingTF->IDF->LR model
+    persists and reloads with identical keep decisions (production
+    ships the trained filter to the scoring cluster as an artifact)."""
+    from pyspark.ml import PipelineModel
+    from pyspark.ml.functions import vector_to_array
+
+    from a3_fp_bigdata_spark.ml import quality_filter as QF
+
+    _, model = qf_scored
+    path = str(tmp_path / "qf_model")
+    model.write().overwrite().save(path)
+    reloaded = PipelineModel.load(path)
+    feats = QF._featurized(spark, SF0001).limit(50)
+    p1 = vector_to_array(F.col("probability")).getItem(1)
+    keep = (p1 >= QF.KEEP_PROB).cast("int").alias("keep")
+    a = {r.doc_id: r.keep for r in model.transform(feats).select("doc_id", keep).collect()}
+    b = {r.doc_id: r.keep for r in reloaded.transform(feats).select("doc_id", keep).collect()}
+    assert a == b and len(a) == 50
