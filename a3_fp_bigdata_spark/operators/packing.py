@@ -1103,8 +1103,13 @@ def pl4_span_clean_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only Python crossing is pk2's (doc_id, cost) packer — O(docs),
     never O(bytes). At 100 TB, d15's spans and d12's clusters are
     materialized once per snapshot and this query reads them back."""
-    import pandas as pd
+    return _pack_manifest(_span_clean_costs(spark, sf_dir))
 
+
+def _span_clean_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pl4's curation chain up to (doc_id, shard, cost): quality floor
+    -> d16 span cut -> d14-style keeper. Shared with pl5, which inserts
+    the decontamination filters before packing."""
     from a3_fp_bigdata_spark.functions import text as TXF
     from a3_fp_bigdata_spark.operators.dedup import (
         _cluster_member_count,
@@ -1148,6 +1153,13 @@ def pl4_span_clean_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cost"),
         )
     )
+    return kept
+
+
+def _pack_manifest(kept: DataFrame) -> DataFrame:
+    """(doc_id, shard, cost) -> per-sequence manifest via pk2's greedy
+    no-split packer (one Arrow group per shard, O(docs) Python)."""
+    import pandas as pd
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
@@ -1174,6 +1186,10 @@ def pl4_span_clean_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pl4_oracle() -> str:
+    return _manifest_oracle(decontaminate=False)
+
+
+def _manifest_oracle(decontaminate: bool) -> str:
     from a3_fp_bigdata_spark.operators.dedup import (
         _D3_CTES,
         _D3_SELECT,
@@ -1184,7 +1200,52 @@ def _pl4_oracle() -> str:
     # CTE roster check (names must stay disjoint across the composed
     # fragments): d3 = words/sh/ex/common/cnt; quality = qbase/qcomps/
     # quality; d15 = toks/grams/dup/hits/brk/isl/spans; local additions
-    # renamed where pl1/d16 would collide (keptoks, survivors).
+    # renamed where pl1/d16 would collide (keptoks, survivors);
+    # decontamination fragment (pl5 only) = dge/dbench_e/dexact/dgf/
+    # dbench_f/dbcnt/dfuzzy, all reading d3's `words`.
+    decon_ctes, decon_where = "", ""
+    if decontaminate:
+        from a3_fp_bigdata_spark.operators.dedup import (
+            D18_CONTAIN_TAU,
+            D18_NGRAM,
+        )
+        from a3_fp_bigdata_spark.operators.text_analysis import (
+            DECON_BENCH_PCT,
+            DECON_NGRAM,
+            _sql_ngrams,
+            sample_predicate_sql,
+        )
+
+        bench_pred = sample_predicate_sql("doc_id", DECON_BENCH_PCT)
+        bench_pred_k = sample_predicate_sql("k.doc_id", DECON_BENCH_PCT)
+        decon_ctes = f""", dge AS (
+      SELECT DISTINCT doc_id, unnest({_sql_ngrams(DECON_NGRAM)}) AS g
+      FROM words WHERE len(w) >= {DECON_NGRAM}
+    ), dbench_e AS (
+      SELECT DISTINCT g FROM dge WHERE {bench_pred}
+    ), dexact AS (
+      SELECT DISTINCT doc_id FROM dge
+      WHERE NOT ({bench_pred}) AND g IN (SELECT g FROM dbench_e)
+    ), dgf AS (
+      SELECT DISTINCT doc_id, unnest({_sql_ngrams(D18_NGRAM)}) AS g
+      FROM words WHERE len(w) >= {D18_NGRAM}
+    ), dbench_f AS (
+      SELECT doc_id AS bench_id, g FROM dgf WHERE {bench_pred}
+    ), dbcnt AS (
+      SELECT bench_id, count(*) AS nb FROM dbench_f GROUP BY 1
+    ), dfuzzy AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT t.doc_id, b.bench_id, count(*) AS c
+        FROM dgf t JOIN dbench_f b USING (g)
+        WHERE NOT ({bench_pred})
+        GROUP BY 1, 2
+      ) p JOIN dbcnt USING (bench_id)
+      WHERE CAST(p.c AS DOUBLE) / dbcnt.nb >= {D18_CONTAIN_TAU}
+    )"""
+        decon_where = f"""
+        AND NOT ({bench_pred_k})
+        AND k.doc_id NOT IN (SELECT doc_id FROM dexact)
+        AND k.doc_id NOT IN (SELECT doc_id FROM dfuzzy)"""
     return f"""
     WITH RECURSIVE {_D3_CTES}, pairs AS (
       {_D3_SELECT}
@@ -1221,14 +1282,14 @@ def _pl4_oracle() -> str:
     ), kagg AS (
       SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
       FROM keptoks GROUP BY doc_id
-    ), survivors AS (
+    ){decon_ctes}, survivors AS (
       SELECT k.doc_id, k.doc_id % {NSHARDS} AS shard,
              CAST({_sql_cost('k.clean_text')} AS BIGINT) AS cost,
              row_number() OVER (PARTITION BY k.doc_id % {NSHARDS}
                                 ORDER BY k.doc_id) AS rn
       FROM kagg k JOIN quality q ON q.doc_id = k.doc_id
       WHERE {half_up_sql('q.quality')} >= {MANIFEST_MIN_QUALITY}
-        AND k.doc_id NOT IN (SELECT doc FROM dropped)
+        AND k.doc_id NOT IN (SELECT doc FROM dropped){decon_where}
     ), step AS (
       SELECT shard, rn, doc_id, cost,
              CAST(0 AS BIGINT) AS seq_id, cost AS fill
@@ -1247,6 +1308,52 @@ def _pl4_oracle() -> str:
     """
 
 
+@query(
+    "pl5_decontaminated_manifest",
+    oracle=None,  # assembled below: pl4's chain + the decon fragment
+)
+def pl5_decontaminated_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline a production pretraining run actually
+    ships, end to end: pl4's span-level chain (tx2 quality floor ->
+    d15/d16 span cut -> d14 keeper) with the DECONTAMINATION stage
+    composed in before packing — the benchmark split excluded outright
+    (eval documents never train) and every doc flagged by tx9's exact
+    rung OR d18's containment rung anti-joined away, then pk2's greedy
+    packer over the cleaned token costs. This is Lee et al. span dedup
+    + Brown et al. appendix-C decontamination in ONE oracle-checked
+    plan.
+
+    Scale shape: identical to pl4 plus one scan-pushable bench-split
+    predicate and one anti-join against a contamination-sized flag set
+    (AQE broadcasts it from runtime stats); the flag union is the
+    d19 rule, so at 100 TB you materialize d19's verdict once per
+    snapshot and this manifest reads it back."""
+    from a3_fp_bigdata_spark.operators.dedup import (
+        d18_fuzzy_decontaminate,
+    )
+    from a3_fp_bigdata_spark.operators.text_analysis import (
+        DECON_BENCH_PCT,
+        sample_predicate,
+        tx9_decontaminate,
+    )
+
+    kept = _span_clean_costs(spark, sf_dir)
+    flagged = (
+        tx9_decontaminate(spark, sf_dir)
+        .select("doc_id")
+        .union(d18_fuzzy_decontaminate(spark, sf_dir).select("doc_id"))
+        .distinct()
+    )
+    clean = kept.filter(
+        ~sample_predicate(F.col("doc_id"), DECON_BENCH_PCT)
+    ).join(flagged, "doc_id", "left_anti")
+    return _pack_manifest(clean)
+
+
+def _pl5_oracle() -> str:
+    return _manifest_oracle(decontaminate=True)
+
+
 def _attach_deferred_oracles() -> None:
     """Oracles composed from other modules' CTE fragments are attached
     post-registration (the fragments import cleanly only after the
@@ -1258,6 +1365,7 @@ def _attach_deferred_oracles() -> None:
     for name, build in (
         ("pl1_training_manifest", _pl1_oracle),
         ("pl4_span_clean_manifest", _pl4_oracle),
+        ("pl5_decontaminated_manifest", _pl5_oracle),
         ("pk7_split_leakage", _pk7_oracle),
         ("pk9_weighted_sample", _pk9_oracle),
         ("pl2_chunk_index_stats", _pl2_oracle),

@@ -53,8 +53,10 @@ _SPOT_BASE = [
     # round-9: span-cut composition + PQ/SemDeDup audits + image dedup
     "pl4_span_clean_manifest", "sim12_pq_recall_audit",
     "d17_semdedup_audit", "mm7_image_near_dup",
-    # round-9 late additions: fuzzy decontamination (oracle-exact)
-    "d18_fuzzy_decontaminate",
+    # round-9 late additions: the decontamination tier (fuzzy detect,
+    # corpus cut, manifest composition — all oracle-exact)
+    "d18_fuzzy_decontaminate", "d19_decontaminated_corpus",
+    "pl5_decontaminated_manifest",
 ]
 SPOT = [exposure_name(n) for n in _SPOT_BASE]
 
