@@ -213,3 +213,71 @@ def mm7_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_b").alias("media_b"),
         "hamming",
     )
+
+
+@query(
+    "mm8_image_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE h AS (
+      SELECT media_id, dhash
+      FROM read_parquet('{_MM7_PHASH_SCRATCH}/*.parquet')
+      WHERE n_src = (SELECT count(*)
+                     FROM read_parquet('{_MM7_PHASH_SCRATCH}/*.parquet'))
+    ), pairs AS (
+      SELECT a.media_id AS ma, b.media_id AS mb
+      FROM h a JOIN h b ON a.media_id < b.media_id
+      WHERE bit_count(xor(a.dhash, b.dhash)) <= {IMG_NEARDUP_MAX_HAMMING}
+    ), edges AS (
+      SELECT ma AS src, mb AS dst FROM pairs
+      UNION ALL
+      SELECT mb AS src, ma AS dst FROM pairs
+    ), reach(node, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst
+    ), labs AS (
+      SELECT node, min(lab) AS lab FROM reach GROUP BY node
+    )
+    SELECT h.media_id,
+           coalesce(l.lab, h.media_id) AS cluster_id,
+           h.media_id = coalesce(l.lab, h.media_id) AS is_keeper
+    FROM h LEFT JOIN labs l ON l.node = h.media_id
+    """,
+)
+def mm8_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup GROUPS + keeper — the cut step completing the image
+    rung the way d12/d13 complete the text rung: mm7's near-dup pairs
+    collapse to connected components (dedup.connected_components, the
+    same iterative min-label propagation), every image gets a
+    cluster_id (singletons label themselves), and the min-id member is
+    the keeper a multimodal corpus retains. Output one row per image:
+    (media_id, cluster_id, is_keeper).
+
+    ORACLE-BACKED end to end: both engines start from the SAME
+    materialized hash bytes (mm7's fingerprinted scratch) and re-derive
+    pairs -> components -> keeper through different math — Spark via
+    the banded-hamming join + label propagation, DuckDB via a quadratic
+    bit_count self-join + recursive CTE — so a banding loss, a
+    propagation bug, or a wrong keeper rule all land as a red hash
+    mismatch. Scale: component count tracks planted-twin groups; the
+    propagation shuffles the EDGE list per round (rounds = component
+    diameter, cliques-ish here, see SCALE.md's CC rung), never the
+    image bytes."""
+    from a3_fp_bigdata_spark.operators.dedup import connected_components
+
+    pairs = mm7_image_near_dup(spark, sf_dir).select(
+        F.col("media_a").alias("doc_a"), F.col("media_b").alias("doc_b")
+    )
+    labels, _ = connected_components(spark, pairs)
+    all_media = spark.read.parquet(_MM7_PHASH_SCRATCH).select("media_id")
+    cluster = F.coalesce(F.col("lab"), F.col("media_id"))
+    return (
+        all_media.join(
+            labels.withColumnRenamed("doc_id", "media_id"), "media_id", "left"
+        )
+        .select(
+            "media_id",
+            cluster.alias("cluster_id"),
+            (F.col("media_id") == cluster).alias("is_keeper"),
+        )
+    )

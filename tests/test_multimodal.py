@@ -1019,3 +1019,48 @@ def test_tiff_rejects_compressed_tiled_planar():
         decode_tiff(b"XX" + bytes(16))
     with _pytest.raises(ValueError, match="ColorMap"):
         decode_tiff(mk([(259, 3, 1, 1), (262, 3, 1, 3)]))
+
+
+def test_mm8_cluster_partition_and_keeper(spark):
+    """mm8 collapses the planted pairs to EXACTLY the generator's
+    groups — five twin pairs plus the waves PNG/PNG/BMP triangle (A~B,
+    A~C, B~C all planted, must become ONE cluster) — with one keeper
+    per cluster, the min media_id, which is also the cluster_id.
+    Ground truth is the fixture construction, not the hash under
+    test."""
+    from collections import defaultdict
+
+    from a3_fp_bigdata_spark import registry
+    from a3_fp_bigdata_spark.multimodal.binary_files import image_dir_source
+    from a3_fp_bigdata_spark.multimodal.phash import NEARDUP_FIXTURE_DIR
+
+    rows = registry.all_queries()["mm8_image_dedup_clusters"](
+        spark, SF0001
+    ).collect()
+    origin = {
+        r.media_id: r.meta.origin
+        for r in image_dir_source(
+            spark, NEARDUP_FIXTURE_DIR, glob="*.{png,jpg,jpeg,gif,bmp,tif,tiff}"
+        )
+        .select("media_id", "meta")
+        .collect()
+    }
+    assert len(rows) == len(origin) == 13  # one row per image
+    clusters = defaultdict(list)
+    for r in rows:
+        clusters[r.cluster_id].append(r)
+    got = {frozenset(origin[r.media_id] for r in rs) for rs in clusters.values()}
+    assert got == {
+        frozenset({"nd_blobs.png", "nd_blobs_lossy.jpg"}),
+        frozenset({"nd_grad.png", "nd_grad_bright.png"}),
+        frozenset({"nd_noise.png", "nd_noise_tiff.tif"}),
+        frozenset({"nd_rings.png", "nd_rings_copy.gif"}),
+        frozenset({"nd_stripes.png", "nd_stripes_dim.png"}),
+        frozenset(
+            {"nd_waves.png", "nd_waves_bmp.bmp", "nd_waves_copy.png"}
+        ),
+    }
+    for cid, rs in clusters.items():
+        keepers = [r for r in rs if r.is_keeper]
+        assert len(keepers) == 1, (cid, rs)
+        assert keepers[0].media_id == min(r.media_id for r in rs) == cid

@@ -56,7 +56,7 @@ _SPOT_BASE = [
     # round-9 late additions: the decontamination tier (fuzzy detect,
     # corpus cut, manifest composition — all oracle-exact)
     "d18_fuzzy_decontaminate", "d19_decontaminated_corpus",
-    "pl5_decontaminated_manifest",
+    "pl5_decontaminated_manifest", "mm8_image_dedup_clusters",
 ]
 SPOT = [exposure_name(n) for n in _SPOT_BASE]
 
