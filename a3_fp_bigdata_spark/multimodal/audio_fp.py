@@ -1,0 +1,196 @@
+"""Audio fingerprinting + audio-level near-dup dedup (mm9).
+
+Closes the audio side of the dedup ladder the way phash.py (mm7/mm8)
+closed the image side: a multimodal training corpus carries the same
+duplicate shapes in audio as in images — gain-normalized rips of one
+clip, resampled re-encodes, lightly-noised copies — and they must be
+collapsed before captions/transcripts are trained on. The reference's
+media surface is the binary-file scan + per-file features (reference
+feature_extractor.py:15-34); dedup over audio is the pipeline
+extension (SURVEY §6), assembled from parts the engine already
+attests:
+
+- **eHash** (envelope difference hash): stdlib WAV decode -> mono ->
+  |amplitude| -> area-mean-pool to 65 equal windows -> one bit per
+  adjacent-window gradient sign -> 64-bit signature. Invariant to
+  gain by construction (a positive scale preserves every comparison),
+  to resampling (windows are FRACTIONS of the clip, not sample
+  counts), and robust to low-level noise (gradient signs survive
+  until the noise floor rivals the envelope contrast).
+- **pair finding**: d9's banded-hamming machinery verbatim
+  (dedup._pairs_from_simhash at 8 bands x 8 bits), pigeonhole-covered
+  to hamming radius <= 7 with work ∝ collisions — never all-pairs.
+
+Scale: the fingerprint is one narrow mapInPandas over the binary
+column (O(samples) per clip, no shuffle); signatures are 8 bytes/clip,
+so the banded self-join shuffles hashes, never audio bytes — the same
+contract mm7 states for images and SCALE.md measures for the text
+rungs. Production swaps the stdlib WAV decode for a native codec
+(ffmpeg/soundfile) exactly like images.decode_image documents; the
+envelope math downstream of decode is already numpy.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from a3_fp_bigdata_spark.multimodal.audio import decode_wav
+from a3_fp_bigdata_spark.pickling import ship_by_value
+from a3_fp_bigdata_spark.registry import pin, query
+
+ship_by_value(__name__)  # Arrow closures must not need repo on sys.path
+
+#: committed near-dup fixture set (tools/make_audio_neardup_fixtures.py):
+#: base clips + PLANTED perturbed twins (gain-scaled, resampled, noised,
+#: byte-identical copies) whose expected pair list the generator records
+#: and pytest pins.
+AUDIO_NEARDUP_FIXTURE_DIR = os.path.join(
+    os.path.dirname(__file__), "fixtures", "audio_neardup"
+)
+
+#: 8 bands x 8 bits over the 64-bit eHash: pigeonhole covers radius 7
+#: (same geometry as mm7; dedup._pairs_from_simhash holds the proof).
+AUDIO_NEARDUP_BANDS = 8
+AUDIO_NEARDUP_MAX_HAMMING = 7
+
+#: 65 envelope windows -> 64 adjacent-gradient bits (the 9x8 grid of
+#: dHash, flattened to one time axis).
+_N_WINDOWS = 65
+
+
+def envelope_hash64(x: np.ndarray) -> int:
+    """(n, channels) float samples -> 64-bit envelope dHash as a
+    SIGNED int (two's complement, Spark LongType-safe). The clip is
+    mono-mixed, rectified, area-mean-pooled to 65 equal-fraction
+    windows; bit i is 1 iff window i's mean |amplitude| > window
+    i+1's. Every sample contributes to exactly one window (reduceat
+    tiling — sampling would hash 65 samples and flip under 1-sample
+    shifts, the same argument as phash._pool_mean)."""
+    env = np.abs(x.astype(np.float64).mean(axis=1))
+    n = env.shape[0]
+    if n < _N_WINDOWS:  # tiny clips: exact-repeat upsample, then pool
+        env = np.repeat(env, -(-_N_WINDOWS // n))
+        n = env.shape[0]
+    b = (np.arange(_N_WINDOWS) * n) // _N_WINDOWS
+    sums = np.add.reduceat(env, b)
+    counts = np.diff(np.append(b, n))
+    w = sums / counts
+    bits = w[:-1] > w[1:]
+    val = 0
+    for i, bit in enumerate(bits):
+        if bit:
+            val |= 1 << i
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
+
+
+def audio_fp_features(media: DataFrame) -> DataFrame:
+    """(media_id, payload) -> (media_id, afp, duration_s) per clip —
+    one Arrow-batched mapInPandas over the binary payloads (the same
+    narrow, shuffle-free shape as audio.extract_audio_features)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, fps, durs = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                x, sr = decode_wav(bytes(payload))
+                ids.append(mid)
+                fps.append(envelope_hash64(x))
+                durs.append(round(x.shape[0] / sr, 6))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "afp": pd.array(fps, dtype="int64"),
+                    "duration_s": durs,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema="media_id long, afp long, duration_s double"
+    )
+
+
+#: mm9 scratch — the audit-scratch pattern mm7 documents: the source
+#: is the committed fixture directory (which DuckDB cannot read), and
+#: the fingerprint bytes are fixture-deterministic, so the only live
+#: hazard is a TORN read across fixture generations; n_src is stamped
+#: so that shows up as disagreeing counts.
+_MM9_AFP_SCRATCH = f"/tmp/a3_fp_mm9_afp_uid{os.getuid()}"
+
+
+@query(
+    "mm9_audio_near_dup",
+    oracle=f"""
+    WITH h AS (
+      SELECT media_id, afp
+      FROM read_parquet('{_MM9_AFP_SCRATCH}/*.parquet')
+      WHERE n_src = (SELECT count(*)
+                     FROM read_parquet('{_MM9_AFP_SCRATCH}/*.parquet'))
+    )
+    SELECT a.media_id AS media_a, b.media_id AS media_b,
+           CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
+    FROM h a JOIN h b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.afp, b.afp)) <= {AUDIO_NEARDUP_MAX_HAMMING}
+    """,
+)
+def mm9_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup dedup over the committed fixture corpus: decode
+    every WAV (stdlib codec) -> 64-bit envelope hash -> d9's banded-
+    hamming pair machinery (8 bands x 8 bits) -> pairs within hamming
+    {AUDIO_NEARDUP_MAX_HAMMING}. Output (media_a, media_b, hamming),
+    one row per unordered near-dup pair.
+
+    ORACLE-BACKED like mm7: Spark materializes the fingerprints to
+    stamped scratch and derives its pairs FROM the materialized bytes
+    via the banded join; DuckDB re-derives the pair set from the same
+    bytes with an independent quadratic self-join (bit_count(xor)) —
+    a banding bug is a red hash mismatch. The fingerprint VALUES are
+    pinned upstream by pytest: the fixture generator plants perturbed
+    twins (gain-scaled, resampled, noised, byte-identical copies),
+    VERIFIES the planted/non-planted hamming margins before writing,
+    and records the expected pair list.
+
+    Scale: sf_dir-independent fixture input (like mm4/mm5/mm7)
+    proving the plumbing; at corpus scale the input is a binaryFile
+    scan and the banded self-join shuffles 8-byte signatures, never
+    audio bytes — work ∝ collisions, the d4/d9 contract."""
+    from a3_fp_bigdata_spark.multimodal.binary_files import (
+        image_dir_source,
+    )
+    from a3_fp_bigdata_spark.operators.dedup import _pairs_from_simhash
+
+    media = image_dir_source(
+        spark, AUDIO_NEARDUP_FIXTURE_DIR, glob="*.wav"
+    )
+    # pin: the decode+hash frame feeds both the count stamp and the
+    # scratch rows (without it the mapInPandas decode runs twice)
+    hashes = pin(audio_fp_features(media).select("media_id", "afp"))
+    stamp = hashes.agg(F.count("*").cast("long").alias("n_src"))
+    hashes.crossJoin(F.broadcast(stamp)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(_MM9_AFP_SCRATCH)
+    fps = pin(
+        spark.read.parquet(_MM9_AFP_SCRATCH)
+        .drop("n_src")
+        .select(
+            F.col("media_id").alias("doc_id"),
+            F.col("afp").alias("simhash"),
+        )
+    )
+    pairs = _pairs_from_simhash(
+        fps,
+        n_bands=AUDIO_NEARDUP_BANDS,
+        max_hamming=AUDIO_NEARDUP_MAX_HAMMING,
+    )
+    return pairs.select(
+        F.col("doc_a").alias("media_a"),
+        F.col("doc_b").alias("media_b"),
+        "hamming",
+    )

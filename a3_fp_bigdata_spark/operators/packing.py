@@ -1376,3 +1376,87 @@ def _attach_deferred_oracles() -> None:
 
 
 _attach_deferred_oracles()
+
+
+#: pk11 length-bucketed batching: docs per training batch, and the
+#: power-of-2 length buckets that keep same-batch lengths within 2x of
+#: each other (so padding waste is bounded at 50% worst-case and far
+#: less in practice).
+PK11_BATCH_DOCS = 32
+
+
+@query(
+    "pk11_length_bucket_batches",
+    oracle=f"""
+    WITH costs AS (
+      SELECT doc_id, doc_id % {NSHARDS} AS shard,
+             CAST({_SQL_COST} AS BIGINT) AS cost
+      FROM documents
+      WHERE CAST({_SQL_COST} AS BIGINT) >= 1
+    ), bucketed AS (
+      SELECT doc_id, shard, cost,
+             CAST(length(bin(cost)) - 1 AS INT) AS bucket
+      FROM costs
+    ), numbered AS (
+      SELECT shard, bucket, cost,
+             row_number() OVER (PARTITION BY shard, bucket
+                                ORDER BY cost DESC, doc_id) AS rn
+      FROM bucketed
+    )
+    SELECT shard, bucket,
+           CAST((rn - 1) // {PK11_BATCH_DOCS} AS BIGINT) AS batch_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(cost) AS BIGINT) AS max_cost,
+           CAST(sum(cost) AS BIGINT) AS sum_cost,
+           {half_up_sql(f'''1.0 - CAST(sum(cost) AS DOUBLE)
+                         / (count(*) * max(cost))''')} + 0.0 AS pad_frac
+    FROM numbered
+    GROUP BY shard, bucket, (rn - 1) // {PK11_BATCH_DOCS}
+    """,
+)
+def pk11_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assembly — the padding-efficiency rung
+    every fixed-shape training loop needs: documents land in
+    power-of-2 token-length buckets (bucket = floor(log2(cost)),
+    computed as length(bin(cost))-1 so both engines bucket by EXACT
+    integer bit-length, no float-log edge cases at powers of two),
+    then batches of {PK11_BATCH_DOCS} are cut inside each
+    (shard, bucket) in (cost desc, doc_id) order. Same-batch lengths
+    are within 2x by construction, so padding to the batch max wastes
+    < 50% worst-case; the emitted pad_frac measures the actual waste
+    per batch — the number a curation run tracks when it tunes bucket
+    granularity.
+
+    Scale: the only shuffle keys on (shard, bucket) — {NSHARDS} x
+    ~log2(max_len) independent partitions, the same sharding contract
+    as pk1/pk2 (a batch never crosses shards; shards are just more
+    files at training time). The within-partition row_number is a
+    parallel window, not a global sort; the final per-batch rollup
+    re-uses the same partitioning (no second exchange). Nothing
+    funnels through the driver; no Python crossings at all."""
+    costs = _sharded_costs(spark, sf_dir).filter(F.col("cost") >= 1)
+    bucketed = costs.withColumn(
+        "bucket", (F.length(F.expr("bin(cost)")) - 1).cast("int")
+    )
+    w = Window.partitionBy("shard", "bucket").orderBy(
+        F.desc("cost"), F.asc("doc_id")
+    )
+    numbered = bucketed.withColumn("rn", F.row_number().over(w))
+    batch_id = F.floor((F.col("rn") - 1) / PK11_BATCH_DOCS).cast("long")
+    return (
+        numbered.withColumn("batch_id", batch_id)
+        .groupBy("shard", "bucket", "batch_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.max("cost").cast("long").alias("max_cost"),
+            F.sum("cost").cast("long").alias("sum_cost"),
+            (
+                half_up(
+                    F.lit(1.0)
+                    - F.sum("cost").cast("double")
+                    / (F.count("*") * F.max("cost"))
+                )
+                + F.lit(0.0)
+            ).alias("pad_frac"),
+        )
+    )

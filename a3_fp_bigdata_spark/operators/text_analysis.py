@@ -897,3 +897,121 @@ def tx14_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
         .limit(PMI_TOP_K)
     )
+
+
+#: Bigram-LM caps (tx15): like tx13's LM_VOCAB_K, both model tables
+#: are TakeOrdered-capped so the scoring joins' build sides are
+#: PROVABLY bounded at any corpus size — contexts at the same 64 Ki
+#: cap as the unigram vocabulary, bigrams at 256 Ki (a real bigram LM
+#: keeps more pairs than contexts). Everything below a cap scores
+#: through the same add-one floor as unseen pairs.
+BIGRAM_LM_K = 262_144
+
+
+@query(
+    "tx15_bigram_logprob",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, {_SQL_TOKS} AS w FROM documents
+    ), pairs AS (
+      SELECT doc_id, p[1] AS w1, p[2] AS w2
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, len(w)),
+                          i -> [w[i], w[i+1]])) AS p
+            FROM words WHERE len(w) >= 2)
+    ), fit AS (
+      SELECT w1, w2 FROM pairs WHERE {sample_predicate_sql('doc_id')}
+    ), ctx AS (
+      SELECT w1, count(*) AS c1 FROM fit
+      GROUP BY w1 ORDER BY c1 DESC, w1 LIMIT {LM_VOCAB_K}
+    ), bcnt AS (
+      SELECT w1, w2, count(*) AS cb FROM fit
+      GROUP BY w1, w2 ORDER BY cb DESC, w1, w2 LIMIT {BIGRAM_LM_K}
+    ), vocab AS (
+      SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+      FROM (SELECT unnest(w) AS tok FROM words
+            WHERE {sample_predicate_sql('doc_id')})
+    )
+    SELECT p.doc_id,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           {half_up_sql('''avg(ln((COALESCE(b.cb, 0) + 1.0)
+                        / (COALESCE(c.c1, 0) + vocab.v)))''')} + 0.0
+             AS avg_logprob
+    FROM pairs p
+    LEFT JOIN bcnt b ON b.w1 = p.w1 AND b.w2 = p.w2
+    LEFT JOIN ctx c ON c.w1 = p.w1
+    CROSS JOIN vocab
+    GROUP BY p.doc_id
+    """,
+)
+def tx15_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality proxy — tx13's CCNet-style filter
+    raised to order 2, the form the CCNet pipeline actually ships
+    (Wenzek et al. 2020 score Common Crawl with a 5-gram KenLM and cut
+    the corpus at perplexity terciles): fit add-one-smoothed bigram
+    conditionals P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V) on the deterministic
+    {SAMPLE_PCT}% sample (tx6's predicate), then score every document
+    with >= 2 tokens by its mean adjacent-pair log-probability.
+    Gibberish with plausible unigrams but impossible transitions —
+    shuffled text, keyword-stuffed spam — scores low where tx13 cannot
+    see it. Tercile cut thresholds at corpus scale come from the
+    audited percentile machinery (a16 exact / a20's bounded
+    percentile_approx), not from a global sort here.
+
+    Scale: BOTH model tables are TakeOrdered-capped (contexts at
+    {LM_VOCAB_K}, pairs at {BIGRAM_LM_K} — count desc with full token
+    tie-breaks, a deterministic total order), so the scoring joins'
+    build sides are bounded at ANY corpus size and the broadcast hints
+    are unconditionally safe — tx13's vocabulary-cap argument, applied
+    twice. Scoring is scan -> adjacent-pair explode -> two
+    broadcast-hash joins -> per-doc avg; the only shuffle is the
+    map-side-combinable (doc_id) re-aggregation. The fit shuffles only
+    sample pairs. Exact integer counts on both engines; f64 ln/avg
+    differences are ulp-level, absorbed by round(4)."""
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", TX.tokens(F.col("text")).alias("w"))
+    pairs = words.filter(F.size("w") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.slice(F.col("w"), 1, F.size("w") - 1),
+                lambda x, i: F.struct(
+                    x.alias("w1"),
+                    F.element_at(F.col("w"), i + 2).alias("w2"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    fit = pairs.filter(sample_predicate(F.col("doc_id")))
+    ctx = (
+        fit.groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+        .orderBy(F.desc("c1"), F.asc("w1"))
+        .limit(LM_VOCAB_K)
+    )
+    bcnt = (
+        fit.groupBy("w1", "w2")
+        .agg(F.count("*").alias("cb"))
+        .orderBy(F.desc("cb"), F.asc("w1"), F.asc("w2"))
+        .limit(BIGRAM_LM_K)
+    )
+    vocab = (
+        words.filter(sample_predicate(F.col("doc_id")))
+        .select(F.explode("w").alias("tok"))
+        .agg(F.countDistinct("tok").cast("double").alias("v"))
+    )
+    lp = F.log(
+        (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(1.0))
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+    )
+    return (
+        pairs.join(F.broadcast(bcnt), ["w1", "w2"], "left")
+        .join(F.broadcast(ctx), "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            (half_up(F.avg("lp")) + F.lit(0.0)).alias("avg_logprob"),
+        )
+    )

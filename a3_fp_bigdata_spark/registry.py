@@ -102,6 +102,7 @@ def _load_all_modules() -> None:
     from a3_fp_bigdata_spark.ml import pipelines, quality_filter  # noqa: F401
     from a3_fp_bigdata_spark.multimodal import (  # noqa: F401
         audio,
+        audio_fp,
         binary_files,
         images,
         phash,

@@ -448,8 +448,10 @@ def test_empty_input_round5_curation_ops(spark, monkeypatch, clean_shingle_stage
         "tx12_collapse_repeats",
         "tx13_unigram_logprob",
         "tx14_bigram_pmi",
+        "tx15_bigram_logprob",
         "pk7_split_leakage",
         "pk8_sliding_chunks",
+        "pk11_length_bucket_batches",
         "pl2_chunk_index_stats",
     ):
         assert qs[name](spark, SF0001).count() == 0, name

@@ -1064,3 +1064,102 @@ def test_mm8_cluster_partition_and_keeper(spark):
         keepers = [r for r in rs if r.is_keeper]
         assert len(keepers) == 1, (cid, rs)
         assert keepers[0].media_id == min(r.media_id for r in rs) == cid
+
+
+# ---------------------------------------------------------------------------
+# mm9: envelope-hash audio near-dup
+# ---------------------------------------------------------------------------
+
+
+def test_envelope_hash64_bit_level_independent():
+    """envelope_hash64 pinned bit-by-bit against an inline
+    re-derivation with explicit Python loops (no shared pooling/
+    packing code): same mono mix, same integer-boundary 65-window
+    tiling, same gradient rule — any drift in the engine's vectorized
+    math shows up as a differing bit index."""
+    from a3_fp_bigdata_spark.multimodal import audio_fp as AF
+
+    rng = np.random.default_rng(11)
+    x = rng.uniform(-1, 1, (1000, 2))
+
+    mono = [abs((float(a) + float(b)) / 2.0) for a, b in x]
+    n = len(mono)
+    b = [(i * n) // 65 for i in range(65)] + [n]
+    w = [
+        sum(mono[b[i] : b[i + 1]]) / (b[i + 1] - b[i])
+        for i in range(65)
+    ]
+    want = 0
+    for i in range(64):
+        if w[i] > w[i + 1]:
+            want |= 1 << i
+    if want >= 1 << 63:
+        want -= 1 << 64
+    assert AF.envelope_hash64(x) == want
+
+
+def test_envelope_hash64_invariances():
+    """The planted-twin perturbations are invariances BY DESIGN: a
+    positive gain preserves every window comparison (distance 0); an
+    exact-fraction linear resample preserves the window means closely
+    (small distance, inside pairing radius)."""
+    from a3_fp_bigdata_spark.multimodal import audio_fp as AF
+
+    rng = np.random.default_rng(12)
+    levels = rng.uniform(0.1, 0.95, 65)
+    env = np.repeat(levels, 160)
+    t = np.arange(env.shape[0]) / 8000.0
+    base = (env * np.sin(2 * np.pi * 440.0 * t)).reshape(-1, 1)
+
+    def dist(a, b):
+        return bin(
+            (AF.envelope_hash64(a) & (2**64 - 1))
+            ^ (AF.envelope_hash64(b) & (2**64 - 1))
+        ).count("1")
+
+    assert dist(base, base * 0.3) == 0
+    # linear 2x upsample: window boundaries stay at the same clip
+    # fractions, so means shift only by interpolation smoothing
+    n = base.shape[0]
+    src = np.arange(n * 2) / 2.0
+    i0 = np.minimum(src.astype(np.int64), n - 1)
+    i1 = np.minimum(i0 + 1, n - 1)
+    frac = (src - i0)[:, None]
+    up = base[i0] * (1 - frac) + base[i1] * frac
+    assert dist(base, up) <= AF.AUDIO_NEARDUP_MAX_HAMMING
+
+
+def test_mm9_planted_pairs_exact(spark):
+    """mm9 recovers EXACTLY the generator's planted perturbed twins
+    (tools/make_audio_neardup_fixtures.py prints this list): the gain/
+    resample/noise/copy twins at hamming 0, the level-swap variant at
+    4 (nonzero — exercises the radius), and no false pair among the
+    non-planted combinations (11 clips). Ground truth is the fixture
+    CONSTRUCTION, not the hash under test."""
+    from a3_fp_bigdata_spark import registry
+    from a3_fp_bigdata_spark.multimodal.audio_fp import (
+        AUDIO_NEARDUP_FIXTURE_DIR,
+    )
+    from a3_fp_bigdata_spark.multimodal.binary_files import image_dir_source
+
+    q = registry.all_queries()["mm9_audio_near_dup"]
+    rows = q(spark, SF0001).collect()
+    origin = {
+        r.media_id: r.meta.origin
+        for r in image_dir_source(
+            spark, AUDIO_NEARDUP_FIXTURE_DIR, glob="*.wav"
+        )
+        .select("media_id", "meta")
+        .collect()
+    }
+    got = {
+        (*sorted((origin[r.media_a], origin[r.media_b])), r.hamming)
+        for r in rows
+    }
+    assert got == {
+        ("ad_walk1.wav", "ad_walk1_gain.wav", 0),
+        ("ad_walk2.wav", "ad_walk2_resamp.wav", 0),
+        ("ad_walk3.wav", "ad_walk3_noise.wav", 0),
+        ("ad_walk4.wav", "ad_walk4_copy.wav", 0),
+        ("ad_walk5.wav", "ad_walk5_var.wav", 4),
+    }
