@@ -194,3 +194,70 @@ def mm9_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_b").alias("media_b"),
         "hamming",
     )
+
+
+@query(
+    "mm10_audio_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE h AS (
+      SELECT media_id, afp
+      FROM read_parquet('{_MM9_AFP_SCRATCH}/*.parquet')
+      WHERE n_src = (SELECT count(*)
+                     FROM read_parquet('{_MM9_AFP_SCRATCH}/*.parquet'))
+    ), pairs AS (
+      SELECT a.media_id AS ma, b.media_id AS mb
+      FROM h a JOIN h b ON a.media_id < b.media_id
+      WHERE bit_count(xor(a.afp, b.afp)) <= {AUDIO_NEARDUP_MAX_HAMMING}
+    ), edges AS (
+      SELECT ma AS src, mb AS dst FROM pairs
+      UNION ALL
+      SELECT mb AS src, ma AS dst FROM pairs
+    ), reach(node, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst
+    ), labs AS (
+      SELECT node, min(lab) AS lab FROM reach GROUP BY node
+    )
+    SELECT h.media_id,
+           coalesce(l.lab, h.media_id) AS cluster_id,
+           h.media_id = coalesce(l.lab, h.media_id) AS is_keeper
+    FROM h LEFT JOIN labs l ON l.node = h.media_id
+    """,
+)
+def mm10_audio_dedup_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Audio dedup GROUPS + keeper — the cut step completing the audio
+    rung exactly as mm8 completes the image rung: mm9's near-dup pairs
+    collapse to connected components (dedup.connected_components,
+    iterative min-label propagation), every clip gets a cluster_id
+    (singletons label themselves), and the min-id member is the keeper
+    a multimodal corpus retains. Output one row per clip:
+    (media_id, cluster_id, is_keeper).
+
+    ORACLE-BACKED end to end like mm8: both engines start from the
+    SAME materialized fingerprint bytes (mm9's stamped scratch) and
+    re-derive pairs -> components -> keeper through different math —
+    Spark via the banded-hamming join + label propagation, DuckDB via
+    a quadratic bit_count self-join + recursive CTE — so a banding
+    loss, a propagation bug, or a wrong keeper rule all land as a red
+    hash mismatch. Scale: identical to mm8 — the propagation shuffles
+    the 8-byte-signature edge list per round (rounds = component
+    diameter; perturbed-twin groups are cliques), never audio bytes."""
+    from a3_fp_bigdata_spark.operators.dedup import connected_components
+
+    pairs = mm9_audio_near_dup(spark, sf_dir).select(
+        F.col("media_a").alias("doc_a"),
+        F.col("media_b").alias("doc_b"),
+    )
+    labels, _ = connected_components(spark, pairs)
+    all_media = spark.read.parquet(_MM9_AFP_SCRATCH).select("media_id")
+    cluster = F.coalesce(F.col("lab"), F.col("media_id"))
+    return all_media.join(
+        labels.withColumnRenamed("doc_id", "media_id"), "media_id", "left"
+    ).select(
+        "media_id",
+        cluster.alias("cluster_id"),
+        (F.col("media_id") == cluster).alias("is_keeper"),
+    )

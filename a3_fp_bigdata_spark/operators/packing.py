@@ -1460,3 +1460,186 @@ def pk11_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pad_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# pl6/pl7: right-to-be-forgotten — purge ledger + post-purge attestation
+# ---------------------------------------------------------------------------
+
+#: Deletion-request band: the TOP FORGET_PCT% of the multiplicative-
+#: hash range (>= 100 - FORGET_PCT), deterministically disjoint from
+#: tx6's fit/sample band (< SAMPLE_PCT) — the stand-in for the
+#: user-submitted deletion-request table a real pipeline receives.
+FORGET_PCT = 3
+
+
+def _forget_predicate(key: Column) -> Column:
+    return ((key % SAMPLE_PREMOD) * SAMPLE_MULT) % 100 >= 100 - FORGET_PCT
+
+
+_FORGET_SQL = (
+    f"(((doc_id % {SAMPLE_PREMOD}) * {SAMPLE_MULT}) % 100)"
+    f" >= {100 - FORGET_PCT}"
+)
+
+
+@query(
+    "pl6_forget_ledger",
+    oracle=None,  # assembled below: needs dedup's recursive-CTE clusters
+)
+def pl6_forget_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten purge ledger WITH near-dup cluster
+    expansion — the deletion artifact a GDPR/CCPA-compliant corpus
+    pipeline must produce: deleting only the requested documents is
+    not enough when the corpus still holds near-verbatim copies of the
+    same content, so every member of a d12 near-dup cluster containing
+    a requested doc is purged too. Output: one row per purged doc —
+    (doc_id, reason 'requested' | 'cluster_expansion', cluster_id;
+    -1 for requested docs in no near-dup cluster) — the auditable
+    ledger the deletion report ships, and the purge set pl7 attests.
+
+    Scale: the request set is tiny by nature (user-submitted deletion
+    requests), so the affected-cluster list is at most request-sized
+    and broadcasts unconditionally; the expansion join touches only
+    the memoized d12 cluster table (near-dup members, a small fraction
+    of the corpus), never the corpus itself. At 100 TB: requests
+    broadcast against the materialized cluster snapshot — one
+    broadcast-hash join plus one corpus-scan filter for the request
+    rows; no new shuffle over document text anywhere."""
+    from a3_fp_bigdata_spark.operators.dedup import d12_dedup_clusters
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    req = docs.filter(_forget_predicate(F.col("doc_id")))
+    clusters = d12_dedup_clusters(spark, sf_dir)
+    req_clusters = (
+        clusters.filter(_forget_predicate(F.col("doc_id")))
+        .select("cluster_id")
+        .distinct()
+    )
+    requested = (
+        req.join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.lit("requested").alias("reason"),
+            F.coalesce(F.col("cluster_id"), F.lit(-1))
+            .cast("long")
+            .alias("cluster_id"),
+        )
+    )
+    expansion = (
+        clusters.join(F.broadcast(req_clusters), "cluster_id")
+        .filter(~_forget_predicate(F.col("doc_id")))
+        .select(
+            "doc_id",
+            F.lit("cluster_expansion").alias("reason"),
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+        )
+    )
+    return requested.unionByName(expansion)
+
+
+@query(
+    "pl7_forget_attestation",
+    oracle=None,  # assembled below: pl3's digest over the purged corpus
+)
+def pl7_forget_attestation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-purge attestation: pl3's order-invariant corpus checksum
+    recomputed over the corpus MINUS pl6's purge set — (n_rows, xor1,
+    xor2), the exact shape pl3 publishes for the pre-purge snapshot,
+    so 'the deletion actually happened and nothing else changed' is a
+    three-number comparison between two manifest entries (and any
+    independent rerun of either engine must reproduce both rows).
+
+    Scale: one corpus scan + an anti-join against the purge set
+    (request-sized — AQE broadcasts it from runtime stats; we do not
+    force it because a mass-deletion event can exceed the broadcast
+    ceiling) folding into the two salted map-side bit_xor accumulators
+    — ZERO shuffle beyond the 1-row final combine, identical to pl3."""
+    docs = table(spark, sf_dir, "documents")
+    purged = pl6_forget_ledger(spark, sf_dir).select("doc_id")
+    remaining = docs.join(purged, "doc_id", "left_anti")
+    return remaining.select(
+        _row_digest(_CK_COLS, "s1").alias("_d1"),
+        _row_digest(_CK_COLS, "s2").alias("_d2"),
+    ).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.coalesce(F.expr("bit_xor(_d1)"), F.lit(0))
+        .cast("long")
+        .alias("xor1"),
+        F.coalesce(F.expr("bit_xor(_d2)"), F.lit(0))
+        .cast("long")
+        .alias("xor2"),
+    )
+
+
+_FORGET_CLUSTER_CTES = """edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ), reach(doc_id, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc_id = e.dst
+    ), clusters AS (
+      SELECT doc_id, min(lab) AS cluster_id FROM reach GROUP BY doc_id
+    ), req AS (
+      SELECT doc_id FROM documents WHERE {forget}
+    ), reqc AS (
+      SELECT DISTINCT c.cluster_id
+      FROM clusters c JOIN req r ON r.doc_id = c.doc_id
+    ), ledger AS (
+      SELECT r.doc_id, 'requested' AS reason,
+             CAST(COALESCE(c.cluster_id, -1) AS BIGINT) AS cluster_id
+      FROM req r LEFT JOIN clusters c ON c.doc_id = r.doc_id
+      UNION ALL
+      SELECT c.doc_id, 'cluster_expansion' AS reason,
+             CAST(c.cluster_id AS BIGINT) AS cluster_id
+      FROM clusters c JOIN reqc ON reqc.cluster_id = c.cluster_id
+      WHERE c.doc_id NOT IN (SELECT doc_id FROM req)
+    )"""
+
+
+def _forget_ctes() -> str:
+    from a3_fp_bigdata_spark.operators.dedup import _D3_CTES, _D3_SELECT
+
+    return (
+        f"WITH RECURSIVE {_D3_CTES}, pairs AS (\n      {_D3_SELECT}\n"
+        f"    ), {_FORGET_CLUSTER_CTES.format(forget=_FORGET_SQL)}"
+    )
+
+
+def _pl6_oracle() -> str:
+    return f"""
+    {_forget_ctes()}
+    SELECT doc_id, reason, cluster_id FROM ledger
+    """
+
+
+def _pl7_oracle() -> str:
+    return f"""
+    {_forget_ctes()}
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(COALESCE(bit_xor({_ck_sql(_CK_COLS, 's1')}), 0)
+                AS BIGINT) AS xor1,
+           CAST(COALESCE(bit_xor({_ck_sql(_CK_COLS, 's2')}), 0)
+                AS BIGINT) AS xor2
+    FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM ledger)
+    """
+
+
+def _attach_forget_oracles() -> None:
+    import dataclasses
+
+    from a3_fp_bigdata_spark import registry as _R
+
+    for name, build in (
+        ("pl6_forget_ledger", _pl6_oracle),
+        ("pl7_forget_attestation", _pl7_oracle),
+    ):
+        rq = _R._REGISTRY[name]
+        if rq.oracle is None:
+            _R._REGISTRY[name] = dataclasses.replace(rq, oracle=build())
+
+
+_attach_forget_oracles()

@@ -1163,3 +1163,32 @@ def test_mm9_planted_pairs_exact(spark):
         ("ad_walk4.wav", "ad_walk4_copy.wav", 0),
         ("ad_walk5.wav", "ad_walk5_var.wav", 4),
     }
+
+
+def test_mm10_audio_clusters_partition_and_keeper(spark):
+    """mm10 labels every fixture clip exactly once, components are
+    precisely the planted twin groups (each pair collapses to one
+    2-clip cluster; the singleton base clip stays alone), and the
+    keeper is the min-id member of each cluster — the same contract
+    test_mm8_cluster_partition_and_keeper pins for images."""
+    from collections import defaultdict
+
+    from a3_fp_bigdata_spark import registry
+
+    rows = registry.all_queries()["mm10_audio_dedup_clusters"](
+        spark, SF0001
+    ).collect()
+    # 11 fixture clips, one row each
+    assert len(rows) == 11
+    assert len({r.media_id for r in rows}) == 11
+
+    by_cluster = defaultdict(list)
+    for r in rows:
+        by_cluster[r.cluster_id].append(r)
+    # 5 planted pairs + 1 unpaired base clip = 6 components
+    sizes = sorted(len(v) for v in by_cluster.values())
+    assert sizes == [1, 2, 2, 2, 2, 2]
+    for cid, rs in by_cluster.items():
+        keepers = [r for r in rs if r.is_keeper]
+        assert len(keepers) == 1, (cid, rs)
+        assert keepers[0].media_id == min(r.media_id for r in rs) == cid

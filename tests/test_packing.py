@@ -462,3 +462,75 @@ def test_span_clean_manifest_composes_the_declared_stages(spark):
             expected[(shard, s)] = (n, t)
     got = {(r.shard, r.seq_id): (r.n_docs, r.seq_tokens) for r in man}
     assert got == expected
+
+
+def test_forget_ledger_and_attestation_algebra(spark):
+    """pl6/pl7 semantics pinned by construction AND by the xor-
+    cancellation invariant:
+
+    - requested rows are EXACTLY the forget band of doc_ids;
+    - expansion rows are non-requested members of clusters holding a
+      requested doc (verified against d12's cluster table directly);
+    - pl7 == pl3 with the ledger's digests folded OUT: because bit_xor
+      is its own inverse, xor_before ^ xor(purged rows' digests) must
+      equal xor_after for BOTH salts, and the row counts must close.
+      This checks the purge arithmetic end-to-end without re-running
+      either query's own join path.
+    """
+    from pyspark.sql import functions as F
+
+    from a3_fp_bigdata_spark.data import table
+    from a3_fp_bigdata_spark.operators.dedup import d12_dedup_clusters
+    from a3_fp_bigdata_spark.operators.packing import (
+        _CK_COLS,
+        _forget_predicate,
+        _row_digest,
+    )
+
+    qs = registry.all_queries()
+    ledger = qs["pl6_forget_ledger"](spark, SF0001).collect()
+    reasons = {r.doc_id: r.reason for r in ledger}
+    assert len(reasons) == len(ledger)  # no doc purged twice
+
+    docs = table(spark, SF0001, "documents")
+    band = {
+        r.doc_id
+        for r in docs.filter(_forget_predicate(F.col("doc_id")))
+        .select("doc_id")
+        .collect()
+    }
+    assert {d for d, why in reasons.items() if why == "requested"} == band
+
+    clusters = {
+        r.doc_id: r.cluster_id
+        for r in d12_dedup_clusters(spark, SF0001).collect()
+    }
+    req_clusters = {clusters[d] for d in band if d in clusters}
+    want_expansion = {
+        d
+        for d, c in clusters.items()
+        if c in req_clusters and d not in band
+    }
+    assert {
+        d for d, why in reasons.items() if why == "cluster_expansion"
+    } == want_expansion
+
+    before = qs["pl3_corpus_checksum"](spark, SF0001).collect()[0]
+    after = qs["pl7_forget_attestation"](spark, SF0001).collect()[0]
+    assert after.n_rows == before.n_rows - len(ledger)
+
+    purged_ids = list(reasons)
+    folded = (
+        docs.filter(F.col("doc_id").isin(purged_ids))
+        .select(
+            _row_digest(_CK_COLS, "s1").alias("_d1"),
+            _row_digest(_CK_COLS, "s2").alias("_d2"),
+        )
+        .agg(
+            F.coalesce(F.expr("bit_xor(_d1)"), F.lit(0)).alias("x1"),
+            F.coalesce(F.expr("bit_xor(_d2)"), F.lit(0)).alias("x2"),
+        )
+        .collect()[0]
+    )
+    assert after.xor1 == before.xor1 ^ folded.x1
+    assert after.xor2 == before.xor2 ^ folded.x2
