@@ -1607,3 +1607,165 @@ def d17_semdedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for frame in (n_dropped, n_mismatch):
         out = out.crossJoin(F.broadcast(frame))
     return out
+
+
+# ---------------------------------------------------------------------------
+# sim13: MMR-diversified top-k retrieval
+# ---------------------------------------------------------------------------
+
+#: Candidate pool (brute-force top-N by relevance) and final selection
+#: size for MMR. Integer weights 7/3 encode lambda = 0.7: the greedy
+#: maximizes 7*rel4 - 3*max_sim4 over 1e-4-unit INTEGER scores, so the
+#: selection arithmetic is exact on both engines — no float drift can
+#: flip an argmax.
+MMR_POOL = 32
+MMR_K = 8
+
+
+def _i4(c: Column) -> Column:
+    """half-up round to 1e-4 units as an exact BIGINT score."""
+    return F.floor(c * 10000 + F.lit(0.5)).cast("long")
+
+
+@query(
+    "sim13_mmr_diversified",
+    oracle=f"""
+    WITH RECURSIVE qv AS (
+      SELECT {_SQL_D.format(col='embedding')} AS qe
+      FROM embeddings WHERE vec_id = 0
+    ), vecs AS (
+      SELECT vec_id, {_SQL_D.format(col='embedding')} AS e
+      FROM embeddings WHERE vec_id <> 0
+    ), cand AS (
+      SELECT vec_id, e,
+             CAST(floor({_sql_cos('e', 'qe')} * 10000 + 0.5) AS BIGINT)
+               AS rel4
+      FROM vecs, qv
+      ORDER BY rel4 DESC, vec_id LIMIT {MMR_POOL}
+    ), sims AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             CAST(floor({_sql_cos('a.e', 'b.e')} * 10000 + 0.5) AS BIGINT)
+               AS s4
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ), sel(step, chosen) AS (
+      SELECT 1, list_value((SELECT vec_id FROM cand
+                            ORDER BY rel4 DESC, vec_id LIMIT 1))
+      UNION ALL
+      SELECT s.step + 1, list_append(s.chosen, (
+          SELECT c.vec_id FROM cand c
+          WHERE NOT list_contains(s.chosen, c.vec_id)
+          ORDER BY 7 * c.rel4
+                   - 3 * (SELECT max(m.s4) FROM sims m
+                          WHERE m.va = c.vec_id
+                            AND list_contains(s.chosen, m.vb)) DESC,
+                   c.vec_id
+          LIMIT 1))
+      FROM sel s WHERE s.step < {MMR_K}
+    ), final AS (
+      SELECT chosen FROM sel WHERE step = {MMR_K}
+    ), ranked AS (
+      SELECT CAST(t.i AS INT) AS rank, chosen[CAST(t.i AS INT)] AS vec_id
+      FROM final, range(1, {MMR_K} + 1) t(i)
+    )
+    SELECT r.rank, r.vec_id,
+           CAST(c.rel4 AS DOUBLE) / 10000 + 0.0 AS relevance
+    FROM ranked r JOIN cand c USING (vec_id)
+    """,
+)
+def sim13_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k (Carbonell &
+    Goldstein 1998) — the retrieval shape diversity-aware training-data
+    selection needs: pure relevance top-k returns near-duplicates of
+    one theme; MMR greedily picks argmax of
+    lambda*rel(c) - (1-lambda)*max_{j in S} sim(c, j), trading
+    relevance against redundancy with what is already selected.
+    Output (rank, vec_id, relevance) for the {MMR_K} picks from a
+    {MMR_POOL}-candidate pool.
+
+    Engine-portable by INTEGER scoring: relevance and pairwise cosines
+    round half-up to 1e-4-unit BIGINTs first, and the greedy maximizes
+    7*rel4 - 3*sim4 (lambda = 0.7) with vec_id tie-breaks — exact
+    integer arithmetic on both engines, so the argmax chain cannot
+    diverge on float ulps. The oracle replays the greedy as a
+    recursive CTE carrying the chosen list; step 1 is pure max-
+    relevance (the standard MMR anchor, empty-set penalty = 0).
+
+    Scale: the pool derivation is the distributed part — brute-force
+    relevance is one scan + TakeOrderedAndProject (sim1's plan), or
+    sim4's partition-pruned index at corpus scale. The greedy itself
+    touches only the POOL x POOL rounded-similarity table (a broadcast
+    self-join of {MMR_POOL} pinned rows) and crosses to Python ONCE as
+    a single tiny Arrow group — per QUERY, so a batch of queries runs
+    one group each in parallel (the pk2 sharding argument); nothing
+    about the corpus ever reaches the driver."""
+    import pandas as pd
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    cand = pin(
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            _i4(cosine(F.col("embedding"), F.col("q_emb"))).alias("rel4"),
+        )
+        .orderBy(F.desc("rel4"), F.asc("vec_id"))
+        .limit(MMR_POOL)
+    )
+    a = cand.select(
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        "rel4",
+    )
+    b = cand.select(
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb")
+    )
+    # LEFT join so a 1-candidate pool still reaches the greedy as a
+    # (va, rel4, NULL, NULL) row — matching the oracle, which emits
+    # the lone candidate at rank 1 (its penalty subquery is empty).
+    pairs = (
+        a.join(F.broadcast(b), F.col("va") != F.col("vb"), "left")
+        .select(
+            "va",
+            "rel4",
+            "vb",
+            _i4(cosine(F.col("ea"), F.col("eb"))).alias("s4"),
+        )
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        rel = dict(zip(pdf["va"], pdf["rel4"]))
+        sim = {
+            (va, vb): s4
+            for va, vb, s4 in zip(pdf["va"], pdf["vb"], pdf["s4"])
+            if pd.notna(vb)
+        }
+        chosen: list[int] = []
+        k = min(MMR_K, len(rel))
+        while len(chosen) < k:
+            best = None
+            for c, r4 in rel.items():
+                if c in chosen:
+                    continue
+                pen = max(sim[(c, j)] for j in chosen) if chosen else 0
+                score = 7 * int(r4) - (3 * int(pen) if chosen else 0)
+                key = (-score, c)
+                if best is None or key < best[0]:
+                    best = (key, c)
+            chosen.append(best[1])
+        return pd.DataFrame(
+            {
+                "rank": pd.array(range(1, k + 1), dtype="int32"),
+                "vec_id": pd.array(chosen, dtype="int64"),
+                "relevance": [int(rel[c]) / 10000.0 for c in chosen],
+            }
+        )
+
+    return (
+        pairs.withColumn("_g", F.lit(0))
+        .groupBy("_g")
+        .applyInPandas(greedy, schema="rank int, vec_id long, relevance double")
+    )

@@ -242,3 +242,60 @@ def test_semdedup_hot_cell_sharding_bounds_pair_work(spark):
         assert a == b and srows[0][-1] == 0  # n_mismatch
     finally:
         S.SEMDEDUP_CELL_CAP = old
+
+
+def test_mmr_replays_from_independent_numpy_cosines(spark):
+    """sim13's greedy replayed in plain Python from numpy-derived
+    cosines (np.dot matrix math — a different numeric path from the
+    engine's zip_with fold and the oracle's list_dot_product): same
+    integer rounding, same 7/3 weights, same tie-breaks => the exact
+    same pick sequence. Also pins the two MMR invariants: rank 1 is
+    the pure max-relevance candidate, and the selection differs from
+    relevance-only top-k (diversity actually traded something away)."""
+    import numpy as np
+
+    from a3_fp_bigdata_spark.data import table
+    from a3_fp_bigdata_spark.operators.similarity import (
+        MMR_K,
+        MMR_POOL,
+    )
+
+    got = (
+        registry.all_queries()["sim13_mmr_diversified"](spark, SF001)
+        .orderBy("rank")
+        .collect()
+    )
+
+    rows = (
+        table(spark, SF001, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    q = vecs[0]
+
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    def i4(x):
+        return int(np.floor(x * 10000 + 0.5))
+
+    rel = {v: i4(cos(e, q)) for v, e in vecs.items() if v != 0}
+    pool = sorted(rel, key=lambda v: (-rel[v], v))[:MMR_POOL]
+    chosen = []
+    while len(chosen) < MMR_K:
+        best = None
+        for c in pool:
+            if c in chosen:
+                continue
+            pen = max(i4(cos(vecs[c], vecs[j])) for j in chosen) if chosen else 0
+            key = (-(7 * rel[c] - 3 * pen), c)
+            if best is None or key < best[0]:
+                best = (key, c)
+        chosen.append(best[1])
+
+    assert [r.vec_id for r in got] == chosen
+    assert got[0].vec_id == pool[0]  # rank 1 = pure max relevance
+    assert [r.vec_id for r in got] != pool[:MMR_K]  # diversity acted
+    for r in got:
+        assert r.relevance == rel[r.vec_id] / 10000.0
