@@ -1015,3 +1015,71 @@ def tx15_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             (half_up(F.avg("lp")) + F.lit(0.0)).alias("avg_logprob"),
         )
     )
+
+
+@query(
+    "tx16_char_entropy",
+    oracle=f"""
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch
+      FROM documents WHERE length(text) >= 1
+    ), cnt AS (
+      SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+      FROM chars GROUP BY doc_id, ch
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_chars,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           {half_up_sql('''log2(CAST(sum(c) AS DOUBLE))
+                        - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+                          / CAST(sum(c) AS DOUBLE)''')} + 0.0
+             AS char_entropy
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def tx16_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy (bits/char) — the
+    zero-model gibberish detector every curation stack runs alongside
+    the LM filters (tx13/tx15): natural language sits in a stable
+    entropy band (~3.5-4.5 bits for English-like text); base64 blobs,
+    minified code and hex dumps score high, single-character floods
+    and whitespace padding score low — all without fitting anything.
+    Output (doc_id, n_chars, n_distinct, char_entropy); band-cut
+    thresholds at corpus scale come from the audited percentile
+    machinery (a16 / a20), not from this query.
+
+    Computed as H = log2(n) - (sum c*log2 c)/n — the entropy identity
+    that avoids one division per distinct char and is mirrored
+    TERM-FOR-TERM in the oracle so both engines run the same float
+    ops; both split text to characters identically (verified:
+    F.split(text, '') == DuckDB string_split(text, '')).
+
+    Scale: explode-to-chars looks heavy but a document's characters
+    are contiguous within its scan partition, so the (doc_id, ch)
+    partial aggregation collapses to <= |alphabet| rows per doc
+    map-side BEFORE the shuffle — bytes on the wire are ~alphabet
+    counts per doc, not text length; the per-doc rollup then shuffles
+    one small row per (doc, distinct char). Pure native expressions,
+    zero Python crossings."""
+    docs = table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 1
+    )
+    cnt = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", "")).alias("ch")
+        )
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").alias("c"))
+    )
+    n = F.sum("c").cast("double")
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_chars"),
+        F.count("*").cast("long").alias("n_distinct"),
+        (
+            half_up(
+                F.log2(n)
+                - F.sum(F.col("c").cast("double") * F.log2(F.col("c").cast("double"))) / n
+            )
+            + F.lit(0.0)
+        ).alias("char_entropy"),
+    )

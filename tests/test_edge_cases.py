@@ -852,3 +852,40 @@ def test_d18_containment_semantics_on_synthetic_corpus(spark, monkeypatch):
         (2, 28, 1, 0.5),
         (4, 23, 1, 1.0),
     }
+
+
+def test_char_entropy_replays_in_pure_python(spark):
+    """tx16 replayed doc-by-doc in plain Python (collections.Counter +
+    math.log2 — no Spark, no SQL): same half-up rounding, same
+    H = log2(n) - sum(c*log2 c)/n identity. Also pins the information-
+    theoretic bounds: 0 <= H <= log2(n_distinct), with equality at 0
+    iff the document is a single repeated character."""
+    import math
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from a3_fp_bigdata_spark import registry
+
+    got = {
+        r.doc_id: r
+        for r in registry.all_queries()["tx16_char_entropy"](
+            spark, SF0001
+        ).collect()
+    }
+    tbl = pq.read_table(SF0001 + "/documents.parquet", columns=["doc_id", "text"])
+    docs = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    assert set(got) == {d for d, t in docs.items() if len(t) >= 1}
+    for doc_id, text in docs.items():
+        if len(text) < 1:
+            continue
+        c = Counter(text)
+        n = len(text)
+        h = math.log2(n) - sum(v * math.log2(v) for v in c.values()) / n
+        want = math.floor(h * 10000 + 0.5) / 10000
+        r = got[doc_id]
+        assert r.n_chars == n and r.n_distinct == len(c), doc_id
+        assert r.char_entropy == want, (doc_id, r.char_entropy, want)
+        assert -1e-9 <= h <= math.log2(len(c)) + 1e-9
+        if len(c) == 1:
+            assert r.char_entropy == 0.0
