@@ -7,6 +7,12 @@ query touching 2 of 11 lineitem columns reads only those column chunks.
 
 from __future__ import annotations
 
+import atexit
+import glob as _glob
+import os
+import shutil as _shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -124,6 +130,63 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     oracle's pre-registered DuckDB view names."""
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+#: Audit-scratch paths are PER-PROCESS (uid + pid in the path), not
+#: fixed per uid. The oracle SQL strings embed the path at module
+#: import, and the driver/parity/pytest harnesses each run Spark AND
+#: DuckDB in one process — so a process-unique path keeps the pair
+#: consistent while making concurrent runs (pytest next to a parity
+#: sweep — observed corrupting a fixed shared scratch mid-run in
+#: round 9) physically unable to clobber each other. Cleanup: atexit
+#: removes this process's dirs; a dead-pid prune at first use per
+#: name collects dirs left by crashed processes (atexit never ran).
+_SCRATCH_RUN = f"uid{os.getuid()}_pid{os.getpid()}"
+_RUN_SCRATCH_DIRS: list[str] = []
+_PRUNED_NAMES: set[str] = set()
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else — leave it
+    return True
+
+
+def run_scratch(name: str) -> str:
+    """Per-process scratch dir for the audit-scratch protocol:
+    ``$TMPDIR/a3_fp_{name}_uid{uid}_pid{pid}``. Same path for the
+    Spark writer and the DuckDB oracle inside one process; distinct
+    across processes. Registered for atexit removal; stale siblings
+    whose owning pid is dead are pruned on first use."""
+    base = tempfile.gettempdir()
+    if name not in _PRUNED_NAMES:
+        _PRUNED_NAMES.add(name)
+        pat = os.path.join(
+            base, f"a3_fp_{name}_uid{os.getuid()}_pid*"
+        )
+        for old in _glob.glob(pat):
+            try:
+                pid = int(old.rsplit("_pid", 1)[1])
+            except (IndexError, ValueError):
+                continue
+            if pid != os.getpid() and not _pid_alive(pid):
+                _shutil.rmtree(old, ignore_errors=True)
+    path = os.path.join(base, f"a3_fp_{name}_{_SCRATCH_RUN}")
+    if path not in _RUN_SCRATCH_DIRS:
+        _RUN_SCRATCH_DIRS.append(path)
+    return path
+
+
+def _cleanup_run_scratch() -> None:
+    while _RUN_SCRATCH_DIRS:
+        _shutil.rmtree(_RUN_SCRATCH_DIRS.pop(), ignore_errors=True)
+
+
+atexit.register(_cleanup_run_scratch)
 
 
 #: Modulus for the content half of the audit-scratch fingerprint: keeps

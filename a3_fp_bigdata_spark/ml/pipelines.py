@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 from a3_fp_bigdata_spark.data import table
 from a3_fp_bigdata_spark.registry import query
+from a3_fp_bigdata_spark.session import session_token
 
 #: Numeric feature columns of the customer-features frame (analog of the
 #: reference's 8-col numeric map, spark_script.py:32-36).
@@ -141,7 +142,7 @@ def build_rf_pipeline() -> Pipeline:
 #: One fit per (session, sf_dir): the three registered queries below all
 #: consume the same trained artifacts; refitting per query would triple
 #: the driver's correctness-pass cost for identical results (seeds pinned).
-_FIT_CACHE: dict[tuple[int, str], tuple] = {}
+_FIT_CACHE: dict[tuple[str, str], tuple] = {}
 
 
 def fit_transform(
@@ -154,7 +155,7 @@ def fit_transform(
     clustered frame, evaluate training RMSE (M8).
     Returns (scored_frame, kmeans_model, rf_model, rmse).
     """
-    key = (id(spark), sf_dir)
+    key = (session_token(spark), sf_dir)
     if key in _FIT_CACHE:
         return _FIT_CACHE[key]
 

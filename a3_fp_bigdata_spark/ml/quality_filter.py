@@ -41,6 +41,7 @@ from a3_fp_bigdata_spark.functions import text as TX
 from a3_fp_bigdata_spark.functions.rounding import half_up
 from a3_fp_bigdata_spark.operators.text_analysis import sample_predicate
 from a3_fp_bigdata_spark.registry import query
+from a3_fp_bigdata_spark.session import session_token
 
 QUALITY_TAU = 0.66      # heuristic label floor (~median of tx2 at sf0.01)
 HASH_DIM = 1 << 13      # stateless hashing; sized to the corpus vocab
@@ -84,7 +85,7 @@ def build_quality_pipeline() -> Pipeline:
 
 
 #: One fit per (session, sf_dir) — same protocol as pipelines._FIT_CACHE.
-_QF_CACHE: dict[tuple[int, str], tuple[DataFrame, PipelineModel]] = {}
+_QF_CACHE: dict[tuple[str, str], tuple[DataFrame, PipelineModel]] = {}
 
 
 def fit_score(
@@ -93,7 +94,7 @@ def fit_score(
     """Fit on the deterministic {FIT_SAMPLE_PCT}% split, score ALL docs.
 
     Returns (scored frame with p_keep/keep columns, fitted model)."""
-    key = (id(spark), sf_dir)
+    key = (session_token(spark), sf_dir)
     if key in _QF_CACHE:
         return _QF_CACHE[key]
     feats = _featurized(spark, sf_dir)

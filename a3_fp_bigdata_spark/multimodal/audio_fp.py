@@ -40,6 +40,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from a3_fp_bigdata_spark.data import run_scratch
 from a3_fp_bigdata_spark.multimodal.audio import decode_wav
 from a3_fp_bigdata_spark.pickling import ship_by_value
 from a3_fp_bigdata_spark.registry import pin, query
@@ -120,9 +121,12 @@ def audio_fp_features(media: DataFrame) -> DataFrame:
 #: mm9 scratch — the audit-scratch pattern mm7 documents: the source
 #: is the committed fixture directory (which DuckDB cannot read), and
 #: the fingerprint bytes are fixture-deterministic, so the only live
-#: hazard is a TORN read across fixture generations; n_src is stamped
-#: so that shows up as disagreeing counts.
-_MM9_AFP_SCRATCH = f"/tmp/a3_fp_mm9_afp_uid{os.getuid()}"
+#: hazard was a TORN read from a CONCURRENT process's rewrite — the
+#: per-process run_scratch path removes that writer entirely (round-9
+#: review: the oracle's n_src guard self-healed torn reads but the
+#: Spark read-back did not). n_src is still stamped so a torn read
+#: across fixture generations within one process disagrees loudly.
+_MM9_AFP_SCRATCH = run_scratch("mm9_afp")
 
 
 @query(

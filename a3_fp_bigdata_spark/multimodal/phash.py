@@ -38,6 +38,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from a3_fp_bigdata_spark.data import run_scratch
 from a3_fp_bigdata_spark.multimodal.images import decode_image, resize_nn
 from a3_fp_bigdata_spark.pickling import ship_by_value
 from a3_fp_bigdata_spark.registry import query
@@ -131,7 +132,7 @@ def phash_features(media: DataFrame) -> DataFrame:
     )
 
 
-#: mm7 scratch — the audit-scratch pattern (uid-scoped path the oracle
+#: mm7 scratch — the audit-scratch pattern (per-process run_scratch path the oracle
 #: SQL can name). The d4/d9-style (n_src, src_ck) STALENESS guard has
 #: no live anchor here: the source is the committed fixture directory,
 #: which DuckDB cannot read, and the hash bytes are fixture-
@@ -139,7 +140,7 @@ def phash_features(media: DataFrame) -> DataFrame:
 #: concurrent writer produces identical bytes rather than foreign
 #: ones. n_src is still stamped so a TORN read (rows from two
 #: different fixture generations) shows up as disagreeing counts.
-_MM7_PHASH_SCRATCH = f"/tmp/a3_fp_mm7_phash_uid{os.getuid()}"
+_MM7_PHASH_SCRATCH = run_scratch("mm7_phash")
 
 
 @query(

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from a3_fp_bigdata_spark.data import (
     fingerprint_where,
+    run_scratch,
     src_fingerprint,
     table,
 )
@@ -262,7 +263,7 @@ def a11_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: a19's scratch: the audit oracle must read Spark's sketch estimates
-#: from a path the static SQL can name (uid-scoped, same protocol as
+#: from a path the static SQL can name (per-process run_scratch, same protocol as
 #: dedup's d4 containment audit, including the stale-scratch guard:
 #: rows carry the (``n_src``, ``src_ck``) fingerprint of events at
 #: write time and the oracle filters on both against its live events
@@ -270,7 +271,7 @@ def a11_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the same cardinality — red-flags as a row/hash mismatch).
 import os as _os
 
-_A19_SCRATCH = f"/tmp/a3_fp_a19_approx_audit_uid{_os.getuid()}"
+_A19_SCRATCH = run_scratch("a19_approx_audit")
 
 
 @query(
@@ -333,7 +334,7 @@ def a19_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_A20_SCRATCH = f"/tmp/a3_fp_a20_quantile_audit_uid{_os.getuid()}"
+_A20_SCRATCH = run_scratch("a20_quantile_audit")
 _A20_QS = (0.25, 0.5, 0.9)
 _A20_ACCURACY = 10000
 

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from a3_fp_bigdata_spark.data import (
     fingerprint_where,
+    run_scratch,
     src_fingerprint,
     table,
 )
@@ -34,6 +35,7 @@ from a3_fp_bigdata_spark.operators.text_analysis import _SQL_NORM, _SQL_TOKS
 from pyspark import StorageLevel
 
 from a3_fp_bigdata_spark.registry import _PINNED, pin, query
+from a3_fp_bigdata_spark.session import session_token
 
 from a3_fp_bigdata_spark.pickling import ship_by_value
 
@@ -194,7 +196,7 @@ def _exact_jaccard_pairs(ex: DataFrame, threshold: float) -> DataFrame:
 #: NOT drop this (dropping it made d4 rebuild the stage d3 had just
 #: built - a measured +6 s at sf0.1); release_shingle_stage() exists
 #: for tests/sessions that need the memory back.
-_SHINGLE_STAGE: dict[tuple[int, str], DataFrame] = {}
+_SHINGLE_STAGE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _session_stopped(df: DataFrame) -> bool:
@@ -222,7 +224,7 @@ def _evict_dead_entries(stage: dict, *, unpersist: bool) -> None:
 
 
 def staged_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = (session_token(spark), sf_dir)
     # the cached frame strongly references its session, so a matching
     # key always belongs to a LIVE session with that id. Entries whose
     # session has been stopped would pin dead plans forever — evict
@@ -250,11 +252,11 @@ def release_shingle_stage() -> None:
 #: and production materializes the bucket table once per corpus
 #: snapshot, written bucketed by (band, sig), so the nightly probe
 #: partition-prunes instead of recomputing 32 hashes over the corpus.
-_BUCKET_STAGE: dict[tuple[int, str], DataFrame] = {}
+_BUCKET_STAGE: dict[tuple[str, str], DataFrame] = {}
 
 
 def staged_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = (session_token(spark), sf_dir)
     _evict_dead_entries(_BUCKET_STAGE, unpersist=True)
     if key not in _BUCKET_STAGE:
         _BUCKET_STAGE[key] = minhash_band_buckets(
@@ -467,8 +469,11 @@ def _verify_candidate_pairs(
 #: Scratch location for the d4 containment audit: the oracle SQL is a
 #: static string, so the Spark side must land the LSH pairs at a path
 #: DuckDB can name — which rules out sf-scoping (the oracle cannot
-#: know sf_dir). UID-scoped so two users on a shared box never
-#: collide on permissions; overwritten per invocation. Stale-scratch
+#: know sf_dir). PER-PROCESS (run_scratch: uid+pid in the path, both
+#: sides of one run see the same path because the oracle f-string is
+#: built in the same interpreter) so concurrent harnesses — pytest
+#: next to a parity sweep — physically cannot clobber each other;
+#: overwritten per invocation within a process. Stale-scratch
 #: guard: every scratch row carries the (``n_src``, ``src_ck``)
 #: source fingerprint (count + key checksum, data.src_fingerprint)
 #: stamped at write time, and the oracle FILTERS on BOTH matching ITS
@@ -476,9 +481,7 @@ def _verify_candidate_pairs(
 #: a regenerated same-cardinality corpus (checksum differs) yields an
 #: empty/zero oracle side and a red mismatch. Scope: catches stale or
 #: foreign scratch; it is a fingerprint, not a cryptographic hash.
-_D4_AUDIT_SCRATCH = (
-    f"/tmp/a3_fp_d4_containment_pairs_uid{os.getuid()}"
-)
+_D4_AUDIT_SCRATCH = run_scratch("d4_containment_pairs")
 
 
 @query(
@@ -937,12 +940,12 @@ def _blocked_hamming_pairs(fps: DataFrame, max_hamming: int) -> DataFrame:
 
 
 #: d9 audit scratch — same static-oracle protocol as the d4/a19/sim11
-#: audits (uid-scoped paths the SQL string can name; every row
+#: audits (per-process run_scratch paths the SQL string can name; every row
 #: carries the (``n_src``, ``src_ck``) fingerprint of documents the
 #: oracle filters on, so stale scratch — different sf or regenerated
 #: same-cardinality corpus — red-flags instead of validating).
-_D9_AUDIT_FP_SCRATCH = f"/tmp/a3_fp_d9_audit_fps_uid{os.getuid()}"
-_D9_AUDIT_PAIRS_SCRATCH = f"/tmp/a3_fp_d9_audit_pairs_uid{os.getuid()}"
+_D9_AUDIT_FP_SCRATCH = run_scratch("d9_audit_fps")
+_D9_AUDIT_PAIRS_SCRATCH = run_scratch("d9_audit_pairs")
 
 
 @query(
@@ -1259,9 +1262,9 @@ def d11_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(candidates, ["doc_a", "doc_b"], "left_semi")
 
 
-#: d11 audit scratch — the d4/a19/sim11/d9 protocol (uid-scoped path,
+#: d11 audit scratch — the d4/a19/sim11/d9 protocol (per-process run_scratch path,
 #: (``n_src``, ``src_ck``) stale-scratch fingerprint guard).
-_D11_AUDIT_SCRATCH = f"/tmp/a3_fp_d11_incr_pairs_uid{os.getuid()}"
+_D11_AUDIT_SCRATCH = run_scratch("d11_incr_pairs")
 
 
 def _d11_audit_oracle() -> str:
@@ -1361,17 +1364,17 @@ CC_MAX_ITERS = 25  # propagation rounds; components here have tiny diameter
 
 #: Converged cluster tables memoized per (session, sf_dir) — see
 #: d12_dedup_clusters docstring. release_cluster_stage() drops them.
-_CLUSTER_STAGE: dict[tuple[int, str], DataFrame] = {}
+_CLUSTER_STAGE: dict[tuple[str, str], DataFrame] = {}
 
 
 #: Cluster-member counts memoized alongside _CLUSTER_STAGE — the
 #: drop-set size guard (d13/d14/pl1) reads the same number, so one
 #: count job per (session, sf_dir) serves every consumer.
-_CLUSTER_COUNT: dict[tuple[int, str], int] = {}
+_CLUSTER_COUNT: dict[tuple[str, str], int] = {}
 
 
 def _cluster_member_count(spark: SparkSession, sf_dir: str) -> int:
-    key = (id(spark), sf_dir)
+    key = (session_token(spark), sf_dir)
     if key not in _CLUSTER_COUNT:
         n = d12_dedup_clusters(spark, sf_dir).count()
         # d12's accessor just evicted dead sessions' stage entries;
@@ -1544,7 +1547,7 @@ def d12_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster table once per corpus snapshot rather than re-running the
     propagation per downstream policy. The cached frame is
     localCheckpoint-backed (materialized), so reuse costs a scan."""
-    key = (id(spark), sf_dir)
+    key = (session_token(spark), sf_dir)
     # evict only DEAD sessions' entries — see _session_stopped
     _evict_dead_entries(_CLUSTER_STAGE, unpersist=False)
     if key in _CLUSTER_STAGE:
@@ -1954,6 +1957,12 @@ D18_CONTAIN_TAU = 0.5  # flag pairs where >= half the bench doc leaks
 
 
 def _d18_oracle() -> str:
+    # Parity caveat (same assumption _shingle_rows documents): the
+    # Spark side counts distinct xxhash64(gram) values while this
+    # oracle counts distinct raw gram STRINGS, so a 64-bit collision
+    # inside one doc would shift n_common/nb by 1 (P ≈ n²/2⁶⁵ per doc
+    # — vanishing at any real doc length, but an assumption, not a
+    # theorem).
     from a3_fp_bigdata_spark.operators.text_analysis import (
         DECON_BENCH_PCT,
         _sql_ngrams,

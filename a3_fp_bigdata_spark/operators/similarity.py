@@ -27,11 +27,13 @@ from pyspark.sql import functions as F
 
 from a3_fp_bigdata_spark.data import (
     fingerprint_where,
+    run_scratch,
     src_fingerprint,
     table,
 )
 from a3_fp_bigdata_spark.functions.rounding import half_up, half_up_sql
 from a3_fp_bigdata_spark.registry import pin, query
+from a3_fp_bigdata_spark.session import session_token
 
 NEARDUP_COSINE = 0.4
 N_PLANES = 8
@@ -217,13 +219,13 @@ def build_bucketed_ann_index(
 #: index DataFrames per (session, dir): creating spark.read.parquet on
 #: a 2^{N_PLANES}-directory layout re-lists every partition dir; a probe
 #: should pay that once per session, not per query.
-_SIM4_IDX_DF: dict[tuple[int, str], DataFrame] = {}
+_SIM4_IDX_DF: dict[tuple[str, str], DataFrame] = {}
 
 
 def _index_frame(spark: SparkSession, index_dir: str) -> DataFrame:
     for k in [k for k, df in _SIM4_IDX_DF.items() if df.sparkSession is not spark]:
         _SIM4_IDX_DF.pop(k)
-    key = (id(spark), index_dir)
+    key = (session_token(spark), index_dir)
     if key not in _SIM4_IDX_DF:
         _SIM4_IDX_DF[key] = spark.read.parquet(index_dir)
     return _SIM4_IDX_DF[key]
@@ -553,9 +555,9 @@ def d6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: d6 audit scratch — the d4/a19/sim11/d9/d11 protocol (uid-scoped
+#: d6 audit scratch — the d4/a19/sim11/d9/d11 protocol (per-process run_scratch
 #: path, (``n_src``, ``src_ck``) stale-scratch fingerprint guard).
-_D6_AUDIT_SCRATCH = f"/tmp/a3_fp_d6_gemm_cands_uid{os.getuid()}"
+_D6_AUDIT_SCRATCH = run_scratch("d6_gemm_cands")
 
 
 @query(
@@ -1067,12 +1069,12 @@ _attach_sim10_oracle()
 
 
 #: sim11's scratch — same static-oracle protocol as the d4/a19 audits
-#: (uid-scoped fixed path the SQL string can name), including the
+#: (per-process run_scratch path the SQL string can name), including the
 #: stale-scratch guard: rows carry the (``n_src``, ``src_ck``)
 #: fingerprint of embeddings at write time and the oracle filters on
 #: both against its live view, so scratch from a different sf — or a
 #: regenerated same-cardinality corpus — red-flags, never validates.
-_SIM11_SCRATCH = f"/tmp/a3_fp_sim11_ivf_hits_uid{os.getuid()}"
+_SIM11_SCRATCH = run_scratch("sim11_ivf_hits")
 
 
 @query(
@@ -1150,7 +1152,7 @@ PQ_SHORTLIST = 10 * ANN_TOPK
 #: arrays (M*K*dsub doubles), so no checkpoint needed; the audit runs
 #: sim12 a second time and must not re-pay the distributed fit (the
 #: "train once, encode forever" contract).
-_PQ_CB_STAGE: dict[tuple[int, str], "object"] = {}
+_PQ_CB_STAGE: dict[tuple[str, str], "object"] = {}
 
 
 def _pq_codebooks(spark: SparkSession, sf_dir: str) -> "object":
@@ -1171,7 +1173,7 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> "object":
     import numpy as np
     import pandas as pd
 
-    key = (id(spark), sf_dir)
+    key = (session_token(spark), sf_dir)
     if key in _PQ_CB_STAGE:
         return _PQ_CB_STAGE[key]
     emb = table(spark, sf_dir, "embeddings")
@@ -1335,8 +1337,8 @@ def sim12_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: sim12's scratch — the d4/a19/sim11/d6 static-oracle protocol
-#: (uid-scoped path, (n_src, src_ck) stale-scratch fingerprint guard).
-_SIM12_SCRATCH = f"/tmp/a3_fp_sim12_pq_hits_uid{os.getuid()}"
+#: (per-process run_scratch path, (n_src, src_ck) stale-scratch fingerprint guard).
+_SIM12_SCRATCH = run_scratch("sim12_pq_hits")
 
 
 @query(
@@ -1424,7 +1426,7 @@ def _semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from a3_fp_bigdata_spark.operators.dedup import _evict_dead_entries
 
-    key = (id(spark), sf_dir, SEMDEDUP_CELLS, SEMDEDUP_CELL_CAP)
+    key = (session_token(spark), sf_dir, SEMDEDUP_CELLS, SEMDEDUP_CELL_CAP)
     _evict_dead_entries(_SEMDEDUP_STAGE, unpersist=False)
     if key in _SEMDEDUP_STAGE:
         return _SEMDEDUP_STAGE[key]
@@ -1513,7 +1515,7 @@ def d17_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: d17's scratch — the d4/a19/sim11/d6/sim12 static-oracle protocol.
-_D17_SCRATCH = f"/tmp/a3_fp_d17_semdedup_uid{os.getuid()}"
+_D17_SCRATCH = run_scratch("d17_semdedup")
 
 
 @query(

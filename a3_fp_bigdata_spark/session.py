@@ -21,6 +21,16 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def session_token(spark: SparkSession) -> str:
+    """Session-unique cache-key token. ``id(spark)`` is NOT one:
+    CPython reuses object ids after garbage collection, so a cache
+    keyed on it can hand a DataFrame/model bound to a dead session to
+    a new one. ``applicationId`` (timestamp-suffixed in local mode,
+    cluster-unique on YARN/K8s) outlives no context and never
+    recurs."""
+    return spark.sparkContext.applicationId
+
+
 def build_session(
     app_name: str = "a3_fp_bigdata_spark",
     master: str | None = None,

@@ -12,7 +12,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
-from a3_fp_bigdata_spark.data import table
+from a3_fp_bigdata_spark.data import run_scratch, table
 from a3_fp_bigdata_spark.functions.rounding import half_up, half_up_sql
 from a3_fp_bigdata_spark.registry import query
 from a3_fp_bigdata_spark.schemas import TESTDATA
@@ -20,6 +20,18 @@ from a3_fp_bigdata_spark.sources import csv_io, kafka_io
 
 
 def _scratch(name: str, sf_dir: str) -> str:
+    """Per-process source-roundtrip scratch (write → read-back inside
+    ONE query invocation, oracle reads the original parquet) — the
+    run_scratch protocol, so a pytest run next to a parity sweep can
+    never clobber a sibling's half-written directory."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return run_scratch(f"src_{name}_{tag}")
+
+
+def _shared_scratch(name: str, sf_dir: str) -> str:
+    """FIXED cross-process path — only for writers with their own
+    atomic publish protocol (zorder's versioned-dir + symlink repoint),
+    where cross-process reuse of the built layout is the point."""
     tag = os.path.basename(sf_dir.rstrip("/"))
     return os.path.join(tempfile.gettempdir(), f"a3_src_{name}_{tag}")
 
@@ -324,7 +336,7 @@ def warm_zorder_layout(spark: SparkSession, sf_dir: str) -> str:
     key = os.path.abspath(sf_dir)
     if key in _ZORDER_LAYOUT:
         return _ZORDER_LAYOUT[key]
-    base = _scratch("zorder", sf_dir)
+    base = _shared_scratch("zorder", sf_dir)
     link = base + ".current"
     if os.path.islink(link):
         target = os.path.realpath(link)

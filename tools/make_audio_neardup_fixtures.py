@@ -53,10 +53,15 @@ N = _N_WINDOWS * SAMPLES_PER_WINDOW
 
 def make_levels(rng: np.random.Generator) -> np.ndarray:
     """65 amplitude levels in [0.10, 0.95], each >= MIN_STEP from its
-    predecessor (rejection-free: sample until the step clears)."""
+    predecessor — REJECTION sampling (resample until the step clears;
+    acceptance ≈ 0.65 per draw), bounded below so a pathological seed
+    fails loudly instead of spinning forever."""
     levels = [float(rng.uniform(0.10, 0.95))]
+    draws = 0
     while len(levels) < _N_WINDOWS:
         cand = float(rng.uniform(0.10, 0.95))
+        draws += 1
+        assert draws < 100_000, "rejection loop not converging"
         if abs(cand - levels[-1]) >= MIN_STEP:
             levels.append(cand)
     return np.array(levels)
