@@ -181,11 +181,15 @@ CANONICAL = frozenset(
         # d15 is parity-checked as z_d15) — its slot attests the NEW
         # d18_fuzzy_decontaminate (containment decontamination, the
         # oracle-exact fuzzy twin of tx9's exact rung)
+        # r10: d16_span_cut and d18_fuzzy_decontaminate rotate OUT
+        # after their green r9 driver rows (parity-checked as z_d16 /
+        # z_d18; d16 still composes d15's span chain, d18's containment
+        # oracle shape is re-derived inside z_d19's corpus cut) — their
+        # slots cede to the r9-earned compliance pair pl6/pl7
         "d1_exact_dedup", "d4_minhash_lsh",
         "d6_gemm_audit", "d8_winnow_fingerprint",
         "d11_containment_audit",
-        "d12_dedup_clusters", "d16_span_cut",
-        "d18_fuzzy_decontaminate",
+        "d12_dedup_clusters",
         # scalar/text functions (f2 token-overlap is f1's plan twin)
         "f1_extract_keywords",
         # grouped-map / cogroup Arrow surface (g2 cogroup rotated out
@@ -207,7 +211,15 @@ CANONICAL = frozenset(
         # VERDICT r8 scheduled for a driver slot; ml4's model-based
         # quality filter stays z_-tier: rows-only like ml1, and the
         # window's rows-only budget is spent on the three flagships)
-        "ml1_cluster_sizes", "mm2_image_features", "mm7_image_near_dup",
+        # r10: mm7_image_near_dup OUT after its green r9 row (z_mm7;
+        # its banded-hamming machinery is shared verbatim by the
+        # incoming row) — mm10_audio_dedup_clusters IN, so the driver
+        # attests the AUDIO near-dup rung and the pairs->components->
+        # keeper cut step in one row (its oracle recomputes the pairs
+        # from the materialized fingerprints AND the recursive-CTE
+        # component closure)
+        "ml1_cluster_sizes", "mm2_image_features",
+        "mm10_audio_dedup_clusters",
         # filters/projections: no dedicated canonical row — t1's scan
         # surface exercises pushed predicates, and the whole p1..p8
         # ladder is parity-checked as z_p1..z_p8 (p6 rotated out r6)
@@ -217,16 +229,27 @@ CANONICAL = frozenset(
         # (pl2 rotated out r7 after its green r6 driver row — its
         # chunk-index agg shape is carried by pl1 + st12, parity-checked
         # as z_pl2; pl3 order-invariant corpus checksum rotated IN)
+        # r10 rotates IN the r9-earned batch/pipeline rungs: pk11
+        # (length-bucketed batches — zero Python crossings, one
+        # exchange) and the pl6/pl7 compliance pair (right-to-be-
+        # forgotten ledger + xor-digest attestation, the audit trail a
+        # real corpus release ships)
         "pk2_greedy_pack", "pk5_domain_mixture", "pk7_split_leakage",
+        "pk11_length_bucket_batches",
         "pl1_training_manifest", "pl3_corpus_checksum",
+        "pl6_forget_ledger", "pl7_forget_attestation",
         # similarity search (+ sim4: partition-pruned materialized
         # index; sim9: int8 coarse scan -> exact rerank; sim11 IVF
         # recall audit rotated IN r8; sim10 incremental-index rotated
         # out r8 after its green r7 driver row (z_sim10), sim8's
         # ANN-vs-exact recall harness out r7 (z_sim8); sim2's LSH
         # shape is z_sim2)
+        # r10: sim9 OUT after its green r9 row (z_sim9; the int8
+        # coarse-scan->rerank shape also lives inside z_sim12's PQ+ADC
+        # path) — sim13_mmr_diversified IN (integer-scored greedy MMR,
+        # recursive-CTE oracle: the diversified-retrieval rung)
         "sim1_cosine_topk", "sim4_bucketed_ann",
-        "sim9_quantized_rerank", "sim11_ivf_recall_audit",
+        "sim11_ivf_recall_audit", "sim13_mmr_diversified",
         # set ops (so1 union-all is plan-trivial; so3 covers the family)
         "so3_except",
         # SQL surface + sources (src1 CSV round-trip rotated out r9
@@ -234,8 +257,10 @@ CANONICAL = frozenset(
         # and its CSV writer/scan surface still runs inside st5's
         # micro-batch sink; src8's z-order clustered layout rotated IN
         # so the r8 layout flagship is driver-attested directly)
+        # (r10: src8 OUT after its green r9 row — z_src8; the zorder
+        # layout + footer-pruned box scan stays parity-checked and
+        # bench-timed)
         "sql1_spark_sql_surface", "src2_json_roundtrip",
-        "src8_zorder_box_query",
         # serving endpoints (srv_top_apps carries the family; the
         # recommend-by-category shape is its parity-checked z_ twin,
         # and search_suggestions' substring shape == z_p6)
@@ -253,8 +278,14 @@ CANONICAL = frozenset(
         # text analysis (+ tx7: relational train-and-classify lang-ID —
         # it subsumes tx1's vocabulary heuristic; tx10 PII redaction;
         # tx11 corpus profiling; tx13 unigram-LM quality proxy)
-        "tx2_quality_score", "tx7_ngram_lang_confusion",
-        "tx10_redact_pii", "tx11_corpus_stats", "tx13_unigram_logprob",
+        # r10: tx7 and tx13 OUT after their green r9 rows (z_tx7 /
+        # z_tx13; tx15's bigram LM strictly extends tx13's unigram
+        # shape) — tx15_bigram_logprob and tx16_char_entropy IN: the
+        # r9-earned LM-quality and gibberish-filter rungs get direct
+        # driver attestation
+        "tx2_quality_score",
+        "tx10_redact_pii", "tx11_corpus_stats", "tx15_bigram_logprob",
+        "tx16_char_entropy",
         # upsert/CDC (+ u2: SCD2 versioned-dimension merge; u3's
         # snapshot-diff is a thinner diff shape, parity-checked as z_u3)
         "u1_merge_upsert", "u2_scd2_history",

@@ -73,6 +73,49 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+#: Outlier re-probe: a shared box shows transient contention spikes
+#: (round 9: d6_gemm_audit 63.8 s in the sweep vs 16.1 s steady-state,
+#: annotated by hand in README prose). Instead of prose, the sweep
+#: re-times any row that reads > OUTLIER_RATIO x its value in the
+#: previous committed sweep (and above OUTLIER_FLOOR_S, so sub-second
+#: noise never triggers a re-run) and records BOTH readings in the
+#: JSON — `queries` keeps the honest first reading, `reprobes` carries
+#: {name: {first, reprobe}} so the artifact self-describes contention.
+OUTLIER_RATIO = 3.0
+OUTLIER_FLOOR_S = 2.0
+
+
+def _canon(name: str) -> str:
+    """Tier-free spelling: rotation moves names between the canonical
+    and z_ tiers round to round; comparisons must ignore the prefix."""
+    return name[2:] if name.startswith("z_") else name
+
+
+def prev_sweep_timings() -> dict[str, float]:
+    """Per-query walls from the previous committed full sweep, keyed by
+    tier-free name. $SPARK_GRAFT_BENCH_PREV overrides; default is the
+    numerically-latest bench_full_r*.json next to this file."""
+    import glob
+    import re
+
+    ref = os.environ.get("SPARK_GRAFT_BENCH_PREV")
+    if ref is None:
+        here = os.path.dirname(os.path.abspath(__file__))
+        def rank(p):
+            m = re.search(r"bench_full_r(\d+)([a-z]?)\.json$", p)
+            return (int(m.group(1)), m.group(2)) if m else (-1, "")
+        cands = sorted(glob.glob(os.path.join(here, "bench_full_r*.json")), key=rank)
+        ref = cands[-1] if cands else None
+    if not ref or not os.path.exists(ref):
+        return {}
+    try:
+        with open(ref) as fh:
+            qs = json.load(fh).get("queries") or {}
+        return {_canon(k): float(v) for k, v in qs.items()}
+    except Exception:  # noqa: BLE001 — a corrupt ref disables reprobe, never the bench
+        return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -210,6 +253,22 @@ def main() -> None:
 
     calib_after = calibrate()
 
+    # outlier re-probe AFTER the sweep (the contention window that
+    # inflated the first reading has usually passed by then)
+    prev = prev_sweep_timings()
+    reprobes: dict[str, dict[str, float]] = {}
+    for name, t in sorted(timings.items()):
+        base = prev.get(_canon(name))
+        if base is None or t <= OUTLIER_FLOOR_S or t <= OUTLIER_RATIO * base:
+            continue
+        t2 = try_force(lambda n=name: queries[n](spark, sf_dir), f"reprobe:{name}")
+        try:
+            registry.release_pinned()
+        except Exception:  # noqa: BLE001
+            pass
+        if t2 is not None:
+            reprobes[name] = {"first": t, "reprobe": t2, "prev_sweep": base}
+
     headline_timed = [n for n in headline if n in timings]
     # A partial sum is NOT comparable round-over-round (a crashed
     # headline query would read as a speedup): null the headline value
@@ -244,6 +303,7 @@ def main() -> None:
                 "calib_ref": CALIB_REF,
                 "unit": "sec",
                 "queries": timings,
+                "reprobes": reprobes,
                 "errors": errors,
                 "headline": headline,
                 "headline_timed": headline_timed,
@@ -274,6 +334,9 @@ def main() -> None:
         line_dict["partial"] = sorted(
             set(HEADLINE) - set(headline_timed)
         )
+    if reprobes:
+        # names only; both readings live in full_out
+        line_dict["reprobed"] = sorted(reprobes)[:20]
     if errors:
         # names only on the printed line (messages live in full_out) so
         # a long error can't overflow the driver's tail capture
