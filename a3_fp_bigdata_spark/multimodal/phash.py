@@ -282,3 +282,141 @@ def mm8_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("media_id") == cluster).alias("is_keeper"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# mm11: multimodal split-leakage audit (pk7's contract applied to media)
+# ---------------------------------------------------------------------------
+
+#: Validation share for the media train/val split. 25 (vs pk4's 5%
+#: for documents) because the committed fixture corpora are tens of
+#: files: at 25 the planted near-dup pairs land on BOTH sides of the
+#: boundary — straddling pairs (leaks) AND same-side pairs (correctly
+#: not flagged) — so the audit's filter is exercised in both
+#: directions. The predicate is pk4's multiplicative hash verbatim
+#: over abs(media_id) (media ids are xxhash64 of the filename, so
+#: signed — abs keeps the percentile arithmetic in the non-negative
+#: band where both engines' % agree by construction rather than by
+#: C-remainder coincidence).
+MEDIA_VAL_PCT = 25
+
+
+def _media_split_sql(col: str) -> str:
+    from a3_fp_bigdata_spark.operators.text_analysis import (
+        SAMPLE_MULT,
+        SAMPLE_PREMOD,
+    )
+
+    return (
+        f"((abs({col}) % {SAMPLE_PREMOD}) * {SAMPLE_MULT}) % 100"
+        f" < {MEDIA_VAL_PCT}"
+    )
+
+
+def _mm11_oracle() -> str:
+    from a3_fp_bigdata_spark.multimodal.audio_fp import (
+        _MM9_AFP_SCRATCH,
+        AUDIO_NEARDUP_MAX_HAMMING,
+    )
+
+    return f"""
+    WITH ih AS (
+      SELECT media_id, dhash
+      FROM read_parquet('{_MM7_PHASH_SCRATCH}/*.parquet')
+      WHERE n_src = (SELECT count(*)
+                     FROM read_parquet('{_MM7_PHASH_SCRATCH}/*.parquet'))
+    ), ah AS (
+      SELECT media_id, afp
+      FROM read_parquet('{_MM9_AFP_SCRATCH}/*.parquet')
+      WHERE n_src = (SELECT count(*)
+                     FROM read_parquet('{_MM9_AFP_SCRATCH}/*.parquet'))
+    ), allpairs AS (
+      SELECT 'image' AS modality, a.media_id AS ma, b.media_id AS mb,
+             CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+      FROM ih a JOIN ih b ON a.media_id < b.media_id
+      WHERE bit_count(xor(a.dhash, b.dhash)) <= {IMG_NEARDUP_MAX_HAMMING}
+      UNION ALL
+      SELECT 'audio', a.media_id, b.media_id,
+             CAST(bit_count(xor(a.afp, b.afp)) AS INT)
+      FROM ah a JOIN ah b ON a.media_id < b.media_id
+      WHERE bit_count(xor(a.afp, b.afp)) <= {AUDIO_NEARDUP_MAX_HAMMING}
+    ), tagged AS (
+      SELECT modality, ma, mb, hamming,
+             {_media_split_sql('ma')} AS va,
+             {_media_split_sql('mb')} AS vb
+      FROM allpairs
+    )
+    SELECT modality,
+           CASE WHEN va THEN mb ELSE ma END AS train_media,
+           CASE WHEN va THEN ma ELSE mb END AS val_media,
+           hamming
+    FROM tagged WHERE va <> vb
+    """
+
+
+@query("mm11_media_split_leakage", oracle=None)  # attached below
+def mm11_media_split_leakage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multimodal split-leakage audit — pk7's cross-split
+    contamination contract applied to media: image (mm7 dHash) and
+    audio (mm9 envelope-hash) near-dup pairs whose members land on
+    OPPOSITE sides of the deterministic train/validation split. Each
+    row is a leak: a benchmark image/clip whose near-verbatim twin
+    trains — exactly how multimodal eval contamination ships. Output
+    (modality, train_media, val_media, hamming); the downstream fix
+    anti-joins the val manifest on val_media, like pk7's.
+
+    ORACLE-BACKED via both modalities' materialized fingerprint
+    scratches: Spark derives pairs through the banded-hamming join
+    and filters with the split predicate; DuckDB re-derives the pair
+    sets from the SAME hash bytes with independent quadratic
+    bit_count(xor) joins and applies the same CASE — a banding bug or
+    a split-predicate drift on either modality is a red mismatch.
+
+    Scale: the split test adds ZERO shuffle on top of the near-dup
+    pair tables (both predicates are scan-time arithmetic on the
+    pair's ids — pk7's argument verbatim); the pair tables shuffle
+    8-byte signatures, never media bytes. Run per snapshot AFTER any
+    split re-assignment, not just after ingest."""
+    from a3_fp_bigdata_spark.multimodal.audio_fp import (
+        mm9_audio_near_dup,
+    )
+    from a3_fp_bigdata_spark.operators.text_analysis import (
+        sample_predicate,
+    )
+
+    img = mm7_image_near_dup(spark, sf_dir).select(
+        F.lit("image").alias("modality"), "media_a", "media_b", "hamming"
+    )
+    aud = mm9_audio_near_dup(spark, sf_dir).select(
+        F.lit("audio").alias("modality"), "media_a", "media_b", "hamming"
+    )
+    pairs = img.unionByName(aud)
+    va = sample_predicate(F.abs(F.col("media_a")), MEDIA_VAL_PCT)
+    vb = sample_predicate(F.abs(F.col("media_b")), MEDIA_VAL_PCT)
+    return pairs.filter(va != vb).select(
+        "modality",
+        F.when(va, F.col("media_b"))
+        .otherwise(F.col("media_a"))
+        .alias("train_media"),
+        F.when(va, F.col("media_a"))
+        .otherwise(F.col("media_b"))
+        .alias("val_media"),
+        "hamming",
+    )
+
+
+def _attach_mm11_oracle() -> None:
+    import dataclasses
+
+    from a3_fp_bigdata_spark import registry as _R
+
+    rq = _R._REGISTRY["mm11_media_split_leakage"]
+    if rq.oracle is None:
+        _R._REGISTRY["mm11_media_split_leakage"] = dataclasses.replace(
+            rq, oracle=_mm11_oracle()
+        )
+
+
+_attach_mm11_oracle()

@@ -1110,6 +1110,13 @@ def _span_clean_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pl4's curation chain up to (doc_id, shard, cost): quality floor
     -> d16 span cut -> d14-style keeper. Shared with pl5, which inserts
     the decontamination filters before packing."""
+    return _span_clean_docs(spark, sf_dir).select("doc_id", "shard", "cost")
+
+
+def _span_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same chain keeping clean_text alongside the cost — pl8's
+    release digest attests the actual released bytes, so the content
+    column must survive to the end of the chain."""
     from a3_fp_bigdata_spark.functions import text as TXF
     from a3_fp_bigdata_spark.operators.dedup import (
         _cluster_member_count,
@@ -1151,6 +1158,7 @@ def _span_clean_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
             TX.bpe_ish_token_count(F.col("clean_text"))
             .cast("long")
             .alias("cost"),
+            "clean_text",
         )
     )
     return kept
@@ -1643,3 +1651,492 @@ def _attach_forget_oracles() -> None:
 
 
 _attach_forget_oracles()
+
+
+# ---------------------------------------------------------------------------
+# pk12: quality-stratified mixture (CCNet head/middle/tail)
+# ---------------------------------------------------------------------------
+
+#: Target mixture shares per quality band — CCNet's convention (Wenzek
+#: et al. 2020 cut Common Crawl into head/middle/tail perplexity
+#: terciles and train mostly on the head): band 0 = best LM scores.
+QMIX_PCT = {0: 60, 1: 30, 2: 10}
+QMIX_BANDS = len(QMIX_PCT)
+
+
+def _pk12_oracle() -> str:
+    from a3_fp_bigdata_spark.operators.text_analysis import LM_VOCAB_K
+
+    band_case = (
+        "CASE band WHEN 0 THEN 60 WHEN 1 THEN 30 ELSE 10 END"
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS_REF}) AS tok FROM documents
+    ), counts AS (
+      SELECT tok, count(*) AS c FROM toks
+      WHERE {sample_predicate_sql('doc_id')}
+      GROUP BY tok
+      ORDER BY c DESC, tok
+      LIMIT {LM_VOCAB_K}
+    ), stats AS (
+      SELECT CAST(sum(c) AS DOUBLE) AS total, CAST(count(*) AS DOUBLE) AS v
+      FROM counts
+    ), scored AS (
+      SELECT t.doc_id,
+             CAST(floor(
+               ({half_up_sql('avg(ln((COALESCE(c.c, 0) + 1.0) / (s.total + s.v)))')})
+               * 10000 + 0.5) AS BIGINT) AS score4
+      FROM toks t LEFT JOIN counts c USING (tok) CROSS JOIN stats s
+      GROUP BY t.doc_id
+    ), grid AS (
+      SELECT score4, CAST(count(*) AS BIGINT) AS n FROM scored GROUP BY score4
+    ), tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n_total FROM grid
+    ), banded AS (
+      SELECT score4,
+             CAST(COALESCE(SUM(n) OVER (ORDER BY score4 DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  * {QMIX_BANDS} // t.n_total AS BIGINT) AS band
+      FROM grid, tot t
+    ), bcnt AS (
+      SELECT b.band, CAST(count(*) AS BIGINT) AS n_docs
+      FROM scored s JOIN banded b USING (score4)
+      GROUP BY b.band
+    ), bt AS (
+      SELECT band, n_docs, CAST({band_case} AS BIGINT) AS target_pct
+      FROM bcnt
+    ), bs AS (
+      SELECT MIN(n_docs * 100 // target_pct) AS mix_size FROM bt
+    ), brates AS (
+      SELECT band,
+             LEAST(target_pct * (SELECT mix_size FROM bs) // n_docs, 100)
+               AS keep_pct
+      FROM bt
+    )
+    SELECT s.doc_id, b.band, r.keep_pct
+    FROM scored s JOIN banded b USING (score4) JOIN brates r USING (band)
+    WHERE ((s.doc_id % {SAMPLE_PREMOD}) * {SAMPLE_MULT}) % 100 < r.keep_pct
+    """
+
+
+@query("pk12_quality_mixture", oracle=None)  # attached below (tx13 CTEs)
+def pk12_quality_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-stratified mixture — pk5's data-derived downsampling
+    keyed on LM-quality BANDS instead of language: CCNet buckets the
+    corpus into head/middle/tail by LM score and production mixes
+    mostly from the head (QMIX_PCT = 60/30/10). Composes tx13's
+    unigram-LM score with pk5's all-int64 floor math so membership is
+    bit-identical across engines end to end.
+
+    Band assignment is SCORE-GROUP-ATOMIC and integer-exact: scores
+    quantize to the 1e-4 grid (score4 = the half-up numerator on
+    tx13's already-rounded avg_logprob — both engines hold the
+    identical double, so the BIGINT cast cannot diverge), the grid
+    groups by score4 with a cumulative count best-first, and a group's
+    band is cum_before * {QMIX_BANDS} div n_total — docs with equal
+    scores never straddle a band boundary (ties are band-atomic, the
+    deterministic analogue of NTILE's row-split). The mixture is then
+    pk5's algebra verbatim over the band key: the scarcest band caps
+    mix size, per-band keep rates realize QMIX_PCT via the
+    multiplicative-hash predicate.
+
+    Scale: tx13's scoring is scan -> explode -> bounded broadcast join
+    -> per-doc avg; the band table is the SCORE GRID, not the corpus —
+    avg log-probs live in a few-hundred-wide range so the 1e-4 grid is
+    <= ~2e5 rows at ANY corpus size, making the unpartitioned
+    cumulative window a bounded-input single task by construction
+    (same argument as tx15's capped model tables), and the band map
+    broadcasts back onto the corpus. Rates are a {QMIX_BANDS}-row
+    broadcast; final membership evaluates scan-side. Only the per-doc
+    score agg shuffles corpus-sized data."""
+    from a3_fp_bigdata_spark.operators.text_analysis import (
+        tx13_unigram_logprob,
+    )
+
+    scored = tx13_unigram_logprob(spark, sf_dir).select(
+        "doc_id",
+        F.floor(F.col("avg_logprob") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("score4"),
+    )
+    grid = scored.groupBy("score4").agg(F.count("*").cast("long").alias("n"))
+    tot = grid.agg(F.sum("n").cast("long").alias("n_total"))
+    w = Window.orderBy(F.desc("score4")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    banded = (
+        grid.withColumn(
+            "cum_before",
+            F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "score4",
+            F.expr(f"(cum_before * {QMIX_BANDS}) div n_total")
+            .cast("long")
+            .alias("band"),
+        )
+    )
+    bcnt = (
+        scored.join(F.broadcast(banded), "score4")
+        .groupBy("band")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    target = F.lit(10).cast("long")
+    for b, pct in QMIX_PCT.items():
+        target = (
+            F.when(F.col("band") == b, F.lit(pct).cast("long"))
+            .otherwise(target)
+        )
+    bt = bcnt.withColumn("target_pct", target)
+    bs = bt.agg(F.min(F.expr("n_docs * 100 div target_pct")).alias("mix_size"))
+    brates = bt.crossJoin(F.broadcast(bs)).select(
+        "band",
+        F.least(
+            F.expr("target_pct * mix_size div n_docs"),
+            F.lit(100).cast("long"),
+        ).alias("keep_pct"),
+    )
+    return (
+        scored.join(F.broadcast(banded), "score4")
+        .join(F.broadcast(brates), "band")
+        .filter(sample_predicate(F.col("doc_id"), F.col("keep_pct")))
+        .select("doc_id", "band", "keep_pct")
+    )
+
+
+def _attach_pk12_oracle() -> None:
+    import dataclasses
+
+    from a3_fp_bigdata_spark import registry as _R
+
+    rq = _R._REGISTRY["pk12_quality_mixture"]
+    if rq.oracle is None:
+        _R._REGISTRY["pk12_quality_mixture"] = dataclasses.replace(
+            rq, oracle=_pk12_oracle()
+        )
+
+
+_attach_pk12_oracle()
+
+
+# ---------------------------------------------------------------------------
+# pl8: corpus-release flagship — the full production chain in one artifact
+# ---------------------------------------------------------------------------
+
+
+def _pl8_oracle() -> str:
+    from a3_fp_bigdata_spark.data import fingerprint_where
+    from a3_fp_bigdata_spark.operators.dedup import (
+        _D3_CTES,
+        _D3_SELECT,
+        _D15_SPAN_CTES,
+        D18_CONTAIN_TAU,
+        D18_NGRAM,
+    )
+    from a3_fp_bigdata_spark.operators.similarity import (
+        _D17_SCRATCH,
+        _SQL_D,
+        _sql_cos,
+        SEMDEDUP_EPS,
+    )
+    from a3_fp_bigdata_spark.operators.text_analysis import (
+        _SQL_QUALITY_CTES,
+        DECON_BENCH_PCT,
+        DECON_NGRAM,
+        _sql_ngrams,
+        sample_predicate_sql,
+    )
+
+    bench_pred = sample_predicate_sql("doc_id", DECON_BENCH_PCT)
+    bench_pred_k = sample_predicate_sql("k.doc_id", DECON_BENCH_PCT)
+    return f"""
+    WITH RECURSIVE {_D3_CTES}, pairs AS (
+      {_D3_SELECT}
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ), reach(doc, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc = e.dst
+    ), clusters AS (
+      SELECT doc, min(lab) AS cluster_id FROM reach GROUP BY doc
+    ), {_SQL_QUALITY_CTES}, ranked AS (
+      SELECT c.doc,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY floor(q.quality * 10000 + 0.5)
+                                         DESC, c.doc)
+               AS rn
+      FROM clusters c JOIN quality q ON q.doc_id = c.doc
+    ), dropped AS (
+      SELECT doc FROM ranked WHERE rn > 1
+    ), {_D15_SPAN_CTES}, tokrows AS (
+      SELECT doc_id, unnest(t) AS tok, unnest(range(0, len(t))) AS pos
+      FROM toks
+    ), keptoks AS (
+      SELECT g.doc_id, g.pos, g.tok FROM tokrows g
+      WHERE NOT EXISTS (SELECT 1 FROM spans s
+                        WHERE s.doc_id = g.doc_id
+                          AND g.pos >= s.span_start AND g.pos < s.span_end)
+    ), kagg AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      FROM keptoks GROUP BY doc_id
+    ), dge AS (
+      SELECT DISTINCT doc_id, unnest({_sql_ngrams(DECON_NGRAM)}) AS g
+      FROM words WHERE len(w) >= {DECON_NGRAM}
+    ), dbench_e AS (
+      SELECT DISTINCT g FROM dge WHERE {bench_pred}
+    ), dexact AS (
+      SELECT DISTINCT doc_id FROM dge
+      WHERE NOT ({bench_pred}) AND g IN (SELECT g FROM dbench_e)
+    ), dgf AS (
+      SELECT DISTINCT doc_id, unnest({_sql_ngrams(D18_NGRAM)}) AS g
+      FROM words WHERE len(w) >= {D18_NGRAM}
+    ), dbench_f AS (
+      SELECT doc_id AS bench_id, g FROM dgf WHERE {bench_pred}
+    ), dbcnt AS (
+      SELECT bench_id, count(*) AS nb FROM dbench_f GROUP BY 1
+    ), dfuzzy AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT t.doc_id, b.bench_id, count(*) AS c
+        FROM dgf t JOIN dbench_f b USING (g)
+        WHERE NOT ({bench_pred})
+        GROUP BY 1, 2
+      ) p JOIN dbcnt USING (bench_id)
+      WHERE CAST(p.c AS DOUBLE) / dbcnt.nb >= {D18_CONTAIN_TAU}
+    ), d17vec AS (
+      SELECT vec_id, {_SQL_D.format(col='embedding')} AS e
+      FROM embeddings
+    ), d17mat AS (
+      SELECT vec_id, cell
+      FROM read_parquet('{_D17_SCRATCH}/*.parquet')
+      WHERE {fingerprint_where('embeddings', 'vec_id')}
+    ), d17drop AS (
+      SELECT DISTINCT b.vec_id
+      FROM d17mat a JOIN d17mat b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN d17vec ea ON ea.vec_id = a.vec_id
+      JOIN d17vec eb ON eb.vec_id = b.vec_id
+      WHERE {_sql_cos('ea.e', 'eb.e')} >= {SEMDEDUP_EPS}
+    ), freq AS (
+      SELECT doc_id FROM documents WHERE {_FORGET_SQL}
+    ), freqc AS (
+      SELECT DISTINCT c.cluster_id
+      FROM clusters c JOIN freq r ON r.doc_id = c.doc
+    ), fpurged AS (
+      SELECT doc_id FROM freq
+      UNION
+      SELECT c.doc AS doc_id
+      FROM clusters c JOIN freqc ON freqc.cluster_id = c.cluster_id
+    ), relbase AS (
+      SELECT k.doc_id, k.doc_id % {NSHARDS} AS shard, k.clean_text,
+             CAST({_sql_cost('k.clean_text')} AS BIGINT) AS cost
+      FROM kagg k JOIN quality q ON q.doc_id = k.doc_id
+      WHERE {half_up_sql('q.quality')} >= {MANIFEST_MIN_QUALITY}
+        AND k.doc_id NOT IN (SELECT doc FROM dropped)
+        AND NOT ({bench_pred_k})
+        AND k.doc_id NOT IN (SELECT doc_id FROM dexact)
+        AND k.doc_id NOT IN (SELECT doc_id FROM dfuzzy)
+        AND k.doc_id NOT IN (SELECT vec_id FROM d17drop)
+        AND k.doc_id NOT IN (SELECT doc_id FROM fpurged)
+    ), mixcnt AS (
+      SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs
+      FROM relbase b JOIN documents d ON d.doc_id = b.doc_id
+      GROUP BY d.lang
+    ), mixt AS (
+      SELECT lang, n_docs,
+             CAST({_lang_case_sql(MIX_PCT, MIX_DEFAULT_PCT)} AS BIGINT)
+               AS target_pct
+      FROM mixcnt
+    ), mixs AS (
+      SELECT MIN(n_docs * 100 // target_pct) AS mix_size FROM mixt
+    ), mixrates AS (
+      SELECT lang,
+             LEAST(target_pct * (SELECT mix_size FROM mixs) // n_docs, 100)
+               AS keep_pct
+      FROM mixt
+    ), mixed AS (
+      SELECT b.doc_id, b.shard, b.clean_text, b.cost
+      FROM relbase b
+      JOIN documents d ON d.doc_id = b.doc_id
+      JOIN mixrates r ON r.lang = d.lang
+      WHERE ((b.doc_id % {SAMPLE_PREMOD}) * {SAMPLE_MULT}) % 100
+            < r.keep_pct
+    ), relsurv AS (
+      SELECT doc_id, shard, cost,
+             row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      FROM mixed
+    ), relstep AS (
+      SELECT shard, rn, doc_id, cost,
+             CAST(0 AS BIGINT) AS seq_id, cost AS fill
+      FROM relsurv WHERE rn = 1
+      UNION ALL
+      SELECT k.shard, k.rn, k.doc_id, k.cost,
+             CASE WHEN s.fill + k.cost > {PACK_BUDGET}
+                  THEN s.seq_id + 1 ELSE s.seq_id END,
+             CASE WHEN s.fill + k.cost > {PACK_BUDGET}
+                  THEN k.cost ELSE s.fill + k.cost END
+      FROM relstep s JOIN relsurv k ON k.shard = s.shard AND k.rn = s.rn + 1
+    ), relseqs AS (
+      SELECT shard, seq_id, count(*) AS n_docs,
+             CAST(sum(cost) AS BIGINT) AS seq_tokens
+      FROM relstep GROUP BY shard, seq_id
+    ), relroll AS (
+      SELECT shard, CAST(count(*) AS BIGINT) AS n_seqs,
+             CAST(sum(n_docs) AS BIGINT) AS n_docs,
+             CAST(sum(seq_tokens) AS BIGINT) AS n_tokens
+      FROM relseqs GROUP BY shard
+    ), reldig AS (
+      SELECT shard,
+             CAST(COALESCE(bit_xor({_ck_sql(['doc_id', 'clean_text'], 'r1')}),
+                           0) AS BIGINT) AS xor1,
+             CAST(COALESCE(bit_xor({_ck_sql(['doc_id', 'clean_text'], 'r2')}),
+                           0) AS BIGINT) AS xor2
+      FROM mixed GROUP BY shard
+    )
+    SELECT CAST(r.shard AS BIGINT) AS shard, r.n_seqs, r.n_docs,
+           r.n_tokens, g.xor1, g.xor2
+    FROM relroll r JOIN reldig g ON g.shard = r.shard
+    """
+
+
+@query("pl8_release_manifest", oracle=None)  # attached below (composed CTEs)
+def pl8_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE corpus-release artifact — the full production sequence a
+    real pretraining run ships, composed end to end and attested in
+    one oracle-replayed table:
+
+        documents
+          -> tx2 quality floor             (score >= 0.5 on raw text)
+          -> d15/d16 span cut              (corpus-wide dup spans out)
+          -> d12/d14 keeper                (near-dup clusters -> best)
+          -> d17 SemDeDup keeper           (semantic twins out; docs
+                                            without an embedding pass)
+          -> tx9/d18/d19 decontamination   (bench split excluded,
+                                            exact + fuzzy hits cut)
+          -> pl6 right-to-be-forgotten     (requests + cluster
+                                            expansion purged)
+          -> pk5 domain mixture            (realized over SURVIVORS —
+                                            rates derive from what is
+                                            left, not the raw corpus)
+          -> pk2 greedy pack               (per-shard sequences)
+          -> per-shard release row: (shard, n_seqs, n_docs, n_tokens,
+             xor1, xor2) — counts from the packed manifest plus pl3's
+             order-invariant content digest over the RELEASED
+             (doc_id, clean_text) pairs, so 'this exact corpus, these
+             exact bytes' is a 32-row comparison for any rerun.
+
+    Oracle: DuckDB replays every stage — recursive-CTE clusters,
+    gaps-and-islands spans, containment decontamination, ledger
+    expansion, all-int64 mixture floors, the recursive greedy walk —
+    except d17's seeded cells, which it takes AS GIVEN from the
+    fingerprinted scratch and re-derives the keep RULE independently
+    (the d17-audit protocol; a rule bug still reds this row).
+
+    Scale: strictly pl5's shape plus a broadcast purge anti-join, a
+    broadcast |langs|-row rate join, and two map-side xor digests —
+    no new corpus-sized shuffle beyond the stages already costed; at
+    100 TB each stage's verdict is materialized per snapshot and this
+    manifest composes the read-backs."""
+    from a3_fp_bigdata_spark.operators.dedup import (
+        d18_fuzzy_decontaminate,
+    )
+    from a3_fp_bigdata_spark.operators.similarity import (
+        materialize_d17_verdict,
+    )
+    from a3_fp_bigdata_spark.operators.text_analysis import (
+        DECON_BENCH_PCT,
+        sample_predicate,
+        tx9_decontaminate,
+    )
+    from a3_fp_bigdata_spark.registry import pin
+
+    kept = _span_clean_docs(spark, sf_dir)
+    flagged = (
+        tx9_decontaminate(spark, sf_dir)
+        .select("doc_id")
+        .union(d18_fuzzy_decontaminate(spark, sf_dir).select("doc_id"))
+        .distinct()
+    )
+    clean = kept.filter(
+        ~sample_predicate(F.col("doc_id"), DECON_BENCH_PCT)
+    ).join(flagged, "doc_id", "left_anti")
+    sem_drop = (
+        materialize_d17_verdict(spark, sf_dir)
+        .filter(~F.col("is_kept"))
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    clean = clean.join(sem_drop, "doc_id", "left_anti")
+    purged = pl6_forget_ledger(spark, sf_dir).select("doc_id")
+    clean = clean.join(purged, "doc_id", "left_anti")
+
+    langs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    surv = clean.join(langs, "doc_id")
+    counts = surv.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    targets = counts.withColumn(
+        "target_pct", _lang_case_col(MIX_PCT, MIX_DEFAULT_PCT).cast("long")
+    )
+    mix_size = targets.agg(
+        F.min(F.expr("n_docs * 100 div target_pct")).alias("mix_size")
+    )
+    rates = targets.crossJoin(F.broadcast(mix_size)).select(
+        "lang",
+        F.least(
+            F.expr("target_pct * mix_size div n_docs"),
+            F.lit(100).cast("long"),
+        ).alias("keep_pct"),
+    )
+    mixed = pin(
+        surv.join(F.broadcast(rates), "lang")
+        .filter(sample_predicate(F.col("doc_id"), F.col("keep_pct")))
+        .select("doc_id", "shard", "cost", "clean_text")
+    )
+    manifest = _pack_manifest(mixed.select("doc_id", "shard", "cost"))
+    roll = manifest.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_seqs"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("seq_tokens").cast("long").alias("n_tokens"),
+    )
+    dig = (
+        mixed.select(
+            "shard",
+            _row_digest(["doc_id", "clean_text"], "r1").alias("_d1"),
+            _row_digest(["doc_id", "clean_text"], "r2").alias("_d2"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.coalesce(F.expr("bit_xor(_d1)"), F.lit(0))
+            .cast("long")
+            .alias("xor1"),
+            F.coalesce(F.expr("bit_xor(_d2)"), F.lit(0))
+            .cast("long")
+            .alias("xor2"),
+        )
+    )
+    return roll.join(dig, "shard").select(
+        F.col("shard").cast("long").alias("shard"),
+        "n_seqs",
+        "n_docs",
+        "n_tokens",
+        "xor1",
+        "xor2",
+    )
+
+
+def _attach_pl8_oracle() -> None:
+    import dataclasses
+
+    from a3_fp_bigdata_spark import registry as _R
+
+    rq = _R._REGISTRY["pl8_release_manifest"]
+    if rq.oracle is None:
+        _R._REGISTRY["pl8_release_manifest"] = dataclasses.replace(
+            rq, oracle=_pl8_oracle()
+        )
+
+
+_attach_pl8_oracle()

@@ -1518,6 +1518,22 @@ def d17_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _D17_SCRATCH = run_scratch("d17_semdedup")
 
 
+def materialize_d17_verdict(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Write d17's full (vec_id, cell, is_kept) verdict to the
+    fingerprinted scratch and return the read-back frame (pinned).
+    Shared by the d17 audit and pl8's release chain — both of whose
+    oracles take the CELLS as given from the scratch bytes and
+    re-derive the keep rule independently."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    fp = src_fingerprint(emb, "vec_id")
+    d17_semantic_dedup(spark, sf_dir).crossJoin(F.broadcast(fp)).coalesce(
+        1
+    ).write.mode("overwrite").parquet(_D17_SCRATCH)
+    return pin(spark.read.parquet(_D17_SCRATCH).drop("n_src", "src_ck"))
+
+
 @query(
     "d17_semdedup_audit",
     oracle=f"""
@@ -1561,11 +1577,7 @@ def d17_semdedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    fp = src_fingerprint(emb, "vec_id")
-    d17_semantic_dedup(spark, sf_dir).crossJoin(F.broadcast(fp)).coalesce(
-        1
-    ).write.mode("overwrite").parquet(_D17_SCRATCH)
-    mat = pin(spark.read.parquet(_D17_SCRATCH).drop("n_src", "src_ck"))
+    mat = materialize_d17_verdict(spark, sf_dir)
 
     cut = SEMDEDUP_EPS - NEARDUP_SLACK
 

@@ -1192,3 +1192,50 @@ def test_mm10_audio_clusters_partition_and_keeper(spark):
         keepers = [r for r in rs if r.is_keeper]
         assert len(keepers) == 1, (cid, rs)
         assert keepers[0].media_id == min(r.media_id for r in rs) == cid
+
+
+def test_mm11_split_leakage_flags_exactly_the_straddlers(spark):
+    """mm11 = (mm7 ∪ mm9 pairs) filtered to pairs straddling the media
+    split — re-derived independently here from the pair queries plus
+    the predicate arithmetic, with BOTH modalities contributing leaks
+    AND non-leaks (the fixture pct was chosen to exercise both
+    directions of the filter)."""
+    from a3_fp_bigdata_spark import registry
+    from a3_fp_bigdata_spark.multimodal.phash import MEDIA_VAL_PCT
+    from a3_fp_bigdata_spark.operators.text_analysis import (
+        SAMPLE_MULT,
+        SAMPLE_PREMOD,
+    )
+
+    def is_val(m: int) -> bool:
+        return (abs(m) % SAMPLE_PREMOD) * SAMPLE_MULT % 100 < MEDIA_VAL_PCT
+
+    qs = registry.all_queries()
+    want = set()
+    skipped = {"image": 0, "audio": 0}
+    for modality, qname in (
+        ("image", "mm7_image_near_dup"),
+        ("audio", "mm9_audio_near_dup"),
+    ):
+        for r in qs[qname](spark, SF0001).collect():
+            va, vb = is_val(r.media_a), is_val(r.media_b)
+            if va == vb:
+                skipped[modality] += 1
+                continue
+            train, val = (
+                (r.media_b, r.media_a) if va else (r.media_a, r.media_b)
+            )
+            want.add((modality, train, val, r.hamming))
+
+    got = {
+        (r.modality, r.train_media, r.val_media, r.hamming)
+        for r in qs["mm11_media_split_leakage"](spark, SF0001).collect()
+    }
+    assert got == want
+    # every flagged train_media really is train-side, val_media val-side
+    for _, train, val, _ in got:
+        assert not is_val(train) and is_val(val)
+    # both modalities leak AND both have same-side pairs the audit
+    # correctly leaves alone
+    assert {m for m, *_ in got} == {"image", "audio"}
+    assert skipped["image"] >= 1 and skipped["audio"] >= 1

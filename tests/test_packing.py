@@ -534,3 +534,80 @@ def test_forget_ledger_and_attestation_algebra(spark):
     )
     assert after.xor1 == before.xor1 ^ folded.x1
     assert after.xor2 == before.xor2 ^ folded.x2
+
+
+def test_pk12_quality_mixture_bands_and_rates(spark):
+    """pk12: band assignment is score-group-atomic and best-first;
+    realized rates are pk5's int64 algebra over the band counts."""
+    from pyspark.sql import functions as F
+
+    from a3_fp_bigdata_spark.operators.packing import QMIX_PCT
+    from a3_fp_bigdata_spark.operators.text_analysis import (
+        SAMPLE_MULT,
+        SAMPLE_PREMOD,
+        tx13_unigram_logprob,
+    )
+
+    qs = registry.all_queries()
+    out = qs["pk12_quality_mixture"](spark, SF0001).collect()
+    assert out, "mixture selected nothing"
+    assert {r.band for r in out} <= {0, 1, 2}
+
+    scored = {
+        r.doc_id: int(math.floor(r.avg_logprob * 10000 + 0.5))
+        for r in tx13_unigram_logprob(spark, SF0001).collect()
+    }
+    # independent band re-derivation: cumulative count over the
+    # descending score grid, band = cum_before * 3 // n
+    n = len(scored)
+    grid = sorted(set(scored.values()), reverse=True)
+    sizes = {s: sum(1 for v in scored.values() if v == s) for s in grid}
+    band_of, cum = {}, 0
+    for s in grid:
+        band_of[s] = cum * 3 // n
+        cum += sizes[s]
+    for r in out:
+        assert r.band == band_of[scored[r.doc_id]], r
+
+    # rates: pk5's floor algebra over the full band counts
+    bcnt = {}
+    for s, c in sizes.items():
+        bcnt[band_of[s]] = bcnt.get(band_of[s], 0) + c
+    mix_size = min(
+        bcnt[b] * 100 // QMIX_PCT.get(b, 10) for b in bcnt
+    )
+    for r in out:
+        want = min(QMIX_PCT.get(r.band, 10) * mix_size // bcnt[r.band], 100)
+        assert r.keep_pct == want, r
+        assert ((r.doc_id % SAMPLE_PREMOD) * SAMPLE_MULT) % 100 < want
+
+    # head band keeps the largest realized share per target monotonicity
+    kept_by_band = {}
+    for r in out:
+        kept_by_band[r.band] = kept_by_band.get(r.band, 0) + 1
+    if {0, 2} <= set(kept_by_band):
+        assert kept_by_band[0] > kept_by_band[2]
+
+
+def test_pl8_release_manifest_composes_and_attests(spark):
+    """pl8: the release rows are internally consistent, deterministic
+    across a rerun (scratch rewrite included), and strictly a SUBSET
+    of pl5's corpus (the added purge/semantic/mixture stages only
+    remove docs)."""
+    qs = registry.all_queries()
+    rows = qs["pl8_release_manifest"](spark, SF0001).collect()
+    assert rows, "empty release"
+    for r in rows:
+        assert r.n_seqs >= 1 and r.n_docs >= r.n_seqs
+        assert 0 < r.n_tokens <= r.n_seqs * PACK_BUDGET
+        assert r.xor1 != r.xor2  # independent salts over >= 1 doc
+    total = sum(r.n_docs for r in rows)
+    pl5_total = sum(
+        r.n_docs for r in qs["pl5_decontaminated_manifest"](
+            spark, SF0001
+        ).collect()
+    )
+    assert 0 < total < pl5_total
+
+    again = qs["pl8_release_manifest"](spark, SF0001).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
