@@ -1754,18 +1754,29 @@ def pk12_quality_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx13_unigram_logprob,
     )
 
-    scored = tx13_unigram_logprob(spark, sf_dir).select(
-        "doc_id",
-        F.floor(F.col("avg_logprob") * 10000 + F.lit(0.5))
-        .cast("long")
-        .alias("score4"),
+    from a3_fp_bigdata_spark.registry import pin
+
+    # pin: the scored frame feeds the grid, the band counts, and the
+    # final membership join — unpinned, the whole tx13 scoring subtree
+    # (explode + vocab top-k + broadcast joins) replays once per
+    # consumer (the plan audit read 42 exchanges; pinned it is one
+    # cached stage + three reads)
+    scored = pin(
+        tx13_unigram_logprob(spark, sf_dir).select(
+            "doc_id",
+            F.floor(F.col("avg_logprob") * 10000 + F.lit(0.5))
+            .cast("long")
+            .alias("score4"),
+        )
     )
     grid = scored.groupBy("score4").agg(F.count("*").cast("long").alias("n"))
     tot = grid.agg(F.sum("n").cast("long").alias("n_total"))
     w = Window.orderBy(F.desc("score4")).rowsBetween(
         Window.unboundedPreceding, -1
     )
-    banded = (
+    # banded is score-grid-sized and read twice (band counts + the
+    # final membership join) — pin so the window pass runs once
+    banded = pin(
         grid.withColumn(
             "cum_before",
             F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long"),

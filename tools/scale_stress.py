@@ -329,6 +329,12 @@ def main() -> None:
         "d14_quality_keeper",
         "pl1_training_manifest",
         "pl4_span_clean_manifest",  # span-cut composition (r9)
+        # the full release chain (r10): pl4's stages + d17 SemDeDup
+        # keeper over the skewed stress embeddings + decontamination +
+        # pl6 purge + survivor-derived pk5 mixture + pack + per-shard
+        # xor attestation — the composed flagship under the same
+        # forced-fallback, hot-key conditions as its parts
+        "pl8_release_manifest",
     ]
     print("# SCALE — skewed high-dup stress of the dedup ladder")
     print()
@@ -371,7 +377,15 @@ def main() -> None:
     print("|---|---|---|---|---|---|")
     timed_row.w0, timed_row.r0 = _shuffle_totals(spark)
     for name in ladder:
-        timed_row(name, lambda n=name: qs[n](spark, sf_dir).count())
+        if name == "pl8_release_manifest":
+            # collect, not count: a bare count() lets Catalyst prune
+            # the xor digest aggregates out of the plan; the release
+            # table is <= NSHARDS rows, so collect is free
+            timed_row(
+                name, lambda n=name: len(qs[n](spark, sf_dir).collect())
+            )
+        else:
+            timed_row(name, lambda n=name: qs[n](spark, sf_dir).count())
     # honest footnote: what the numbers do and don't show
     print()
     print("Stage rows are cumulative pipeline outputs (d12's clusters")
@@ -380,6 +394,13 @@ def main() -> None:
     print("Shuffle columns are per-stage deltas of Spark's completed-")
     print("stage totals; the memoized cluster build is attributed to")
     print("the first stage that triggers it (d12).")
+    print("pl8's wall is the COMPOSED release chain and carries every")
+    print("stage no earlier rung warmed: d17 SemDeDup over the skewed")
+    print("stress embeddings (cells + within-cell pairs + scratch")
+    print("write), tx9/d18 decontamination, the pl6 ledger expansion,")
+    print("and the per-shard xor digests — per-snapshot costs a real")
+    print("pipeline materializes once; its shuffle deltas stay")
+    print("corpus-linear like its parts'.")
 
     # ---- work-proportional-to-collisions: identical dup-rate recipe
     # at 1x and 10x (union-amplified in Spark; replica-tagged words
