@@ -7,10 +7,13 @@ preferred — see images.decode_image). Everything here follows the
 public JPEG spec (ITU-T T.81): baseline sequential DCT, 8-bit samples,
 Huffman entropy coding, JFIF YCbCr color.
 
-Decoder supports: SOF0 (baseline), 1- or 3-component scans, sampling
-factors up to 2x2 (4:4:4, 4:2:2, 4:2:0), restart intervals, stuffed
-bytes. Progressive (SOF2), arithmetic coding, and 12-bit precision
-raise ValueError rather than guessing.
+Decoder supports: SOF0/SOF1 (baseline sequential) AND SOF2
+(progressive: spectral selection + successive approximation — DC
+first/refine, AC first/refine with EOB runs, per T.81 G.1.2 and the
+libjpeg phuff arithmetic), 1- or 3-component images, sampling factors
+up to 2x2 (4:4:4, 4:2:2, 4:2:0), restart intervals, stuffed bytes.
+Arithmetic coding, hierarchical (SOF5+), and 12-bit precision raise
+ValueError rather than guessing.
 
 Encoder emits: 4:4:4 baseline with the Annex K example quantization /
 Huffman tables (quality-scaled per the classic IJG curve). It exists to
@@ -420,6 +423,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         raise ValueError(f"corrupt JPEG: {e!r}") from e
 
 
+def _next_marker(payload: bytes, pos: int) -> int:
+    """Position of the next non-stuffing, non-RST marker at/after pos
+    (the end of an entropy-coded segment)."""
+    while pos + 1 < len(payload):
+        if (
+            payload[pos] == 0xFF
+            and payload[pos + 1] != 0x00
+            and not (0xD0 <= payload[pos + 1] <= 0xD7)
+        ):
+            return pos
+        pos += 1
+    return len(payload)
+
+
 def _decode_jpeg_body(payload: bytes) -> np.ndarray:
     pos = 2
     qts: dict[int, np.ndarray] = {}
@@ -428,6 +445,8 @@ def _decode_jpeg_body(payload: bytes) -> np.ndarray:
     comps: list[dict] = []
     h = w = None
     restart_interval = 0
+    progressive = False
+    saw_scan = False
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
@@ -457,7 +476,8 @@ def _decode_jpeg_body(payload: bytes) -> np.ndarray:
                 tab = _huff_decode_table(bits, vals)
                 (ac_tabs if tc else dc_tabs)[th] = tab
                 o += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", data[:6])
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -466,11 +486,24 @@ def _decode_jpeg_body(payload: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            if progressive:
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                if hmax > 2 or vmax > 2:
+                    raise ValueError("sampling factors above 2 unsupported")
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                for c in comps:
+                    # full interleaved-grid block storage, zigzag order
+                    c["coef"] = np.zeros(
+                        (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64
+                    )
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG (SOF marker 0xFF{marker:02X}); codec "
-                "handles baseline sequential (SOF0/SOF1) only"
+                "handles baseline sequential (SOF0/SOF1) and "
+                "progressive (SOF2) only"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", data[:2])
@@ -480,15 +513,212 @@ def _decode_jpeg_body(payload: bytes) -> np.ndarray:
             for i in range(ns):
                 cid, tt = data[1 + 2 * i], data[2 + 2 * i]
                 comp = next(c for c in comps if c["id"] == cid)
-                comp["dc"] = dc_tabs[tt >> 4]
-                comp["ac"] = ac_tabs[tt & 0xF]
+                # progressive AC-only scans may omit the DC table id
+                # (and vice versa); resolve lazily so an undeclared
+                # table only errors if the scan actually uses it
+                comp["dc"] = dc_tabs.get(tt >> 4)
+                comp["ac"] = ac_tabs.get(tt & 0xF)
                 order.append(comp)
-            return _decode_scan(
-                payload, pos + 2 + seglen, order, qts, h, w,
-                restart_interval,
+            if not progressive:
+                return _decode_scan(
+                    payload, pos + 2 + seglen, order, qts, h, w,
+                    restart_interval,
+                )
+            ss, se, ahal = data[1 + 2 * ns], data[2 + 2 * ns], data[3 + 2 * ns]
+            pos = _decode_progressive_scan(
+                payload, pos + 2 + seglen, order,
+                ss, se, ahal >> 4, ahal & 0xF,
+                restart_interval, w, h,
+                max(c["h"] for c in comps), max(c["v"] for c in comps),
             )
+            saw_scan = True
+            continue
         pos += 2 + seglen
+    if progressive and saw_scan:
+        return _progressive_finish(comps, qts, h, w)
     raise ValueError("no SOS marker found")
+
+
+def _dc_scan_block(r: _BitReader, c: dict, blk: np.ndarray,
+                   ah: int, al: int) -> None:
+    """One block of a progressive DC scan (T.81 G.1.2.1): first pass
+    decodes the point-transformed diff chain; refinement appends one
+    magnitude bit per block (plain two's-complement OR, the libjpeg
+    arithmetic the encoders mirror)."""
+    if ah == 0:
+        size = _decode_huff(r, c["dc"])
+        diff = _extend(r.bits(size), size)
+        c["pred"] += diff
+        blk[0] = c["pred"] << al
+    elif r.bit():
+        blk[0] |= 1 << al
+
+
+def _ac_first_block(r: _BitReader, ac: dict, blk: np.ndarray,
+                    ss: int, se: int, al: int, eobrun: int) -> int:
+    """One block of an AC spectral-selection first pass (G.1.2.2):
+    baseline-style run/size coding inside the [Ss, Se] band, plus EOB
+    RUNS (rs with size 0, run < 15 encodes 2^run + bits(run) all-zero
+    band remainders, this block included)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_huff(r, ac)
+        rr, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if rr == 15:  # ZRL: 16 zeros inside the band
+                k += 16
+                continue
+            eobrun = (1 << rr) - 1
+            if rr:
+                eobrun += r.bits(rr)
+            break
+        k += rr
+        if k > se:
+            raise ValueError("AC index out of band")
+        blk[k] = _extend(r.bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(r: _BitReader, ac: dict, blk: np.ndarray,
+                     ss: int, se: int, al: int, eobrun: int) -> int:
+    """One block of an AC successive-approximation refinement scan
+    (G.1.2.3, the libjpeg decode_mcu_AC_refine arithmetic): zero-
+    history positions may gain a new +-2^Al coefficient; every already-
+    nonzero position visited consumes one correction bit appended at
+    magnitude bit Al."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_huff(r, ac)
+            rr, s = rs >> 4, rs & 0xF
+            newval = 0
+            if s == 0:
+                if rr != 15:
+                    eobrun = 1 << rr
+                    if rr:
+                        eobrun += r.bits(rr)
+                    break
+                # rr == 15: a run of 16 zero-HISTORY coefficients
+            else:
+                if s != 1:
+                    raise ValueError("refinement magnitude must be 1")
+                newval = p1 if r.bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if r.bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if rr == 0:
+                        if newval:
+                            blk[k] = newval
+                        k += 1
+                        break
+                    rr -= 1
+                k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0 and r.bit() and (blk[k] & p1) == 0:
+                blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scan(
+    payload: bytes,
+    pos: int,
+    scan: list[dict],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    ri: int,
+    w: int,
+    h: int,
+    hmax: int,
+    vmax: int,
+) -> int:
+    """Decode one progressive scan into the components' coefficient
+    grids (zigzag order) and return the stream position of the next
+    marker segment. Interleaved scans (ns > 1) are DC-only per T.81;
+    AC scans run non-interleaved over the single component's own
+    sampled block grid."""
+    r = _BitReader(payload, pos)
+    eobrun = 0
+    for c in scan:
+        c["pred"] = 0
+    if len(scan) > 1:
+        if ss != 0:
+            raise ValueError("interleaved progressive AC scan")
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        n_mcu = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if ri and n_mcu and n_mcu % ri == 0:
+                    r.restart()
+                    for c in scan:
+                        c["pred"] = 0
+                n_mcu += 1
+                for c in scan:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blk = c["coef"][
+                                my * c["v"] + by, mx * c["h"] + bx
+                            ]
+                            _dc_scan_block(r, c, blk, ah, al)
+    else:
+        c = scan[0]
+        # non-interleaved: the component's OWN sampled dimensions
+        # (T.81 A.1.1), not the padded interleaved MCU grid
+        cw = -(-(w * c["h"]) // hmax)
+        ch = -(-(h * c["v"]) // vmax)
+        bw = -(-cw // 8)
+        bh = -(-ch // 8)
+        n = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if ri and n and n % ri == 0:
+                    r.restart()
+                    c["pred"] = 0
+                    eobrun = 0
+                n += 1
+                blk = c["coef"][by, bx]
+                if ss == 0:
+                    _dc_scan_block(r, c, blk, ah, al)
+                elif ah == 0:
+                    eobrun = _ac_first_block(
+                        r, c["ac"], blk, ss, se, al, eobrun
+                    )
+                else:
+                    eobrun = _ac_refine_block(
+                        r, c["ac"], blk, ss, se, al, eobrun
+                    )
+    return _next_marker(payload, r.pos)
+
+
+def _progressive_finish(
+    comps: list[dict], qts: dict[int, np.ndarray], h: int, w: int
+) -> np.ndarray:
+    """All scans consumed: dequantize + IDCT every accumulated block
+    and hand the planes to the shared assembly path."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    for c in comps:
+        q = qts[c["tq"]].reshape(-1).astype(np.float64)
+        bh, bw = c["coef"].shape[:2]
+        nat = np.zeros((bh, bw, 64), dtype=np.float64)
+        nat[..., ZIGZAG] = c["coef"]
+        nat *= q[None, None, :]
+        blocks = nat.reshape(bh, bw, 8, 8)
+        out = np.einsum("ji,abjk,kl->abil", _A, blocks, _A) + 128.0
+        c["plane"] = out.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+    return _assemble_rgb(comps, h, w, hmax, vmax)
 
 
 def _decode_scan(
@@ -549,7 +779,15 @@ def _decode_scan(
                         y0 = (my * c["v"] + by) * 8
                         x0 = (mx * c["h"] + bx) * 8
                         c["plane"][y0 : y0 + 8, x0 : x0 + 8] = block
-    # crop to nominal size, upsample subsampled chroma to full res
+    return _assemble_rgb(comps, h, w, hmax, vmax)
+
+
+def _assemble_rgb(
+    comps: list[dict], h: int, w: int, hmax: int, vmax: int
+) -> np.ndarray:
+    """Crop planes to nominal size, upsample subsampled chroma to full
+    res, convert to RGB — shared by the baseline and progressive paths
+    so both decode to identical pixels from identical coefficients."""
     full = []
     for c in comps:
         plane = c["plane"]
