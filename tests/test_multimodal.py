@@ -1239,3 +1239,51 @@ def test_mm11_split_leakage_flags_exactly_the_straddlers(spark):
     # correctly leaves alone
     assert {m for m, *_ in got} == {"image", "audio"}
     assert skipped["image"] >= 1 and skipped["audio"] >= 1
+
+
+def test_progressive_jpeg_decodes_bit_exact():
+    """SOF2 support, pinned the foreign-GIF way: the fixtures come
+    from tools/make_progressive_jpeg.py — an INDEPENDENT encoder (own
+    DCT, non-Annex-K quantizers, EOBn-bearing fixed-length Huffman
+    tables, own bit writer) emitting byte shapes the repo encoder
+    cannot produce. Two pins per fixture, both exact:
+    decode(progressive) == decode(baseline twin built from the SAME
+    quantized coefficients) — a float-free proof the scan machinery
+    (DC/AC first + refine, EOB runs, restarts) reconstructs the exact
+    coefficient grid — and == the generator's own dequant+IDCT+color
+    ground truth."""
+    import numpy as np
+
+    from a3_fp_bigdata_spark.multimodal.jpeg_codec import decode_jpeg
+    from tools.make_progressive_jpeg import build_color420, build_gray
+
+    cases = [
+        build_gray(),                        # 2-band Al=1 script
+        build_gray(restart=3),               # restarts inside EVERY scan
+        build_gray(al_first=2),              # stacked AC refinement
+        build_gray(al_first=2, restart=2),   # both at once
+        build_gray(h=40, w=33, seed=123),    # multi-block rows
+        build_color420(),                    # interleaved DC + 4:2:0
+        build_color420(h=9, w=31, seed=3),
+    ]
+    for prog, base, expected in cases:
+        got = decode_jpeg(prog)
+        assert np.array_equal(got, decode_jpeg(base))
+        assert np.array_equal(got, expected)
+
+
+def test_progressive_jpeg_truncation_raises():
+    """A progressive stream cut mid-scan (and one cut before any scan)
+    surfaces as the documented ValueError, never a raw internal
+    error."""
+    import pytest
+
+    from a3_fp_bigdata_spark.multimodal.jpeg_codec import decode_jpeg
+    from tools.make_progressive_jpeg import build_gray
+
+    prog, _, _ = build_gray()
+    with pytest.raises(ValueError):
+        decode_jpeg(prog[: len(prog) // 2] )
+    sof2 = prog.find(b"\xff\xc2")
+    with pytest.raises(ValueError):
+        decode_jpeg(prog[: sof2 + 10])

@@ -365,11 +365,15 @@ def _expected_rgb(planes_coef, qs, samp, h, w):
 
 
 def build_gray(h: int = 21, w: int = 13, seed: int = 7,
-               restart: int = 0) -> tuple[bytes, bytes, np.ndarray]:
-    """Grayscale progressive fixture: 6-scan script (DC first Al=1,
-    two AC bands first Al=1, DC refine, two AC band refines), odd
-    dimensions so edge blocks exercise padding + crop. Returns
-    (progressive bytes, baseline-twin bytes, expected RGB)."""
+               restart: int = 0,
+               al_first: int = 1) -> tuple[bytes, bytes, np.ndarray]:
+    """Grayscale progressive fixture: DC first at Al=al_first, AC band
+    first passes at Al=al_first, then one full DC+AC refinement sweep
+    per approximation level down to 0 (al_first=2 exercises two
+    stacked AC refinement passes — the correction-bit path on
+    already-nonzero coefficients). Odd dimensions so edge blocks
+    exercise padding + crop. Returns (progressive bytes,
+    baseline-twin bytes, expected RGB)."""
     rng = np.random.RandomState(seed)
     yy, xx = np.mgrid[0:h, 0:w]
     img = (
@@ -388,49 +392,40 @@ def build_gray(h: int = 21, w: int = 13, seed: int = 7,
 
     w_ = _BitW()
     prog = head + _sof(0xC2, h, w, comps)
-    scans = [
-        (0, 0, 0, 1, "dcf"), (1, 5, 0, 1, "acf"), (6, 63, 0, 1, "acf"),
-        (0, 0, 1, 0, "dcr"), (1, 5, 1, 0, "acr"), (6, 63, 1, 0, "acr"),
+    bands = [(1, 5), (6, 63)]
+    scans = [(0, 0, 0, al_first, "dcf")] + [
+        (b0, b1, 0, al_first, "acf") for b0, b1 in bands
     ]
+    for al in range(al_first - 1, -1, -1):
+        scans += [(0, 0, al + 1, al, "dcr")] + [
+            (b0, b1, al + 1, al, "acr") for b0, b1 in bands
+        ]
+    # a nonzero DRI applies to EVERY scan that follows (T.81 B.2.4.4),
+    # so the restart variant chunks ALL six scans — including the AC
+    # ones, whose EOB-run state must flush and reset at each marker
+    step = restart if restart else len(order)
     for ss, se, ah, al, kind in scans:
         prog += _sos(comps, ss, se, ah, al)
-        if kind == "dcf":
-            if restart:
-                # restart-interval variant: chunk the DC scan
-                for i0 in range(0, len(mcu_order), restart):
-                    _enc_dc_first(
-                        w_, [blocks], comps,
-                        mcu_order[i0 : i0 + restart], al,
-                    )
-                    chunk = w_.take()
-                    prog += chunk
-                    if i0 + restart < len(mcu_order):
-                        prog += bytes(
-                            [0xFF, 0xD0 + (i0 // restart) % 8]
-                        )
+        for i0 in range(0, len(order), step):
+            if kind == "dcf":
+                _enc_dc_first(
+                    w_, [blocks], comps, mcu_order[i0 : i0 + step], al
+                )
+            elif kind == "dcr":
+                _enc_dc_refine(
+                    w_, [blocks], mcu_order[i0 : i0 + step], al
+                )
+            elif kind == "acf":
+                _enc_ac_first(
+                    w_, blocks, order[i0 : i0 + step], ss, se, al
+                )
             else:
-                _enc_dc_first(w_, [blocks], comps, mcu_order, al)
-                prog += w_.take()
-        elif kind == "dcr":
-            if restart:
-                for i0 in range(0, len(mcu_order), restart):
-                    _enc_dc_refine(
-                        w_, [blocks], mcu_order[i0 : i0 + restart], al
-                    )
-                    prog += w_.take()
-                    if i0 + restart < len(mcu_order):
-                        prog += bytes(
-                            [0xFF, 0xD0 + (i0 // restart) % 8]
-                        )
-            else:
-                _enc_dc_refine(w_, [blocks], mcu_order, al)
-                prog += w_.take()
-        elif kind == "acf":
-            _enc_ac_first(w_, blocks, order, ss, se, al)
+                _enc_ac_refine(
+                    w_, blocks, order[i0 : i0 + step], ss, se, al
+                )
             prog += w_.take()
-        else:
-            _enc_ac_refine(w_, blocks, order, ss, se, al)
-            prog += w_.take()
+            if i0 + step < len(order):
+                prog += bytes([0xFF, 0xD0 + (i0 // step) % 8])
     prog += b"\xff\xd9"
 
     base = b"\xff\xd8" + _dqt(0, _QL)
