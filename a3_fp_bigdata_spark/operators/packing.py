@@ -1393,6 +1393,25 @@ _attach_deferred_oracles()
 PK11_BATCH_DOCS = 32
 
 
+def _length_batched_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pk11's doc-level frame: (doc_id, shard, cost, bucket, batch_id)
+    — the batch membership pk13's curriculum schedule joins bands
+    onto. Kept separate from the per-batch rollup so both consumers
+    share one derivation."""
+    costs = _sharded_costs(spark, sf_dir).filter(F.col("cost") >= 1)
+    bucketed = costs.withColumn(
+        "bucket", (F.length(F.expr("bin(cost)")) - 1).cast("int")
+    )
+    w = Window.partitionBy("shard", "bucket").orderBy(
+        F.desc("cost"), F.asc("doc_id")
+    )
+    numbered = bucketed.withColumn("rn", F.row_number().over(w))
+    return numbered.withColumn(
+        "batch_id",
+        F.floor((F.col("rn") - 1) / PK11_BATCH_DOCS).cast("long"),
+    )
+
+
 @query(
     "pk11_length_bucket_batches",
     oracle=f"""
@@ -1442,17 +1461,8 @@ def pk11_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel window, not a global sort; the final per-batch rollup
     re-uses the same partitioning (no second exchange). Nothing
     funnels through the driver; no Python crossings at all."""
-    costs = _sharded_costs(spark, sf_dir).filter(F.col("cost") >= 1)
-    bucketed = costs.withColumn(
-        "bucket", (F.length(F.expr("bin(cost)")) - 1).cast("int")
-    )
-    w = Window.partitionBy("shard", "bucket").orderBy(
-        F.desc("cost"), F.asc("doc_id")
-    )
-    numbered = bucketed.withColumn("rn", F.row_number().over(w))
-    batch_id = F.floor((F.col("rn") - 1) / PK11_BATCH_DOCS).cast("long")
     return (
-        numbered.withColumn("batch_id", batch_id)
+        _length_batched_docs(spark, sf_dir)
         .groupBy("shard", "bucket", "batch_id")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
@@ -1720,6 +1730,49 @@ def _pk12_oracle() -> str:
     """
 
 
+def _quality_bands(spark: SparkSession, sf_dir: str):
+    """tx13's LM score quantized to the integer 1e-4 grid plus the
+    score-group-atomic tercile band map — shared by pk12's mixture and
+    pk13's curriculum schedule. Returns (scored, banded), both pinned:
+    scored feeds the grid, the band counts, and each consumer's final
+    join (unpinned, the whole tx13 scoring subtree — explode + vocab
+    top-k + broadcast joins — replays once per consumer; the plan
+    audit read 42 exchanges before the pin, 3 live + staged after);
+    banded is score-grid-sized and read repeatedly."""
+    from a3_fp_bigdata_spark.operators.text_analysis import (
+        tx13_unigram_logprob,
+    )
+    from a3_fp_bigdata_spark.registry import pin
+
+    scored = pin(
+        tx13_unigram_logprob(spark, sf_dir).select(
+            "doc_id",
+            F.floor(F.col("avg_logprob") * 10000 + F.lit(0.5))
+            .cast("long")
+            .alias("score4"),
+        )
+    )
+    grid = scored.groupBy("score4").agg(F.count("*").cast("long").alias("n"))
+    tot = grid.agg(F.sum("n").cast("long").alias("n_total"))
+    w = Window.orderBy(F.desc("score4")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    banded = pin(
+        grid.withColumn(
+            "cum_before",
+            F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "score4",
+            F.expr(f"(cum_before * {QMIX_BANDS}) div n_total")
+            .cast("long")
+            .alias("band"),
+        )
+    )
+    return scored, banded
+
+
 @query("pk12_quality_mixture", oracle=None)  # attached below (tx13 CTEs)
 def pk12_quality_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-stratified mixture — pk5's data-derived downsampling
@@ -1750,45 +1803,7 @@ def pk12_quality_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts back onto the corpus. Rates are a {QMIX_BANDS}-row
     broadcast; final membership evaluates scan-side. Only the per-doc
     score agg shuffles corpus-sized data."""
-    from a3_fp_bigdata_spark.operators.text_analysis import (
-        tx13_unigram_logprob,
-    )
-
-    from a3_fp_bigdata_spark.registry import pin
-
-    # pin: the scored frame feeds the grid, the band counts, and the
-    # final membership join — unpinned, the whole tx13 scoring subtree
-    # (explode + vocab top-k + broadcast joins) replays once per
-    # consumer (the plan audit read 42 exchanges; pinned it is one
-    # cached stage + three reads)
-    scored = pin(
-        tx13_unigram_logprob(spark, sf_dir).select(
-            "doc_id",
-            F.floor(F.col("avg_logprob") * 10000 + F.lit(0.5))
-            .cast("long")
-            .alias("score4"),
-        )
-    )
-    grid = scored.groupBy("score4").agg(F.count("*").cast("long").alias("n"))
-    tot = grid.agg(F.sum("n").cast("long").alias("n_total"))
-    w = Window.orderBy(F.desc("score4")).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    # banded is score-grid-sized and read twice (band counts + the
-    # final membership join) — pin so the window pass runs once
-    banded = pin(
-        grid.withColumn(
-            "cum_before",
-            F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long"),
-        )
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "score4",
-            F.expr(f"(cum_before * {QMIX_BANDS}) div n_total")
-            .cast("long")
-            .alias("band"),
-        )
-    )
+    scored, banded = _quality_bands(spark, sf_dir)
     bcnt = (
         scored.join(F.broadcast(banded), "score4")
         .groupBy("band")
@@ -2151,3 +2166,148 @@ def _attach_pl8_oracle() -> None:
 
 
 _attach_pl8_oracle()
+
+
+# ---------------------------------------------------------------------------
+# pk13: quality-curriculum schedule (global order without a global sort)
+# ---------------------------------------------------------------------------
+
+
+def _pk13_oracle() -> str:
+    from a3_fp_bigdata_spark.operators.text_analysis import LM_VOCAB_K
+
+    return f"""
+    WITH costs AS (
+      SELECT doc_id, doc_id % {NSHARDS} AS shard,
+             CAST({_SQL_COST} AS BIGINT) AS cost
+      FROM documents
+      WHERE CAST({_SQL_COST} AS BIGINT) >= 1
+    ), bucketed AS (
+      SELECT doc_id, shard, cost,
+             CAST(length(bin(cost)) - 1 AS INT) AS bucket
+      FROM costs
+    ), batched AS (
+      SELECT doc_id, shard, bucket,
+             CAST((row_number() OVER (PARTITION BY shard, bucket
+                                      ORDER BY cost DESC, doc_id) - 1)
+                  // {PK11_BATCH_DOCS} AS BIGINT) AS batch_id
+      FROM bucketed
+    ), toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS_REF}) AS tok FROM documents
+    ), counts AS (
+      SELECT tok, count(*) AS c FROM toks
+      WHERE {sample_predicate_sql('doc_id')}
+      GROUP BY tok
+      ORDER BY c DESC, tok
+      LIMIT {LM_VOCAB_K}
+    ), stats AS (
+      SELECT CAST(sum(c) AS DOUBLE) AS total, CAST(count(*) AS DOUBLE) AS v
+      FROM counts
+    ), scored AS (
+      SELECT t.doc_id,
+             CAST(floor(
+               ({half_up_sql('avg(ln((COALESCE(c.c, 0) + 1.0) / (s.total + s.v)))')})
+               * 10000 + 0.5) AS BIGINT) AS score4
+      FROM toks t LEFT JOIN counts c USING (tok) CROSS JOIN stats s
+      GROUP BY t.doc_id
+    ), grid AS (
+      SELECT score4, CAST(count(*) AS BIGINT) AS n FROM scored GROUP BY score4
+    ), tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n_total FROM grid
+    ), banded AS (
+      SELECT score4,
+             CAST(COALESCE(SUM(n) OVER (ORDER BY score4 DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  * {QMIX_BANDS} // t.n_total AS BIGINT) AS band
+      FROM grid, tot t
+    ), docband AS (
+      SELECT s.doc_id, b.band FROM scored s JOIN banded b USING (score4)
+    ), bb AS (
+      SELECT t.shard, t.bucket, t.batch_id,
+             CAST(max(d.band) AS BIGINT) AS band,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM batched t JOIN docband d USING (doc_id)
+      GROUP BY 1, 2, 3
+    )
+    SELECT shard, bucket, batch_id, band, n_docs,
+           CAST(row_number() OVER (ORDER BY band, shard, bucket, batch_id)
+                - 1 AS BIGINT) AS curriculum_pos
+    FROM bb
+    """
+
+
+@query("pk13_curriculum_schedule", oracle=None)  # attached below
+def pk13_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum training order — consume pk11's length-
+    bucketed batches band by band (cleanest LM-quality tercile first,
+    the data-curriculum / midtraining-anneal shape): a batch's band is
+    the MAX band over its member docs (the worst member governs — a
+    batch trains as late as its dirtiest doc), and curriculum_pos is a
+    GLOBAL 0-based position over all batches ordered by (band, shard,
+    bucket, batch_id).
+
+    The scale point is HOW the global position is computed: a naive
+    row_number over everything is a single-partition window (the
+    classic global-sort funnel). Instead, pk1's two-pass prefix-sum
+    pattern: batches-per-(band, shard, bucket) aggregate (the GROUP
+    table — at most {QMIX_BANDS} x NSHARDS x ~log2(max_len) rows at
+    ANY corpus size, so its ordered prefix window is bounded-input by
+    construction), broadcast the offsets back, and add a parallel
+    within-group row_number partitioned by (band, shard, bucket). The
+    DuckDB oracle computes the SAME schedule with the naive global
+    ROW_NUMBER — equality proves the two-pass math realizes a true
+    total order without ever funneling batch rows into one task."""
+    from a3_fp_bigdata_spark.registry import pin
+
+    batched = _length_batched_docs(spark, sf_dir)
+    scored, banded = _quality_bands(spark, sf_dir)
+    docband = scored.join(F.broadcast(banded), "score4").select(
+        "doc_id", "band"
+    )
+    # bb feeds both the group-offset aggregate and the final join
+    bb = pin(
+        batched.join(docband, "doc_id")
+        .groupBy("shard", "bucket", "batch_id")
+        .agg(
+            F.max("band").cast("long").alias("band"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+    )
+    groups = bb.groupBy("band", "shard", "bucket").agg(
+        F.count("*").cast("long").alias("n_batches")
+    )
+    wg = Window.orderBy("band", "shard", "bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = groups.withColumn(
+        "offset",
+        F.coalesce(F.sum("n_batches").over(wg), F.lit(0)).cast("long"),
+    ).select("band", "shard", "bucket", "offset")
+    win = Window.partitionBy("band", "shard", "bucket").orderBy("batch_id")
+    return (
+        bb.withColumn("within", F.row_number().over(win).cast("long"))
+        .join(F.broadcast(offsets), ["band", "shard", "bucket"])
+        .select(
+            "shard",
+            "bucket",
+            "batch_id",
+            "band",
+            "n_docs",
+            (F.col("offset") + F.col("within") - 1).alias("curriculum_pos"),
+        )
+    )
+
+
+def _attach_pk13_oracle() -> None:
+    import dataclasses
+
+    from a3_fp_bigdata_spark import registry as _R
+
+    rq = _R._REGISTRY["pk13_curriculum_schedule"]
+    if rq.oracle is None:
+        _R._REGISTRY["pk13_curriculum_schedule"] = dataclasses.replace(
+            rq, oracle=_pk13_oracle()
+        )
+
+
+_attach_pk13_oracle()

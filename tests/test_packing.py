@@ -611,3 +611,43 @@ def test_pl8_release_manifest_composes_and_attests(spark):
 
     again = qs["pl8_release_manifest"](spark, SF0001).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_pk13_curriculum_is_a_global_total_order(spark):
+    """pk13's two-pass prefix positions form an exact permutation
+    0..n-1, non-decreasing in band along the schedule, and within-band
+    ordered by (shard, bucket, batch_id) — the property the naive
+    global ROW_NUMBER oracle checks, re-derived here independently.
+    Batch bands must equal the max member band from pk12's map."""
+    qs = registry.all_queries()
+    rows = qs["pk13_curriculum_schedule"](spark, SF0001).collect()
+    assert rows
+    pos = sorted(r.curriculum_pos for r in rows)
+    assert pos == list(range(len(rows)))  # exact permutation
+    sched = sorted(rows, key=lambda r: r.curriculum_pos)
+    keys = [(r.band, r.shard, r.bucket, r.batch_id) for r in sched]
+    assert keys == sorted(keys)  # band-major lexicographic order
+
+    # batch band = max member band (worst member governs)
+    from pyspark.sql import functions as F
+
+    from a3_fp_bigdata_spark.operators.packing import (
+        _length_batched_docs,
+        _quality_bands,
+    )
+
+    scored, banded = _quality_bands(spark, SF0001)
+    docband = {
+        r.doc_id: r.band
+        for r in scored.join(F.broadcast(banded), "score4").collect()
+    }
+    members = {}
+    for r in _length_batched_docs(spark, SF0001).collect():
+        if r.doc_id in docband:
+            key = (r.shard, r.bucket, r.batch_id)
+            members.setdefault(key, []).append(docband[r.doc_id])
+    registry.release_pinned()
+    for r in rows:
+        key = (r.shard, r.bucket, r.batch_id)
+        assert r.band == max(members[key])
+        assert r.n_docs == len(members[key])
