@@ -108,10 +108,18 @@ def decode_image(payload: bytes, media_type: str = "image/fake") -> np.ndarray:
         from a3_fp_bigdata_spark.multimodal.tiff_codec import decode_tiff
 
         return decode_tiff(payload)
+    if media_type == "image/webp":
+        # real decode, no image libs: LOSSLESS WebP (VP8L) per the
+        # public spec — prefix codes, LZ77 + color cache, predictor/
+        # cross-color/subtract-green/palette transforms; lossy VP8
+        # raises (webp_codec documents the honest subset boundary)
+        from a3_fp_bigdata_spark.multimodal.webp_codec import decode_webp
+
+        return decode_webp(payload)
     raise NotImplementedError(
         f"decoding {media_type!r} requires PIL, which is not installed; "
-        "'image/png', 'image/jpeg', 'image/gif', 'image/bmp', 'image/tiff' "
-        "(pure-python codecs) and 'image/fake' work without it"
+        "'image/png', 'image/jpeg', 'image/gif', 'image/bmp', 'image/tiff', "
+        "'image/webp' (pure-python codecs) and 'image/fake' work without it"
     )
 
 

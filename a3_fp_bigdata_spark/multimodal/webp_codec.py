@@ -1,0 +1,482 @@
+"""Lossless WebP (VP8L) decoder — pure stdlib+numpy, no image libs.
+
+Follows the public WebP Lossless Bitstream Specification: RIFF/VP8L
+container, LSB-first bit reader, canonical prefix codes (both the
+SIMPLE 1-/2-symbol form and the full code-length-code form with
+16/17/18 repeat semantics), LZ77 backward references with the
+prefix-coded length/distance scheme, the color cache, and the inverse
+transforms a real encoder emits: PREDICTOR (modes 0-13), COLOR
+(cross-color), SUBTRACT_GREEN, and COLOR_INDEXING (palettes > 16
+colors; pixel-bundled palettes raise).
+
+Honest subset boundaries (loud, like tiff_codec's):
+- lossy VP8 chunks raise (this is the LOSSLESS codec);
+- distance codes <= 120 (the spec's 120-entry 2-D neighbor offset
+  table) raise NotImplementedError: the table is a fixed constant we
+  cannot re-derive from first principles, and guessing it would decode
+  real files silently wrong — plain distances (code > 120) decode
+  fully;
+- pixel bundling (color-indexing with <= 16 palette entries) raises.
+
+Fixtures come from tools/make_vp8l.py — an independent foreign-style
+generator (own bit writer, own canonical-code construction, own
+transform forward passes) so decoding is a cross-implementation check
+against the spec, not a self round-trip. Cites reference
+feature_extractor.py:20 (PIL opens WebP generically; this codec keeps
+the decode path real when PIL is absent).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from a3_fp_bigdata_spark.pickling import ship_by_value
+
+ship_by_value(__name__)
+
+#: order in which code-length-code lengths are serialized (spec 5.2.2)
+_CLC_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13,
+              14, 15]
+
+_HASH_MUL = 0x1E35A7BD  # color-cache hash multiplier (spec 4.2.3)
+
+
+class _LsbReader:
+    """LSB-first bit reader over the VP8L data stream."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.byte = 0
+        self.bit = 0
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            if self.byte >= len(self.data):
+                raise ValueError("VP8L stream truncated")
+            v |= ((self.data[self.byte] >> self.bit) & 1) << i
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.byte += 1
+        return v
+
+
+def _canonical(lengths: list[int]) -> dict:
+    """DEFLATE-style canonical code: {(len, code): symbol}; codes are
+    assigned in (length, symbol) order and read MSB-first bit by bit."""
+    max_len = max(lengths, default=0)
+    if max_len == 0:
+        raise ValueError("empty prefix code")
+    bl_count = [0] * (max_len + 1)
+    for ln in lengths:
+        if ln:
+            bl_count[ln] += 1
+    code = 0
+    next_code = [0] * (max_len + 2)
+    for ln in range(1, max_len + 1):
+        code = (code + bl_count[ln - 1]) << 1
+        next_code[ln] = code
+    table: dict = {}
+    for sym, ln in enumerate(lengths):
+        if ln:
+            table[(ln, next_code[ln])] = sym
+            next_code[ln] += 1
+    return table
+
+
+def _read_symbol(r: _LsbReader, table: dict) -> int:
+    code = 0
+    for ln in range(1, 16):
+        code = (code << 1) | r.bits(1)
+        if (ln, code) in table:
+            return table[(ln, code)]
+    raise ValueError("invalid VP8L prefix code")
+
+
+class _Code:
+    """A decoded prefix code: either a trivial 1-symbol code (zero
+    bits per symbol) or a canonical table."""
+
+    def __init__(self, table: dict | None, only: int | None) -> None:
+        self.table = table
+        self.only = only
+
+    def read(self, r: _LsbReader) -> int:
+        if self.only is not None:
+            return self.only
+        return _read_symbol(r, self.table)
+
+
+def _read_prefix_code(r: _LsbReader, alphabet: int) -> _Code:
+    """One prefix code (spec 5.2.1/5.2.2): SIMPLE (1-2 symbols) or the
+    full form serialized through the 19-symbol code-length code."""
+    if r.bits(1):  # simple
+        num_symbols = r.bits(1) + 1
+        first_8bit = r.bits(1)
+        s0 = r.bits(8 if first_8bit else 1)
+        if num_symbols == 1:
+            return _Code(None, s0)
+        s1 = r.bits(8)
+        lengths = [0] * alphabet
+        lengths[s0] = 1
+        lengths[s1] = 1
+        return _Code(_canonical(lengths), None)
+    num_clc = 4 + r.bits(4)
+    clc_lengths = [0] * 19
+    for i in range(num_clc):
+        clc_lengths[_CLC_ORDER[i]] = r.bits(3)
+    clc = _canonical(clc_lengths)
+    if r.bits(1):  # explicit max-symbol
+        length_nbits = 2 + 2 * r.bits(3)
+        max_symbol = 2 + r.bits(length_nbits)
+    else:
+        max_symbol = alphabet
+    lengths = [0] * alphabet
+    prev = 8
+    i = 0
+    while i < alphabet and max_symbol > 0:
+        max_symbol -= 1
+        sym = _read_symbol(r, clc)
+        if sym < 16:
+            lengths[i] = sym
+            i += 1
+            if sym:
+                prev = sym
+        elif sym == 16:
+            rep = 3 + r.bits(2)
+            lengths[i : i + rep] = [prev] * rep
+            i += rep
+        elif sym == 17:
+            i += 3 + r.bits(3)
+        else:  # 18
+            i += 11 + r.bits(7)
+    if i > alphabet:
+        raise ValueError("VP8L code lengths overflow the alphabet")
+    return _Code(_canonical(lengths), None)
+
+
+def _lz77_value(r: _LsbReader, prefix_code: int) -> int:
+    """Prefix-coded LZ77 length/distance value (spec 4.2.2.1)."""
+    if prefix_code < 4:
+        return prefix_code + 1
+    extra = (prefix_code - 2) >> 1
+    offset = (2 + (prefix_code & 1)) << extra
+    return offset + r.bits(extra) + 1
+
+
+def _decode_entropy_image(
+    r: _LsbReader, w: int, h: int, allow_cache: bool = True
+) -> np.ndarray:
+    """Decode one entropy-coded image (no transforms, single prefix
+    group) into an (h, w, 4) uint8 ARGB array."""
+    cache_bits = 0
+    cache = None
+    if allow_cache and r.bits(1):
+        cache_bits = r.bits(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("bad color-cache size")
+        cache = np.zeros(1 << cache_bits, dtype=np.uint32)
+    return _decode_pixels(r, w, h, [_read_group(r, cache_bits)],
+                          None, 0, cache_bits, cache)
+
+
+def _read_group(r: _LsbReader, cache_bits: int) -> list[_Code]:
+    alpha_g = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
+    return [
+        _read_prefix_code(r, alpha_g),   # green + length + cache
+        _read_prefix_code(r, 256),       # red
+        _read_prefix_code(r, 256),       # blue
+        _read_prefix_code(r, 256),       # alpha
+        _read_prefix_code(r, 40),        # distance
+    ]
+
+
+def _decode_pixels(
+    r: _LsbReader,
+    w: int,
+    h: int,
+    groups: list[list[_Code]],
+    meta: np.ndarray | None,
+    meta_bits: int,
+    cache_bits: int,
+    cache: np.ndarray | None,
+) -> np.ndarray:
+    n = w * h
+    argb = np.zeros(n, dtype=np.uint32)
+    pos = 0
+    while pos < n:
+        if meta is not None:
+            x, y = pos % w, pos // w
+            g = groups[int(meta[y >> meta_bits, x >> meta_bits])]
+        else:
+            g = groups[0]
+        s = g[0].read(r)
+        if s < 256:
+            red = g[1].read(r)
+            blue = g[2].read(r)
+            alpha = g[3].read(r)
+            px = (alpha << 24) | (red << 16) | (s << 8) | blue
+            argb[pos] = px
+            if cache is not None:
+                cache[(_HASH_MUL * px & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+            pos += 1
+        elif s < 256 + 24:
+            length = _lz77_value(r, s - 256)
+            dist_code = _lz77_value(r, g[4].read(r))
+            if dist_code <= 120:
+                raise NotImplementedError(
+                    "VP8L 2-D distance map (codes <= 120) unsupported: "
+                    "the spec's 120-entry neighbor table is a fixed "
+                    "constant this codec does not carry; plain "
+                    "distances decode fully"
+                )
+            dist = dist_code - 120
+            if dist > pos or pos + length > n:
+                raise ValueError("VP8L backward reference out of range")
+            for i in range(length):
+                px = argb[pos - dist]
+                argb[pos] = px
+                if cache is not None:
+                    cache[
+                        (_HASH_MUL * int(px) & 0xFFFFFFFF)
+                        >> (32 - cache_bits)
+                    ] = px
+                pos += 1
+        else:
+            if cache is None:
+                raise ValueError("cache symbol without a color cache")
+            argb[pos] = cache[s - 256 - 24]
+            pos += 1
+    out = np.zeros((h, w, 4), dtype=np.uint8)
+    a2 = argb.reshape(h, w)
+    out[..., 0] = (a2 >> 24) & 0xFF
+    out[..., 1] = (a2 >> 16) & 0xFF
+    out[..., 2] = (a2 >> 8) & 0xFF
+    out[..., 3] = a2 & 0xFF
+    return out  # (h, w, 4) in A,R,G,B channel order
+
+
+def _avg2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return ((a.astype(np.int32) + b.astype(np.int32)) >> 1).astype(np.uint8)
+
+
+def _clamp_add_subtract_full(l, t, tl):
+    v = l.astype(np.int32) + t.astype(np.int32) - tl.astype(np.int32)
+    return np.clip(v, 0, 255).astype(np.uint8)
+
+
+def _clamp_add_subtract_half(ave, tl):
+    a = ave.astype(np.int32)
+    v = a + (a - tl.astype(np.int32)) // 2
+    return np.clip(v, 0, 255).astype(np.uint8)
+
+
+def _select(l, t, tl):
+    p = l.astype(np.int32) + t.astype(np.int32) - tl.astype(np.int32)
+    pl = np.abs(p - l.astype(np.int32)).sum()
+    pt = np.abs(p - t.astype(np.int32)).sum()
+    return t if pt <= pl else l
+
+
+def _predict(mode: int, l, t, tl, tr):
+    """One pixel's predictor (spec 4.2.1), ARGB uint8[4] vectors."""
+    if mode == 0:
+        return np.array([255, 0, 0, 0], np.uint8)
+    if mode == 1:
+        return l
+    if mode == 2:
+        return t
+    if mode == 3:
+        return tr
+    if mode == 4:
+        return tl
+    if mode == 5:
+        return _avg2(_avg2(l, tr), t)
+    if mode == 6:
+        return _avg2(l, tl)
+    if mode == 7:
+        return _avg2(l, t)
+    if mode == 8:
+        return _avg2(tl, t)
+    if mode == 9:
+        return _avg2(t, tr)
+    if mode == 10:
+        return _avg2(_avg2(l, tl), _avg2(t, tr))
+    if mode == 11:
+        return _select(l, t, tl)
+    if mode == 12:
+        return _clamp_add_subtract_full(l, t, tl)
+    if mode == 13:
+        return _clamp_add_subtract_half(_avg2(l, t), tl)
+    raise ValueError(f"bad predictor mode {mode}")
+
+
+def _inverse_predictor(img: np.ndarray, modes: np.ndarray,
+                       bits: int) -> None:
+    """In-place inverse predictor transform: residuals become pixels
+    scanning row-major; neighbors are already-reconstructed values."""
+    h, w = img.shape[:2]
+    black = np.array([255, 0, 0, 0], np.uint8)
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = black
+            elif y == 0:
+                pred = img[0, x - 1]
+            elif x == 0:
+                pred = img[y - 1, 0]
+            else:
+                mode = int(modes[y >> bits, x >> bits])
+                l = img[y, x - 1]
+                t = img[y - 1, x]
+                tl = img[y - 1, x - 1]
+                # at the right edge, top-right wraps to the CURRENT
+                # row's first pixel (the contiguous-buffer rule:
+                # data[pos - width + 1] with x = w-1 lands on
+                # data[y*width], already reconstructed)
+                tr = img[y - 1, x + 1] if x + 1 < w else img[y, 0]
+                pred = _predict(mode, l, t, tl, tr)
+            img[y, x] = (
+                img[y, x].astype(np.int32) + pred.astype(np.int32)
+            ).astype(np.uint8)
+
+
+def _inverse_color_transform(img: np.ndarray, elems: np.ndarray,
+                             bits: int) -> None:
+    """In-place inverse cross-color transform (spec 4.2.1.2): per-block
+    signed 3.5-fixed multipliers stored in an entropy sub-image's
+    R/G/B channels."""
+
+    h, w = img.shape[:2]
+    for y in range(h):
+        row_m = elems[y >> bits]
+        for x in range(w):
+            m = row_m[x >> bits]
+            # the ColorTransformElement pixel stores red_to_blue in R,
+            # green_to_blue in G, green_to_red in B (spec 4.2.1.2)
+            r2b, g2b, g2r = m[1], m[2], m[3]
+            a, red, g, b = (int(v) for v in img[y, x])
+
+            def s8(v: int) -> int:  # uint8 -> signed two's complement
+                return v - 256 if v >= 128 else v
+
+            # plain Python-int products: numpy int8 * int8 would
+            # overflow in int8 before the shift
+            red = (red + ((s8(int(g2r)) * s8(g)) >> 5)) & 0xFF
+            b = (b + ((s8(int(g2b)) * s8(g)) >> 5)) & 0xFF
+            b = (b + ((s8(int(r2b)) * s8(red)) >> 5)) & 0xFF
+            img[y, x] = (a, red, g, b)
+
+
+def decode_vp8l(data: bytes) -> np.ndarray:
+    """VP8L chunk payload -> (h, w, 4) uint8 RGBA."""
+    if not data or data[0] != 0x2F:
+        raise ValueError("bad VP8L signature")
+    r = _LsbReader(data[1:])
+    w = r.bits(14) + 1
+    h = r.bits(14) + 1
+    r.bits(1)  # alpha hint
+    if r.bits(3) != 0:
+        raise ValueError("unknown VP8L version")
+
+    transforms = []
+    seen = set()
+    while r.bits(1):
+        ttype = r.bits(2)
+        if ttype in seen:
+            raise ValueError("duplicate VP8L transform")
+        seen.add(ttype)
+        if ttype == 2:  # subtract green
+            transforms.append(("subtract_green",))
+        elif ttype in (0, 1):  # predictor / cross-color
+            bits = r.bits(3) + 2
+            sw = -(-w // (1 << bits))
+            sh = -(-h // (1 << bits))
+            sub = _decode_entropy_image(r, sw, sh)
+            transforms.append(
+                ("predictor" if ttype == 0 else "color", bits, sub)
+            )
+        else:  # 3: color indexing
+            n_colors = r.bits(8) + 1
+            if n_colors <= 16:
+                raise NotImplementedError(
+                    "VP8L pixel bundling (palette <= 16) unsupported"
+                )
+            pal_img = _decode_entropy_image(r, n_colors, 1)
+            # palette entries are delta-coded component-wise
+            pal = np.cumsum(
+                pal_img[0].astype(np.int32), axis=0
+            ).astype(np.uint8)
+            transforms.append(("palette", pal))
+
+    cache_bits = 0
+    cache = None
+    if r.bits(1):
+        cache_bits = r.bits(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("bad color-cache size")
+        cache = np.zeros(1 << cache_bits, dtype=np.uint32)
+
+    meta = None
+    meta_bits = 0
+    n_groups = 1
+    if r.bits(1):  # meta prefix-code image
+        meta_bits = r.bits(3) + 2
+        mw = -(-w // (1 << meta_bits))
+        mh = -(-h // (1 << meta_bits))
+        meta_img = _decode_entropy_image(r, mw, mh)
+        # group index = (red << 8) | green
+        meta = (
+            meta_img[..., 1].astype(np.int32) << 8
+        ) | meta_img[..., 2].astype(np.int32)
+        n_groups = int(meta.max()) + 1
+    groups = [_read_group(r, cache_bits) for _ in range(n_groups)]
+    img = _decode_pixels(
+        r, w, h, groups, meta, meta_bits, cache_bits, cache
+    )
+
+    for t in reversed(transforms):
+        if t[0] == "palette":
+            pal = t[1]
+            idx = img[..., 2].astype(np.int32)  # green channel indexes
+            if (idx >= len(pal)).any():
+                raise ValueError("palette index out of range")
+            img = pal[idx]
+        elif t[0] == "subtract_green":
+            g = img[..., 2].astype(np.int32)
+            img[..., 1] = ((img[..., 1].astype(np.int32) + g) & 0xFF)
+            img[..., 3] = ((img[..., 3].astype(np.int32) + g) & 0xFF)
+        elif t[0] == "color":
+            _inverse_color_transform(img, t[2], t[1])
+        else:
+            _inverse_predictor(img, t[2][..., 2], t[1])
+
+    # ARGB channel planes -> RGBA
+    return np.stack(
+        [img[..., 1], img[..., 2], img[..., 3], img[..., 0]], axis=2
+    )
+
+
+def decode_webp(payload: bytes) -> np.ndarray:
+    """RIFF WebP container -> HxWx3 uint8 RGB (alpha dropped, PIL's
+    convert('RGB') behavior). Lossless (VP8L) only; lossy VP8 raises."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP (bad RIFF header)")
+    pos = 12
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"VP8L":
+            rgba = decode_vp8l(body)
+            return rgba[..., :3].copy()
+        if tag == b"VP8 ":
+            raise NotImplementedError(
+                "lossy VP8 WebP unsupported (this codec is the "
+                "LOSSLESS path); PIL decodes it when installed"
+            )
+        pos += 8 + size + (size & 1)
+    raise ValueError("no VP8L chunk in WebP container")

@@ -22,10 +22,20 @@ def test_decode_stub_deterministic():
 def test_decode_real_format_raises_without_pil():
     if M.HAVE_PIL:
         pytest.skip("PIL installed; stub gate not reachable")
-    # PNG and JPEG decode for real via the pure-python codecs; formats
-    # beyond them (webp etc.) still need PIL and must say so, not guess
+    # the pure-python codecs cover PNG/JPEG/GIF/BMP/TIFF/lossless-WebP;
+    # formats beyond them (AVIF etc.) still need PIL and must say so,
+    # not guess — and a LOSSY WebP hits webp_codec's documented
+    # NotImplementedError boundary
     with pytest.raises(NotImplementedError):
-        M.decode_image(b"RIFF....WEBP", "image/webp")
+        M.decode_image(b"unknown", "image/avif")
+    import struct as _struct
+
+    lossy = (
+        b"RIFF" + _struct.pack("<I", 16) + b"WEBP"
+        + b"VP8 " + _struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+    )
+    with pytest.raises(NotImplementedError):
+        M.decode_image(lossy, "image/webp")
     # corrupt bytes fail loudly in the codecs, not silently
     with pytest.raises(ValueError):
         M.decode_image(b"\x89PNG\r\n\x1a\njunk", "image/png")
@@ -1287,3 +1297,61 @@ def test_progressive_jpeg_truncation_raises():
     sof2 = prog.find(b"\xff\xc2")
     with pytest.raises(ValueError):
         decode_jpeg(prog[: sof2 + 10])
+
+
+def test_vp8l_webp_decodes_bit_exact():
+    """Lossless-WebP support, pinned the foreign-fixture way: streams
+    come from tools/make_vp8l.py (independent bit writer, canonical
+    code construction, and FORWARD transform passes), and because
+    VP8L is lossless the expectation is absolute — decode_webp must
+    reproduce the generator's source pixels EXACTLY across literals,
+    LZ77 copies, color-cache hits, simple + full prefix codes, and
+    all four transforms (predictor, cross-color, subtract-green,
+    palette), plus a two-group meta prefix image."""
+    import numpy as np
+
+    from a3_fp_bigdata_spark.multimodal.images import decode_image
+    from a3_fp_bigdata_spark.multimodal.webp_codec import decode_webp
+    from tools.make_vp8l import (
+        build_cross_color,
+        build_meta_groups,
+        build_palette,
+        build_plain,
+        build_predicted,
+    )
+
+    for builder in (
+        build_plain,
+        build_predicted,
+        build_cross_color,
+        build_palette,
+        build_meta_groups,
+    ):
+        data, expected = builder()
+        assert np.array_equal(decode_webp(data), expected), builder
+    # dispatch through the media-schema decode path too
+    data, expected = build_plain(seed=77)
+    assert np.array_equal(decode_image(data, "image/webp"), expected)
+
+
+def test_vp8l_webp_guards_are_loud():
+    """Subset boundaries fail loudly: truncated stream, bad container,
+    and the documented NotImplementedError for lossy VP8."""
+    import struct
+
+    import pytest
+
+    from a3_fp_bigdata_spark.multimodal.webp_codec import decode_webp
+    from tools.make_vp8l import build_plain
+
+    data, _ = build_plain()
+    with pytest.raises(ValueError):
+        decode_webp(data[: len(data) - 6])
+    with pytest.raises(ValueError):
+        decode_webp(b"RIFX" + data[4:])
+    lossy = (
+        b"RIFF" + struct.pack("<I", 16) + b"WEBP"
+        + b"VP8 " + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+    )
+    with pytest.raises(NotImplementedError):
+        decode_webp(lossy)
