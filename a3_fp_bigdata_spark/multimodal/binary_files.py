@@ -86,3 +86,31 @@ def mm6_gif_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = image_dir_source(spark, FIXTURE_DIR, glob="*.gif")
     return gif_frame_features(media).orderBy("media_id", "frame_idx")
+
+
+#: committed modern-format fixture set (tools/make_modern_format_
+#: fixtures.py): PROGRESSIVE JPEGs (SOF2, incl. a restart-interval
+#: stream) and LOSSLESS WebPs (VP8L: plain/predicted/palette) from the
+#: two independent foreign-style generators, with expected pixels
+#: re-derivable from the generators at test time.
+MODERN_FIXTURE_DIR = os.path.join(
+    os.path.dirname(__file__), "fixtures", "modern"
+)
+
+
+@query("mm12_modern_format_features")
+def mm12_modern_format_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """mm4's binaryFile->decode->featurize shape over the MODERN
+    formats a 2020s web crawl actually contains: progressive JPEG
+    (SOF2) and lossless WebP (VP8L) — both decoded for real by the
+    pure-python codecs (jpeg_codec, webp_codec; PIL when present).
+    Rows-only like mm4 (fixture-directory input, no DuckDB twin);
+    pytest pins the exact channel means against the foreign
+    generators' OWN expected pixels, so a decode drift in either
+    codec is a red golden, not a silent feature shift."""
+    media = image_dir_source(
+        spark, MODERN_FIXTURE_DIR, glob="*.{jpg,webp}"
+    )
+    return extract_features(media).orderBy("media_id")

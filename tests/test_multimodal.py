@@ -1355,3 +1355,41 @@ def test_vp8l_webp_guards_are_loud():
     )
     with pytest.raises(NotImplementedError):
         decode_webp(lossy)
+
+
+def test_mm12_modern_formats_match_generator_goldens(spark):
+    """mm12's channel means over the committed progressive-JPEG and
+    VP8L fixtures equal the FOREIGN generators' own expected pixels'
+    means exactly (re-derived at test time, plus a committed-bytes
+    equality check so the on-disk fixtures can't drift from the
+    generators silently)."""
+    import os
+
+    import numpy as np
+
+    from a3_fp_bigdata_spark import registry
+    from a3_fp_bigdata_spark.multimodal.binary_files import (
+        MODERN_FIXTURE_DIR,
+    )
+    from tools.make_modern_format_fixtures import expected_features
+
+    want = expected_features()
+    # committed bytes == generator bytes (regeneration is deterministic)
+    for name, (_, _, _, data) in want.items():
+        with open(os.path.join(MODERN_FIXTURE_DIR, name), "rb") as fh:
+            assert fh.read() == data, f"{name} drifted from its generator"
+
+    rows = registry.all_queries()["mm12_modern_format_features"](
+        spark, SF0001
+    ).collect()
+    assert len(rows) == len(want)
+    # media_id is xxhash64(filename): re-derive the name->id map in Spark
+    names = spark.createDataFrame(
+        [(n,) for n in want], "fname string"
+    ).selectExpr("fname", "xxhash64(fname) AS media_id").collect()
+    id_to_name = {r.media_id: r.fname for r in names}
+    for r in rows:
+        means, w, h, _ = want[id_to_name[r.media_id]]
+        assert (r.img_width, r.img_height) == (w, h)
+        got = (r.img_avg_red, r.img_avg_green, r.img_avg_blue)
+        assert np.allclose(got, means, rtol=0, atol=1e-9), (got, means)
