@@ -36,9 +36,9 @@ from pyspark.ml.feature import HashingTF, IDF
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from a3_fp_bigdata_spark.data import table
+from a3_fp_bigdata_spark.data import run_scratch, table
 from a3_fp_bigdata_spark.functions import text as TX
-from a3_fp_bigdata_spark.functions.rounding import half_up
+from a3_fp_bigdata_spark.functions.rounding import half_up, half_up_sql
 from a3_fp_bigdata_spark.operators.text_analysis import sample_predicate
 from a3_fp_bigdata_spark.registry import query
 from a3_fp_bigdata_spark.session import session_token
@@ -138,4 +138,102 @@ def ml4_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             half_up(F.avg("p_keep"), 2).alias("mean_p"),
         )
         .orderBy("in_fit", "label", "keep")
+    )
+
+
+#: ml5 scratch — the audit-scratch protocol (mm7/mm9): Spark
+#: materializes the model's scores in EXACT integer micro-units, and
+#: DuckDB re-derives the calibration table from the same bytes. The
+#: per-process run_scratch path removes the concurrent-writer hazard;
+#: n_src is still stamped so a torn read across generations within one
+#: process disagrees loudly.
+_ML5_SCRATCH = run_scratch("ml5_calib")
+
+#: Reliability binning: micro-unit scores 0..1_000_000 into 10 equal
+#: probability bins, the top edge folded into bin 9.
+_ML5_NBINS = 10
+_ML5_BIN_WIDTH_U = 1_000_000 // _ML5_NBINS
+
+
+@query(
+    "ml5_calibration_audit",
+    oracle=f"""
+    WITH s AS (
+      SELECT label_i, p_u
+      FROM read_parquet('{_ML5_SCRATCH}/*.parquet')
+      WHERE in_fit = 0
+        AND n_src = (SELECT count(*)
+                     FROM read_parquet('{_ML5_SCRATCH}/*.parquet'))
+    )
+    SELECT CAST(least(p_u // {_ML5_BIN_WIDTH_U}, {_ML5_NBINS - 1})
+                AS INT) AS bin,
+           count(*) AS n,
+           {half_up_sql(
+               'CAST(sum(p_u) AS DOUBLE) / count(*)'
+               ' / CAST(1000000 AS DOUBLE)'
+           )} AS mean_p,
+           {half_up_sql('CAST(sum(label_i) AS DOUBLE) / count(*)')}
+             AS emp_rate,
+           {half_up_sql(
+               'abs(CAST(sum(p_u) AS DOUBLE) / count(*)'
+               ' / CAST(1000000 AS DOUBLE)'
+               ' - CAST(sum(label_i) AS DOUBLE) / count(*))'
+           )} AS abs_gap
+    FROM s GROUP BY bin
+    """,
+)
+def ml5_calibration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration (reliability) audit of ml4's quality scorer over the
+    HOLDOUT rows: bin P(keep) into {_ML5_NBINS} equal-probability bins
+    and compare the mean predicted probability against the empirical
+    label rate per bin — the per-bin terms of Expected Calibration
+    Error, the audit a production filter ships before its keep
+    threshold is trusted (a miscalibrated scorer silently moves the
+    corpus mix when the threshold is interpreted as a probability).
+
+    ORACLE-BACKED through the audit-scratch protocol even though LBFGS
+    iterates are not SQL-expressible: Spark quantizes each holdout
+    score to EXACT integer micro-units (floor(p*1e6 + 0.5)) and
+    materializes (label, p_u) to stamped scratch; both engines then
+    aggregate the SAME integers — sums are exact int64 math and the
+    final divides see identical operands, so the table is
+    bit-identical before rounding. A binning bug, a fit/holdout leak,
+    or a score drift is a red hash mismatch; ml4's pytest pins the
+    model quality floor itself.
+
+    Scale: scoring is ml4's broadcast-coefficient narrow map; the
+    audit adds one map-side-combinable groupBy over {_ML5_NBINS} keys
+    — aggregate state is {_ML5_NBINS} rows regardless of corpus
+    size."""
+    scored, _ = fit_score(spark, sf_dir)
+    holdout = scored.select(
+        "doc_id",
+        F.col("label").cast("int").alias("label_i"),
+        "in_fit",
+        F.floor(F.col("p_keep") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("p_u"),
+    )
+    stamp = holdout.agg(F.count("*").cast("long").alias("n_src"))
+    holdout.crossJoin(F.broadcast(stamp)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(_ML5_SCRATCH)
+    s = (
+        spark.read.parquet(_ML5_SCRATCH)
+        .filter(F.col("in_fit") == 0)
+        .select("label_i", "p_u")
+    )
+    bin_col = F.least(
+        F.expr(f"p_u div {_ML5_BIN_WIDTH_U}"), F.lit(_ML5_NBINS - 1)
+    ).cast("int")
+    n = F.count("*")
+    mean_p = (
+        F.sum("p_u").cast("double") / n / F.lit(1000000.0)
+    )
+    emp_rate = F.sum("label_i").cast("double") / n
+    return s.groupBy(bin_col.alias("bin")).agg(
+        n.alias("n"),
+        half_up(mean_p).alias("mean_p"),
+        half_up(emp_rate).alias("emp_rate"),
+        half_up(F.abs(mean_p - emp_rate)).alias("abs_gap"),
     )

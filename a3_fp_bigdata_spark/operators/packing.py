@@ -164,10 +164,9 @@ def pk1_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "pk2_greedy_pack",
-    oracle=f"""
-    WITH RECURSIVE costs AS (
+#: pk2's recursive replay of the greedy fill walk, shared verbatim by
+#: pk2's oracle and pk14's (so the two can never drift apart).
+_PK2_STEP_CTES = f"""costs AS (
       SELECT doc_id, doc_id % {NSHARDS} AS shard,
              CAST({_SQL_COST} AS BIGINT) AS cost,
              row_number() OVER (PARTITION BY doc_id % {NSHARDS}
@@ -184,7 +183,13 @@ def pk1_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN s.fill + d.cost > {PACK_BUDGET}
                   THEN d.cost ELSE s.fill + d.cost END
       FROM step s JOIN costs d ON d.shard = s.shard AND d.rn = s.rn + 1
-    )
+    )"""
+
+
+@query(
+    "pk2_greedy_pack",
+    oracle=f"""
+    WITH RECURSIVE {_PK2_STEP_CTES}
     SELECT doc_id, CAST(shard AS BIGINT) AS shard, seq_id,
            cost AS n_tokens
     FROM step
@@ -231,6 +236,68 @@ def pk2_greedy_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "doc_id", "shard", "seq_id", F.col("cost").alias("n_tokens")
+    )
+
+
+@query(
+    "pk14_pack_efficiency",
+    oracle=f"""
+    WITH RECURSIVE {_PK2_STEP_CTES}, seqs AS (
+      SELECT shard, seq_id, count(*) AS n_docs, sum(cost) AS fill
+      FROM step GROUP BY 1, 2
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           count(*) AS n_seqs,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(fill) AS BIGINT) AS total_tokens,
+           CAST(min(fill) AS BIGINT) AS min_fill,
+           CAST(max(fill) AS BIGINT) AS max_fill,
+           count(*) FILTER (WHERE fill > {PACK_BUDGET}) AS n_oversize,
+           {half_up_sql(
+               f'CAST(sum(fill) AS DOUBLE)'
+               f' / (count(*) * {PACK_BUDGET})'
+           )} AS utilization
+    FROM seqs GROUP BY shard
+    """,
+)
+def pk14_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack-efficiency audit of pk2's greedy fill — the dashboard a
+    training-data team watches before paying for a run: per shard, how
+    many sequences the packer produced, min/max fill, how many
+    OVERSIZE singleton sequences (doc alone > PACK_BUDGET, which the
+    trainer must truncate), and the utilization ratio (tokens packed /
+    capacity bought). A packer regression (fill state leaking across
+    shards, off-by-one on the overflow test) moves these numbers
+    before anyone reads loss curves.
+
+    Oracle replays pk2's walk via the SHARED recursive CTE
+    (_PK2_STEP_CTES — string-identical to pk2's oracle, so the audit
+    and the operator can't drift) and aggregates independently. All
+    integer math until the final utilization divide, whose operands
+    are exact int64s on both engines — bit-identical before rounding.
+
+    Scale: two map-side-combinable aggregations over pk2's output,
+    both keyed by shard (the SAME key pk2's applyInPandas grouped
+    by, so AQE coalesces the second exchange to a near-no-op); output
+    is NSHARDS rows."""
+    packed = pk2_greedy_pack(spark, sf_dir)
+    seqs = packed.groupBy("shard", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("fill"),
+    )
+    return seqs.groupBy("shard").agg(
+        F.count("*").alias("n_seqs"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("fill").alias("total_tokens"),
+        F.min("fill").alias("min_fill"),
+        F.max("fill").alias("max_fill"),
+        F.count(
+            F.when(F.col("fill") > PACK_BUDGET, F.lit(1))
+        ).alias("n_oversize"),
+        half_up(
+            F.sum("fill").cast("double")
+            / (F.count("*") * F.lit(PACK_BUDGET))
+        ).alias("utilization"),
     )
 
 

@@ -18,7 +18,7 @@ Both oracles are written with explicitly deterministic tie-breaks
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from a3_fp_bigdata_spark.data import table
@@ -287,6 +287,84 @@ def w8_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_events"),
             F.last("v", ignorenulls=True).over(w).alias("value_locf"),
         )
+    )
+
+
+#: w10's horizon: how many trailing observations the EWMA sees. A
+#: finite window (vs the textbook infinite recurrence) is what makes
+#: the smoother expressible as a STATELESS lag-chain — no recursion,
+#: no applyInPandas — and 2^-9 ~ 0.2% leftover weight is below the
+#: output rounding anyway.
+EWMA_LAGS = 8
+
+
+def _ewma_terms() -> list[tuple[int, float]]:
+    """(lag, weight) pairs, weight = 2^-lag. Dyadic weights are EXACT
+    in binary floating point, and value * 2^-j is a pure exponent
+    shift (no mantissa rounding), so both engines' term products are
+    bit-identical — the parity argument below rests on this."""
+    return [(j, 0.5 ** j) for j in range(EWMA_LAGS)]
+
+
+def _ewma_sql() -> str:
+    """DuckDB rendering of the EWMA ratio — generated from the SAME
+    (lag, weight) list as the Spark side so the +-association order
+    (left fold, lag 0 first) is identical token-for-token."""
+    num = " + ".join(
+        f"COALESCE(lag(value, {j}) OVER win * {w!r}, 0.0)"
+        for j, w in _ewma_terms()
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(value, {j}) OVER win IS NULL"
+        f" THEN 0.0 ELSE {w!r} END"
+        for j, w in _ewma_terms()
+    )
+    return f"({num}) / ({den})"
+
+
+@query(
+    "w10_ewma_smooth",
+    oracle=f"""
+    SELECT user_id, event_id, ts,
+           {half_up_sql(_ewma_sql())} AS ewma
+    FROM events
+    WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def w10_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user — the smoothing
+    pass every metrics/feature pipeline runs before thresholding. The
+    textbook EWMA is a sequential recurrence (state = previous output),
+    which would force applyInPandas; truncating the horizon to
+    EWMA_LAGS observations re-expresses it as a stateless lag-chain:
+    ewma_t = sum_j value_(t-j) * 2^-j / sum_j 2^-j over the lags that
+    exist (partition heads renormalize over the shorter history
+    instead of decaying toward zero).
+
+    Parity is BIT-exact, not just rounded-close: the weights are
+    dyadic (2^-j, exact doubles), each product is an exponent shift
+    (no rounding), and both engines evaluate the sum in the same
+    left-fold order because Spark's expression tree and the oracle's
+    SQL are generated from the one _ewma_terms() list. The final
+    divide sees identical numerators/denominators, so half_up can
+    never tip differently.
+
+    Scale: ONE partitioned window, O(EWMA_LAGS) per row, running-frame
+    lags only (no UnboundedFollowing rescans, no Python, no global
+    sort). At 100 TB this is a single hash-shuffle on user_id followed
+    by codegen'd per-key sorted scans."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num: Column | None = None
+    den: Column | None = None
+    for j, wt in _ewma_terms():
+        v = F.lag("value", j).over(w) if j else F.col("value")
+        term = F.coalesce(v * F.lit(wt), F.lit(0.0))
+        mask = F.when(v.isNull(), F.lit(0.0)).otherwise(F.lit(wt))
+        num = term if num is None else num + term
+        den = mask if den is None else den + mask
+    return ev.select(
+        "user_id", "event_id", "ts", half_up(num / den).alias("ewma")
     )
 
 

@@ -1083,3 +1083,151 @@ def tx16_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("char_entropy"),
     )
+
+
+#: tx17 — Gopher-style rule-cascade thresholds (Rae et al. 2021 §A1.1,
+#: adapted to this corpus's scale). Every rule is an INTEGER
+#: comparison (cross-multiplied ratios, no floats anywhere), so the
+#: attribution table is bit-identical on any engine by construction.
+GOPHER_MIN_WORDS = 10
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3   # mean token length lower bound
+GOPHER_MAX_MEAN_WORD_LEN = 10  # ... and upper bound
+GOPHER_MAX_SYMBOL_RATIO_PCT = 10   # non-alnum chars <= 10% of chars
+GOPHER_MIN_STOPWORDS = 2           # >= 2 function words present
+GOPHER_MIN_ALPHA_TOKEN_PCT = 80    # >= 80% of tokens contain a letter
+GOPHER_MAX_TOP_TOKEN_PCT = 25      # top token <= 25% of all tokens
+
+
+@query(
+    "tx17_gopher_rules",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text, {_SQL_TOKS} AS t FROM documents
+    ), stats AS (
+      SELECT doc_id,
+             len(t) AS n_toks,
+             COALESCE(list_sum(list_transform(t, x -> length(x))), 0)
+               AS tok_chars,
+             len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+               AS n_alpha,
+             len(list_filter(t, w -> w IN
+                 ({TX.sql_quoted_list(TX.EN_FUNCTION_WORDS)}))) AS n_stop,
+             length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+               AS n_sym,
+             greatest(length(text), 1) AS n_chars
+      FROM base
+    ), freq AS (
+      SELECT doc_id, max(c) AS max_freq FROM (
+        SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(t) AS tok FROM base)
+        GROUP BY doc_id, tok
+      ) GROUP BY doc_id
+    ), rules AS (
+      SELECT s.doc_id,
+        CAST(s.n_toks BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+             AS INT) AS word_count_ok,
+        CAST(s.tok_chars >= {GOPHER_MIN_MEAN_WORD_LEN} * s.n_toks
+             AND s.tok_chars <= {GOPHER_MAX_MEAN_WORD_LEN} * s.n_toks
+             AS INT) AS mean_word_len_ok,
+        CAST(100 * s.n_sym <= {GOPHER_MAX_SYMBOL_RATIO_PCT} * s.n_chars
+             AS INT) AS symbol_ratio_ok,
+        CAST(s.n_stop >= {GOPHER_MIN_STOPWORDS} AS INT)
+          AS stopword_count_ok,
+        CAST(100 * s.n_alpha >= {GOPHER_MIN_ALPHA_TOKEN_PCT} * s.n_toks
+             AS INT) AS alpha_frac_ok,
+        CAST(100 * COALESCE(f.max_freq, 0)
+             <= {GOPHER_MAX_TOP_TOKEN_PCT} * s.n_toks AS INT)
+          AS repetition_ok
+      FROM stats s LEFT JOIN freq f USING (doc_id)
+    )
+    SELECT doc_id, word_count_ok, mean_word_len_ok, symbol_ratio_ok,
+           stopword_count_ok, alpha_frac_ok, repetition_ok,
+           CAST(6 - word_count_ok - mean_word_len_ok - symbol_ratio_ok
+                - stopword_count_ok - alpha_frac_ok - repetition_ok
+                AS INT) AS n_failed,
+           CAST(word_count_ok + mean_word_len_ok + symbol_ratio_ok
+                + stopword_count_ok + alpha_frac_ok + repetition_ok = 6
+                AS INT) AS keep
+    FROM rules
+    """,
+)
+def tx17_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule CASCADE with per-rule attribution
+    (Rae et al. 2021 §A1.1) — the production complement to tx2's
+    blended score: curation teams ship the rule TABLE, not just the
+    verdict, because "which rule killed this document" is how filter
+    regressions get debugged and thresholds get tuned. Six rules:
+    word count band, mean-word-length band, symbol ratio cap,
+    stopword floor, alphabetic-token floor, top-token repetition cap.
+
+    Every ratio threshold is evaluated by INTEGER cross-multiplication
+    (100*n_sym <= 10*n_chars, never n_sym/n_chars <= 0.1), so there is
+    no floating point anywhere — parity is exact by construction, and
+    at 100 TB the rules stay inside whole-stage codegen as pure int64
+    comparisons.
+
+    Scale: stats are per-row expressions on the scan (no shuffle);
+    the repetition rule's token-frequency mode is explode ->
+    map-side-combinable (doc_id, tok) count -> per-doc max — bytes on
+    the wire are one row per (doc, distinct token), bounded by the
+    vocabulary actually present in each doc, then a doc-keyed join
+    back. One shuffle key end to end (doc_id); zero Python."""
+    docs = table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    en = F.array(*[F.lit(w) for w in TX.EN_FUNCTION_WORDS])
+    stats = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.aggregate(
+            toks, F.lit(0), lambda acc, x: acc + F.length(x)
+        ).alias("tok_chars"),
+        F.size(
+            F.filter(toks, lambda x: x.rlike("[a-z]"))
+        ).alias("n_alpha"),
+        F.size(
+            F.filter(toks, lambda x: F.array_contains(en, x))
+        ).alias("n_stop"),
+        F.length(
+            F.regexp_replace(F.lower(F.col("text")), "[a-z0-9 ]", "")
+        ).alias("n_sym"),
+        F.greatest(F.length("text"), F.lit(1)).alias("n_chars"),
+    )
+    freq = (
+        docs.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_freq"))
+    )
+    s = stats.join(freq, "doc_id", "left")
+    rules = {
+        "word_count_ok": F.col("n_toks").between(
+            GOPHER_MIN_WORDS, GOPHER_MAX_WORDS
+        ),
+        "mean_word_len_ok": (
+            F.col("tok_chars")
+            >= GOPHER_MIN_MEAN_WORD_LEN * F.col("n_toks")
+        )
+        & (
+            F.col("tok_chars")
+            <= GOPHER_MAX_MEAN_WORD_LEN * F.col("n_toks")
+        ),
+        "symbol_ratio_ok": 100 * F.col("n_sym")
+        <= GOPHER_MAX_SYMBOL_RATIO_PCT * F.col("n_chars"),
+        "stopword_count_ok": F.col("n_stop") >= GOPHER_MIN_STOPWORDS,
+        "alpha_frac_ok": 100 * F.col("n_alpha")
+        >= GOPHER_MIN_ALPHA_TOKEN_PCT * F.col("n_toks"),
+        "repetition_ok": 100 * F.coalesce(F.col("max_freq"), F.lit(0))
+        <= GOPHER_MAX_TOP_TOKEN_PCT * F.col("n_toks"),
+    }
+    out = s.select(
+        "doc_id",
+        *[v.cast("int").alias(k) for k, v in rules.items()],
+    )
+    total = sum(F.col(k) for k in rules)  # int sum of 0/1 columns
+    return out.select(
+        "*",
+        (F.lit(6) - total).cast("int").alias("n_failed"),
+        (total == 6).cast("int").alias("keep"),
+    )

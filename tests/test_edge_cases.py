@@ -889,3 +889,80 @@ def test_char_entropy_replays_in_pure_python(spark):
         assert -1e-9 <= h <= math.log2(len(c)) + 1e-9
         if len(c) == 1:
             assert r.char_entropy == 0.0
+
+
+# --- tx17: Gopher rule cascade ----------------------------------------------
+
+
+def test_tx17_each_rule_fires_on_a_crafted_document(spark, tmp_path):
+    """One crafted document per rule, written as a documents.parquet the
+    operator scans like any sf dir — each rule must fail exactly where
+    planted and nowhere else."""
+    from a3_fp_bigdata_spark.operators import text_analysis as TA
+
+    stop8 = "the and for with this that from have"  # 8 function words
+    cases = {
+        1: (f"{stop8} alpha beta gamma delta", []),          # all pass
+        # 5 distinct words: fails the count floor but clears the
+        # repetition cap (100*max_freq=100 <= 25*n_toks=125)
+        2: ("the and for big sky", ["word_count_ok"]),       # < 10 words
+        3: (
+            f"{stop8} aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"
+            " bbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbb"
+            " cccccccccccccccccccccccccccccccccccccccc"
+            " dddddddddddddddddddddddddddddddddddddddd"
+            " eeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeee"
+            " ffffffffffffffffffffffffffffffffffffffff"
+            " gggggggggggggggggggggggggggggggggggggggg"
+            " hhhhhhhhhhhhhhhhhhhhhhhhhhhhhhhhhhhhhhhh"
+            " iiiiiiiiiiiiiiiiiiiiiiiiiiiiiiiiiiiiiiii"
+            " jjjjjjjjjjjjjjjjjjjjjjjjjjjjjjjjjjjjjjjj"
+            " kkkkkkkkkkkkkkkkkkkkkkkkkkkkkkkkkkkkkkkk"
+            " llllllllllllllllllllllllllllllllllllllll",
+            ["mean_word_len_ok"],                            # mean len > 10
+        ),
+        4: (
+            f"{stop8} alpha beta gamma !!!???;;;###$$$%%%&&&",
+            ["symbol_ratio_ok"],                             # > 10% symbols
+        ),
+        5: (
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+            " lambdaa muu",
+            ["stopword_count_ok"],                           # 0 function words
+        ),
+        6: (
+            f"{stop8} 11 22 33 44 55 66 77 88 99 1010 1111 1212 1313"
+            " 1414 1515 1616 1717 1818 1919 2020 2121 2222 2323 2424"
+            " 2525 2626 2727 2828 2929 3030 3131 3232",
+            ["alpha_frac_ok"],                               # < 80% alpha toks
+        ),
+        7: (
+            f"{stop8} spam spam spam spam spam spam spam spam spam spam"
+            " spam spam spam spam spam spam spam spam spam spam",
+            ["repetition_ok"],                               # top token > 25%
+        ),
+    }
+    rows = [
+        (doc_id, text, "en", "crafted", len(text))
+        for doc_id, (text, _) in cases.items()
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r["doc_id"]: r
+        for r in TA.tx17_gopher_rules(spark, str(tmp_path)).collect()
+    }
+    rule_cols = [
+        "word_count_ok", "mean_word_len_ok", "symbol_ratio_ok",
+        "stopword_count_ok", "alpha_frac_ok", "repetition_ok",
+    ]
+    for doc_id, (_, expected_fail) in cases.items():
+        r = out[doc_id]
+        failed = [c for c in rule_cols if r[c] == 0]
+        assert failed == expected_fail, (doc_id, failed, expected_fail)
+        assert r["n_failed"] == len(expected_fail)
+        assert r["keep"] == int(not expected_fail)

@@ -190,3 +190,24 @@ def test_quality_filter_model_save_load_roundtrip(spark, qf_scored, tmp_path):
     a = {r.doc_id: r.keep for r in model.transform(feats).select("doc_id", keep).collect()}
     b = {r.doc_id: r.keep for r in reloaded.transform(feats).select("doc_id", keep).collect()}
     assert a == b and len(a) == 50
+
+
+def test_ml5_calibration_bins_partition_the_holdout(spark, qf_scored):
+    """ml5's reliability table: bins cover exactly the holdout rows,
+    bin means sit inside their bin edges, and abs_gap reconciles with
+    the reported columns."""
+    from a3_fp_bigdata_spark.ml import quality_filter as QF
+
+    rows = QF.ml5_calibration_audit(spark, SF0001).collect()
+    scored, _ = qf_scored
+    n_holdout = scored.filter(F.col("in_fit") == 0).count()
+    assert sum(r["n"] for r in rows) == n_holdout
+    for r in rows:
+        assert 0 <= r["bin"] <= QF._ML5_NBINS - 1
+        lo = r["bin"] / QF._ML5_NBINS
+        hi = (r["bin"] + 1) / QF._ML5_NBINS
+        # rounding slack: scores are micro-unit quantized then the bin
+        # mean rounds to 4 decimals
+        assert lo - 1e-4 <= r["mean_p"] <= hi + 1e-4 or r["bin"] == 9
+        assert abs(r["abs_gap"] - abs(r["mean_p"] - r["emp_rate"])) <= 2e-4
+        assert 0.0 <= r["emp_rate"] <= 1.0

@@ -651,3 +651,47 @@ def test_pk13_curriculum_is_a_global_total_order(spark):
         key = (r.shard, r.bucket, r.batch_id)
         assert r.band == max(members[key])
         assert r.n_docs == len(members[key])
+
+
+def test_pk14_efficiency_totals_and_greedy_invariant(spark):
+    """pk14's per-shard table must reconcile exactly with pk2's packing
+    and with the corpus, and every multi-doc sequence must respect the
+    budget (the greedy invariant: only a SINGLETON can overflow)."""
+    from pyspark.sql import functions as F
+
+    from a3_fp_bigdata_spark.data import table
+    from a3_fp_bigdata_spark.operators import packing as PK
+
+    eff = PK.pk14_pack_efficiency(spark, SF0001).collect()
+    packed = PK.pk2_greedy_pack(spark, SF0001)
+    n_docs = table(spark, SF0001, "documents").count()
+    assert sum(r["n_docs"] for r in eff) == n_docs
+    assert (
+        sum(r["total_tokens"] for r in eff)
+        == packed.agg(F.sum("n_tokens")).collect()[0][0]
+    )
+    # greedy invariant, recomputed from pk2's raw output
+    seq_rows = (
+        packed.groupBy("shard", "seq_id")
+        .agg(F.count("*").alias("k"), F.sum("n_tokens").alias("fill"))
+        .collect()
+    )
+    for r in seq_rows:
+        if r["k"] > 1:
+            assert r["fill"] <= PK.PACK_BUDGET
+    n_oversize = sum(
+        1 for r in seq_rows if r["fill"] > PK.PACK_BUDGET
+    )
+    assert sum(r["n_oversize"] for r in eff) == n_oversize
+    for r in eff:
+        assert 0 < r["min_fill"] <= r["max_fill"]
+        expected_util = (
+            int(
+                r["total_tokens"]
+                / (r["n_seqs"] * PK.PACK_BUDGET)
+                * 1e4
+                + 0.5
+            )
+            / 1e4
+        )
+        assert abs(r["utilization"] - expected_util) < 1e-9

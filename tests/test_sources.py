@@ -293,12 +293,15 @@ def test_corrupt_record_quarantine_roundtrip(spark):
     row = src7_corrupt_records(spark, SF0001).first()
     assert row.n_good + row.n_corrupt == n
     assert row.n_corrupt == n_corrupt
-    # quarantine holds the broken text itself (re-read the scratch)
-    import os
-    import tempfile
+    # quarantine holds the broken text itself (re-read the scratch).
+    # The path comes from the SAME per-process _scratch helper the
+    # operator writes through (run_scratch embeds a run token, so a
+    # hardcoded /tmp literal here would chase a path that no longer
+    # exists — exactly how this test broke when the round-10
+    # scratch-race fix landed).
+    from a3_fp_bigdata_spark.sources.queries import _scratch
 
-    tag = os.path.basename(SF0001.rstrip("/"))
-    path = os.path.join(tempfile.gettempdir(), f"a3_src_corrupt_{tag}")
+    path = _scratch("corrupt", SF0001)
     schema = ev.schema.add("_corrupt_record", "string")
     back = (
         spark.read.schema(schema)

@@ -149,3 +149,63 @@ def test_linear_interp_is_between_neighbors_and_matches_observed(spark):
             lo = min(lo_r.value_interp, hi_r.value_interp)
             hi = max(lo_r.value_interp, hi_r.value_interp)
             assert lo - 1e-4 <= r.value_interp <= hi + 1e-4, (user, r.hour)
+
+
+# --- w10: finite-horizon EWMA (stateless lag-chain) -------------------------
+
+
+def test_ewma_replay_matches_plain_python(spark):
+    """Independent replay: recompute the truncated EWMA in plain Python
+    (same dyadic weights, same left-fold order) for two users and
+    require EXACT equality — the bit-exactness claim in the docstring,
+    pinned without DuckDB."""
+    out = TP.w10_ewma_smooth(spark, SF0001)
+    users = [r[0] for r in out.select("user_id").distinct().limit(2).collect()]
+    got = {
+        (r["user_id"], r["event_id"]): r["ewma"]
+        for r in out.filter(F.col("user_id").isin(users)).collect()
+    }
+    ev = (
+        table(spark, SF0001, "events")
+        .filter(F.col("user_id").isin(users))
+        .select("user_id", "event_id", "ts", "value")
+        .collect()
+    )
+    import collections
+
+    by_user = collections.defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append(r)
+    import math
+
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        hist: list[float] = []
+        for r in rows:
+            hist.append(r["value"])
+            num = den = 0.0
+            for j in range(TP.EWMA_LAGS):
+                if j < len(hist):
+                    num = num + hist[-1 - j] * (0.5 ** j)
+                    den = den + 0.5 ** j
+            expected = math.floor((num / den) * 1e4 + 0.5) / 1e4
+            assert got[(uid, r["event_id"])] == expected
+
+
+def test_ewma_partition_head_equals_value(spark):
+    """The first observation per user renormalizes to itself (no decay
+    toward a phantom zero history)."""
+    out = TP.w10_ewma_smooth(spark, SF0001)
+    ev = table(spark, SF0001, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "value")
+    )
+    joined = out.join(first, ["user_id", "event_id"]).select(
+        "ewma", F.floor(F.col("value") * 1e4 + F.lit(0.5)) / 1e4
+    )
+    assert all(a == b for a, b in joined.collect())

@@ -676,6 +676,7 @@ def main() -> None:
     for name in (
         "w8_gapfill_locf",
         "w9_linear_interp",
+        "w10_ewma_smooth",
         "w5_sessionize",
         "j8_asof_join",
         "j9_range_join",
