@@ -114,3 +114,36 @@ def mm12_modern_format_features(
         spark, MODERN_FIXTURE_DIR, glob="*.{jpg,webp}"
     )
     return extract_features(media).orderBy("media_id")
+
+
+#: committed APNG fixture set (tools/make_apng_fixtures.py):
+#: hand-assembled fcTL/fdAT streams with sub-rectangle frames, the
+#: full dispose matrix, fractional-alpha OVER blending, palette+tRNS
+#: alpha, and an IDAT-default-image-skipped case — expected composites
+#: from the generator's INDEPENDENT scalar compositor
+#: (tests/golden/apng_frames.npz).
+APNG_FIXTURE_DIR = os.path.join(
+    os.path.dirname(__file__), "fixtures", "apng"
+)
+
+
+@query("mm13_apng_frame_features")
+def mm13_apng_frame_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """mm6's frame-sampling shape over APNG — the OTHER real animation
+    container a web crawl contains, with features GIF cannot express
+    (fractional alpha, OVER blending, 24-bit frames): binaryFile-scan
+    the committed APNGs, explode each into composited full-canvas
+    frames (apng_codec honors fcTL/fdAT sequencing, dispose NONE/
+    BACKGROUND/PREVIOUS, blend SOURCE/OVER, palette tRNS alpha, and
+    skips the non-animated IDAT default image), emit per-frame channel
+    means. Rows-only like mm6 (fixture-directory input, no DuckDB
+    twin); pytest pins exact frame arrays against the independent
+    compositor's committed ground truth."""
+    from a3_fp_bigdata_spark.multimodal.images import (
+        apng_frame_features,
+    )
+
+    media = image_dir_source(spark, APNG_FIXTURE_DIR, glob="*.png")
+    return apng_frame_features(media).orderBy("media_id", "frame_idx")

@@ -254,13 +254,11 @@ _FRAME_FEATURE_SCHEMA = (
 )
 
 
-def gif_frame_features(media: DataFrame) -> DataFrame:
-    """Real-container frame sampling: explode each animated GIF into
-    its composited frames (gif_codec) and emit per-frame channel means
-    — the genuine-format counterpart of ``frame_sample``'s fixed-stride
-    byte slicing. One input row fans out to n_frames output rows inside
-    the Arrow batch; no shuffle, executor memory stays O(batch)."""
-    from a3_fp_bigdata_spark.multimodal.gif_codec import decode_gif_frames
+def _container_frame_features(media: DataFrame, decode_frames) -> DataFrame:
+    """Shared real-container frame explosion: decode_frames(bytes) ->
+    list of HxWx3 composited frames; one input row fans out to
+    n_frames output rows inside the Arrow batch. No shuffle; executor
+    memory stays O(batch)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -273,7 +271,7 @@ def gif_frame_features(media: DataFrame) -> DataFrame:
                 )
             }
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                frames = decode_gif_frames(bytes(payload))
+                frames = decode_frames(bytes(payload))
                 for i, arr in enumerate(frames):
                     means = arr.reshape(-1, 3).mean(axis=0)
                     out["media_id"].append(mid)
@@ -287,6 +285,28 @@ def gif_frame_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, schema=_FRAME_FEATURE_SCHEMA)
+
+
+def gif_frame_features(media: DataFrame) -> DataFrame:
+    """Real-container frame sampling: explode each animated GIF into
+    its composited frames (gif_codec) and emit per-frame channel means
+    — the genuine-format counterpart of ``frame_sample``'s fixed-stride
+    byte slicing."""
+    from a3_fp_bigdata_spark.multimodal.gif_codec import decode_gif_frames
+
+    return _container_frame_features(media, decode_gif_frames)
+
+
+def apng_frame_features(media: DataFrame) -> DataFrame:
+    """gif_frame_features' twin over APNG (fcTL/fdAT animation,
+    apng_codec): composited full-canvas frames honoring dispose
+    NONE/BACKGROUND/PREVIOUS and blend SOURCE/OVER with true
+    fractional alpha — the animation container GIF cannot express."""
+    from a3_fp_bigdata_spark.multimodal.apng_codec import (
+        decode_apng_frames,
+    )
+
+    return _container_frame_features(media, decode_apng_frames)
 
 
 # ---------------------------------------------------------------------------

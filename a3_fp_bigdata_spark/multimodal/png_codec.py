@@ -50,40 +50,15 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError(f"corrupt PNG: {e}") from e
 
 
-def _decode_png_body(payload: bytes) -> np.ndarray:
-    pos, idat = 8, []
-    w = h = depth = ctype = interlace = palette = None
-    while pos + 8 <= len(payload):
-        (length,), ctype_b = (
-            struct.unpack(">I", payload[pos : pos + 4]),
-            payload[pos + 4 : pos + 8],
-        )
-        data = payload[pos + 8 : pos + 8 + length]
-        if ctype_b == b"IHDR":
-            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", data
-            )
-        elif ctype_b == b"PLTE":
-            if len(data) % 3 or not 3 <= len(data) <= 768:
-                raise ValueError(f"bad PLTE length {len(data)}")
-            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
-        elif ctype_b == b"IDAT":
-            idat.append(data)
-        elif ctype_b == b"IEND":
-            break
-        pos += 12 + length  # len + type + data + crc
-    if w is None:
-        raise ValueError("no IHDR chunk")
-    if depth != 8 or interlace != 0 or ctype not in _CHANNELS:
-        raise ValueError(
-            f"unsupported PNG (depth={depth}, color={ctype}, "
-            f"interlace={interlace}); codec handles 8-bit non-interlaced"
-        )
-    ch = _CHANNELS[ctype]
+def unfilter_scanlines(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
+    """Decompressed PNG scanline stream (filter byte + samples per
+    row) -> (h, w*ch) uint8 sample matrix, applying the five spec
+    filters. Shared by the still decoder below and the APNG frame
+    decoder (apng_codec), whose fdAT streams carry the identical
+    scanline encoding at per-frame dimensions."""
     stride = w * ch
-    raw = zlib.decompress(b"".join(idat))
     if len(raw) != h * (stride + 1):
-        raise ValueError("IDAT length mismatch")
+        raise ValueError("scanline stream length mismatch")
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
@@ -114,6 +89,44 @@ def _decode_png_body(payload: bytes) -> np.ndarray:
             raise ValueError(f"bad filter type {ftype}")
         out[y] = line
         prev = line
+    return out
+
+
+def _decode_png_body(payload: bytes) -> np.ndarray:
+    pos, idat = 8, []
+    w = h = depth = ctype = interlace = palette = None
+    while pos + 8 <= len(payload):
+        (length,), ctype_b = (
+            struct.unpack(">I", payload[pos : pos + 4]),
+            payload[pos + 4 : pos + 8],
+        )
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype_b == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif ctype_b == b"PLTE":
+            if len(data) % 3 or not 3 <= len(data) <= 768:
+                raise ValueError(f"bad PLTE length {len(data)}")
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype_b == b"IDAT":
+            idat.append(data)
+        elif ctype_b == b"IEND":
+            break
+        pos += 12 + length  # len + type + data + crc
+    if w is None:
+        raise ValueError("no IHDR chunk")
+    if depth != 8 or interlace != 0 or ctype not in _CHANNELS:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color={ctype}, "
+            f"interlace={interlace}); codec handles 8-bit non-interlaced"
+        )
+    ch = _CHANNELS[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    try:
+        out = unfilter_scanlines(raw, h, w, ch)
+    except ValueError as e:
+        raise ValueError(f"IDAT {e}") from e
     arr = out.reshape(h, w, ch)
     if ctype == 3:
         if palette is None:

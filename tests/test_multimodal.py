@@ -1393,3 +1393,162 @@ def test_mm12_modern_formats_match_generator_goldens(spark):
         assert (r.img_width, r.img_height) == (w, h)
         got = (r.img_avg_red, r.img_avg_green, r.img_avg_blue)
         assert np.allclose(got, means, rtol=0, atol=1e-9), (got, means)
+
+
+# ---------------------------------------------------------------------------
+# APNG: fcTL/fdAT animation decode (apng_codec) + mm13
+# ---------------------------------------------------------------------------
+
+APNG_DIR = __import__("os").path.join(
+    __import__("os").path.dirname(M.__file__), "fixtures", "apng"
+)
+
+
+def _apng_golden():
+    import os
+
+    return np.load(
+        os.path.join(
+            os.path.dirname(__file__), "golden", "apng_frames.npz"
+        )
+    )
+
+
+def test_apng_composites_match_independent_ground_truth():
+    """Every committed APNG (sub-rectangle frames, dispose NONE/
+    BACKGROUND/PREVIOUS, blend SOURCE/OVER with fractional alpha,
+    palette tRNS alpha, IDAT-default-image-skipped) decodes to
+    EXACTLY the frames the generator derived with its own scalar
+    spec compositor (tools/make_apng_fixtures.py imports nothing
+    from apng_codec)."""
+    import os
+
+    from a3_fp_bigdata_spark.multimodal.apng_codec import (
+        decode_apng_frames,
+        is_apng,
+    )
+
+    golden = _apng_golden()
+    assert set(golden.files) == {
+        "anim_rgba_over", "anim_palette_trns",
+        "anim_default_skipped", "anim_gray_alpha",
+    }
+    for name in golden.files:
+        payload = open(os.path.join(APNG_DIR, f"{name}.png"), "rb").read()
+        assert is_apng(payload)
+        frames = decode_apng_frames(payload)
+        exp = golden[name]
+        assert len(frames) == len(exp)
+        for got, want in zip(frames, exp):
+            assert np.array_equal(got, want), name
+
+
+def test_apng_still_decoder_ignores_animation_chunks():
+    """png_codec must keep decoding an APNG's IDAT as a plain still
+    (acTL/fcTL/fdAT are ancillary): the default-image fixture's IDAT
+    is an all-white canvas that no animation frame shows."""
+    import os
+
+    from a3_fp_bigdata_spark.multimodal.png_codec import decode_png
+
+    payload = open(
+        os.path.join(APNG_DIR, "anim_default_skipped.png"), "rb"
+    ).read()
+    arr = decode_png(payload)
+    assert arr.shape == (12, 16, 3)
+    assert (arr == 255).all()  # the skipped default image, not frame 0
+
+
+def test_apng_malformed_streams_raise():
+    import os
+    import struct
+    import zlib
+
+    from a3_fp_bigdata_spark.multimodal.apng_codec import (
+        decode_apng_frames,
+        is_apng,
+    )
+    from a3_fp_bigdata_spark.multimodal.png_codec import encode_png
+
+    # plain PNG: no acTL -> not an APNG, decoder refuses
+    still = encode_png(np.zeros((4, 4, 3), np.uint8))
+    assert not is_apng(still)
+    with pytest.raises(ValueError, match="no acTL"):
+        decode_apng_frames(still)
+
+    path = os.path.join(APNG_DIR, "anim_rgba_over.png")
+    payload = open(path, "rb").read()
+
+    def patch_first(payload, ctype, mutate):
+        pos = 8
+        while pos + 8 <= len(payload):
+            (length,) = struct.unpack(">I", payload[pos : pos + 4])
+            if payload[pos + 4 : pos + 8] == ctype:
+                start, end = pos + 8, pos + 8 + length
+                data = mutate(bytearray(payload[start:end]))
+                body = payload[pos + 4 : pos + 8] + bytes(data)
+                crc = struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+                return (
+                    payload[:pos]
+                    + struct.pack(">I", len(data))
+                    + body
+                    + crc
+                    + payload[end + 4 :]
+                )
+            pos += 12 + length
+        raise AssertionError("chunk not found")
+
+    # broken fcTL sequence number
+    def bump_seq(d):
+        d[3] += 5
+        return d
+
+    with pytest.raises(ValueError, match="sequence"):
+        decode_apng_frames(patch_first(payload, b"fcTL", bump_seq))
+
+    # frame count mismatch vs acTL
+    def lie_frames(d):
+        d[0:4] = struct.pack(">I", 9)
+        return d
+
+    with pytest.raises(ValueError, match="declares 9 frames"):
+        decode_apng_frames(patch_first(payload, b"acTL", lie_frames))
+
+    # truncation: a complete-looking prefix without IEND must not pass
+    with pytest.raises(ValueError, match="IEND"):
+        decode_apng_frames(payload[:-12])
+
+
+def test_mm13_apng_query_matches_golden_means(spark):
+    from a3_fp_bigdata_spark.multimodal.binary_files import (
+        mm13_apng_frame_features,
+    )
+
+    rows = mm13_apng_frame_features(spark, SF0001).collect()
+    golden = _apng_golden()
+    # media_id is the basename-ordered index from image_dir_source
+    names = sorted(golden.files)
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert len(by_media) == len(names)
+    total = 0
+    for mid, media_rows in by_media.items():
+        media_rows.sort(key=lambda r: r["frame_idx"])
+        # match this media to the golden entry with the same frame
+        # count AND canvas dims (media_id assignment is scan-internal)
+        cands = [
+            n for n in names
+            if len(golden[n]) == len(media_rows)
+            and golden[n].shape[1] == media_rows[0]["img_height"]
+            and golden[n].shape[2] == media_rows[0]["img_width"]
+        ]
+        assert len(cands) == 1, (mid, cands)
+        exp = golden[cands[0]]
+        for r, frame in zip(media_rows, exp):
+            means = frame.reshape(-1, 3).mean(axis=0)
+            assert abs(r["img_avg_red"] - float(means[0])) < 1e-9
+            assert abs(r["img_avg_green"] - float(means[1])) < 1e-9
+            assert abs(r["img_avg_blue"] - float(means[2])) < 1e-9
+            total += 1
+    assert total == sum(len(golden[n]) for n in names)
