@@ -667,3 +667,174 @@ def a18_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
         """
     )
+
+
+#: a21 — deterministic distributed heavy-hitters (Misra-Gries-style
+#: truncation summaries, Agarwal et al. "Mergeable Summaries"): K
+#: counters per summary, documents sharded by doc_id % HH_SHARDS so
+#: the summary values are a pure function of the data (NOT of Spark's
+#: physical partitioning) — which is what lets the oracle replay the
+#: ENTIRE sketch in SQL, a stronger check than the scratch-audit
+#: protocol the other sketches need.
+HH_K = 8
+HH_SHARDS = 32
+
+
+@query(
+    "a21_heavy_hitters_audit",
+    oracle=None,  # attached below (needs text_analysis' token CTE)
+)
+def a21_heavy_hitters_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distributed heavy-hitters with a FULLY replayed sketch + error
+    attestation: per shard, build a Misra-Gries-style summary from the
+    shard's token histogram (subtract the (K+1)-th largest count from
+    every count, keep the positive top-K — same space/error contract
+    as stream MG: per-item deficit <= n_shard/(K+1)); merge the
+    HH_SHARDS summaries by summing per token and truncating once more
+    (the Mergeable Summaries merge). Join survivors to the exact
+    counts and attest, per token: est <= exact (MG never overcounts)
+    and (exact - est)*(K+1) <= 2*n (per-shard + merge deficits).
+
+    Unlike HLL (a19) and Greenwald-Khanna (a20), whose internals have
+    no SQL twin, THIS sketch is deterministic end to end (integer
+    counts, value-determined truncation — rank ties share a count, so
+    the decrement and the survivor set don't depend on tie order), so
+    the DuckDB oracle replays every stage bit-for-bit AND re-derives
+    the bound columns from its own exact scan.
+
+    Scale: stage 1 is one map-side-combinable (shard, tok) count whose
+    wire bytes are <= per-shard vocabulary; the rank windows run on
+    K-scale frames per shard; the merge sees <= HH_SHARDS*K rows
+    total. The exact join here is the AUDIT rung — production keeps
+    only the summary path, whose state is K counters per shard no
+    matter how hot the keys."""
+    from pyspark.sql import Window
+
+    from a3_fp_bigdata_spark.functions import text as TX
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("doc_id") % HH_SHARDS).alias("shard"),
+        F.explode(TX.tokens(F.col("text"))).alias("tok"),
+    )
+    counts = toks.groupBy("shard", "tok").agg(
+        F.count("*").alias("c")
+    )
+    w_shard = Window.partitionBy("shard").orderBy(
+        F.desc("c"), F.asc("tok")
+    )
+    ranked = counts.withColumn("rn", F.row_number().over(w_shard))
+    dec1 = ranked.groupBy("shard").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rn") == HH_K + 1, F.col("c"))),
+            F.lit(0),
+        ).alias("dec1")
+    )
+    summaries = (
+        ranked.join(F.broadcast(dec1), "shard")
+        .filter(
+            (F.col("rn") <= HH_K) & (F.col("c") - F.col("dec1") > 0)
+        )
+        .select("tok", (F.col("c") - F.col("dec1")).alias("est"))
+    )
+    merged = summaries.groupBy("tok").agg(F.sum("est").alias("s"))
+    w_all = Window.orderBy(F.desc("s"), F.asc("tok"))
+    mranked = merged.withColumn("rn", F.row_number().over(w_all))
+    dec2 = mranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("rn") == HH_K + 1, F.col("s"))),
+            F.lit(0),
+        ).alias("dec2")
+    )
+    final = (
+        mranked.crossJoin(F.broadcast(dec2))
+        .filter(
+            (F.col("rn") <= HH_K) & (F.col("s") - F.col("dec2") > 0)
+        )
+        .select("tok", (F.col("s") - F.col("dec2")).alias("est"))
+    )
+    exact = toks.groupBy("tok").agg(
+        F.count("*").cast("long").alias("exact_cnt")
+    )
+    total = toks.agg(F.count("*").cast("long").alias("n_tokens"))
+    return final.join(exact, "tok").crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.col("est").cast("long").alias("est"),
+        "exact_cnt",
+        "n_tokens",
+        (
+            (F.col("est") <= F.col("exact_cnt"))
+            & (
+                (F.col("exact_cnt") - F.col("est")) * (HH_K + 1)
+                <= 2 * F.col("n_tokens")
+            )
+        ).alias("within_bound"),
+    )
+
+
+def _attach_a21_oracle() -> None:
+    """a21's oracle renders text_analysis' shared token snippet; the
+    deferred attach keeps module import order irrelevant (the same
+    pattern as packing's pk7/pk9 oracles)."""
+    import dataclasses
+
+    from a3_fp_bigdata_spark import registry as _R
+    from a3_fp_bigdata_spark.operators.text_analysis import _SQL_TOKS
+
+    name = "a21_heavy_hitters_audit"
+    sql = f"""
+    WITH toks AS (
+      SELECT doc_id % {HH_SHARDS} AS shard, unnest({_SQL_TOKS}) AS tok
+      FROM documents
+    ), shard_counts AS (
+      SELECT shard, tok, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY shard, tok
+    ), ranked AS (
+      SELECT shard, tok, c,
+             row_number() OVER (PARTITION BY shard
+                                ORDER BY c DESC, tok) AS rn
+      FROM shard_counts
+    ), d1 AS (
+      SELECT shard,
+             COALESCE(max(CASE WHEN rn = {HH_K + 1} THEN c END), 0)
+               AS dec1
+      FROM ranked GROUP BY shard
+    ), summaries AS (
+      SELECT r.tok, r.c - d.dec1 AS est
+      FROM ranked r JOIN d1 d USING (shard)
+      WHERE r.rn <= {HH_K} AND r.c - d.dec1 > 0
+    ), merged AS (
+      SELECT tok, CAST(sum(est) AS BIGINT) AS s
+      FROM summaries GROUP BY tok
+    ), mranked AS (
+      SELECT tok, s, row_number() OVER (ORDER BY s DESC, tok) AS rn
+      FROM merged
+    ), d2 AS (
+      SELECT COALESCE(max(CASE WHEN rn = {HH_K + 1} THEN s END), 0)
+        AS dec2
+      FROM mranked
+    ), final AS (
+      SELECT tok, s - (SELECT dec2 FROM d2) AS est
+      FROM mranked
+      WHERE rn <= {HH_K} AND s - (SELECT dec2 FROM d2) > 0
+    ), exact AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt
+      FROM toks GROUP BY tok
+    ), total AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM toks
+    )
+    SELECT f.tok, CAST(f.est AS BIGINT) AS est, e.exact_cnt,
+           t.n_tokens,
+           CAST(f.est <= e.exact_cnt
+                AND (e.exact_cnt - f.est) * {HH_K + 1} <= 2 * t.n_tokens
+                AS BOOLEAN) AS within_bound
+    FROM final f JOIN exact e USING (tok) CROSS JOIN total t
+    """
+    rq = _R._REGISTRY[name]
+    if rq.oracle is None:
+        _R._REGISTRY[name] = dataclasses.replace(rq, oracle=sql)
+
+
+_attach_a21_oracle()

@@ -355,15 +355,30 @@ def w10_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     by codegen'd per-key sorted scans."""
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # materialize each lag ONCE as a named column, then fold — num and
+    # den both reference every lag, and building them from F.lag(...)
+    # expressions directly doubles the Window node's expression list
+    # (14 _weN slots instead of 7 in the executed plan)
+    lagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        *[
+            (F.lag("value", j).over(w) if j else F.col("value")).alias(
+                f"v{j}"
+            )
+            for j, _ in _ewma_terms()
+        ],
+    )
     num: Column | None = None
     den: Column | None = None
     for j, wt in _ewma_terms():
-        v = F.lag("value", j).over(w) if j else F.col("value")
+        v = F.col(f"v{j}")
         term = F.coalesce(v * F.lit(wt), F.lit(0.0))
         mask = F.when(v.isNull(), F.lit(0.0)).otherwise(F.lit(wt))
         num = term if num is None else num + term
         den = mask if den is None else den + mask
-    return ev.select(
+    return lagged.select(
         "user_id", "event_id", "ts", half_up(num / den).alias("ewma")
     )
 

@@ -966,3 +966,46 @@ def test_tx17_each_rule_fires_on_a_crafted_document(spark, tmp_path):
         assert failed == expected_fail, (doc_id, failed, expected_fail)
         assert r["n_failed"] == len(expected_fail)
         assert r["keep"] == int(not expected_fail)
+
+
+# --- a21: deterministic heavy-hitters sketch ---------------------------------
+
+
+def test_a21_planted_heavy_hitter_survives_with_bounds(spark, tmp_path):
+    """MG guarantee on a crafted skewed corpus: a token holding ~40% of
+    the stream MUST survive both truncation levels (any phi-heavy
+    hitter with phi > 2/(K+1) does), its estimate must never exceed
+    the true count, and the deficit must respect the attested bound."""
+    from a3_fp_bigdata_spark.operators import aggregates as AG
+
+    hot = "jackpot " * 40                       # the planted heavy hitter
+    filler_vocab = [f"word{i}" for i in range(30)]
+    rows = []
+    for doc_id in range(60):
+        filler = " ".join(
+            filler_vocab[(doc_id * 7 + j) % len(filler_vocab)]
+            for j in range(40)
+        )
+        text = (hot + filler) if doc_id % 2 == 0 else filler
+        rows.append((doc_id, text, "en", "crafted", len(text)))
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r["tok"]: r
+        for r in AG.a21_heavy_hitters_audit(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert "jackpot" in out, sorted(out)
+    r = out["jackpot"]
+    n, k = r["n_tokens"], AG.HH_K
+    assert r["exact_cnt"] == 30 * 40            # ground truth
+    assert r["est"] <= r["exact_cnt"]           # never overcounts
+    assert (r["exact_cnt"] - r["est"]) * (k + 1) <= 2 * n
+    assert r["within_bound"]
+    assert all(row["within_bound"] for row in out.values())
