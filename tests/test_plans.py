@@ -533,3 +533,54 @@ def test_zorder_key_matches_independent_morton(spark):
 
     assert got == {(a, b): morton(a, b) for a, b in set(pts)}
     assert len(set(got.values())) == len(got)  # injective
+
+
+def test_ewma_is_one_exchange_one_window(spark, qs):
+    """w10: the whole smoother must be ONE hash exchange on user_id and
+    ONE Window node of running-frame lags — no UnboundedFollowing
+    rescans, no Python, and the lag columns materialized once (7 _weN
+    slots, not 14 — the num/den fold must not duplicate them)."""
+    df = qs["w10_ewma_smooth"](spark, SF0001)
+    plan = PI.physical_plan(df)
+    assert PI.shuffle_count(df) == 1
+    assert plan.count("Window [") == 1
+    assert "Python" not in plan and "InPandas" not in plan
+    # the lag columns are materialized ONCE as named v1..v7 (the
+    # num/den fold reuses them), so the Window node carries exactly 7
+    # lag expressions — the duplicated-fold regression would show 14
+    window_node = plan.split("Window [")[1].split("\n")[0]
+    assert window_node.count("lag(value") == 7, window_node
+
+
+def test_pack_efficiency_shuffles_only_pack_keys(spark, qs):
+    """pk14: beyond pk2's own shard exchange, the audit adds only the
+    (shard, seq_id) and shard aggregations — every exchange keyed on
+    the packing keys, partial aggregation before each."""
+    df = qs["pk14_pack_efficiency"](spark, SF0001)
+    plan = PI.physical_plan(df)
+    assert PI.shuffle_count(df) <= 3
+    assert plan.count("FlatMapGroupsInPandas") == 1  # pk2's packer only
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_gopher_rules_aggregate_collapses_map_side(spark, qs):
+    """tx17: the repetition rule's token-frequency mode must partial-
+    aggregate (doc, tok) counts BEFORE its exchange — wire bytes stay
+    bounded by per-doc vocabulary, the tx16 contract."""
+    df = qs["tx17_gopher_rules"](spark, SF0001)
+    plan = PI.physical_plan(df)
+    assert "partial_count" in plan
+    assert "Python" not in plan and "InPandas" not in plan
+
+
+def test_heavy_hitters_summary_stays_k_scale(spark, qs):
+    """a21: the merge stage must operate on the truncated summaries
+    (<= HH_SHARDS*K rows), with the (shard, tok) count collapsing
+    map-side before its exchange; rank windows partition by shard
+    (parallel), and only the final K-row ranking is single-partition."""
+    df = qs["a21_heavy_hitters_audit"](spark, SF0001)
+    plan = PI.physical_plan(df)
+    assert "partial_count" in plan
+    assert "Python" not in plan and "InPandas" not in plan
+    # the global (K-row) ranking is the ONLY single-partition exchange
+    assert plan.count("Exchange SinglePartition") <= 2

@@ -453,3 +453,63 @@ def test_chunk_index_exact_mode_counts_redelivered_doc_once(spark, tmp_path):
     assert any(
         additive[b][1] > expected[b][1] for b in expected
     ), "split doc did not over-count — test premise broken"
+
+
+def test_hot_key_stream_state_stays_bounded_and_bounds_hold(spark, tmp_path):
+    """st13's machinery on crafted input: a token holding ~40% of the
+    stream, split across micro-batches, must survive both truncations
+    with its MG bounds intact, and the materialized view must never
+    hold more than HH_SHARDS x HH_K counter rows (the whole point of
+    the sketch)."""
+    from a3_fp_bigdata_spark.operators.aggregates import HH_K, HH_SHARDS
+    from a3_fp_bigdata_spark.streaming import hot_keys as HK
+
+    vocab = [f"w{i}" for i in range(25)]
+    stage = str(tmp_path / "stage")
+    out = str(tmp_path / "out")
+    for b in range(3):  # 3 micro-batches, hot token in every one
+        rows = []
+        for i in range(20):
+            doc_id = b * 20 + i
+            filler = " ".join(
+                vocab[(doc_id * 3 + j) % len(vocab)] for j in range(12)
+            )
+            text = ("hot " * 8 + filler) if i % 2 == 0 else filler
+            rows.append((doc_id, text))
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(1).write.parquet(f"{stage}/f{b}")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+    q = HK.hot_key_sink(stream, spark, out)
+    q.awaitTermination()
+    state = spark.read.parquet(out).select("shard", "tok", "c").collect()
+    assert len(state) <= HH_SHARDS * HH_K  # K-counter invariant held
+    per_shard = {}
+    for r in state:
+        per_shard.setdefault(r["shard"], []).append(r)
+    assert all(len(v) <= HH_K for v in per_shard.values())
+    # level-2 merge + bound check against exact counts
+    import collections
+
+    exact = collections.Counter()
+    n = 0
+    for b in range(3):
+        for r in spark.read.parquet(f"{stage}/f{b}").collect():
+            toks = r["text"].split()
+            exact.update(toks)
+            n += len(toks)
+    merged = collections.Counter()
+    for r in state:
+        merged[r["tok"]] += r["c"]
+    top = sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))
+    dec2 = top[HH_K][1] if len(top) > HH_K else 0
+    final = {t: s - dec2 for t, s in top[:HH_K] if s - dec2 > 0}
+    assert "hot" in final  # ~40% share MUST survive any batching
+    for tok, est in final.items():
+        assert est <= exact[tok]
+        assert (exact[tok] - est) * (HH_K + 1) <= 2 * n
