@@ -1783,3 +1783,73 @@ def sim13_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("_g")
         .applyInPandas(greedy, schema="rank int, vec_id long, relevance double")
     )
+
+
+#: sim14 — radius (threshold) search: the OTHER ANN API. Top-k asks
+#: "closest k whatever the distance"; radius asks "everything within
+#: tau" — retrieval filters, dedup candidate generation and
+#: RAG-with-floor all use the threshold form. TAU on the ROUNDED
+#: cosine keeps the cut deterministic across engines. The VALUE is
+#: corpus-relative: the driver's synthetic embeddings are
+#: near-orthogonal Gaussian vectors (same-bucket cosines concentrate
+#: near 0, max ~0.13 at sf0.01), so 0.05 is the meaningful floor here;
+#: real text embeddings would set 0.7+ — the knob, not the shape.
+RADIUS_TAU = 0.05
+
+
+@query(
+    "sim14_radius_search",
+    oracle=f"""
+    {_SQL_BUCKETED_CTE}, q AS (
+      SELECT b.vec_id AS query_id, b.bucket AS qbucket, v.e AS qe
+      FROM bucketed b JOIN vecs v USING (vec_id)
+      WHERE b.vec_id IN {BATCH_QUERY_IDS}
+    ), scored AS (
+      SELECT q.query_id, b.vec_id,
+             {half_up_sql(_sql_cos('v.e', 'q.qe'))} AS cosine
+      FROM bucketed b
+      JOIN vecs v USING (vec_id)
+      JOIN q ON b.bucket = q.qbucket AND b.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cosine
+    FROM scored WHERE cosine >= {RADIUS_TAU}
+    """,
+)
+def sim14_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius search over the LSH-bucketed index: for each query
+    vector, EVERY same-bucket vector whose (rounded) cosine clears
+    RADIUS_TAU — sim7's batched machinery with the top-k window
+    replaced by a plain threshold filter, which is the structural
+    point: radius semantics need NO ordering, no window, no
+    TakeOrdered — the plan is scan -> bucket equi-join -> filter,
+    embarrassingly parallel at any corpus size (a top-k per query must
+    rank; a radius query just keeps what passes). The oracle replays
+    the hyperplane bucketing and the threshold on identical f64
+    arithmetic.
+
+    Scale: same contract as sim2/sim7 — candidates come from the
+    bucket equi-join (work ∝ bucket occupancy, never |corpus| x |Q|),
+    the query side broadcasts, and output size is demand-driven by
+    tau rather than fixed k."""
+    from pyspark.sql import functions as F  # local alias for clarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    planes = _planes(emb)
+    with_bucket = emb.join(_buckets(emb, planes), "vec_id")
+    qside = with_bucket.filter(
+        F.col("vec_id").isin(list(BATCH_QUERY_IDS))
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("bucket").alias("qbucket"),
+        F.col("embedding").alias("q_emb"),
+    )
+    cos = half_up(cosine(F.col("embedding"), F.col("q_emb")))
+    return (
+        with_bucket.join(
+            F.broadcast(qside),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id", cos.alias("cosine"))
+        .filter(F.col("cosine") >= RADIUS_TAU)
+    )

@@ -305,6 +305,17 @@ CANONICAL = frozenset(
         # to d15_duplicated_spans (span-level substring dedup); the
         # x1/x2/x3 ladder stays oracle-backed as z_ twins
         # (test_registry.ROTATED_OUT_FAMILIES records the exception)
+        #
+        # r11 rotation candidates (r10-earned, all z_-parity-green in
+        # PARITY_FULL_r10.log): mm11_media_split_leakage, pk12_quality
+        # _mixture, pk13_quality_curriculum, pl8_release_manifest,
+        # mm12_modern_format_features (rows-only), w10_ewma_smooth,
+        # pk14_pack_efficiency, ml5_calibration_audit,
+        # tx17_gopher_rules, a21_heavy_hitters_audit,
+        # st13_stream_hot_keys, sim14_radius_search,
+        # mm13_apng_frame_features (rows-only). Rotate per the
+        # established protocol: swap OUT r10-green rows whose families
+        # keep an oracle-backed member.
     }
 )
 

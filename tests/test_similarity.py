@@ -299,3 +299,33 @@ def test_mmr_replays_from_independent_numpy_cosines(spark):
     assert [r.vec_id for r in got] != pool[:MMR_K]  # diversity acted
     for r in got:
         assert r.relevance == rel[r.vec_id] / 10000.0
+
+
+def test_radius_search_consistent_with_batch_topk(spark):
+    """sim14 vs sim7 over the same buckets and probes: every top-3
+    neighbor whose cosine clears the radius must appear in the radius
+    result, every radius row must clear tau, and no radius row may
+    beat a DROPPED top-3 candidate (the two APIs must tell one story
+    about the same index)."""
+    from a3_fp_bigdata_spark.operators import similarity as S
+
+    radius = {
+        (r.query_id, r.vec_id): r.cosine
+        for r in S.sim14_radius_search(spark, SF001).collect()
+    }
+    topk = {
+        (r.query_id, r.vec_id): r.cosine
+        for r in S.sim7_batch_ann(spark, SF001).collect()
+    }
+    assert all(c >= S.RADIUS_TAU for c in radius.values())
+    for key, c in topk.items():
+        if c >= S.RADIUS_TAU:
+            assert key in radius and radius[key] == c, key
+    # a radius hit missing from top-3 must not outrank the top-3 floor
+    for (q, v), c in radius.items():
+        floor = min(
+            (tc for (tq, _), tc in topk.items() if tq == q),
+            default=None,
+        )
+        if floor is not None and (q, v) not in topk:
+            assert c <= floor, ((q, v), c, floor)

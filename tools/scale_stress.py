@@ -570,6 +570,41 @@ def main() -> None:
     ):
         timed_row(name, lambda n=name: qs[n](spark, sf_dir).count())
 
+    # ---- heavy-hitters rung: the MG sketch's whole contract is that
+    # duplication/skew makes keys HOTTER without growing state. The
+    # 57%-near-dup corpus multiplies token counts 2-6x; the summary
+    # must stay <= HH_SHARDS*HH_K counter rows at 1x AND at 10x rows,
+    # with wall tracking the one (shard, tok) count shuffle.
+    print()
+    print("## Heavy-hitters sketch under duplication (a21)")
+    print()
+    print("The near-dup clusters concentrate token mass (boilerplate")
+    print("phrases repeat 2-6x), exactly the regime MG exists for; the")
+    print("audit join against exact counts is part of the timed run,")
+    print("so the rung UNDERSTATES the sketch-only path.")
+    print()
+    print("| stage | rows out | wall s | shuffle write | shuffle read | peak JVM mem |")
+    print("|---|---|---|---|---|---|")
+    timed_row.w0, timed_row.r0 = _shuffle_totals(spark)
+    timed_row(
+        "a21_heavy_hitters_audit",
+        lambda: qs["a21_heavy_hitters_audit"](spark, sf_dir).count(),
+    )
+    big_dir, big_rows = amplify_corpus(spark, 10)
+    timed_row(
+        f"a21_heavy_hitters_audit x10 ({big_rows} docs)",
+        lambda: qs["a21_heavy_hitters_audit"](spark, big_dir).count(),
+    )
+    from a3_fp_bigdata_spark.operators.aggregates import HH_K, HH_SHARDS
+
+    print()
+    print(
+        f"Survivor rows are <= HH_K={HH_K} at BOTH scales (the table "
+        f"above); intermediate state is <= {HH_SHARDS}x{HH_K} = "
+        f"{HH_SHARDS * HH_K} counter rows by construction — corpus "
+        "growth changes the counts, never the state size."
+    )
+
     # ---- tokenizer rung: BPE fit on the boilerplate-heavy corpus —
     # the 57% near-dup members inflate word COUNTS, not word TYPES,
     # so the histogram (and every iteration after it) must stay
@@ -638,6 +673,10 @@ def main() -> None:
     for name in (
         "st10_incremental_dedup_stream",
         "st11_chunk_index_stream",
+        # st13 streams the SAME corpus through the K-counter MG view:
+        # the hot boilerplate tokens saturate their counters while
+        # state stays <= HH_SHARDS*HH_K rows across every batch
+        "st13_stream_hot_keys",
     ):
         timed_row(name, lambda n=name: qs[n](spark, sf_dir).count())
 
