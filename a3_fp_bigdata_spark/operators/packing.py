@@ -2378,3 +2378,97 @@ def _attach_pk13_oracle() -> None:
 
 
 _attach_pk13_oracle()
+
+
+#: pk15 — temperature (alpha) smoothing exponent, expressed as the
+#: exact operation alpha=0.5 induces: integer sqrt of the per-lang
+#: count. floor(sqrt(int64)) is bit-identical on both engines for any
+#: realistic count (IEEE sqrt is correctly rounded; the rounding can
+#: only cross an integer boundary when 1/(2*sqrt(n)) < half-ulp, i.e.
+#: n beyond ~2^52 — far past any per-language doc count).
+TEMP_RESOLUTION_BP = 10_000  # basis-point share grid
+
+
+@query(
+    "pk15_temperature_mixture",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+    ), w AS (
+      SELECT lang, n_docs,
+             CAST(floor(sqrt(n_docs)) AS BIGINT) AS wgt
+      FROM counts
+    ), tot AS (
+      SELECT CAST(sum(wgt) AS BIGINT) AS wsum FROM w
+    ), t AS (
+      SELECT lang, n_docs,
+             wgt * {TEMP_RESOLUTION_BP} // (SELECT wsum FROM tot)
+               AS target_bp
+      FROM w
+    ), s AS (
+      SELECT MIN(n_docs * {TEMP_RESOLUTION_BP} // target_bp) AS mix_size
+      FROM t WHERE target_bp > 0
+    ), rates AS (
+      SELECT lang,
+             LEAST(target_bp * (SELECT mix_size FROM s) // n_docs,
+                   {TEMP_RESOLUTION_BP}) AS keep_bp
+      FROM t
+    )
+    SELECT d.doc_id, d.lang, r.keep_bp
+    FROM documents d JOIN rates r USING (lang)
+    WHERE ((d.doc_id % {SAMPLE_PREMOD}) * {SAMPLE_MULT})
+          % {TEMP_RESOLUTION_BP} < r.keep_bp
+    """,
+)
+def pk15_temperature_mixture(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-smoothed mixture (the multilingual-LM alpha-sampling
+    knob, XLM/mBERT style): target shares are DERIVED from the corpus
+    as q_l ∝ n_l^alpha with alpha = 0.5 — scarce languages are
+    upweighted relative to their empirical share, dominant ones
+    damped — unlike pk5, whose targets arrive as config. The smoothed
+    weights are integer sqrt(n_l) (exactly what alpha = 0.5 means on
+    the count grid; see TEMP_RESOLUTION_BP note), so every stage —
+    weights, basis-point targets, the scarcest-language mix size, the
+    per-lang keep rates, and membership itself — is int64 floor math,
+    bit-identical across engines, reusing pk5's algebra at 100x finer
+    resolution (basis points, because smoothed tail shares land well
+    under 1%).
+
+    Scale shape: identical to pk5 — one map-side-combinable per-lang
+    count, a broadcast rate table, and a scan-side membership
+    predicate; doc rows never shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    w = counts.select(
+        "lang",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs"))).cast("long").alias("wgt"),
+    )
+    tot = w.agg(F.sum("wgt").cast("long").alias("wsum"))
+    t = w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.expr(f"wgt * {TEMP_RESOLUTION_BP} div wsum").alias("target_bp"),
+    )
+    mix_size = t.filter(F.col("target_bp") > 0).agg(
+        F.min(
+            F.expr(f"n_docs * {TEMP_RESOLUTION_BP} div target_bp")
+        ).alias("mix_size")
+    )
+    rates = t.crossJoin(F.broadcast(mix_size)).select(
+        "lang",
+        F.least(
+            F.expr("target_bp * mix_size div n_docs"),
+            F.lit(TEMP_RESOLUTION_BP).cast("long"),
+        ).alias("keep_bp"),
+    )
+    member = (
+        (F.col("doc_id") % SAMPLE_PREMOD) * SAMPLE_MULT
+    ) % TEMP_RESOLUTION_BP < F.col("keep_bp")
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(member)
+        .select("doc_id", "lang", "keep_bp")
+    )

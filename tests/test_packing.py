@@ -695,3 +695,58 @@ def test_pk14_efficiency_totals_and_greedy_invariant(spark):
             / 1e4
         )
         assert abs(r["utilization"] - expected_util) < 1e-9
+
+
+def test_pk15_temperature_smoothing_upweights_scarce_langs(spark):
+    """alpha=0.5 smoothing contract: keep rates scale like 1/sqrt(n)
+    (monotone non-increasing in corpus count — scarcer languages keep
+    a larger fraction), the binding language keeps ~everything, and
+    realized membership is exactly the broadcast predicate."""
+    from pyspark.sql import functions as F
+
+    from a3_fp_bigdata_spark.data import table
+    from a3_fp_bigdata_spark.operators import packing as PK
+
+    out = PK.pk15_temperature_mixture(spark, SF0001)
+    docs = table(spark, SF0001, "documents")
+    n_by_lang = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    keep_by_lang = {
+        r["lang"]: r["keep_bp"]
+        for r in out.select("lang", "keep_bp").distinct().collect()
+    }
+    assert set(keep_by_lang) <= set(n_by_lang)
+    # exact replay of the integer algebra in plain Python (isqrt
+    # weights -> bp targets -> binding mix size -> keep rates); note
+    # exact 1/sqrt MONOTONICITY is deliberately not asserted — isqrt
+    # granularity at toy counts (w jumps at perfect squares) can
+    # invert near-tied languages, which the replay reproduces too
+    import math
+
+    BP = PK.TEMP_RESOLUTION_BP
+    w = {l: math.isqrt(n) for l, n in n_by_lang.items()}
+    wsum = sum(w.values())
+    t = {l: w[l] * BP // wsum for l in w}
+    S = min(n_by_lang[l] * BP // t[l] for l in t if t[l] > 0)
+    expected = {
+        l: min(t[l] * S // n_by_lang[l], BP) for l in t
+    }
+    for l, kb in keep_by_lang.items():
+        assert kb == expected[l], (l, kb, expected[l])
+    # the binding lang keeps (almost) everything; floor rounding can
+    # shave a few basis points
+    assert max(keep_by_lang.values()) >= PK.TEMP_RESOLUTION_BP - 20
+    # smoothing really happened: the keep-rate RANGE is narrower than
+    # the raw count range (proportional sampling would equalize
+    # realized counts, i.e. keep ratio == inverse count ratio)
+    langs = list(keep_by_lang)
+    lo, hi = (
+        min(langs, key=lambda l: n_by_lang[l]),
+        max(langs, key=lambda l: n_by_lang[l]),
+    )
+    if n_by_lang[lo] < n_by_lang[hi]:
+        count_ratio = n_by_lang[hi] / n_by_lang[lo]
+        keep_ratio = keep_by_lang[lo] / max(keep_by_lang[hi], 1)
+        assert keep_ratio < count_ratio  # damped, not proportional
