@@ -496,3 +496,109 @@ def w9_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour",
         half_up(interp).alias("value_interp"),
     )
+
+
+#: w11 — trailing-history window for the rolling z-score (8 events,
+#: EXCLUDING the current row: an anomaly must not dilute the baseline
+#: it is judged against) and the minimum history for a meaningful
+#: sample stddev.
+ZSCORE_HISTORY = 8
+ZSCORE_MIN_HIST = 4
+ZSCORE_FLAG_AT = 3  # |z| > 3 flags
+
+
+@query(
+    "w11_rolling_zscore",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, event_id, ts,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ), agg AS (
+      SELECT user_id, event_id, cents,
+             count(*) OVER win AS n_hist,
+             CAST(COALESCE(sum(cents) OVER win, 0) AS BIGINT) AS s1,
+             CAST(COALESCE(sum(cents * cents) OVER win, 0) AS BIGINT)
+               AS s2
+      FROM c
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN {ZSCORE_HISTORY} PRECEDING
+                              AND 1 PRECEDING)
+    ), z AS (
+      SELECT user_id, event_id, CAST(n_hist AS BIGINT) AS n_hist,
+             CASE WHEN n_hist * s2 - s1 * s1 > 0 THEN
+               CAST(cents * n_hist - s1 AS DOUBLE)
+               / sqrt(CAST(n_hist * s2 - s1 * s1 AS DOUBLE)
+                      * n_hist / (n_hist - 1))
+             END AS zraw
+      FROM agg WHERE n_hist >= {ZSCORE_MIN_HIST}
+    )
+    SELECT user_id, event_id, n_hist,
+           {half_up_sql('zraw')} AS z,
+           CAST(CASE WHEN zraw > {ZSCORE_FLAG_AT}
+                       OR zraw < -{ZSCORE_FLAG_AT}
+                     THEN 1 ELSE 0 END AS INT) AS is_anomaly
+    FROM z
+    """,
+)
+def w11_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags — the metric-monitoring rung: each
+    event judged against ITS OWN user's trailing {ZSCORE_HISTORY}
+    observations (window excludes the current row so a spike can't
+    dilute its own baseline; rows with under {ZSCORE_MIN_HIST} history
+    are withheld rather than scored against noise).
+
+    Bit-exact parity via the integer-moment trick: values quantize to
+    int64 CENTS (floor(v*100+0.5) — the same arithmetic on the same
+    doubles in both engines), the window carries only INTEGER sums
+    (count, sum, sum of squares — association-free), and the z-score
+    is assembled from those integers in one identical float expression
+    per engine: z = (x*n - s1) / sqrt((n*s2 - s1^2) * n / (n-1)).
+    Constant histories (variance 0) yield null z, not a divide crash.
+
+    Scale: ONE partitioned window with three running integer
+    accumulators over a bounded frame — no second pass, no Python, no
+    global sort; the same plan shape as w10's smoother, and at 100 TB
+    a single hash-shuffle on user_id."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ZSCORE_HISTORY, -1)
+    )
+    agg = ev.select(
+        "user_id",
+        "event_id",
+        cents.alias("cents"),
+        F.count("*").over(w).alias("n_hist"),
+        F.coalesce(F.sum(cents).over(w), F.lit(0))
+        .cast("long")
+        .alias("s1"),
+        F.coalesce(F.sum(cents * cents).over(w), F.lit(0))
+        .cast("long")
+        .alias("s2"),
+    ).filter(F.col("n_hist") >= ZSCORE_MIN_HIST)
+    var_num = F.col("n_hist") * F.col("s2") - F.col("s1") * F.col("s1")
+    zraw = F.when(
+        var_num > 0,
+        (F.col("cents") * F.col("n_hist") - F.col("s1")).cast("double")
+        / F.sqrt(
+            var_num.cast("double")
+            * F.col("n_hist")
+            / (F.col("n_hist") - 1)
+        ),
+    )
+    return agg.select(
+        "user_id",
+        "event_id",
+        F.col("n_hist").cast("long").alias("n_hist"),
+        half_up(zraw).alias("z"),
+        F.when(
+            (zraw > ZSCORE_FLAG_AT) | (zraw < -ZSCORE_FLAG_AT),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("is_anomaly"),
+    )

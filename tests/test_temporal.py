@@ -209,3 +209,58 @@ def test_ewma_partition_head_equals_value(spark):
         "ewma", F.floor(F.col("value") * 1e4 + F.lit(0.5)) / 1e4
     )
     assert all(a == b for a, b in joined.collect())
+
+
+# --- w11: rolling z-score anomaly flags --------------------------------------
+
+
+def test_rolling_zscore_replay_matches_plain_python(spark):
+    """Independent replay for two users: trailing-window integer
+    moments and the z expression recomputed in plain Python must match
+    EXACTLY (the integer-moment bit-exactness claim), including the
+    history-exclusion (current row not in its own baseline) and the
+    min-history withholding."""
+    import math
+
+    out = TP.w11_rolling_zscore(spark, SF0001)
+    users = [r[0] for r in out.select("user_id").distinct().limit(2).collect()]
+    got = {
+        (r["user_id"], r["event_id"]): (r["n_hist"], r["z"], r["is_anomaly"])
+        for r in out.filter(F.col("user_id").isin(users)).collect()
+    }
+    ev = (
+        table(spark, SF0001, "events")
+        .filter(F.col("user_id").isin(users))
+        .select("user_id", "event_id", "ts", "value")
+        .collect()
+    )
+    import collections
+
+    by_user = collections.defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append(r)
+    n_checked = 0
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        cents = [math.floor(r["value"] * 100 + 0.5) for r in rows]
+        for i, r in enumerate(rows):
+            hist = cents[max(0, i - TP.ZSCORE_HISTORY): i]
+            key = (uid, r["event_id"])
+            if len(hist) < TP.ZSCORE_MIN_HIST:
+                assert key not in got
+                continue
+            n, s1, s2 = len(hist), sum(hist), sum(c * c for c in hist)
+            var_num = n * s2 - s1 * s1
+            if var_num > 0:
+                zraw = (cents[i] * n - s1) / math.sqrt(
+                    var_num * n / (n - 1)
+                )
+                z = math.floor(zraw * 1e4 + 0.5) / 1e4
+                flag = int(
+                    zraw > TP.ZSCORE_FLAG_AT or zraw < -TP.ZSCORE_FLAG_AT
+                )
+            else:
+                z, flag = None, 0
+            assert got[key] == (n, z, flag), (key, got[key], (n, z, flag))
+            n_checked += 1
+    assert n_checked > 10  # non-vacuous
