@@ -322,3 +322,71 @@ def dq2_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             > DRIFT_TOL * F.abs(F.col("snap_a")) + F.lit(1e-12)
         ).alias("drifted"),
     )
+
+
+#: dq3's FK edges: (child table, fk col, parent table, pk col) — the
+#: TPC-H-style referential skeleton of the test schema.
+_FK_EDGES = (
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+@query(
+    "dq3_referential_integrity",
+    oracle=" UNION ALL ".join(
+        f"""
+    SELECT '{child}.{fk} -> {parent}.{pk}' AS fk_edge,
+           (SELECT count(*) FROM {child}) AS n_child,
+           CAST(count(*) AS BIGINT) AS n_orphans,
+           CAST(count(*) = 0 AS INT) AS ok
+    FROM {child} c
+    WHERE c.{fk} IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk})
+    """
+        for child, fk, parent, pk in _FK_EDGES
+    ),
+)
+def dq3_referential_integrity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Referential-integrity audit over the star schema's FK skeleton:
+    one row per foreign-key edge with the orphan count (child rows
+    whose FK matches no parent PK) — the publish-gate check every
+    warehouse load runs, since parquet enforces no constraints and a
+    broken upstream join ships silently otherwise. Nulls are NOT
+    orphans (SQL FK semantics); dq1's null-rate expectations own them.
+
+    Scale: each edge is one LEFT ANTI join — Spark broadcasts the
+    parent key set when it fits (nation/region always; customer/orders
+    AQE decides) and falls back to a shuffled anti-join when it
+    doesn't, the same fallback contract as the dedup drop sets — then
+    collapses to a single count row, so the audit output is |edges|
+    rows regardless of corpus size."""
+    rows = []
+    for child, fk, parent, pk in _FK_EDGES:
+        c = table(spark, sf_dir, child)
+        p = table(spark, sf_dir, parent).select(
+            F.col(pk).alias("_pk")
+        ).distinct()
+        orphans = (
+            c.filter(F.col(fk).isNotNull())
+            .join(p, F.col(fk) == F.col("_pk"), "left_anti")
+            .agg(F.count("*").cast("long").alias("n_orphans"))
+        )
+        n_child = c.agg(F.count("*").cast("long").alias("n_child"))
+        rows.append(
+            n_child.crossJoin(orphans).select(
+                F.lit(f"{child}.{fk} -> {parent}.{pk}").alias("fk_edge"),
+                "n_child",
+                "n_orphans",
+                (F.col("n_orphans") == 0).cast("int").alias("ok"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -181,3 +181,52 @@ def test_profile_drift_matches_python_replay(spark):
     assert got == expected
     assert got["n_rows"][2] is True  # the 10% drop fires
     assert got["price_null_rate"][2] is True  # the null pollution fires
+
+
+def test_dq3_planted_orphans_flag_their_edge_only(spark, tmp_path):
+    """Crafted star schema with exactly two violations (an order
+    pointing at a missing customer, a lineitem at a missing order) —
+    dq3 must flag those edges with the right orphan counts, keep the
+    healthy edges ok, and NOT count a null FK as an orphan."""
+    import shutil
+
+    from a3_fp_bigdata_spark.operators.quality_checks import (
+        dq3_referential_integrity,
+    )
+
+    # healthy copies of the dimension chain
+    for t in ("region", "nation", "supplier", "customer"):
+        shutil.copy(
+            f"/root/testdata/sf0.001/{t}.parquet",
+            tmp_path / f"{t}.parquet",
+        )
+    customers = spark.read.parquet(str(tmp_path / "customer.parquet"))
+    good_cust = customers.first()["c_custkey"]
+    orders = spark.createDataFrame(
+        [
+            (1, good_cust, "O", 10.0, "1998-01-01", "1-URGENT"),
+            (2, 999_999_999, "O", 10.0, "1998-01-01", "1-URGENT"),  # orphan
+            (3, None, "O", 10.0, "1998-01-01", "1-URGENT"),  # null: NOT one
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    )
+    orders.coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    lineitem = spark.createDataFrame(
+        [(1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", "1998-01-02"),
+         (777, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", "1998-01-02")],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate string",
+    )
+    lineitem.coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+    got = {
+        r["fk_edge"]: (r["n_orphans"], r["ok"])
+        for r in dq3_referential_integrity(spark, str(tmp_path)).collect()
+    }
+    assert got["orders.o_custkey -> customer.c_custkey"] == (1, 0)
+    assert got["lineitem.l_orderkey -> orders.o_orderkey"] == (1, 0)
+    assert got["customer.c_nationkey -> nation.n_nationkey"] == (0, 1)
+    assert got["supplier.s_nationkey -> nation.n_nationkey"] == (0, 1)
+    assert got["nation.n_regionkey -> region.r_regionkey"] == (0, 1)
