@@ -313,9 +313,10 @@ CANONICAL = frozenset(
         # pk14_pack_efficiency, ml5_calibration_audit,
         # tx17_gopher_rules, a21_heavy_hitters_audit,
         # st13_stream_hot_keys, sim14_radius_search,
-        # mm13_apng_frame_features (rows-only). Rotate per the
-        # established protocol: swap OUT r10-green rows whose families
-        # keep an oracle-backed member.
+        # mm13_apng_frame_features (rows-only), w11_rolling_zscore,
+        # dq3_referential_integrity, pk15_temperature_mixture. Rotate
+        # per the established protocol: swap OUT r10-green rows whose
+        # families keep an oracle-backed member.
     }
 )
 
