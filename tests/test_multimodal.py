@@ -1617,3 +1617,46 @@ def test_apng_property_random_animations_decode_exactly():
         assert len(got) == len(expected), seed
         for i, (g, e) in enumerate(zip(got, expected)):
             assert np.array_equal(g, e), (seed, i)
+
+
+def test_apng_guards_reject_unsupported_and_out_of_bounds():
+    """Remaining decoder guards: color-key tRNS (type-2) refuses
+    loudly instead of mis-compositing, a frame rectangle outside the
+    canvas refuses, and is_apng stays false for non-PNG bytes."""
+    import struct
+
+    import numpy as np
+
+    from a3_fp_bigdata_spark.multimodal.apng_codec import (
+        decode_apng_frames,
+        is_apng,
+    )
+    from tools.make_apng_fixtures import SIG, chunk, fctl, fdat, scanlines
+
+    assert not is_apng(b"GIF89a" + b"\x00" * 20)
+    assert not is_apng(b"")
+
+    rgb = np.zeros((4, 4, 3), np.uint8)
+
+    def base(extra_after_ihdr=b"", fw=4, fh=4, fx=0, fy=0):
+        p = SIG + chunk(
+            b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+        )
+        p += chunk(b"acTL", struct.pack(">II", 2, 0))
+        p += extra_after_ihdr
+        p += fctl(0, 4, 4, 0, 0, 0, 0)
+        p += chunk(b"IDAT", scanlines(rgb))
+        p += fctl(1, fw, fh, fx, fy, 0, 0)
+        p += fdat(2, scanlines(np.zeros((fh, fw, 3), np.uint8)))
+        p += chunk(b"IEND", b"")
+        return p
+
+    # color-key transparency on truecolor: explicit refusal
+    with pytest.raises(ValueError, match="tRNS with color type 2"):
+        decode_apng_frames(
+            base(extra_after_ihdr=chunk(b"tRNS", struct.pack(">HHH", 0, 0, 0)))
+        )
+
+    # frame rectangle outside the canvas: refusal, not a silent crop
+    with pytest.raises(ValueError, match="outside canvas"):
+        decode_apng_frames(base(fw=3, fh=3, fx=2, fy=2))
