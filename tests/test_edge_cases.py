@@ -968,6 +968,53 @@ def test_tx17_each_rule_fires_on_a_crafted_document(spark, tmp_path):
         assert r["keep"] == int(not expected_fail)
 
 
+def test_tx17_null_text_document_gets_sane_verdicts(spark, tmp_path):
+    """NULL text must behave exactly like empty text on both engines
+    (ADVICE r10: Spark's size(NULL array) is -1 where DuckDB's len() is
+    NULL — tx17 coalesces before tokenizing so neither is reachable).
+    An empty document fails the word-count floor and stopword floor,
+    vacuously passes the zero-token ratio rules (0 >= k*0), and its
+    rule bits are 0/1 (never negative or NULL)."""
+    import duckdb
+
+    from a3_fp_bigdata_spark.operators import text_analysis as TA
+    from a3_fp_bigdata_spark.registry import get
+
+    stop8 = "the and for with this that from have"
+    df = spark.createDataFrame(
+        [(1, None, "en", "crafted", 0),
+         (2, f"{stop8} alpha beta gamma delta", "en", "crafted", 10)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in TA.tx17_gopher_rules(spark, str(tmp_path)).collect()
+    }
+    null_row = rows[1]
+    assert null_row["keep"] == 0 and null_row["n_failed"] == 2
+    assert null_row["word_count_ok"] == 0
+    assert null_row["stopword_count_ok"] == 0
+    assert all(
+        v in (0, 1)
+        for k, v in null_row.items()
+        if k not in ("doc_id", "n_failed")
+    ), null_row
+    # the DuckDB oracle agrees on the NULL-text row verdicts
+    con = duckdb.connect()
+    glob = str(tmp_path / "documents.parquet" / "*.parquet").replace("'", "''")
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')"
+    )
+    oracle = {
+        r[0]: dict(zip([d[0] for d in con.description], r))
+        for r in con.execute(get("tx17_gopher_rules").oracle).fetchall()
+    }
+    assert oracle[1] == null_row
+
+
 # --- a21: deterministic heavy-hitters sketch ---------------------------------
 
 

@@ -1518,6 +1518,26 @@ def test_apng_malformed_streams_raise():
     with pytest.raises(ValueError, match="IEND"):
         decode_apng_frames(payload[:-12])
 
+    # two fcTL chunks before IDAT: malformed, must refuse (not silently
+    # treat the second as a post-IDAT animation frame)
+    def dup_fctl_before_idat(payload):
+        pos = 8
+        while pos + 8 <= len(payload):
+            (length,) = struct.unpack(">I", payload[pos : pos + 4])
+            if payload[pos + 4 : pos + 8] == b"fcTL":
+                end = pos + 12 + length
+                data = bytearray(payload[pos + 8 : pos + 8 + length])
+                data[0:4] = struct.pack(">I", 1)  # next sequence number
+                body = b"fcTL" + bytes(data)
+                crc = struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+                dup = struct.pack(">I", len(data)) + body + crc
+                return payload[:end] + dup + payload[end:]
+            pos += 12 + length
+        raise AssertionError("fcTL not found")
+
+    with pytest.raises(ValueError, match="second fcTL before IDAT"):
+        decode_apng_frames(dup_fctl_before_idat(payload))
+
 
 def test_mm13_apng_query_matches_golden_means(spark):
     from a3_fp_bigdata_spark.multimodal.binary_files import (
