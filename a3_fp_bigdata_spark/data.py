@@ -181,6 +181,24 @@ def run_scratch(name: str) -> str:
     return path
 
 
+def read_stamped_scratch(spark: SparkSession, path: str) -> DataFrame:
+    """Spark-side twin of the audit oracles' staleness guard
+    (``WHERE n_src = (SELECT count(*) ...)``) over a stamped scratch:
+    keep rows only when every row's ``n_src`` stamp equals the actual
+    row count, then drop the stamp. A torn read mixing rows from two
+    fixture generations fails the equality on at least one side and
+    disagrees loudly (row-count mismatch) instead of silently passing
+    mixed-generation bytes. The guard is one broadcast of a 1-row
+    count frame — no extra shuffle."""
+    raw = spark.read.parquet(path)
+    total = raw.agg(F.count("*").cast("long").alias("n_total_rows"))
+    return (
+        raw.crossJoin(F.broadcast(total))
+        .filter(F.col("n_src") == F.col("n_total_rows"))
+        .drop("n_src", "n_total_rows")
+    )
+
+
 def _cleanup_run_scratch() -> None:
     while _RUN_SCRATCH_DIRS:
         _shutil.rmtree(_RUN_SCRATCH_DIRS.pop(), ignore_errors=True)

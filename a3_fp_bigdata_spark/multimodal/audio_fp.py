@@ -40,7 +40,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from a3_fp_bigdata_spark.data import run_scratch
+from a3_fp_bigdata_spark.data import read_stamped_scratch, run_scratch
 from a3_fp_bigdata_spark.multimodal.audio import decode_wav
 from a3_fp_bigdata_spark.pickling import ship_by_value
 from a3_fp_bigdata_spark.registry import pin, query
@@ -122,10 +122,11 @@ def audio_fp_features(media: DataFrame) -> DataFrame:
 #: is the committed fixture directory (which DuckDB cannot read), and
 #: the fingerprint bytes are fixture-deterministic, so the only live
 #: hazard was a TORN read from a CONCURRENT process's rewrite — the
-#: per-process run_scratch path removes that writer entirely (round-9
-#: review: the oracle's n_src guard self-healed torn reads but the
-#: Spark read-back did not). n_src is still stamped so a torn read
-#: across fixture generations within one process disagrees loudly.
+#: per-process run_scratch path removes that writer entirely. n_src
+#: is stamped and BOTH engines enforce it symmetrically: the oracle's
+#: WHERE n_src = count(*) and the Spark read-back's
+#: read_stamped_scratch (r11, closing the r10 asymmetry where only
+#: the oracle self-healed torn reads).
 _MM9_AFP_SCRATCH = run_scratch("mm9_afp")
 
 
@@ -181,8 +182,7 @@ def mm9_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overwrite"
     ).parquet(_MM9_AFP_SCRATCH)
     fps = pin(
-        spark.read.parquet(_MM9_AFP_SCRATCH)
-        .drop("n_src")
+        read_stamped_scratch(spark, _MM9_AFP_SCRATCH)
         .select(
             F.col("media_id").alias("doc_id"),
             F.col("afp").alias("simhash"),
@@ -256,7 +256,7 @@ def mm10_audio_dedup_clusters(
         F.col("media_b").alias("doc_b"),
     )
     labels, _ = connected_components(spark, pairs)
-    all_media = spark.read.parquet(_MM9_AFP_SCRATCH).select("media_id")
+    all_media = read_stamped_scratch(spark, _MM9_AFP_SCRATCH).select("media_id")
     cluster = F.coalesce(F.col("lab"), F.col("media_id"))
     return all_media.join(
         labels.withColumnRenamed("doc_id", "media_id"), "media_id", "left"

@@ -38,7 +38,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from a3_fp_bigdata_spark.data import run_scratch
+from a3_fp_bigdata_spark.data import read_stamped_scratch, run_scratch
 from a3_fp_bigdata_spark.multimodal.images import decode_image, resize_nn
 from a3_fp_bigdata_spark.pickling import ship_by_value
 from a3_fp_bigdata_spark.registry import query
@@ -138,8 +138,10 @@ def phash_features(media: DataFrame) -> DataFrame:
 #: which DuckDB cannot read, and the hash bytes are fixture-
 #: deterministic (same files -> same rows from any process), so a
 #: concurrent writer produces identical bytes rather than foreign
-#: ones. n_src is still stamped so a TORN read (rows from two
-#: different fixture generations) shows up as disagreeing counts.
+#: ones. n_src is still stamped, and since r11 BOTH engines enforce
+#: it symmetrically (the oracle's WHERE n_src = count(*), the Spark
+#: read-back's read_stamped_scratch), so a TORN read — rows from two
+#: different fixture generations — disagrees loudly on either side.
 _MM7_PHASH_SCRATCH = run_scratch("mm7_phash")
 
 
@@ -197,8 +199,7 @@ def mm7_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overwrite"
     ).parquet(_MM7_PHASH_SCRATCH)
     fps = pin(
-        spark.read.parquet(_MM7_PHASH_SCRATCH)
-        .drop("n_src")
+        read_stamped_scratch(spark, _MM7_PHASH_SCRATCH)
         .select(
             F.col("media_id").alias("doc_id"),
             F.col("dhash").alias("simhash"),
@@ -270,7 +271,7 @@ def mm8_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_a").alias("doc_a"), F.col("media_b").alias("doc_b")
     )
     labels, _ = connected_components(spark, pairs)
-    all_media = spark.read.parquet(_MM7_PHASH_SCRATCH).select("media_id")
+    all_media = read_stamped_scratch(spark, _MM7_PHASH_SCRATCH).select("media_id")
     cluster = F.coalesce(F.col("lab"), F.col("media_id"))
     return (
         all_media.join(

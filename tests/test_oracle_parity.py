@@ -97,6 +97,36 @@ def test_oracle_keys_subset():
     assert set(ORACLES) <= set(ALL)
 
 
+def test_read_stamped_scratch_guards_torn_reads(spark, tmp_path):
+    """read_stamped_scratch is the Spark-side twin of the oracles'
+    `WHERE n_src = count(*)` staleness guard (r10 ADVICE: the guard
+    was oracle-only, leaving the Spark read-back asymmetric). A clean
+    single-generation scratch passes through intact; a torn read
+    mixing rows from two generations yields ZERO rows — a loud
+    row-count disagreement, never silent mixed-generation bytes."""
+    from pyspark.sql import functions as F
+
+    from a3_fp_bigdata_spark.data import read_stamped_scratch
+
+    path = str(tmp_path / "scratch.parquet")
+    gen_a = spark.range(3).select(
+        F.col("id").alias("media_id"), F.lit(3).cast("long").alias("n_src")
+    )
+    gen_a.coalesce(1).write.mode("overwrite").parquet(path)
+    clean = read_stamped_scratch(spark, path)
+    assert clean.count() == 3
+    assert "n_src" not in clean.columns
+
+    # torn read: a second generation's rows (different stamp) landed
+    # beside generation A's — totals match neither stamp
+    gen_b = spark.range(5).select(
+        (F.col("id") + 100).alias("media_id"),
+        F.lit(5).cast("long").alias("n_src"),
+    )
+    gen_b.coalesce(1).write.mode("append").parquet(path)
+    assert read_stamped_scratch(spark, path).count() == 0
+
+
 def test_audit_scratch_stale_sf_red_flags(spark):
     """The audit queries (a19/d4/sim11) share a fixed uid-scoped scratch
     path; the guard against STALE scratch (written at a different scale
