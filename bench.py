@@ -84,6 +84,15 @@ def force(df) -> None:
 OUTLIER_RATIO = 3.0
 OUTLIER_FLOOR_S = 2.0
 
+#: Headline rows get a TIGHTER re-probe gate, against the prior
+#: committed DRIVER artifact (BENCH_r{N}.json) rather than the prior
+#: full sweep: they are the round-over-round metric, so a contention
+#: spike like r10's st5 (3.34 s driver vs 1.87 s steady) should
+#: self-describe inside BENCH_r{N}.json instead of needing a verdict
+#: footnote. The honest first reading still feeds `value`; the reprobe
+#: only annotates.
+HEADLINE_OUTLIER_RATIO = 2.0
+
 
 def _canon(name: str) -> str:
     """Tier-free spelling: rotation moves names between the canonical
@@ -110,6 +119,31 @@ def prev_sweep_timings() -> dict[str, float]:
         return {}
     try:
         with open(ref) as fh:
+            qs = json.load(fh).get("queries") or {}
+        return {_canon(k): float(v) for k, v in qs.items()}
+    except Exception:  # noqa: BLE001 — a corrupt ref disables reprobe, never the bench
+        return {}
+
+
+def prev_driver_timings() -> dict[str, float]:
+    """Per-query headline walls from the previous committed DRIVER
+    bench (the numerically-latest BENCH_r*.json next to this file),
+    keyed by tier-free name. These are the round-over-round readings
+    the headline re-probe gates against."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    def rank(p):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+
+    cands = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), key=rank)
+    if not cands:
+        return {}
+    try:
+        with open(cands[-1]) as fh:
             qs = json.load(fh).get("queries") or {}
         return {_canon(k): float(v) for k, v in qs.items()}
     except Exception:  # noqa: BLE001 — a corrupt ref disables reprobe, never the bench
@@ -268,6 +302,30 @@ def main() -> None:
             pass
         if t2 is not None:
             reprobes[name] = {"first": t, "reprobe": t2, "prev_sweep": base}
+
+    # headline re-probe: tighter gate, against the prior committed
+    # DRIVER reading (see HEADLINE_OUTLIER_RATIO)
+    prev_driver = prev_driver_timings()
+    for name in headline:
+        t = timings.get(name)
+        base = prev_driver.get(_canon(name))
+        if (
+            t is None
+            or name in reprobes
+            or base is None
+            or t <= OUTLIER_FLOOR_S
+            or t <= HEADLINE_OUTLIER_RATIO * base
+        ):
+            continue
+        t2 = try_force(
+            lambda n=name: queries[n](spark, sf_dir), f"reprobe:{name}"
+        )
+        try:
+            registry.release_pinned()
+        except Exception:  # noqa: BLE001
+            pass
+        if t2 is not None:
+            reprobes[name] = {"first": t, "reprobe": t2, "prev_driver": base}
 
     headline_timed = [n for n in headline if n in timings]
     # A partial sum is NOT comparable round-over-round (a crashed
