@@ -1186,80 +1186,61 @@ def d11_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: corpus band buckets are precomputed (partition the
     bucket table by (band, sig) and this probe partition-prunes); the
-    nightly job computes signatures only for new docs, semi-joins the
-    bucket table down to buckets a new doc touches, and verifies exact
-    Jaccard only on surviving pairs. Rows-only (hash-seeded bands);
-    pytest pins result == d4's pairs filtered to new-doc involvement.
+    nightly job folds new-ness into the per-bucket pair explode (the
+    id-hash batch predicate is a pure doc_id expression, so no probe
+    join exists at all) and verifies exact Jaccard only on surviving
+    pairs. Rows-only (hash-seeded bands); pytest pins result == d4's
+    pairs filtered to new-doc involvement; d11_containment_audit
+    oracle-attests containment/values/new-membership independently.
     """
-    _, batch = _incr_split(spark, sf_dir)
-    new_ids = batch.select("doc_id")
+    from a3_fp_bigdata_spark.operators.text_analysis import (
+        sample_predicate,
+    )
+
     ex = staged_shingles(spark, sf_dir)
     # the staged signature table d4 built (memoized per session/sf):
     # the nightly probe reads it instead of re-hashing the corpus
-    buckets = staged_band_buckets(spark, sf_dir)  # probe + bucket sides
-    # the batch's own bucket rows — the small probe side. Joining it
-    # against the full bucket table on (band, sig) yields exactly the
-    # pairs with >= 1 new member: corpus-vs-corpus pairs are never
-    # formed. least/greatest normalizes the pair (new-new pairs arrive
-    # in both orders; distinct collapses them).
-    new_buckets = buckets.join(F.broadcast(new_ids), "doc_id", "left_semi")
-    a, b = new_buckets.alias("a"), buckets.alias("b")
+    buckets = staged_band_buckets(spark, sf_dir)
+    # d4's join-free in-bucket pair explode, with a new-member filter
+    # (r11 rework; the previous shape probe-JOINED the bucket table
+    # against itself per band and planned 26 broadcast joins / 81 in
+    # the printed static plan — planning-time cost at nightly cadence).
+    # New-ness is a PURE doc_id predicate (the deterministic id-hash
+    # split), so it rides along as a struct field: no probe join, no
+    # second reference to the bucket table, and the groupBy keys match
+    # the bucket-cap window's partitioning, so candidate generation
+    # adds NO exchange. Corpus-vs-corpus pairs are dropped inside the
+    # per-bucket pair transform before they ever become rows.
+    is_new = sample_predicate(F.col("doc_id"), INCR_BATCH_PCT)
+    bucket_docs = (
+        buckets.groupBy("band", "sig")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("doc_id"), is_new.alias("new")))
+            ).alias("ds")
+        )
+        .filter((F.size("ds") >= 2) & F.exists("ds", lambda d: d["new"]))
+    )
+    # sorted list -> generated pairs are already doc_a < doc_b; pairs
+    # with no new member never materialize
+    pair_expr = F.expr(
+        """
+        flatten(transform(ds, (x, i) ->
+          filter(transform(slice(ds, i + 2, size(ds)),
+                           y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
+                                       (x.new OR y.new) AS has_new)),
+                 p -> p.has_new)))
+        """
+    )
     candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
-        )
-        .select(
-            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
-            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
-        )
-        .distinct()
+        bucket_docs.select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()  # the same pair can collide in several bands
     )
-    candidates = pin(candidates)  # referenced 3x (two union arms + semi)
-    cand_docs = (
-        candidates.select(F.col("doc_a").alias("doc_id"))
-        .union(candidates.select(F.col("doc_b").alias("doc_id"))
-        )
-        .distinct()
-    )
-    ex_cand = pin(ex.join(F.broadcast(cand_docs), "doc_id", "left_semi"))
-    # Asymmetric exact verification: the inverted-index join keeps the
-    # NEW docs' shingles as the probe side, so — like candidate
-    # generation above — corpus-vs-corpus pairs are never formed, not
-    # even transiently (_exact_jaccard_pairs would pair any two corpus
-    # docs that each collided with some new doc). distinct() collapses
-    # the two arrival orders of new-new pairs before counting.
-    ex_new = ex_cand.join(F.broadcast(new_ids), "doc_id", "left_semi")
-    a, b = ex_new.alias("a"), ex_cand.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
-        )
-        .select(
-            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
-            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
-            F.col("a.shingle").alias("shingle"),
-        )
-        .distinct()
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("common"))
-    )
-    sets = _shingle_counts(ex_cand)
-    na_cnt = sets.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    nb_cnt = sets.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
-    exact = (
-        common.join(na_cnt, "doc_a")
-        .join(nb_cnt, "doc_b")
-        .withColumn("jaccard", half_up(jac))
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "jaccard")
-    )
-    return exact.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    candidates = pin(candidates)  # referenced 3x inside verification
+    # same per-pair verification as d4: work is strictly
+    # O(candidate pairs x shingles/doc), every pair involves a new doc
+    return _verify_candidate_pairs(ex, candidates, JACCARD_THRESHOLD)
 
 
 #: d11 audit scratch — the d4/a19/sim11/d9 protocol (per-process run_scratch path,
