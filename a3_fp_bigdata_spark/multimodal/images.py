@@ -81,6 +81,16 @@ def decode_image(payload: bytes, media_type: str = "image/fake") -> np.ndarray:
         return np.resize(np.frombuffer(payload, dtype=np.uint8), (h, w, 3))
     if HAVE_PIL:  # pragma: no cover - preferred path when installed
         return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+    return decode_image_pure(payload, media_type)
+
+
+def decode_image_pure(payload: bytes, media_type: str) -> np.ndarray:
+    """The pure-python decode dispatch, callable even when PIL is
+    installed — the correctness REFERENCE for the native fast path.
+    test_multimodal's env-gated equality test pins
+    decode_image_pure == PIL on every committed fixture (exact for the
+    lossless codecs, ±small-IDCT tolerance for JPEG), the same gate
+    shape as the live-Kafka test; tools/decode_bench.py times both."""
     if media_type == "image/png":
         # real decode, no image libs: stdlib zlib + the PNG spec
         return decode_png(payload)

@@ -19,6 +19,45 @@ def test_decode_stub_deterministic():
     assert a.dtype == np.uint8 and a.ndim == 3 and a.shape[2] == 3
 
 
+def test_native_fast_path_matches_pure_python_on_every_fixture():
+    """Env-gated like the live-Kafka test: when PIL IS installed,
+    decode_image routes through it as the native fast path — this pin
+    proves fast-path == pure-python on EVERY committed fixture, so the
+    swap changes throughput, never values. Lossless codecs
+    (PNG/GIF/BMP/TIFF/VP8L) must match exactly; JPEG allows per-pixel
+    |diff| <= 2 (decoder-specific IDCT rounding) with tiny mean."""
+    if not M.HAVE_PIL:
+        pytest.skip("PIL not installed; fast path unreachable (pure "
+                    "path is covered by the golden pins)")
+    import glob
+    import os
+
+    fix_root = os.path.join(os.path.dirname(M.__file__), "fixtures")
+    media_types = {
+        ".png": "image/png", ".jpg": "image/jpeg", ".gif": "image/gif",
+        ".bmp": "image/bmp", ".tif": "image/tiff", ".webp": "image/webp",
+    }
+    n_checked = 0
+    for pattern in ("*", "neardup/*", "modern/*", "foreign/*"):
+        for path in sorted(glob.glob(os.path.join(fix_root, pattern))):
+            ext = os.path.splitext(path)[1]
+            mt = media_types.get(ext)
+            if mt is None:
+                continue
+            payload = open(path, "rb").read()
+            pure = M.decode_image_pure(payload, mt)
+            fast = M.decode_image(payload, mt)  # PIL path under HAVE_PIL
+            assert fast.shape == pure.shape, path
+            if ext == ".jpg":
+                diff = np.abs(fast.astype(int) - pure.astype(int))
+                assert diff.max() <= 2, (path, diff.max())
+                assert diff.mean() < 0.5, (path, diff.mean())
+            else:
+                assert np.array_equal(fast, pure), path
+            n_checked += 1
+    assert n_checked >= 20, n_checked  # the committed corpus is bigger
+
+
 def test_decode_real_format_raises_without_pil():
     if M.HAVE_PIL:
         pytest.skip("PIL installed; stub gate not reachable")
