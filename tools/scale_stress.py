@@ -605,6 +605,64 @@ def main() -> None:
         "growth changes the counts, never the state size."
     )
 
+    # ---- global-order packers rung (r11, VERDICT ask #7): pk13/pk15
+    # claim corpus-wide order/mixture WITHOUT a global sort — pk13's
+    # second pass (ordered prefix window) runs over the GROUP GRID
+    # (band x shard x bucket), pk15's over the per-lang count table.
+    # 10x rows must move wall ~linearly (the first-pass aggregation)
+    # while the grid row count barely moves — the grid, not the
+    # corpus, bounds the single-task window input.
+    print()
+    print("## Global-order packers (pk13 curriculum, pk15 temperature)")
+    print()
+    print("pk13 computes a global curriculum position via two-pass")
+    print("prefix sums: per-(band, shard, bucket) batch counts (the")
+    print("GRID), one bounded ordered window over the grid, broadcast")
+    print("offsets + within-group row_number. pk15's weight table is")
+    print("one row per lang. Neither funnels corpus rows into a")
+    print("single-partition window; the rung pins that the grid stays")
+    print("~fixed while rows grow 10x.")
+    print()
+    print("| stage | rows out | wall s | shuffle write | shuffle read | peak JVM mem |")
+    print("|---|---|---|---|---|---|")
+    timed_row.w0, timed_row.r0 = _shuffle_totals(spark)
+    grid_rows: dict[str, int] = {}
+    pk_wall: dict[str, float] = {}
+    for factor, d, nrows in ((1, sf_dir, stats["rows"]), (10, big_dir, big_rows)):
+        for name in ("pk13_curriculum_schedule", "pk15_temperature_mixture"):
+            timed_row(
+                f"{name} x{factor} ({nrows} docs)",
+                lambda n=name, dd=d: qs[n](spark, dd).count(),
+            )
+            pk_wall[f"{name}@{factor}"] = timed_row.last_dt
+        grid_rows[f"pk13@{factor}"] = (
+            qs["pk13_curriculum_schedule"](spark, d)
+            .select("band", "shard", "bucket")
+            .distinct()
+            .count()
+        )
+        grid_rows[f"pk15@{factor}"] = (
+            qs["pk15_temperature_mixture"](spark, d)
+            .select("lang")
+            .distinct()
+            .count()
+        )
+    print()
+    for name, key in (
+        ("pk13_curriculum_schedule", "pk13"),
+        ("pk15_temperature_mixture", "pk15"),
+    ):
+        w1 = pk_wall[f"{name}@1"]
+        w10 = pk_wall[f"{name}@10"]
+        g1, g10 = grid_rows[f"{key}@1"], grid_rows[f"{key}@10"]
+        print(
+            f"- {name}: wall {w1:.1f} -> {w10:.1f} s "
+            f"({w10 / max(w1, 0.001):.1f}x at 10x rows); bounded-window "
+            f"input {g1} -> {g10} grid rows ({g10 / max(g1, 1):.1f}x) — "
+            "the ordered window's input is grid-sized at both scales, "
+            "never corpus-sized."
+        )
+
     # ---- tokenizer rung: BPE fit on the boilerplate-heavy corpus —
     # the 57% near-dup members inflate word COUNTS, not word TYPES,
     # so the histogram (and every iteration after it) must stay
