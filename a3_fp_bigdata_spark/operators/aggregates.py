@@ -22,7 +22,7 @@ from a3_fp_bigdata_spark.data import (
     table,
 )
 from a3_fp_bigdata_spark.functions.rounding import half_up, half_up_sql
-from a3_fp_bigdata_spark.registry import query
+from a3_fp_bigdata_spark.registry import pin, query
 
 
 @query(
@@ -838,3 +838,173 @@ def _attach_a21_oracle() -> None:
 
 
 _attach_a21_oracle()
+
+
+# ---------------------------------------------------------------------------
+# a22: deterministic Bloom filter, FULLY replayed by the oracle
+# ---------------------------------------------------------------------------
+
+#: a21's contract applied to Bloom membership: the sketch uses
+#: engine-portable multiplicative hashes (pure int64 arithmetic — the
+#: sample_predicate family), so DuckDB rebuilds the identical 4096-bit
+#: filter in SQL and every count below is exact parity, not a bound.
+#: (j11's production bloom uses xxhash64 — Spark-side only; THIS rung
+#: exists so the bloom MACHINERY has an oracle-attested twin.)
+#: Words are 32-bit lanes in int64 cells: DuckDB's BIGINT << raises on
+#: shift 63 (signed overflow), so both engines shift by at most 31 and
+#: every word value stays positive — identical bit patterns for free.
+A22_BITS = 4096
+A22_PREMOD = 1_000_003  # prime pre-reduction keeps products < 2^63
+A22_MULTS = (2_654_435_761, 2_246_822_519)  # Knuth + xxPrime32_2
+
+
+def _a22_pos(key, mult: int):
+    """Bit position of one hash: ((key % P) * M) % BITS — identical
+    int64 arithmetic in Spark and the SQL oracle (keys are positive)."""
+    return ((key % A22_PREMOD) * F.lit(mult)) % A22_BITS
+
+
+@query(
+    "a22_bloom_filter_audit",
+    oracle=f"""
+    WITH ck AS (
+      SELECT c_custkey AS key FROM customer
+    ), pos AS (
+      SELECT ((key % {A22_PREMOD}) * {A22_MULTS[0]}) % {A22_BITS} AS p
+      FROM ck
+      UNION ALL
+      SELECT ((key % {A22_PREMOD}) * {A22_MULTS[1]}) % {A22_BITS} AS p
+      FROM ck
+    ), words AS (
+      SELECT p // 32 AS w,
+             bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+      FROM pos GROUP BY 1
+    ), probe AS (
+      SELECT p_partkey AS key,
+             ((p_partkey % {A22_PREMOD}) * {A22_MULTS[0]})
+               % {A22_BITS} AS p0,
+             ((p_partkey % {A22_PREMOD}) * {A22_MULTS[1]})
+               % {A22_BITS} AS p1
+      FROM part
+    ), h AS (
+      SELECT pr.key,
+             COALESCE(
+               (w0.bits & (1::BIGINT << CAST(pr.p0 % 32 AS INT))) <> 0
+               AND
+               (w1.bits & (1::BIGINT << CAST(pr.p1 % 32 AS INT))) <> 0,
+               FALSE) AS hit,
+             ck.key IS NOT NULL AS member
+      FROM probe pr
+      LEFT JOIN words w0 ON w0.w = pr.p0 // 32
+      LEFT JOIN words w1 ON w1.w = pr.p1 // 32
+      LEFT JOIN ck ON ck.key = pr.key
+    )
+    SELECT
+      CAST((SELECT count(*) FROM ck) AS BIGINT) AS n_members,
+      CAST((SELECT sum(bit_count(bits)) FROM words) AS BIGINT)
+        AS n_bits_set,
+      CAST(count(*) AS BIGINT) AS n_probes,
+      CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+      CAST(sum(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_true_members,
+      CAST(sum(CASE WHEN hit AND NOT member THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_false_pos,
+      CAST(sum(CASE WHEN member AND NOT hit THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_missed
+    FROM h
+    """,
+)
+def a22_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership audit, the a21 pattern for Bloom: build
+    a {A22_BITS}-bit / 2-hash filter over customer keys with
+    engine-portable multiplicative hashes, probe it with part keys,
+    and report the full confusion surface — n_missed MUST be 0 (Bloom
+    admits no false negatives, structurally) and n_false_pos is the
+    price actually paid, both replayed EXACTLY by the oracle because
+    the hash arithmetic is plain int64 on both engines.
+
+    Scale shape (mirrors j11's production fold): the build side folds
+    map-side to <= {A22_BITS // 32} (word, bits) rows via bit_or — a
+    Bloom over 10^9 keys still crosses the wire as 128 longs; the probe
+    side pays two broadcast joins against that 128-row frame plus one
+    key-equality membership join (the audit's ground truth — the
+    production path drops it and keeps only the filter)."""
+    cust = pin(
+        table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("key")
+        )
+    )
+    pos = cust.select(
+        F.explode(
+            F.array(
+                *[_a22_pos(F.col("key"), m).alias("p") for m in A22_MULTS]
+            )
+        ).alias("p")
+    )
+    words = pos.groupBy((F.col("p") / 32).cast("long").alias("w")).agg(
+        F.bit_or(
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                (F.col("p") % 32).cast("int"),
+            )
+        ).alias("bits")
+    )
+    probe = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("key"),
+        _a22_pos(F.col("p_partkey"), A22_MULTS[0]).alias("p0"),
+        _a22_pos(F.col("p_partkey"), A22_MULTS[1]).alias("p1"),
+    )
+    w0 = words.select(F.col("w").alias("w0w"), F.col("bits").alias("b0"))
+    w1 = words.select(F.col("w").alias("w1w"), F.col("bits").alias("b1"))
+    mask = lambda p: F.call_function(  # noqa: E731
+        "shiftleft", F.lit(1).cast("long"), (p % 32).cast("int")
+    )
+    h = (
+        probe.join(
+            F.broadcast(w0),
+            (F.col("p0") / 32).cast("long") == F.col("w0w"),
+            "left",
+        )
+        .join(
+            F.broadcast(w1),
+            (F.col("p1") / 32).cast("long") == F.col("w1w"),
+            "left",
+        )
+        .join(
+            cust.select(F.col("key"), F.lit(True).alias("_m")),
+            "key",
+            "left",
+        )
+        .select(
+            F.coalesce(
+                (F.col("b0").bitwiseAND(mask(F.col("p0"))) != 0)
+                & (F.col("b1").bitwiseAND(mask(F.col("p1"))) != 0),
+                F.lit(False),
+            ).alias("hit"),
+            F.coalesce(F.col("_m"), F.lit(False)).alias("member"),
+        )
+    )
+    n_members = cust.agg(F.count("*").cast("long").alias("n_members"))
+    n_bits = words.agg(
+        F.sum(F.bit_count("bits")).cast("long").alias("n_bits_set")
+    )
+    return (
+        h.agg(
+            F.count("*").cast("long").alias("n_probes"),
+            F.sum(F.when(F.col("hit"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hits"),
+            F.sum(F.when(F.col("member"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_true_members"),
+            F.sum(F.when(F.col("hit") & ~F.col("member"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_false_pos"),
+            F.sum(F.when(F.col("member") & ~F.col("hit"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_missed"),
+        )
+        .crossJoin(F.broadcast(n_members))
+        .crossJoin(F.broadcast(n_bits))
+    )

@@ -1240,3 +1240,150 @@ def tx17_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(6) - total).cast("int").alias("n_failed"),
         (total == 6).cast("int").alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# tx18: duplicate-n-gram repetition rules (Gopher §A1.1's second family)
+# ---------------------------------------------------------------------------
+
+#: Thresholds from Rae et al. 2021 Table A1 (token-level form): a doc
+#: whose duplicate-2-gram mass exceeds 20% (resp. 18% for 3-grams) of
+#: all its n-grams is boilerplate/looping text. Integer percentages so
+#: both engines evaluate the rule as pure int64 cross-multiplication.
+DUPGRAM_MAX_2GRAM_PCT = 20
+DUPGRAM_MAX_3GRAM_PCT = 18
+
+
+@query(
+    "tx18_dup_gram_fraction",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, COALESCE(text, '') AS text FROM documents
+    ), toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS t FROM base
+    ), g2 AS (
+      SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
+                             for i in range(1, len(t))]) AS g
+      FROM toks
+    ), g3 AS (
+      SELECT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                             for i in range(1, len(t) - 1)]) AS g
+      FROM toks
+    ), c2 AS (
+      SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2
+    ), c3 AS (
+      SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2
+    ), s2 AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n2_grams,
+             CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+               AS n2_dup
+      FROM c2 GROUP BY 1
+    ), s3 AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n3_grams,
+             CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+               AS n3_dup
+      FROM c3 GROUP BY 1
+    ), j AS (
+      SELECT b.doc_id,
+             COALESCE(s2.n2_grams, 0) AS n2_grams,
+             COALESCE(s2.n2_dup, 0) AS n2_dup,
+             COALESCE(s3.n3_grams, 0) AS n3_grams,
+             COALESCE(s3.n3_dup, 0) AS n3_dup
+      FROM base b
+      LEFT JOIN s2 ON s2.doc_id = b.doc_id
+      LEFT JOIN s3 ON s3.doc_id = b.doc_id
+    )
+    SELECT doc_id, n2_grams, n2_dup, n3_grams, n3_dup,
+           CAST(100 * n2_dup <= {DUPGRAM_MAX_2GRAM_PCT} * n2_grams
+                AS INT) AS dup2_ok,
+           CAST(100 * n3_dup <= {DUPGRAM_MAX_3GRAM_PCT} * n3_grams
+                AS INT) AS dup3_ok,
+           CAST(100 * n2_dup <= {DUPGRAM_MAX_2GRAM_PCT} * n2_grams
+                AND 100 * n3_dup <= {DUPGRAM_MAX_3GRAM_PCT} * n3_grams
+                AS INT) AS keep
+    FROM j
+    """,
+)
+def tx18_dup_gram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-n-gram repetition rules — Gopher §A1.1's SECOND rule
+    family (tx17 covers the first): a doc whose 2-gram (3-gram) stream
+    is more than {DUPGRAM_MAX_2GRAM_PCT}% ({DUPGRAM_MAX_3GRAM_PCT}%)
+    duplicate mass is looping/boilerplate text that inflates LM loss
+    without adding signal. "Duplicate mass" counts every INSTANCE of a
+    gram that occurs more than once in the doc (the token-level form
+    of the paper's duplicate-char fraction). Thresholds evaluate by
+    integer cross-multiplication — no floats anywhere, parity exact by
+    construction (the tx17 contract).
+
+    Scale: one explode per gram size -> map-side-combinable
+    (doc_id, n, gram) count -> per-doc conditional re-agg -> one
+    broadcast-sized join back to the doc spine. Wire bytes are one row
+    per (doc, gram size, distinct gram), bounded by each doc's own
+    vocabulary; doc_id is the only shuffle key end to end; zero
+    Python. NULL text coalesces to '' on both engines (tx17's rule).
+
+    Reference: the engine's text-curation surface (SURVEY §2 F-family
+    extension); no reference-counterpart file."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("t"))
+    empty = F.expr("slice(t, 1, 0)")
+    g2 = F.when(
+        F.size("t") >= 2,
+        F.expr(
+            "transform(sequence(0, size(t) - 2),"
+            " i -> concat_ws(' ', t[i], t[i+1]))"
+        ),
+    ).otherwise(empty)
+    g3 = F.when(
+        F.size("t") >= 3,
+        F.expr(
+            "transform(sequence(0, size(t) - 3),"
+            " i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+        ),
+    ).otherwise(empty)
+    grams = toks.select(
+        "doc_id", F.lit(2).alias("n"), F.explode(g2).alias("g")
+    ).unionByName(
+        toks.select(
+            "doc_id", F.lit(3).alias("n"), F.explode(g3).alias("g")
+        )
+    )
+    counts = grams.groupBy("doc_id", "n", "g").agg(
+        F.count("*").alias("c")
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("n") == n, agg)), F.lit(0)
+            ).cast("long").alias(name)
+            for n, agg, name in (
+                (2, F.col("c"), "n2_grams"),
+                (2, F.when(F.col("c") > 1, F.col("c")).otherwise(0),
+                 "n2_dup"),
+                (3, F.col("c"), "n3_grams"),
+                (3, F.when(F.col("c") > 1, F.col("c")).otherwise(0),
+                 "n3_dup"),
+            )
+        ]
+    )
+    j = docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+            for c in ("n2_grams", "n2_dup", "n3_grams", "n3_dup")
+        ],
+    )
+    dup2_ok = (
+        100 * F.col("n2_dup") <= DUPGRAM_MAX_2GRAM_PCT * F.col("n2_grams")
+    )
+    dup3_ok = (
+        100 * F.col("n3_dup") <= DUPGRAM_MAX_3GRAM_PCT * F.col("n3_grams")
+    )
+    return j.select(
+        "*",
+        dup2_ok.cast("int").alias("dup2_ok"),
+        dup3_ok.cast("int").alias("dup3_ok"),
+        (dup2_ok & dup3_ok).cast("int").alias("keep"),
+    )

@@ -1015,6 +1015,51 @@ def test_tx17_null_text_document_gets_sane_verdicts(spark, tmp_path):
     assert oracle[1] == null_row
 
 
+# --- tx18: duplicate-n-gram repetition rules ---------------------------------
+
+
+def test_tx18_counts_and_flags_on_crafted_documents(spark, tmp_path):
+    """Hand-computable gram counts: a looping doc fails both rules, a
+    non-repeating doc passes both, a one-token doc has zero grams and
+    vacuously passes, and the counts are exact."""
+    from a3_fp_bigdata_spark.operators import text_analysis as TA
+
+    cases = {
+        # "ab ab ab ab": 2-grams = [ab ab]x3 -> n2=3, all dup;
+        # 3-grams = [ab ab ab]x2 -> n3=2, all dup -> both rules fail
+        1: ("ab ab ab ab", 3, 3, 2, 2, 0, 0),
+        # all-distinct grams: zero dup mass, both pass
+        2: ("one two three four five", 4, 0, 3, 0, 1, 1),
+        # single token: no grams at all, vacuous pass
+        3: ("solo", 0, 0, 0, 0, 1, 1),
+        # dup 2-gram mass exactly at the 20% boundary: "x y" twice in
+        # 10 2-grams -> 100*4 > 20*10 fails; craft 2/10 -> 100*2 <=
+        # 20*10 passes... use a doc with exactly one repeated 2-gram
+        # pair among 10: dup mass 2, 100*2 = 20*10 -> boundary KEEPS
+        4: ("x y a b c d e f g x y", 10, 2, 9, 0, 1, 1),
+    }
+    rows = [
+        (doc_id, text, "en", "crafted", len(text))
+        for doc_id, (text, *_rest) in cases.items()
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r["doc_id"]: r
+        for r in TA.tx18_dup_gram_fraction(spark, str(tmp_path)).collect()
+    }
+    for doc_id, (_, n2, d2, n3, d3, ok2, ok3) in cases.items():
+        r = out[doc_id]
+        got = (r["n2_grams"], r["n2_dup"], r["n3_grams"], r["n3_dup"],
+               r["dup2_ok"], r["dup3_ok"])
+        assert got == (n2, d2, n3, d3, ok2, ok3), (doc_id, got)
+        assert r["keep"] == int(ok2 and ok3)
+
+
 # --- a21: deterministic heavy-hitters sketch ---------------------------------
 
 
@@ -1056,3 +1101,58 @@ def test_a21_planted_heavy_hitter_survives_with_bounds(spark, tmp_path):
     assert (r["exact_cnt"] - r["est"]) * (k + 1) <= 2 * n
     assert r["within_bound"]
     assert all(row["within_bound"] for row in out.values())
+
+
+# --- a22: oracle-replayable Bloom filter -------------------------------------
+
+
+def test_a22_bloom_matches_pure_python_replay(spark):
+    """The audit's counts must equal an independent pure-Python replay
+    of the same multiplicative-hash Bloom over the same keys — and the
+    structural guarantees must hold: zero false negatives, hits =
+    true members + false positives, bit census <= 2 per member."""
+    import duckdb
+
+    from tests.conftest import SF0001
+    from a3_fp_bigdata_spark.operators import aggregates as AG
+
+    r = AG.a22_bloom_filter_audit(spark, SF0001).collect()[0]
+
+    con = duckdb.connect()
+    cust = [
+        k
+        for (k,) in con.execute(
+            f"SELECT c_custkey FROM read_parquet('{SF0001}/customer.parquet')"
+        ).fetchall()
+    ]
+    parts = [
+        k
+        for (k,) in con.execute(
+            f"SELECT p_partkey FROM read_parquet('{SF0001}/part.parquet')"
+        ).fetchall()
+    ]
+    bits = set()
+    for k in cust:
+        for m in AG.A22_MULTS:
+            bits.add(((k % AG.A22_PREMOD) * m) % AG.A22_BITS)
+    member = set(cust)
+    hits = [
+        k
+        for k in parts
+        if all(
+            ((k % AG.A22_PREMOD) * m) % AG.A22_BITS in bits
+            for m in AG.A22_MULTS
+        )
+    ]
+    n_true = sum(1 for k in parts if k in member)
+    n_fp = sum(1 for k in hits if k not in member)
+
+    assert r["n_members"] == len(cust)
+    assert r["n_probes"] == len(parts)
+    assert r["n_bits_set"] == len(bits)
+    assert r["n_hits"] == len(hits)
+    assert r["n_true_members"] == n_true
+    assert r["n_false_pos"] == n_fp
+    assert r["n_missed"] == 0                      # no false negatives
+    assert r["n_hits"] == r["n_true_members"] + r["n_false_pos"]
+    assert 0 < r["n_bits_set"] <= 2 * r["n_members"]
