@@ -8,11 +8,13 @@ does ``Image.open(path).convert('RGB')``; when PIL exists it is still
 preferred — see images.decode_image).
 
 Supported: bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette,
-8-bit indices via PLTE), 4 (gray+alpha), 6 (RGBA), interlace 0. That
-covers everything the encoder here emits and the overwhelming majority
-of real-world icons (palette PNG is the dominant icon encoding —
-Icons-50-style sets are mostly type 3); anything else raises
-ValueError rather than guessing.
+8-bit indices via PLTE), 4 (gray+alpha), 6 (RGBA), interlace 0 AND 1
+(Adam7: seven sub-image passes, each its own filtered scanline stream,
+scattered back on the spec's 8x8 grid — r11, closing the named
+image-format gap). That covers everything the encoder here emits and
+the overwhelming majority of real-world icons (palette PNG is the
+dominant icon encoding — Icons-50-style sets are mostly type 3);
+anything else raises ValueError rather than guessing.
 """
 
 from __future__ import annotations
@@ -28,6 +30,15 @@ ship_by_value(__name__)  # Arrow closures must not need repo on sys.path
 
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # type 3: 1 index byte/px
+
+#: Adam7 pass grid per the PNG spec §8.2: (x_start, y_start, x_step,
+#: y_step) for each of the seven passes. A pass whose sub-image is
+#: empty for the actual dimensions contributes NO bytes (not even
+#: filter bytes).
+ADAM7_PASSES = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -116,18 +127,21 @@ def _decode_png_body(payload: bytes) -> np.ndarray:
         pos += 12 + length  # len + type + data + crc
     if w is None:
         raise ValueError("no IHDR chunk")
-    if depth != 8 or interlace != 0 or ctype not in _CHANNELS:
+    if depth != 8 or interlace not in (0, 1) or ctype not in _CHANNELS:
         raise ValueError(
             f"unsupported PNG (depth={depth}, color={ctype}, "
-            f"interlace={interlace}); codec handles 8-bit non-interlaced"
+            f"interlace={interlace}); codec handles 8-bit, "
+            "interlace 0 or 1 (Adam7)"
         )
     ch = _CHANNELS[ctype]
     raw = zlib.decompress(b"".join(idat))
     try:
-        out = unfilter_scanlines(raw, h, w, ch)
+        if interlace == 0:
+            arr = unfilter_scanlines(raw, h, w, ch).reshape(h, w, ch)
+        else:
+            arr = _deinterlace_adam7(raw, h, w, ch)
     except ValueError as e:
         raise ValueError(f"IDAT {e}") from e
-    arr = out.reshape(h, w, ch)
     if ctype == 3:
         if palette is None:
             raise ValueError("palette PNG without PLTE chunk")
@@ -143,6 +157,30 @@ def _decode_png_body(payload: bytes) -> np.ndarray:
     if ctype == 4:
         return np.repeat(arr[:, :, :1], 3, axis=2)
     return arr[:, :, :3]  # RGB / RGBA sans alpha
+
+
+def _deinterlace_adam7(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
+    """Adam7 stream -> (h, w, ch) uint8: the decompressed bytes are
+    seven back-to-back scanline streams (one per non-empty pass), each
+    filtered INDEPENDENTLY at its own sub-image dimensions, scattered
+    back onto the 8x8 grid by (start, step) strided assignment."""
+    arr = np.zeros((h, w, ch), dtype=np.uint8)
+    off = 0
+    for x0, y0, xs, ys in ADAM7_PASSES:
+        pw = (w - x0 + xs - 1) // xs
+        ph = (h - y0 + ys - 1) // ys
+        if pw <= 0 or ph <= 0:
+            continue
+        nbytes = ph * (pw * ch + 1)
+        sub = unfilter_scanlines(raw[off : off + nbytes], ph, pw, ch)
+        off += nbytes
+        arr[y0::ys, x0::xs] = sub.reshape(ph, pw, ch)
+    if off != len(raw):
+        raise ValueError(
+            f"interlaced stream length mismatch ({len(raw) - off} "
+            "trailing bytes)"
+        )
+    return arr
 
 
 def _chunk(ctype: bytes, data: bytes) -> bytes:

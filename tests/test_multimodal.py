@@ -1719,3 +1719,103 @@ def test_apng_guards_reject_unsupported_and_out_of_bounds():
     # frame rectangle outside the canvas: refusal, not a silent crop
     with pytest.raises(ValueError, match="outside canvas"):
         decode_apng_frames(base(fw=3, fh=3, fx=2, fy=2))
+
+
+# ---------------------------------------------------------------------------
+# Adam7 interlaced PNG (r11)
+# ---------------------------------------------------------------------------
+
+
+def _encode_adam7(samples, ctype, palette=None):
+    """Independent interlaced-PNG byte builder (spec transcription —
+    imports nothing from png_codec): slice each Adam7 pass out of the
+    sample grid, emit filter-0 scanlines per pass, concatenate, zlib."""
+    import struct
+    import zlib
+
+    passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    h, w = samples.shape[:2]
+    raw = b""
+    for x0, y0, xs, ys in passes:
+        sub = samples[y0::ys, x0::xs]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        for row in sub:
+            raw += b"\x00" + row.tobytes()
+
+    def chunk(ct, data):
+        return (struct.pack(">I", len(data)) + ct + data
+                + struct.pack(">I", zlib.crc32(ct + data) & 0xFFFFFFFF))
+
+    out = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1)
+    )
+    if palette is not None:
+        out += chunk(b"PLTE", palette.tobytes())
+    return out + chunk(b"IDAT", zlib.compress(raw, 9)) + chunk(b"IEND", b"")
+
+
+def test_adam7_interlaced_png_decodes_exactly():
+    """Adam7 decode vs the independent encoder above, across every
+    color type and awkward dimensions (passes that are empty, 1-pixel
+    passes, dims not multiples of 8) — PNG is lossless, so equality is
+    exact."""
+    from a3_fp_bigdata_spark.multimodal.png_codec import decode_png
+
+    rng = np.random.default_rng(1107)
+    dims = [(1, 1), (2, 3), (7, 5), (8, 8), (9, 10), (16, 33), (40, 17)]
+    for h, w in dims:
+        # RGB (2)
+        rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_png(_encode_adam7(rgb, 2)), rgb)
+        # gray (0) -> broadcast
+        g = rng.integers(0, 256, (h, w, 1), dtype=np.uint8)
+        assert np.array_equal(
+            decode_png(_encode_adam7(g, 0)), np.repeat(g, 3, axis=2)
+        )
+        # RGBA (6) -> alpha dropped
+        rgba = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+        assert np.array_equal(
+            decode_png(_encode_adam7(rgba, 6)), rgba[:, :, :3]
+        )
+        # gray+alpha (4) -> first channel broadcast
+        ga = rng.integers(0, 256, (h, w, 2), dtype=np.uint8)
+        assert np.array_equal(
+            decode_png(_encode_adam7(ga, 4)),
+            np.repeat(ga[:, :, :1], 3, axis=2),
+        )
+        # palette (3) -> PLTE lookup
+        pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+        idx = rng.integers(0, 16, (h, w, 1), dtype=np.uint8)
+        assert np.array_equal(
+            decode_png(_encode_adam7(idx, 3, palette=pal)),
+            pal[idx[:, :, 0]],
+        )
+
+
+def test_adam7_trailing_bytes_rejected():
+    """An interlaced stream with surplus bytes after the last pass is
+    corrupt and must refuse loudly."""
+    import struct
+    import zlib
+
+    from a3_fp_bigdata_spark.multimodal.png_codec import decode_png
+
+    rgb = np.zeros((4, 4, 3), np.uint8)
+    payload = _encode_adam7(rgb, 2)
+    # rebuild with two junk bytes appended INSIDE the compressed stream
+    pos = 8
+    out = payload[:8]
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ct = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ct == b"IDAT":
+            raw = zlib.decompress(data) + b"\x00\x00"
+            data = zlib.compress(raw, 9)
+        out += (struct.pack(">I", len(data)) + ct + data
+                + struct.pack(">I", zlib.crc32(ct + data) & 0xFFFFFFFF))
+        pos += 12 + length
+    with pytest.raises(ValueError, match="trailing bytes"):
+        decode_png(out)
