@@ -390,3 +390,131 @@ def dq3_referential_integrity(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# dq4: embedding-space drift monitor (dq2's contract for vector corpora)
+# ---------------------------------------------------------------------------
+
+#: A cell whose occupancy share moved more than this many basis
+#: points between snapshots is flagged. Shares are integer basis
+#: points (n * 10000 // snapshot_total) so the comparison is exact
+#: int64 on both engines — dq2's counts-not-floats rule. Cells are the
+#: 2^planes LSH buckets FOLDED to EMB_DRIFT_CELLS super-cells (bucket
+#: % cells): a drift monitor needs per-cell counts large enough that
+#: sampling noise sits well under the threshold (raw 256-bucket shares
+#: at test scale put ~50 vectors in a cell — 30 bp of pure noise —
+#: and a monitor that pages on noise is worse than no monitor).
+EMB_DRIFT_BP = 150
+EMB_DRIFT_CELLS = 16
+#: Deterministic snapshot split of the vector corpus (old vs new
+#: ingest), the d10/d11 id-hash pattern applied to vec_id.
+EMB_SNAPSHOT_PCT = 50
+
+
+@query(
+    "dq4_embedding_drift",
+    oracle=None,  # attached below (needs similarity's bucketed CTE)
+)
+def dq4_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space ingestion drift: bucket every vector with
+    sim2's random-hyperplane LSH (one definition per engine), split
+    the corpus into OLD/NEW snapshots by the deterministic vec_id
+    hash, and compare per-bucket occupancy SHARES in integer basis
+    points. A bucket whose share moved > {EMB_DRIFT_BP} bp is drifted
+    — the embedding-pipeline page-worthy signal (a model/version change
+    upstream shifts the space; cell occupancy moves long before any
+    downstream metric does). dq2's profile-drift contract, applied to
+    the vector corpus.
+
+    Scale: the LSH bucketing is the already-staged sim2/sim4 machinery
+    (broadcast {N_PLANES}-row plane table, one groupBy per
+    vector); the drift compare itself runs on the bucket HISTOGRAM —
+    2^planes rows at any corpus size — so the monitor costs one
+    map-side-combinable count over each snapshot plus a grid-sized
+    join. Zero floats: shares are int64 basis points."""
+    from a3_fp_bigdata_spark.operators.similarity import (
+        _buckets,
+        _planes,
+    )
+    from a3_fp_bigdata_spark.operators.text_analysis import (
+        sample_predicate,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    buckets = _buckets(emb, _planes(emb))
+    is_old = sample_predicate(F.col("vec_id"), EMB_SNAPSHOT_PCT)
+    tagged = buckets.select(
+        F.pmod(F.col("bucket"), F.lit(EMB_DRIFT_CELLS))
+        .cast("long")
+        .alias("cell"),
+        is_old.alias("old"),
+    )
+    hist = tagged.groupBy("cell").agg(
+        F.sum(F.when(F.col("old"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_old"),
+        F.sum(F.when(~F.col("old"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+    )
+    totals = hist.agg(
+        F.sum("n_old").cast("long").alias("t_old"),
+        F.sum("n_new").cast("long").alias("t_new"),
+    )
+    share_old = F.expr("n_old * 10000 DIV t_old")
+    share_new = F.expr("n_new * 10000 DIV t_new")
+    return (
+        hist.crossJoin(F.broadcast(totals))
+        .select(
+            "cell",
+            "n_old",
+            "n_new",
+            share_old.cast("long").alias("share_old_bp"),
+            share_new.cast("long").alias("share_new_bp"),
+            (
+                F.abs(share_old - share_new) > EMB_DRIFT_BP
+            ).cast("int").alias("drifted"),
+        )
+    )
+
+
+def _attach_dq4_oracle() -> None:
+    import dataclasses
+
+    from a3_fp_bigdata_spark import registry as _R
+    from a3_fp_bigdata_spark.operators.similarity import _SQL_BUCKETED_CTE
+    from a3_fp_bigdata_spark.operators.text_analysis import (
+        sample_predicate_sql,
+    )
+
+    old = sample_predicate_sql("vec_id", EMB_SNAPSHOT_PCT)
+    sql = f"""
+    {_SQL_BUCKETED_CTE}, hist AS (
+      SELECT bucket % {EMB_DRIFT_CELLS} AS cell,
+             CAST(sum(CASE WHEN {old} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_old,
+             CAST(sum(CASE WHEN NOT ({old}) THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new
+      FROM bucketed
+      GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(n_old) AS BIGINT) AS t_old,
+             CAST(sum(n_new) AS BIGINT) AS t_new
+      FROM hist
+    )
+    SELECT cell, n_old, n_new,
+           CAST(n_old * 10000 // t_old AS BIGINT) AS share_old_bp,
+           CAST(n_new * 10000 // t_new AS BIGINT) AS share_new_bp,
+           CAST(abs(n_old * 10000 // t_old - n_new * 10000 // t_new)
+                > {EMB_DRIFT_BP} AS INT) AS drifted
+    FROM hist CROSS JOIN tot
+    """
+    rq = _R._REGISTRY["dq4_embedding_drift"]
+    if rq.oracle is None:
+        _R._REGISTRY["dq4_embedding_drift"] = dataclasses.replace(
+            rq, oracle=sql
+        )
+
+
+_attach_dq4_oracle()

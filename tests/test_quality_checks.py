@@ -230,3 +230,86 @@ def test_dq3_planted_orphans_flag_their_edge_only(spark, tmp_path):
     assert got["customer.c_nationkey -> nation.n_nationkey"] == (0, 1)
     assert got["supplier.s_nationkey -> nation.n_nationkey"] == (0, 1)
     assert got["nation.n_regionkey -> region.r_regionkey"] == (0, 1)
+
+
+# --- dq4: embedding-space drift monitor --------------------------------------
+
+
+def test_dq4_invariants_and_python_replay(spark):
+    """The drift rows must satisfy the formula exactly (replayed in
+    python from the collected counts) and the histogram must cover the
+    whole corpus: totals add up, shares floor-divide, drifted is the
+    threshold predicate verbatim."""
+    from tests.conftest import SF0001
+    from a3_fp_bigdata_spark.operators import quality_checks as QC
+
+    rows = QC.dq4_embedding_drift(spark, SF0001).collect()
+    assert 1 <= len(rows) <= QC.EMB_DRIFT_CELLS
+    t_old = sum(r["n_old"] for r in rows)
+    t_new = sum(r["n_new"] for r in rows)
+    import duckdb
+
+    con = duckdb.connect()
+    (n_vecs,) = con.execute(
+        f"SELECT count(*) FROM read_parquet('{SF0001}/embeddings.parquet')"
+    ).fetchone()
+    assert t_old + t_new == n_vecs  # every vector lands in one cell
+    for r in rows:
+        assert r["share_old_bp"] == r["n_old"] * 10000 // t_old
+        assert r["share_new_bp"] == r["n_new"] * 10000 // t_new
+        assert r["drifted"] == int(
+            abs(r["share_old_bp"] - r["share_new_bp"]) > QC.EMB_DRIFT_BP
+        )
+
+
+def test_dq4_planted_shift_fires_and_identical_split_does_not(spark, tmp_path):
+    """Control + treatment on a crafted corpus: when old and new
+    snapshots draw from the SAME directions, no cell drifts; when the
+    new snapshot abandons one direction for another, the affected
+    cells must flag."""
+    import numpy as np
+
+    from a3_fp_bigdata_spark.operators import quality_checks as QC
+    from a3_fp_bigdata_spark.operators.similarity import N_PLANES
+    from a3_fp_bigdata_spark.operators.text_analysis import sample_predicate_sql
+
+    rng = np.random.default_rng(7)
+    dim = 16
+    planes = rng.standard_normal((N_PLANES, dim))
+    dir_a = rng.standard_normal(dim)
+    dir_b = rng.standard_normal(dim)
+
+    def write(corpus_shifted: bool, path):
+        # vec_id 1..N_PLANES are the hyperplanes (sim2's convention)
+        rows = [(0, (dir_a + 0.01 * rng.standard_normal(dim)).tolist())]
+        rows += [(i + 1, planes[i].tolist()) for i in range(N_PLANES)]
+        vid = N_PLANES + 1
+        pred_py = lambda k: ((k % 1_000_003) * 2_654_435_761) % 100 < QC.EMB_SNAPSHOT_PCT  # noqa: E731
+        for _ in range(4000):
+            is_old = pred_py(vid)
+            base = dir_a if (is_old or not corpus_shifted) else dir_b
+            rows.append(
+                (vid, (base + 0.05 * rng.standard_normal(dim)).tolist())
+            )
+            vid += 1
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(path / "embeddings.parquet")
+        )
+
+    # the python replica of sample_predicate must BE sample_predicate
+    assert sample_predicate_sql("k", QC.EMB_SNAPSHOT_PCT) == (
+        "(((k) % 1000003) * 2654435761) % 100 < " + str(QC.EMB_SNAPSHOT_PCT)
+    )
+
+    ctrl = tmp_path / "ctrl"
+    ctrl.mkdir()
+    write(False, ctrl)
+    ctrl_rows = QC.dq4_embedding_drift(spark, str(ctrl)).collect()
+    assert sum(r["drifted"] for r in ctrl_rows) == 0, ctrl_rows
+
+    shift = tmp_path / "shift"
+    shift.mkdir()
+    write(True, shift)
+    shift_rows = QC.dq4_embedding_drift(spark, str(shift)).collect()
+    assert sum(r["drifted"] for r in shift_rows) >= 1, shift_rows
