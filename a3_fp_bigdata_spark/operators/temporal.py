@@ -602,3 +602,99 @@ def w11_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# j12: interval-overlap self-join (bucketized — the op Spark lacks)
+# ---------------------------------------------------------------------------
+
+#: Interval duration derived from the event's value column in exact
+#: integer seconds: floor(value) % OVL_DUR_MOD + OVL_DUR_MIN — bounded
+#: by construction so every interval spans at most 2 grid buckets.
+OVL_DUR_MOD = 600
+OVL_DUR_MIN = 60
+#: Grid coarseness. MUST stay >= OVL_DUR_MOD + OVL_DUR_MIN so an
+#: interval touches at most ceil(dur/G)+1 = 2 buckets.
+OVL_GRID_SECS = 900
+
+
+@query(
+    "j12_interval_overlap_join",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               + CAST(floor(value) AS BIGINT) % {OVL_DUR_MOD}
+               + {OVL_DUR_MIN} AS e
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT a.event_id AS a_id, b.event_id AS b_id,
+           CAST(least(a.e, b.e) - greatest(a.s, b.s) AS BIGINT)
+             AS overlap_s
+    FROM e a JOIN e b
+      ON a.event_id < b.event_id
+     AND a.s < b.e AND b.s < a.e
+    """,
+)
+def j12_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: every pair of 'error' events whose
+    derived incident windows [ts, ts + dur) intersect, with the
+    overlap length in whole seconds — the correlated-incident shape
+    (and the op Spark's join syntax cannot express without a cross
+    product: both sides' predicates are inequalities).
+
+    Bucketized like j9: durations are bounded (< {OVL_DUR_MOD} +
+    {OVL_DUR_MIN} s) so each interval lands in at most 2 buckets of
+    the {OVL_GRID_SECS}-second grid; the join is an EQUI-join on
+    bucket + exact inequality filter, so shuffled rows are
+    O(2|intervals|) and per-bucket work is occupancy^2 over a grid
+    cell, never corpus^2. The oracle re-derives the pair set with the
+    honest quadratic self-join. distinct() collapses pairs that
+    co-occur in both their buckets. All arithmetic is integer epoch
+    seconds (tscompat.epoch_seconds = DuckDB floor(epoch(ts)))."""
+    from a3_fp_bigdata_spark.tscompat import epoch_seconds
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "error"
+    )
+    s = epoch_seconds(F.col("ts"))
+    dur = (
+        F.floor(F.col("value")).cast("long") % OVL_DUR_MOD + OVL_DUR_MIN
+    )
+    iv = ev.select(
+        "event_id",
+        s.alias("s"),
+        (s + dur).alias("e"),
+    )
+    with_buckets = iv.select(
+        "event_id",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.expr(f"s DIV {OVL_GRID_SECS}"),
+                F.expr(f"e DIV {OVL_GRID_SECS}"),
+            )
+        ).alias("bucket"),
+    )
+    a = with_buckets.alias("a")
+    b = with_buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.event_id") < F.col("b.event_id"))
+            & (F.col("a.s") < F.col("b.e"))
+            & (F.col("b.s") < F.col("a.e")),
+        )
+        .select(
+            F.col("a.event_id").alias("a_id"),
+            F.col("b.event_id").alias("b_id"),
+            (
+                F.least(F.col("a.e"), F.col("b.e"))
+                - F.greatest(F.col("a.s"), F.col("b.s"))
+            ).cast("long").alias("overlap_s"),
+        )
+        .distinct()
+    )

@@ -264,3 +264,87 @@ def test_rolling_zscore_replay_matches_plain_python(spark):
             assert got[key] == (n, z, flag), (key, got[key], (n, z, flag))
             n_checked += 1
     assert n_checked > 10  # non-vacuous
+
+
+# --- j12: bucketized interval-overlap join -----------------------------------
+
+
+def test_j12_matches_quadratic_python_replay(spark):
+    """The bucketized equi-join must find EXACTLY the quadratic truth
+    (bucketization is an optimization, never a semantics change), and
+    touching intervals (e1 == s2) must NOT pair — overlap is strict."""
+    import duckdb
+
+    from tests.conftest import SF0001
+    from a3_fp_bigdata_spark.operators import temporal as TP
+
+    got = {
+        (r["a_id"], r["b_id"]): r["overlap_s"]
+        for r in TP.j12_interval_overlap_join(spark, SF0001).collect()
+    }
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+               CAST(floor(value) AS BIGINT) % {TP.OVL_DUR_MOD}
+                 + {TP.OVL_DUR_MIN} AS dur
+        FROM read_parquet('{SF0001}/events.parquet')
+        WHERE event_type = 'error'
+        """
+    ).fetchall()
+    ivs = [(eid, s, s + dur) for eid, s, dur in rows]
+    want = {}
+    for i, (ia, sa, ea) in enumerate(ivs):
+        for ib, sb, eb in ivs[i + 1 :]:
+            lo, hi = (ia, ib) if ia < ib else (ib, ia)
+            if sa < eb and sb < ea:
+                want[(lo, hi)] = min(ea, eb) - max(sa, sb)
+    assert got == want
+    assert got  # non-vacuous at sf0.001
+    # every overlap is strictly positive and bounded by the max duration
+    assert all(
+        0 < v < TP.OVL_DUR_MOD + TP.OVL_DUR_MIN for v in got.values()
+    )
+
+
+def test_j12_touching_intervals_do_not_pair(spark, tmp_path):
+    """Crafted corpus: [t, t+60) and [t+60, t+120) share a boundary
+    instant but zero seconds — strict overlap excludes them; [t, t+61)
+    and [t+60, ...) overlap exactly 1 s."""
+    import datetime
+
+    from a3_fp_bigdata_spark.operators import temporal as TP
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, off_s, dur_s):
+        # dur = floor(value) % MOD + MIN  -> value = dur - MIN (< MOD)
+        return (
+            eid,
+            t0 + datetime.timedelta(seconds=off_s),
+            1,
+            "error",
+            float(dur_s - TP.OVL_DUR_MIN),
+            "{}",
+        )
+
+    rows = [
+        ev(1, 0, 60),     # [0, 60)
+        ev(2, 60, 60),    # [60, 120): touches 1, no overlap
+        ev(3, 59, 61),    # [59, 120): overlaps 1 by 1s, 2 by 60s
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    got = {
+        (r["a_id"], r["b_id"]): r["overlap_s"]
+        for r in TP.j12_interval_overlap_join(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {(1, 3): 1, (2, 3): 60}
