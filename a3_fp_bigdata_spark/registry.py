@@ -111,6 +111,7 @@ def _load_all_modules() -> None:
     from a3_fp_bigdata_spark.streaming import (  # noqa: F401
         batch_windows,
         chunk_index,
+        drift,
         hot_keys,
         incremental_dedup,
         ingest,

@@ -513,3 +513,32 @@ def test_hot_key_stream_state_stays_bounded_and_bounds_hold(spark, tmp_path):
     for tok, est in final.items():
         assert est <= exact[tok]
         assert (exact[tok] - est) * (HH_K + 1) <= 2 * n
+
+
+# --- st14: streaming embedding-drift histogram -------------------------------
+
+
+def test_st14_streaming_converges_to_batch_dq4(spark):
+    """The drained streaming view must equal dq4's batch answer
+    EXACTLY — same cells, same counts, same shares, same verdicts
+    (exact counts, so convergence is equality, not a bound)."""
+    from tests.conftest import SF0001
+    from a3_fp_bigdata_spark.operators.quality_checks import (
+        dq4_embedding_drift,
+    )
+    from a3_fp_bigdata_spark.streaming.drift import (
+        st14_stream_embedding_drift,
+    )
+
+    stream_rows = {
+        r["cell"]: (r["n_old"], r["n_new"], r["share_old_bp"],
+                    r["share_new_bp"], r["drifted"])
+        for r in st14_stream_embedding_drift(spark, SF0001).collect()
+    }
+    batch_rows = {
+        r["cell"]: (r["n_old"], r["n_new"], r["share_old_bp"],
+                    r["share_new_bp"], r["drifted"])
+        for r in dq4_embedding_drift(spark, SF0001).collect()
+    }
+    assert stream_rows == batch_rows
+    assert stream_rows  # non-vacuous
