@@ -13,11 +13,16 @@ spec, Compression=1) covers the archival-dump slice without PIL.
 - encode: single-strip 8-bit RGB little-endian (the universally
   readable baseline).
 
-LZW/PackBits/JPEG-in-TIFF compression, tiled layouts, and planar
-configuration 2 raise NotImplementedError loudly — the same
-honest-ceiling contract as images.decode_image (reference
-feature_extractor.py:20 accepts anything PIL opens; this module covers
-the uncompressed-TIFF slice without PIL).
+r11 adds the two compressions that dominate real archival TIFF:
+LZW (Compression=5, spec §13 — MSB-first codes, 9→12-bit widths with
+the spec's early-change rule, per-strip streams) and PackBits
+(Compression=32773, spec §9), plus the horizontal-differencing
+Predictor (tag 317 value 2) that LZW files overwhelmingly carry.
+JPEG-in-TIFF, tiled layouts, and planar configuration 2 still raise
+NotImplementedError loudly — the same honest-ceiling contract as
+images.decode_image (reference feature_extractor.py:20 accepts
+anything PIL opens; this module covers the archival slice without
+PIL).
 """
 
 from __future__ import annotations
@@ -34,7 +39,85 @@ ship_by_value(__name__)  # Arrow closures must not need repo on sys.path
 _W, _H = 256, 257
 _BPS, _COMP, _PHOTO = 258, 259, 262
 _STRIP_OFF, _SPP, _ROWS_PER_STRIP, _STRIP_CNT = 273, 277, 278, 279
-_PLANAR, _COLORMAP, _TILE_OFF = 284, 320, 324
+_PLANAR, _PREDICTOR, _COLORMAP, _TILE_OFF = 284, 317, 320, 324
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW (spec §13): MSB-first bit packing, ClearCode
+    256 / EOI 257, code width 9..12 with the EARLY-CHANGE rule (width
+    bumps when the NEXT table slot would be 2^width - 1 — TIFF writers
+    switch one code earlier than GIF's LSB-first variant)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = bits = pos = 0
+    width = 9
+    table: list[bytes] = []
+    prev: bytes | None = None
+
+    def read_code() -> int:
+        nonlocal acc, bits, pos
+        while bits < width:
+            if pos >= len(data):
+                return EOI  # ran off the end: treat as end of stream
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            bits += 8
+        bits -= width
+        code = (acc >> bits) & ((1 << width) - 1)
+        return code
+
+    while True:
+        code = read_code()
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            if code >= len(table) or not table:
+                raise ValueError(f"LZW: bad first code {code}")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]
+            else:
+                raise ValueError(f"LZW: code {code} beyond table")
+            table.append(prev + entry[:1])
+        out += entry
+        prev = entry
+        # early change, decoder side: the encoder widens as soon as its
+        # next FREE slot is 2^width - 1, and the decoder's table runs
+        # one entry BEHIND the encoder's (the entry for code k is only
+        # completed while processing code k+1) — so the decoder widens
+        # at 2^width - 2 (libtiff's maxcode-1 rule; verified by
+        # round-trip against the independent spec-transcribed writer
+        # in tests across both width boundaries and a CLEAR restart)
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    """PackBits (spec §9): n in [0,127] copies n+1 literals; n in
+    [-127,-1] repeats the next byte 1-n times; -128 is a no-op."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i] - 256 if data[i] > 127 else data[i]
+        i += 1
+        if n >= 0:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n != -128:
+            if i >= len(data):
+                raise ValueError("PackBits: truncated run")
+            out += bytes([data[i]]) * (1 - n)
+            i += 1
+    return bytes(out)
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
 _TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i"}
@@ -70,13 +153,18 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     if _TILE_OFF in t:
         raise NotImplementedError("tiled TIFF not supported (strips only)")
     comp = t.get(_COMP, [1])[0]
-    if comp != 1:
+    if comp not in (1, 5, 32773):
         raise NotImplementedError(
-            f"TIFF compression {comp} not supported (uncompressed only; "
-            "LZW/PackBits/JPEG need PIL)"
+            f"TIFF compression {comp} not supported (uncompressed, LZW, "
+            "PackBits; JPEG-in-TIFF needs PIL)"
         )
     if t.get(_PLANAR, [1])[0] != 1:
         raise NotImplementedError("planar TIFF not supported (chunky only)")
+    predictor = t.get(_PREDICTOR, [1])[0]
+    if predictor not in (1, 2):
+        raise NotImplementedError(
+            f"TIFF predictor {predictor} (none / horizontal only)"
+        )
     w, h = t[_W][0], t[_H][0]
     spp = t.get(_SPP, [1])[0]
     bps = t.get(_BPS, [1] * spp)
@@ -85,14 +173,21 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         raise NotImplementedError(f"TIFF bits-per-sample {bps} (8 only)")
     offs = t[_STRIP_OFF]
     cnts = t.get(_STRIP_CNT, [w * h * spp])
-    data = b"".join(
-        payload[o : o + c] for o, c in zip(offs, cnts)
-    )
+    strips = [payload[o : o + c] for o, c in zip(offs, cnts)]
+    if comp == 5:
+        strips = [_lzw_decode(s) for s in strips]
+    elif comp == 32773:
+        strips = [_packbits_decode(s) for s in strips]
+    data = b"".join(strips)
     if len(data) < w * h * spp:
         raise ValueError("truncated TIFF strip data")
     px = np.frombuffer(data, dtype=np.uint8, count=w * h * spp).reshape(
         h, w, spp
     )
+    if predictor == 2:
+        # horizontal differencing: each row stores per-sample deltas;
+        # undo with a wrapping prefix sum along the row, per channel
+        px = np.add.accumulate(px, axis=1, dtype=np.uint8)
     if photo == 3:  # palette-color: ColorMap is 3 planes of 16-bit
         if _COLORMAP not in t:
             raise ValueError("palette TIFF (photometric 3) missing ColorMap")

@@ -197,6 +197,10 @@ CANONICAL = frozenset(
         "tx2_quality_score", "tx10_redact_pii", "tx17_gopher_rules",
         # upsert/CDC
         "u1_merge_upsert", "u2_scd2_history",
+        # r12 rotation candidates (r11-earned, all oracle-backed and
+        # parity-green): tx18_dup_gram_fraction, a22_bloom_filter_audit,
+        # dq4_embedding_drift, j12_interval_overlap_join,
+        # st14_stream_embedding_drift. Swap per ROTATION.md protocol.
         # windows: top-k per group, sessionize, EWMA, rolling z-score
         "w1_topk_per_group", "w5_sessionize",
         "w10_ewma_smooth", "w11_rolling_zscore",

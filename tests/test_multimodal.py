@@ -1059,7 +1059,7 @@ def test_tiff_rejects_compressed_tiled_planar():
         return struct.pack(">2sHI", b"MM", 42, 12) + b"\0\0\0\0" + ifd
 
     with _pytest.raises(NotImplementedError, match="compression"):
-        decode_tiff(mk([(259, 3, 1, 5)]))
+        decode_tiff(mk([(259, 3, 1, 7)]))  # JPEG-in-TIFF (5/32773 decode now)
     with _pytest.raises(NotImplementedError, match="tiled"):
         decode_tiff(mk([(259, 3, 1, 1), (324, 4, 1, 8)]))
     with _pytest.raises(NotImplementedError, match="planar"):
@@ -1819,3 +1819,204 @@ def test_adam7_trailing_bytes_rejected():
         pos += 12 + length
     with pytest.raises(ValueError, match="trailing bytes"):
         decode_png(out)
+
+
+# ---------------------------------------------------------------------------
+# TIFF LZW / PackBits / predictor (r11)
+# ---------------------------------------------------------------------------
+
+
+def _tiff_lzw_encode(data):
+    """Independent TIFF-LZW writer (spec §13 transcription, string-table
+    dict — structurally unlike the decoder's list): MSB-first packing,
+    early width change (switch when the next code to ASSIGN would be
+    2^width - 1), CLEAR at table 4094."""
+    CLEAR, EOI = 256, 257
+    sink = bytearray()
+    acc = nbits = 0
+
+    def put(code, width):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            sink.append((acc >> nbits) & 0xFF)
+
+    width = 9
+    put(CLEAR, width)
+    dic = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    cur = b""
+    for byte in data:
+        nxt = cur + bytes([byte])
+        if nxt in dic:
+            cur = nxt
+            continue
+        put(dic[cur], width)
+        dic[nxt] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code >= 4094:
+            put(CLEAR, width)
+            width = 9
+            dic = {bytes([i]): i for i in range(256)}
+            next_code = 258
+        cur = bytes([byte])
+    if cur:
+        put(dic[cur], width)
+    put(EOI, width)
+    if nbits:
+        sink.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(sink)
+
+
+def _tiff_packbits_encode(data):
+    """Independent PackBits writer: literal runs <= 128, repeat runs
+    for >= 3 equal bytes."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        run = 1
+        while i + run < len(data) and data[i + run] == data[i] and run < 128:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit_end = i + 1
+        while (
+            lit_end < len(data)
+            and lit_end - i < 128
+            and not (
+                lit_end + 2 < len(data)
+                and data[lit_end] == data[lit_end + 1] == data[lit_end + 2]
+            )
+        ):
+            lit_end += 1
+        out += bytes([lit_end - i - 1]) + data[i:lit_end]
+        i = lit_end
+    return bytes(out)
+
+
+def _build_tiff(arr, comp, strips, predictor=1):
+    """Independent multi-strip TIFF builder for the compressed paths."""
+    import struct
+
+    h, w = arr.shape[:2]
+    rows_per_strip = (h + strips - 1) // strips
+    strip_rows = [
+        arr[y : y + rows_per_strip] for y in range(0, h, rows_per_strip)
+    ]
+    payloads = []
+    for chunk in strip_rows:
+        if predictor == 2:
+            chunk = chunk.astype(np.int16)
+            chunk = np.concatenate(
+                [chunk[:, :1], np.diff(chunk, axis=1)], axis=1
+            ).astype(np.uint8)
+        raw = chunk.tobytes()
+        if comp == 5:
+            payloads.append(_tiff_lzw_encode(raw))
+        elif comp == 32773:
+            payloads.append(_tiff_packbits_encode(raw))
+        else:
+            payloads.append(raw)
+    bps_off = 8
+    data_off = bps_off + 6
+    offs, cur = [], data_off
+    for p in payloads:
+        offs.append(cur)
+        cur += len(p)
+    pad = cur % 2
+    ifd_off = cur + pad
+    n_strips = len(payloads)
+    # offset arrays > 4 bytes must live out-of-line: append after IFD
+    entries = []
+
+    def arr_entry(tag, typ, values):
+        entries.append((tag, typ, values))
+
+    arr_entry(256, 4, [w])
+    arr_entry(257, 4, [h])
+    arr_entry(258, 3, [8, 8, 8])
+    arr_entry(259, 3, [comp])
+    arr_entry(262, 3, [2])
+    arr_entry(273, 4, offs)
+    arr_entry(277, 3, [3])
+    arr_entry(278, 4, [rows_per_strip])
+    arr_entry(279, 4, [len(p) for p in payloads])
+    arr_entry(284, 3, [1])
+    if predictor != 1:
+        arr_entry(317, 3, [predictor])
+    entries.sort()
+    ifd = struct.pack("<H", len(entries))
+    extra = b""
+    extra_off = ifd_off + 2 + 12 * len(entries) + 4
+    fmt = {3: "H", 4: "I"}
+    size = {3: 2, 4: 4}
+    for tag, typ, values in entries:
+        body = struct.pack("<" + str(len(values)) + fmt[typ], *values)
+        if len(body) <= 4:
+            ifd += struct.pack("<HHI", tag, typ, len(values)) + body.ljust(
+                4, b"\x00"
+            )
+        else:
+            ifd += struct.pack(
+                "<HHII", tag, typ, len(values), extra_off + len(extra)
+            )
+            extra += body
+    ifd += struct.pack("<I", 0)
+    return (
+        struct.pack("<2sHI", b"II", 42, ifd_off)
+        + struct.pack("<3H", 8, 8, 8)
+        + b"".join(payloads)
+        + b"\x00" * pad
+        + ifd
+        + extra
+    )
+
+
+def test_tiff_lzw_packbits_predictor_decode_exactly():
+    """LZW (incl. width changes past 511/1023 entries and a CLEAR
+    restart on big inputs), PackBits, and horizontal predictor — all
+    against the independent builder above. Lossless: equality exact."""
+    from a3_fp_bigdata_spark.multimodal.tiff_codec import decode_tiff
+
+    rng = np.random.default_rng(317)
+    # structured image (compressible: runs + gradients) AND noise
+    grad = np.arange(64, dtype=np.uint8)[None, :, None]
+    structured = np.broadcast_to(grad, (48, 64, 3)).copy()
+    structured[10:20] = 200
+    noise = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    big = rng.integers(0, 256, (120, 90, 3), dtype=np.uint8)  # forces CLEAR
+    for arr in (structured, noise, big):
+        for comp in (5, 32773):
+            for strips in (1, 3):
+                got = decode_tiff(_build_tiff(arr, comp, strips))
+                assert np.array_equal(got, arr), (comp, strips, arr.shape)
+        # LZW + horizontal predictor (the real-world archival combo)
+        got = decode_tiff(_build_tiff(arr, 5, 2, predictor=2))
+        assert np.array_equal(got, arr), ("predictor", arr.shape)
+
+
+def test_tiff_unsupported_compression_still_raises():
+    from a3_fp_bigdata_spark.multimodal.tiff_codec import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    payload = bytearray(encode_tiff(np.zeros((4, 4, 3), np.uint8)))
+    # patch the COMP entry (tag 259) value to 7 (JPEG-in-TIFF)
+    import struct
+
+    ifd_off = struct.unpack_from("<I", payload, 4)[0]
+    (n,) = struct.unpack_from("<H", payload, ifd_off)
+    for i in range(n):
+        base = ifd_off + 2 + 12 * i
+        tag = struct.unpack_from("<H", payload, base)[0]
+        if tag == 259:
+            struct.pack_into("<H", payload, base + 8, 7)
+    with pytest.raises(NotImplementedError, match="compression 7"):
+        decode_tiff(bytes(payload))
