@@ -147,3 +147,30 @@ def mm13_apng_frame_features(
 
     media = image_dir_source(spark, APNG_FIXTURE_DIR, glob="*.png")
     return apng_frame_features(media).orderBy("media_id", "frame_idx")
+
+
+#: committed archival-TIFF fixture set (tools/make_tiff_lzw_fixtures
+#: .py): LZW (incl. the horizontal predictor) and PackBits strips from
+#: an INDEPENDENT spec-transcribed writer, scanned-document / photo /
+#: grayscale content — expected pixels in tests/golden/tiff_lzw.npz.
+ARCHIVAL_FIXTURE_DIR = os.path.join(
+    os.path.dirname(__file__), "fixtures", "archival"
+)
+
+
+@query("mm14_archival_tiff_features")
+def mm14_archival_tiff_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """mm4's binaryFile->decode->featurize shape over ARCHIVAL TIFF —
+    the scanned-document / microfilm slice of real corpora, where LZW
+    and PackBits compression (with the horizontal predictor) dominate:
+    all decoded for real by tiff_codec's r11 decompressors (PIL when
+    present). Rows-only like mm4/mm12 (fixture-directory input, no
+    DuckDB twin); pytest pins the exact channel means against the
+    independent generator's own pixel arrays, so an LZW width-change
+    or predictor bug is a red golden, not a silent feature shift."""
+    media = image_dir_source(
+        spark, ARCHIVAL_FIXTURE_DIR, glob="*.tif"
+    )
+    return extract_features(media).orderBy("media_id")

@@ -2020,3 +2020,41 @@ def test_tiff_unsupported_compression_still_raises():
             struct.pack_into("<H", payload, base + 8, 7)
     with pytest.raises(NotImplementedError, match="compression 7"):
         decode_tiff(bytes(payload))
+
+
+def test_mm14_archival_tiff_query_matches_golden_means(spark):
+    """The registered archival-TIFF query must reproduce the
+    independent generator's exact channel means for every fixture
+    (matched by dimensions + filename hash)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from a3_fp_bigdata_spark.multimodal.binary_files import (
+        mm14_archival_tiff_features,
+    )
+
+    rows = mm14_archival_tiff_features(spark, SF0001).collect()
+    golden = np.load(
+        os.path.join(os.path.dirname(__file__), "golden", "tiff_lzw.npz")
+    )
+    names = sorted(golden.files)
+    assert len(rows) == len(names)
+    # media_id = xxhash64(filename): recompute to match rows to goldens
+    spark_hash = {
+        r["fname"]: r["h"]
+        for r in spark.createDataFrame(
+            [(n,) for n in names], "fname string"
+        )
+        .select("fname", F.xxhash64("fname").alias("h"))
+        .collect()
+    }
+    by_id = {r["media_id"]: r for r in rows}
+    for name in names:
+        r = by_id[spark_hash[name]]
+        exp = golden[name]
+        assert (r["img_height"], r["img_width"]) == exp.shape[:2], name
+        means = exp.reshape(-1, 3).mean(axis=0)
+        assert abs(r["img_avg_red"] - float(means[0])) < 1e-9, name
+        assert abs(r["img_avg_green"] - float(means[1])) < 1e-9, name
+        assert abs(r["img_avg_blue"] - float(means[2])) < 1e-9, name
