@@ -340,3 +340,121 @@ def u4_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         half_up(F.col("c_acctbal"), 2).alias("c_acctbal"),
         "tier",
     )
+
+
+# ---------------------------------------------------------------------------
+# u5: full CDC changelog apply (insert / update / DELETE, last-write-wins)
+# ---------------------------------------------------------------------------
+
+
+def apply_changelog(
+    base: DataFrame, changelog: DataFrame, key: str
+) -> DataFrame:
+    """Debezium-style changelog apply: ``changelog`` carries
+    (op in {{'I','U','D'}}, seq, key, payload) rows, possibly several
+    per key — compact to the latest op per key (max seq; op is the
+    unique tie-break so replays of the same seq are deterministic),
+    then: untouched base rows survive, latest 'I'/'U' rows replace or
+    insert, latest 'D' rows remove the key. One window over the
+    CHANGELOG (batch-sized, never corpus-sized) + u1's anti-join
+    form; with the base bucketed on the key the rewrite stays
+    co-located."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(F.desc("seq"), F.desc("op"))
+    latest = (
+        changelog.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "seq")
+    )
+    untouched = base.join(latest, on=key, how="left_anti")
+    survivors = latest.filter(F.col("op") != "D").select(*base.columns)
+    return untouched.unionByName(survivors)
+
+
+@query(
+    "u5_cdc_apply_changelog",
+    oracle=f"""
+    WITH changelog AS (
+      SELECT 'U' AS op, 1 AS seq, c_custkey, c_name,
+             {half_up_sql('c_acctbal + 500', 2)} AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT 'D', 2, c_custkey, c_name, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT 'I', 1, 8000000 + c_custkey,
+             'cdc#' || CAST(c_custkey AS VARCHAR), 0.0, c_mktsegment
+      FROM customer WHERE c_custkey % 100 = 0
+    ), latest AS (
+      SELECT * FROM (
+        SELECT op, c_custkey, c_name, c_acctbal, c_mktsegment,
+               row_number() OVER (PARTITION BY c_custkey
+                                  ORDER BY seq DESC, op DESC) AS rn
+        FROM changelog
+      ) WHERE rn = 1
+    )
+    SELECT c_custkey, c_name, {half_up_sql('c_acctbal', 2)} AS c_acctbal,
+           c_mktsegment
+    FROM (
+      SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
+      UNION ALL
+      SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM latest
+      WHERE op <> 'D'
+    )
+    """,
+)
+def u5_cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CDC apply — the op u1's upsert cannot express: a changelog
+    with INSERTS, UPDATES and DELETES, where one key may carry several
+    entries and the LATEST (by seq) wins. Derivation is deterministic:
+    10% of customers get a balance update (seq 1), every 7th key a
+    delete (seq 2 — so keys divisible by 70 exercise update-then-
+    delete compaction: the delete wins), 1% insert as fresh keys. The
+    oracle re-derives the same changelog and replays the compaction
+    with a plain ROW_NUMBER.
+
+    Scale: the window runs over the changelog (a CDC batch, not the
+    corpus); the base pays one key-equality anti-join, co-located
+    under bucketing — MERGE INTO's engine-portable twin with delete
+    semantics."""
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    src = table(spark, sf_dir, "customer")
+    updates = src.filter(F.col("c_custkey") % 10 == 0).select(
+        F.lit("U").alias("op"),
+        F.lit(1).alias("seq"),
+        "c_custkey",
+        "c_name",
+        half_up(F.col("c_acctbal") + 500, 2).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    deletes = src.filter(F.col("c_custkey") % 7 == 0).select(
+        F.lit("D").alias("op"),
+        F.lit(2).alias("seq"),
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    inserts = src.filter(F.col("c_custkey") % 100 == 0).select(
+        F.lit("I").alias("op"),
+        F.lit(1).alias("seq"),
+        (F.col("c_custkey") + 8000000).alias("c_custkey"),
+        F.concat(F.lit("cdc#"), F.col("c_custkey").cast("string")).alias(
+            "c_name"
+        ),
+        F.lit(0.0).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    changelog = updates.unionByName(deletes).unionByName(inserts)
+    merged = apply_changelog(cust, changelog, "c_custkey")
+    return merged.select(
+        "c_custkey",
+        "c_name",
+        half_up(F.col("c_acctbal"), 2).alias("c_acctbal"),
+        "c_mktsegment",
+    )

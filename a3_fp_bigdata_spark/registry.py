@@ -200,7 +200,9 @@ CANONICAL = frozenset(
         # r12 rotation candidates (r11-earned, all oracle-backed and
         # parity-green): tx18_dup_gram_fraction, a22_bloom_filter_audit,
         # dq4_embedding_drift, j12_interval_overlap_join,
-        # st14_stream_embedding_drift. Swap per ROTATION.md protocol.
+        # st14_stream_embedding_drift, u5_cdc_apply_changelog
+        # (mm14 is rows-only and stays z_ like mm12/mm13). Swap per
+        # ROTATION.md protocol.
         # windows: top-k per group, sessionize, EWMA, rolling z-score
         "w1_topk_per_group", "w5_sessionize",
         "w10_ewma_smooth", "w11_rolling_zscore",

@@ -185,6 +185,47 @@ def test_merge_upsert_properties(spark, base_kv, upd_kv):
 
 @settings(max_examples=10, deadline=None, derandomize=True)
 @given(
+    st.dictionaries(st.integers(0, 30), st.integers(-5, 5), max_size=12),
+    st.lists(
+        st.tuples(
+            st.sampled_from("IUD"),
+            st.integers(1, 5),
+            st.integers(0, 30),
+            st.integers(-5, 5),
+        ),
+        max_size=15,
+    ),
+)
+def test_apply_changelog_properties(spark, base_kv, ops):
+    """apply_changelog invariants for arbitrary changelogs: result =
+    python fold of (latest op per key by (seq, op)); deletes remove,
+    I/U upsert, untouched keys survive, no duplicate keys."""
+    from a3_fp_bigdata_spark.operators.upsert import apply_changelog
+
+    base_kv = base_kv or {99: 0}
+    ops = ops or [("U", 1, 98, 7)]
+    base = spark.createDataFrame(list(base_kv.items()), "k long, v long")
+    log = spark.createDataFrame(
+        [(op, seq, k, v) for op, seq, k, v in ops],
+        "op string, seq long, k long, v long",
+    )
+    got = {r.k: r.v for r in apply_changelog(base, log, "k").collect()}
+    latest = {}
+    for op, seq, k, v in ops:
+        # the operator keeps max (seq, op) per key — mirror exactly
+        if k not in latest or (seq, op) > (latest[k][0], latest[k][1]):
+            latest[k] = (seq, op, v)
+    want = dict(base_kv)
+    for k, (_seq, op, v) in latest.items():
+        if op == "D":
+            want.pop(k, None)
+        else:
+            want[k] = v
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(
     st.dictionaries(st.integers(0, 20), st.integers(0, 3), min_size=1, max_size=10),
     st.dictionaries(st.integers(0, 25), st.integers(0, 3), min_size=1, max_size=10),
 )
