@@ -33,7 +33,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from a3_fp_bigdata_spark.data import table
+from a3_fp_bigdata_spark.data import (
+    read_stamped_scratch,
+    run_scratch,
+    src_fingerprint,
+    table,
+)
 from a3_fp_bigdata_spark.functions import text as TX
 from a3_fp_bigdata_spark.functions.rounding import half_up, half_up_sql
 from a3_fp_bigdata_spark.operators.text_analysis import (
@@ -2472,3 +2477,170 @@ def pk15_temperature_mixture(
         .filter(member)
         .select("doc_id", "lang", "keep_bp")
     )
+
+
+# ---------------------------------------------------------------------------
+# pk16: best-fit-decreasing packing + its 2-approximation certificate
+# ---------------------------------------------------------------------------
+
+#: pk16 audit scratch — the ml5/mm11 protocol (per-process run_scratch
+#: path, (n_src, src_ck) staleness fingerprint).
+_PK16_SCRATCH = run_scratch("pk16_bfd")
+
+
+def _bfd_assign(pdf):
+    """Best-fit-decreasing over one shard: place docs in cost-desc
+    order (doc_id tie-break) into the FULLEST bin that still fits;
+    open a new bin otherwise; an oversize doc gets a bin of its own.
+    Pure (doc_id, cost) pairs — Python never touches text."""
+    pdf = pdf.sort_values(
+        ["cost", "doc_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+    fills: list[int] = []
+    bin_ids = []
+    for cost in pdf["cost"]:
+        best = -1
+        for i, fill in enumerate(fills):
+            if fill + cost <= PACK_BUDGET and (
+                best < 0 or fill > fills[best]
+            ):
+                best = i
+        if cost > PACK_BUDGET or best < 0:
+            fills.append(cost)
+            best = len(fills) - 1
+        else:
+            fills[best] += cost
+        bin_ids.append(best)
+    pdf["bin_id"] = bin_ids
+    return pdf[["doc_id", "shard", "bin_id", "cost"]]
+
+
+@query(
+    "pk16_bestfit_pack_audit",
+    oracle=None,  # attached below (needs the cost SQL + fingerprint)
+)
+def pk16_bestfit_pack_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Best-fit-decreasing packing (the utilization upgrade over pk2's
+    arrival-order greedy) with its classic CERTIFICATE oracle-attested:
+    any best-fit/first-fit packing leaves AT MOST ONE bin at most half
+    full per shard (two light bins would have been merged — the
+    textbook 2-approximation argument), every non-oversize bin
+    respects the budget, and every oversize bin is a singleton. The
+    assignment is materialized to stamped scratch; DuckDB re-derives
+    every per-shard statistic from the materialized rows AND re-checks
+    each doc's cost against its own rendering of the token-cost model,
+    so a placement bug, a budget overflow, or a drifted cost column is
+    a red hash mismatch.
+
+    Scale: pk2's contract — one Arrow batch per shard over (doc_id,
+    cost) pairs (the in-batch best-fit scan is O(docs x bins/shard),
+    bins bounded by shard token mass / budget); the audit adds one
+    tiny write + grid-sized aggregation. Output one row per shard."""
+    assignment = (
+        _sharded_costs(spark, sf_dir)
+        .groupBy("shard")
+        .applyInPandas(
+            _bfd_assign,
+            schema="doc_id long, shard long, bin_id long, cost long",
+        )
+    )
+    fp = src_fingerprint(table(spark, sf_dir, "documents"), "doc_id")
+    assignment.crossJoin(F.broadcast(fp)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(_PK16_SCRATCH)
+    back = read_stamped_scratch(spark, _PK16_SCRATCH).drop("src_ck")
+    bins = back.groupBy("shard", "bin_id").agg(
+        F.sum("cost").cast("long").alias("fill"),
+        F.count("*").cast("long").alias("n_docs_bin"),
+    )
+    oversize = F.col("fill") > PACK_BUDGET
+    light = 2 * F.col("fill") <= PACK_BUDGET
+    return (
+        bins.groupBy("shard")
+        .agg(
+            F.sum("n_docs_bin").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_bins"),
+            F.sum(F.when(oversize, 1).otherwise(0))
+            .cast("long")
+            .alias("n_oversize"),
+            F.coalesce(
+                F.max(F.when(~oversize, F.col("fill"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("max_regular_fill"),
+            F.sum(F.when(light, 1).otherwise(0))
+            .cast("long")
+            .alias("n_light_bins"),
+            F.min(
+                F.when(oversize, F.col("n_docs_bin") == 1).otherwise(
+                    True
+                ).cast("int")
+            )
+            .cast("int")
+            .alias("oversize_singletons_ok"),
+        )
+        .select(
+            "*",
+            (F.col("max_regular_fill") <= PACK_BUDGET)
+            .cast("int")
+            .alias("budget_ok"),
+            (F.col("n_light_bins") <= 1).cast("int").alias("cert_ok"),
+        )
+    )
+
+
+def _attach_pk16_oracle() -> None:
+    import dataclasses
+
+    from a3_fp_bigdata_spark import registry as _R
+    from a3_fp_bigdata_spark.data import fingerprint_where
+
+    sql = f"""
+    WITH scratch AS (
+      SELECT doc_id, shard, bin_id, cost
+      FROM read_parquet('{_PK16_SCRATCH}/*.parquet')
+      WHERE {fingerprint_where('documents', 'doc_id')}
+    ), costs AS (
+      SELECT doc_id, CAST({_SQL_COST} AS BIGINT) AS want_cost
+      FROM documents
+    ), bins AS (
+      SELECT s.shard, s.bin_id,
+             CAST(sum(s.cost) AS BIGINT) AS fill,
+             CAST(count(*) AS BIGINT) AS n_docs_bin,
+             CAST(sum(CASE WHEN s.cost <> c.want_cost THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_cost_mismatch
+      FROM scratch s JOIN costs c USING (doc_id)
+      GROUP BY 1, 2
+    )
+    SELECT shard,
+           CAST(sum(n_docs_bin) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(sum(CASE WHEN fill > {PACK_BUDGET} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_oversize,
+           CAST(COALESCE(max(CASE WHEN fill <= {PACK_BUDGET}
+                                  THEN fill END), 0)
+                AS BIGINT) AS max_regular_fill,
+           CAST(sum(CASE WHEN 2 * fill <= {PACK_BUDGET} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_light_bins,
+           CAST(min(CASE WHEN fill > {PACK_BUDGET}
+                         THEN CAST(n_docs_bin = 1 AS INT)
+                         ELSE 1 END) AS INT) AS oversize_singletons_ok,
+           CAST(COALESCE(max(CASE WHEN fill <= {PACK_BUDGET}
+                                  THEN fill END), 0) <= {PACK_BUDGET}
+                AS INT) AS budget_ok,
+           CAST(sum(CASE WHEN 2 * fill <= {PACK_BUDGET} THEN 1 ELSE 0 END)
+                <= 1 AS INT) AS cert_ok
+    FROM bins
+    WHERE (SELECT sum(n_cost_mismatch) FROM bins) = 0
+    GROUP BY shard
+    """
+    rq = _R._REGISTRY["pk16_bestfit_pack_audit"]
+    if rq.oracle is None:
+        _R._REGISTRY["pk16_bestfit_pack_audit"] = dataclasses.replace(
+            rq, oracle=sql
+        )
+
+
+_attach_pk16_oracle()

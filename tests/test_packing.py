@@ -750,3 +750,68 @@ def test_pk15_temperature_smoothing_upweights_scarce_langs(spark):
         count_ratio = n_by_lang[hi] / n_by_lang[lo]
         keep_ratio = keep_by_lang[lo] / max(keep_by_lang[hi], 1)
         assert keep_ratio < count_ratio  # damped, not proportional
+
+
+# --- pk16: best-fit-decreasing packing ---------------------------------------
+
+
+def test_pk16_bfd_matches_python_replica_and_certificate(spark):
+    """The per-shard assignment must equal an independent python BFD
+    replica over the same (doc_id, cost) pairs, and the audit's
+    certificate columns must all hold: budget respected, oversize docs
+    isolated, at most one half-empty bin per shard."""
+    from tests.conftest import SF0001
+    from a3_fp_bigdata_spark.operators import packing as PK
+
+    costs = {
+        r["doc_id"]: (r["shard"], r["cost"])
+        for r in PK._sharded_costs(spark, SF0001).collect()
+    }
+    # independent replica (dict-of-lists, not the operator's code path)
+    bins_by_shard: dict[int, list[int]] = {}
+    assign = {}
+    for doc_id in sorted(
+        costs, key=lambda d: (-costs[d][1], d)
+    ):
+        shard, cost = costs[doc_id]
+        fills = bins_by_shard.setdefault(shard, [])
+        best = -1
+        for i, f in enumerate(fills):
+            if f + cost <= PK.PACK_BUDGET and (best < 0 or f > fills[best]):
+                best = i
+        if cost > PK.PACK_BUDGET or best < 0:
+            fills.append(cost)
+            best = len(fills) - 1
+        else:
+            fills[best] += cost
+        assign[doc_id] = (shard, best)
+
+    audit = {
+        r["shard"]: r
+        for r in PK.pk16_bestfit_pack_audit(spark, SF0001).collect()
+    }
+    got = {
+        r["doc_id"]: (r["shard"], r["bin_id"])
+        for r in spark.read.parquet(PK._PK16_SCRATCH)
+        .select("doc_id", "shard", "bin_id")
+        .collect()
+    }
+    assert got == assign
+    for shard, fills in bins_by_shard.items():
+        r = audit[shard]
+        assert r["n_bins"] == len(fills)
+        assert r["budget_ok"] == 1
+        assert r["cert_ok"] == 1
+        assert r["oversize_singletons_ok"] == 1
+        assert r["n_light_bins"] <= 1
+
+    # utilization: BFD must never use more bins than pk2's
+    # arrival-order greedy on the same costs (decreasing order + best
+    # fit dominates on every shard of this corpus)
+    pk2_bins = {
+        (r["shard"], r["seq_id"])
+        for r in PK.pk2_greedy_pack(spark, SF0001).collect()
+    }
+    n_pk2 = len(pk2_bins)
+    n_bfd = sum(len(f) for f in bins_by_shard.values())
+    assert n_bfd <= n_pk2, (n_bfd, n_pk2)
