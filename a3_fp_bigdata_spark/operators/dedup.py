@@ -2094,3 +2094,94 @@ def d19_decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(flagged, "doc_id", "left_anti")
         .select("doc_id", "n_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# d20: per-document n-gram novelty (dedup-aware contribution scoring)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d20_gram_novelty",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             array_to_string(t[u:u+{DUPSPAN_K - 1}], ' ') AS g
+      FROM (SELECT doc_id, t,
+                   unnest(range(1, len(t) - {DUPSPAN_K - 2})) AS u
+            FROM toks)
+    ), owner AS (
+      SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g
+    ), per_doc AS (
+      SELECT gr.doc_id,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN o.first_doc = gr.doc_id
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+      FROM grams gr JOIN owner o USING (g)
+      GROUP BY gr.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_grams, 0) AS n_grams,
+           COALESCE(p.n_novel, 0) AS n_novel,
+           CASE WHEN COALESCE(p.n_grams, 0) = 0 THEN 10000
+                ELSE p.n_novel * 10000 // p.n_grams END AS novelty_bp
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def d20_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY — the dedup-aware contribution
+    score curation teams sample by (a doc whose {DUPSPAN_K}-grams all
+    appeared in earlier docs adds no new text even if no span-level
+    cut fires): a gram instance is novel iff THIS doc is the gram's
+    first owner (min doc_id over the corpus — ingestion order), and
+    the score is integer basis points of novel instances. Documents
+    too short to form a full gram score 10000 (nothing borrowed).
+
+    Shares d15's gram machinery: lead-chain grams hashed to 8-byte
+    keys (the oracle independently re-derives ownership over the gram
+    STRINGS, so a hash collision or window bug is a red mismatch);
+    one map-side-combinable min per gram key + a gram-keyed join back
+    + one doc agg — the d15 shuffle family, wire bytes one row per
+    gram instance, zero Python."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(TX.tokens(F.col("text"))).alias("pos", "word"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("word", i).over(w) for i in range(1, DUPSPAN_K)]
+    grams = (
+        toks.select(
+            "doc_id",
+            F.xxhash64("word", *leads).alias("h"),
+            leads[-1].alias("_tail"),
+        )
+        .filter(F.col("_tail").isNotNull())
+        .drop("_tail")
+    )
+    owner = grams.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(owner, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    n_grams = F.coalesce(F.col("n_grams"), F.lit(0))
+    n_novel = F.coalesce(F.col("n_novel"), F.lit(0))
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        n_grams.cast("long").alias("n_grams"),
+        n_novel.cast("long").alias("n_novel"),
+        F.when(n_grams == 0, F.lit(10000))
+        .otherwise(F.expr("n_novel * 10000 DIV n_grams"))
+        .cast("long")
+        .alias("novelty_bp"),
+    )

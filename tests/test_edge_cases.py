@@ -1156,3 +1156,41 @@ def test_a22_bloom_matches_pure_python_replay(spark):
     assert r["n_missed"] == 0                      # no false negatives
     assert r["n_hits"] == r["n_true_members"] + r["n_false_pos"]
     assert 0 < r["n_bits_set"] <= 2 * r["n_members"]
+
+
+# --- d20: per-document gram novelty ------------------------------------------
+
+
+def test_d20_novelty_on_crafted_corpus(spark, tmp_path):
+    """Hand-computable novelty: doc 1 is all-novel, doc 2 copies doc 1
+    verbatim (zero novelty), doc 3 is half-copied, a short doc scores
+    the vacuous 10000."""
+    from a3_fp_bigdata_spark.operators import dedup as D
+    from a3_fp_bigdata_spark.operators.dedup import DUPSPAN_K
+
+    assert DUPSPAN_K == 8
+    orig = " ".join(f"w{i}" for i in range(16))        # 9 grams, all novel
+    fresh = " ".join(f"x{i}" for i in range(8))        # 1 gram, novel
+    # doc 3: 8 copied tokens then 8 fresh -> 9 grams; only the first
+    # (w0..w7) already exists; the 8 straddling/fresh grams are novel
+    half = " ".join(f"w{i}" for i in range(8)) + " " + fresh
+    rows = [
+        (1, orig, "en", "crafted", len(orig)),
+        (2, orig, "en", "crafted", len(orig)),          # verbatim copy
+        (3, half, "en", "crafted", len(half)),
+        (4, "tiny doc", "en", "crafted", 8),            # < K tokens
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty_bp"])
+        for r in D.d20_gram_novelty(spark, str(tmp_path)).collect()
+    }
+    assert out[1] == (9, 9, 10000)
+    assert out[2] == (9, 0, 0)
+    assert out[3] == (9, 8, 8 * 10000 // 9)
+    assert out[4] == (0, 0, 10000)
