@@ -201,7 +201,8 @@ CANONICAL = frozenset(
         # parity-green): tx18_dup_gram_fraction, a22_bloom_filter_audit,
         # dq4_embedding_drift, j12_interval_overlap_join,
         # st14_stream_embedding_drift, u5_cdc_apply_changelog,
-        # pk16_bestfit_pack_audit, d20_gram_novelty
+        # pk16_bestfit_pack_audit, d20_gram_novelty,
+        # src9_versioned_snapshot_read
         # (mm14 is rows-only and stays z_ like mm12/mm13). Swap per
         # ROTATION.md protocol.
         # windows: top-k per group, sessionize, EWMA, rolling z-score

@@ -419,3 +419,179 @@ def src8_zorder_box_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_partkey").cast("long").alias("min_pk"),
         F.max("l_suppkey").cast("long").alias("max_sk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# src9: versioned-snapshot read (time-travel-lite over CDC versions)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "src9_versioned_snapshot_read",
+    oracle=None,  # attached below (composes u5's changelog CTEs)
+)
+def src9_versioned_snapshot_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-travel-lite: maintain a customer table as versioned
+    snapshot directories (version=0 base, then one directory per CDC
+    changelog application via u5's apply_changelog), discover the
+    NEWEST version with S4's path-discovery rung, read it back, and
+    return a per-segment summary of what the latest snapshot holds.
+    The oracle never sees the directories: it replays BOTH changelog
+    applications as nested SQL CTEs from the raw table — so a write
+    bug, a discovery bug (stale version wins), or a read-back drift
+    all land as a red hash mismatch.
+
+    Changelog 2 derives its updates from VERSION 1's state (not the
+    base), the real CDC chain shape. Scale: each version write is one
+    key-partitioned overwrite; discovery lists version DIRS only;
+    production swaps the mtime rule for a manifest (Delta/Iceberg's
+    log) with the same read surface."""
+    import pyspark.sql.functions as F
+
+    from a3_fp_bigdata_spark.operators.upsert import apply_changelog
+    from a3_fp_bigdata_spark.sources.parquet_io import (
+        find_latest_data_path,
+        write_parquet_overwrite,
+    )
+
+    base_dir = run_scratch("src9_versions")
+    cols = ["c_custkey", "c_name", "c_acctbal", "c_mktsegment"]
+    v0 = table(spark, sf_dir, "customer").select(*cols)
+
+    # changelog 1: u5's derivation (update %10 +500 seq1, delete %7
+    # seq2, insert %100 as fresh keys)
+    src = table(spark, sf_dir, "customer")
+    log1 = (
+        src.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            F.lit("U").alias("op"), F.lit(1).alias("seq"),
+            "c_custkey", "c_name",
+            half_up(F.col("c_acctbal") + 500, 2).alias("c_acctbal"),
+            "c_mktsegment",
+        )
+        .unionByName(
+            src.filter(F.col("c_custkey") % 7 == 0).select(
+                F.lit("D").alias("op"), F.lit(2).alias("seq"), *cols
+            )
+        )
+        .unionByName(
+            src.filter(F.col("c_custkey") % 100 == 0).select(
+                F.lit("I").alias("op"), F.lit(1).alias("seq"),
+                (F.col("c_custkey") + 8000000).alias("c_custkey"),
+                F.concat(
+                    F.lit("cdc#"), F.col("c_custkey").cast("string")
+                ).alias("c_name"),
+                F.lit(0.0).alias("c_acctbal"),
+                "c_mktsegment",
+            )
+        )
+    )
+    v1 = apply_changelog(v0, log1, "c_custkey")
+
+    # write + re-read version 1 so changelog 2 derives from the DISK
+    # state (the nightly chain), not a lazily recomputed lineage
+    for k, frame in ((0, v0), (1, v1)):
+        write_parquet_overwrite(
+            frame, os.path.join(base_dir, f"version={k}")
+        )
+    v1_disk = spark.read.parquet(os.path.join(base_dir, "version=1"))
+
+    # changelog 2 over v1's state: balance haircut for %9 keys (seq 1),
+    # deletes for %11 keys (seq 2)
+    log2 = (
+        v1_disk.filter(F.col("c_custkey") % 9 == 0)
+        .select(
+            F.lit("U").alias("op"), F.lit(1).alias("seq"),
+            "c_custkey", "c_name",
+            half_up(F.col("c_acctbal") - 250, 2).alias("c_acctbal"),
+            "c_mktsegment",
+        )
+        .unionByName(
+            v1_disk.filter(F.col("c_custkey") % 11 == 0).select(
+                F.lit("D").alias("op"), F.lit(2).alias("seq"), *cols
+            )
+        )
+    )
+    v2 = apply_changelog(v1_disk, log2, "c_custkey")
+    write_parquet_overwrite(v2, os.path.join(base_dir, "version=2"))
+
+    latest = find_latest_data_path(base_dir, "version=")
+    snap = spark.read.parquet(latest)
+    return snap.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        half_up(F.sum("c_acctbal"), 2).alias("total_bal"),
+        F.min("c_custkey").cast("long").alias("min_key"),
+        F.max("c_custkey").cast("long").alias("max_key"),
+    )
+
+
+def _attach_src9_oracle() -> None:
+    import dataclasses
+
+    from a3_fp_bigdata_spark import registry as _R
+
+    sql = f"""
+    WITH log1 AS (
+      SELECT 'U' AS op, 1 AS seq, c_custkey, c_name,
+             {half_up_sql('c_acctbal + 500', 2)} AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT 'D', 2, c_custkey, c_name, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT 'I', 1, 8000000 + c_custkey,
+             'cdc#' || CAST(c_custkey AS VARCHAR), 0.0, c_mktsegment
+      FROM customer WHERE c_custkey % 100 = 0
+    ), latest1 AS (
+      SELECT * FROM (
+        SELECT op, c_custkey, c_name, c_acctbal, c_mktsegment,
+               row_number() OVER (PARTITION BY c_custkey
+                                  ORDER BY seq DESC, op DESC) AS rn
+        FROM log1
+      ) WHERE rn = 1
+    ), v1 AS (
+      SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM latest1)
+      UNION ALL
+      SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM latest1
+      WHERE op <> 'D'
+    ), log2 AS (
+      SELECT 'U' AS op, 1 AS seq, c_custkey, c_name,
+             {half_up_sql('c_acctbal - 250', 2)} AS c_acctbal,
+             c_mktsegment
+      FROM v1 WHERE c_custkey % 9 = 0
+      UNION ALL
+      SELECT 'D', 2, c_custkey, c_name, c_acctbal, c_mktsegment
+      FROM v1 WHERE c_custkey % 11 = 0
+    ), latest2 AS (
+      SELECT * FROM (
+        SELECT op, c_custkey, c_name, c_acctbal, c_mktsegment,
+               row_number() OVER (PARTITION BY c_custkey
+                                  ORDER BY seq DESC, op DESC) AS rn
+        FROM log2
+      ) WHERE rn = 1
+    ), v2 AS (
+      SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM v1
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM latest2)
+      UNION ALL
+      SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM latest2
+      WHERE op <> 'D'
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           {half_up_sql('sum(c_acctbal)', 2)} AS total_bal,
+           CAST(min(c_custkey) AS BIGINT) AS min_key,
+           CAST(max(c_custkey) AS BIGINT) AS max_key
+    FROM v2 GROUP BY c_mktsegment
+    """
+    rq = _R._REGISTRY["src9_versioned_snapshot_read"]
+    if rq.oracle is None:
+        _R._REGISTRY["src9_versioned_snapshot_read"] = dataclasses.replace(
+            rq, oracle=sql
+        )
+
+
+_attach_src9_oracle()

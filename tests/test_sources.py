@@ -321,3 +321,51 @@ def test_corrupt_record_quarantine_roundtrip(spark):
         )
     finally:
         back.unpersist()
+
+
+# --- src9: versioned-snapshot read -------------------------------------------
+
+
+def test_src9_version_chain_semantics(spark):
+    """After the query runs: the version directories form a readable
+    time-travel chain (v0 == raw customer), discovery lands on v2, a
+    twice-updated key carries base+500-250, and keys deleted by either
+    changelog are gone from the latest snapshot."""
+    from tests.conftest import SF0001
+    from a3_fp_bigdata_spark.data import run_scratch, table
+    from a3_fp_bigdata_spark.sources.parquet_io import (
+        find_latest_data_path,
+    )
+    from a3_fp_bigdata_spark.sources.queries import (
+        src9_versioned_snapshot_read,
+    )
+
+    assert src9_versioned_snapshot_read(spark, SF0001).count() > 0
+    base_dir = run_scratch("src9_versions")
+    latest = find_latest_data_path(base_dir, "version=")
+    assert latest.endswith("version=2")
+
+    v0 = spark.read.parquet(f"{base_dir}/version=0")
+    raw = table(spark, SF0001, "customer")
+    assert v0.count() == raw.count()
+
+    snap = {
+        r["c_custkey"]: r["c_acctbal"]
+        for r in spark.read.parquet(latest).collect()
+    }
+    base = {
+        r["c_custkey"]: r["c_acctbal"]
+        for r in raw.select("c_custkey", "c_acctbal").collect()
+    }
+    checked_double = checked_deleted = 0
+    for k, bal in base.items():
+        if k % 7 == 0 or k % 11 == 0:
+            # deleted by changelog 1 (%7) or changelog 2 (%11); in both
+            # logs the delete carries the higher seq, so it wins even
+            # over a same-log update
+            assert k not in snap, k
+            checked_deleted += 1
+        elif k % 10 == 0 and k % 9 == 0:  # updated by both changelogs
+            assert abs(snap[k] - round(bal + 500 - 250, 2)) < 1e-9, k
+            checked_double += 1
+    assert checked_double > 0 and checked_deleted > 0
