@@ -148,66 +148,70 @@ def all_oracles() -> dict[str, str]:
 #: pinned in tests/test_registry.py::ROTATED_OUT_FAMILIES.
 CANONICAL = frozenset(
     {
-        # aggregates (incl. a21, the fully-oracle-replayed Misra-Gries
-        # heavy-hitters audit rotated IN r11)
-        "a9_rollup", "a21_heavy_hitters_audit",
-        # data quality: expectation suite + r11's FK referential audit
-        "dq1_expectations", "dq3_referential_integrity",
+        # aggregates: rollup + r11's fully-SQL-replayed Bloom-filter
+        # audit (a21 Misra-Gries rotated out green r11; z_a21)
+        "a9_rollup", "a22_bloom_filter_audit",
+        # data quality: expectation suite + r11's embedding-space drift
+        # monitor (dq3 FK audit out green r11; z_dq3)
+        "dq1_expectations", "dq4_embedding_drift",
         # dedup ladder: exact, MinHash+LSH flagship (rows-only),
-        # containment audit, connected-components clusters
+        # containment audit, connected-components clusters, and r11's
+        # per-document gram-novelty score
         "d1_exact_dedup", "d4_minhash_lsh",
         "d11_containment_audit", "d12_dedup_clusters",
+        "d20_gram_novelty",
         # scalar/text functions
         "f1_extract_keywords",
         # grouped-map Arrow surface
         "g1_zscore_grouped_map",
-        # joins: broadcast, salted-skew, as-of
+        # joins: broadcast, salted-skew, as-of, bucketized
+        # interval-overlap self-join
         "j1_left_outer_broadcast", "j7_salted_skew_join", "j8_asof_join",
+        "j12_interval_overlap_join",
         # ML fits (rows-only by design) + r11's calibration audit
         "ml1_cluster_sizes", "ml5_calibration_audit",
         # multimodal: decode flagship (rows-only) + media split-leakage
         "mm2_image_features", "mm11_media_split_leakage",
         # packing/mixing: greedy packer, domain mixture, split leakage,
-        # + the four r10-earned rungs rotated IN r11
+        # curriculum schedule + r11's best-fit-decreasing audit
+        # (pk12/pk14/pk15 out green r11; z_ twins)
         "pk2_greedy_pack", "pk5_domain_mixture", "pk7_split_leakage",
-        "pk12_quality_mixture", "pk13_curriculum_schedule",
-        "pk14_pack_efficiency", "pk15_temperature_mixture",
+        "pk13_curriculum_schedule", "pk16_bestfit_pack_audit",
         # pipeline: manifest, checksum, + the r10 corpus-release flagship
         "pl1_training_manifest", "pl3_corpus_checksum",
         "pl8_release_manifest",
         # similarity: cosine top-k, partition-pruned ANN, IVF recall
-        # audit, radius search
+        # audit (sim14 radius search out green r11; z_sim14)
         "sim1_cosine_topk", "sim4_bucketed_ann",
-        "sim11_ivf_recall_audit", "sim14_radius_search",
+        "sim11_ivf_recall_audit",
         # set ops
         "so3_except",
-        # SQL surface + sources
+        # SQL surface + sources: JSON round-trip + r11's
+        # versioned-snapshot (time-travel-lite) read
         "sql1_spark_sql_surface", "src2_json_roundtrip",
+        "src9_versioned_snapshot_read",
         # serving endpoints
         "srv_top_apps",
         # streaming: REAL micro-batch tumbling run, stream-stream join,
-        # session windows, + r11's hot-key monitor
+        # session windows, + r11's streaming drift histogram (st13
+        # hot-keys out green r11; z_st13)
         "st5_stream_tumbling", "st7_stream_stream_join",
-        "st12_stream_session_window", "st13_stream_hot_keys",
+        "st12_stream_session_window", "st14_stream_embedding_drift",
         # top-k / sort
         "t1_topk_multikey",
         # tokenizer induction (frozen-model accounting)
         "tk2_bpe_token_stats",
-        # text analysis: quality score, PII redaction, Gopher cascade
-        "tx2_quality_score", "tx10_redact_pii", "tx17_gopher_rules",
-        # upsert/CDC
-        "u1_merge_upsert", "u2_scd2_history",
-        # r12 rotation candidates (r11-earned, all oracle-backed and
-        # parity-green): tx18_dup_gram_fraction, a22_bloom_filter_audit,
-        # dq4_embedding_drift, j12_interval_overlap_join,
-        # st14_stream_embedding_drift, u5_cdc_apply_changelog,
-        # pk16_bestfit_pack_audit, d20_gram_novelty,
-        # src9_versioned_snapshot_read
-        # (mm14 is rows-only and stays z_ like mm12/mm13). Swap per
-        # ROTATION.md protocol.
-        # windows: top-k per group, sessionize, EWMA, rolling z-score
-        "w1_topk_per_group", "w5_sessionize",
-        "w10_ewma_smooth", "w11_rolling_zscore",
+        # text analysis: quality score, PII redaction, duplicate-gram
+        # repetition rules (tx17 Gopher cascade out green r11; z_tx17 —
+        # tx18 composes the same n-gram machinery)
+        "tx2_quality_score", "tx10_redact_pii", "tx18_dup_gram_fraction",
+        # upsert/CDC: merge, SCD2, full changelog apply
+        "u1_merge_upsert", "u2_scd2_history", "u5_cdc_apply_changelog",
+        # r13 rotation candidates are noted in ROTATION.md per protocol
+        # (new r12 queries earn slots once z_-parity-green this round).
+        # windows: top-k per group, sessionize, rolling z-score
+        # (w10 EWMA out green r11; z_w10)
+        "w1_topk_per_group", "w5_sessionize", "w11_rolling_zscore",
     }
 )
 
