@@ -189,13 +189,27 @@ def read_stamped_scratch(spark: SparkSession, path: str) -> DataFrame:
     fixture generations fails the equality on at least one side and
     disagrees loudly (row-count mismatch) instead of silently passing
     mixed-generation bytes. The guard is one broadcast of a 1-row
-    count frame — no extra shuffle."""
+    count frame — no extra shuffle.
+
+    The count-equality alone is not strictly loud: a surviving subset
+    whose row total coincidentally equals one generation's stamp (4
+    rows stamped 5 plus 1 row stamped 4 totals 5) would pass the
+    filter. The broadcast frame therefore also carries
+    countDistinct(n_src); ANY mixed-generation read (>1 distinct
+    stamp) yields zero rows unconditionally, no coincidence possible
+    (ADVICE r11)."""
     raw = spark.read.parquet(path)
-    total = raw.agg(F.count("*").cast("long").alias("n_total_rows"))
+    total = raw.agg(
+        F.count("*").cast("long").alias("n_total_rows"),
+        F.countDistinct("n_src").cast("long").alias("n_generations"),
+    )
     return (
         raw.crossJoin(F.broadcast(total))
-        .filter(F.col("n_src") == F.col("n_total_rows"))
-        .drop("n_src", "n_total_rows")
+        .filter(
+            (F.col("n_src") == F.col("n_total_rows"))
+            & (F.col("n_generations") == F.lit(1))
+        )
+        .drop("n_src", "n_total_rows", "n_generations")
     )
 
 

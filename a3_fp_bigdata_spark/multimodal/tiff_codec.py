@@ -110,6 +110,10 @@ def _packbits_decode(data: bytes) -> bytes:
         n = data[i] - 256 if data[i] > 127 else data[i]
         i += 1
         if n >= 0:
+            if i + n + 1 > len(data):
+                # mirror the repeat-run truncation check — a clipped
+                # slice would silently shorten the strip (ADVICE r11)
+                raise ValueError("PackBits: truncated literal run")
             out += data[i : i + n + 1]
             i += n + 1
         elif n != -128:
@@ -178,6 +182,21 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         strips = [_lzw_decode(s) for s in strips]
     elif comp == 32773:
         strips = [_packbits_decode(s) for s in strips]
+    if comp != 1:
+        # per-strip length check (ADVICE r11): the aggregate check
+        # below can pass a multi-strip file whose strips decoded to
+        # the wrong individual lengths (pixels shifted across strip
+        # boundaries) as long as the TOTAL still covers w*h*spp.
+        # Every strip must decode to exactly rows_per_strip rows of
+        # w*spp bytes; the last strip covers the remainder.
+        rps = t.get(_ROWS_PER_STRIP, [h])[0]
+        for k, s in enumerate(strips):
+            rows = rps if k < len(strips) - 1 else h - rps * k
+            if len(s) != rows * w * spp:
+                raise ValueError(
+                    f"TIFF strip {k}: decoded {len(s)} bytes, "
+                    f"expected {rows * w * spp}"
+                )
     data = b"".join(strips)
     if len(data) < w * h * spp:
         raise ValueError("truncated TIFF strip data")

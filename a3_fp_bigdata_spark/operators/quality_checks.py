@@ -462,8 +462,11 @@ def dq4_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_old").cast("long").alias("t_old"),
         F.sum("n_new").cast("long").alias("t_new"),
     )
-    share_old = F.expr("n_old * 10000 DIV t_old")
-    share_new = F.expr("n_new * 10000 DIV t_new")
+    # NULLIF zero-guard on BOTH engines (ADVICE r11): an empty
+    # snapshot side must yield NULL shares comparably, not a DuckDB
+    # division error vs a Spark NULL.
+    share_old = F.expr("n_old * 10000 DIV nullif(t_old, 0)")
+    share_new = F.expr("n_new * 10000 DIV nullif(t_new, 0)")
     return (
         hist.crossJoin(F.broadcast(totals))
         .select(
@@ -504,9 +507,10 @@ def _attach_dq4_oracle() -> None:
       FROM hist
     )
     SELECT cell, n_old, n_new,
-           CAST(n_old * 10000 // t_old AS BIGINT) AS share_old_bp,
-           CAST(n_new * 10000 // t_new AS BIGINT) AS share_new_bp,
-           CAST(abs(n_old * 10000 // t_old - n_new * 10000 // t_new)
+           CAST(n_old * 10000 // NULLIF(t_old, 0) AS BIGINT) AS share_old_bp,
+           CAST(n_new * 10000 // NULLIF(t_new, 0) AS BIGINT) AS share_new_bp,
+           CAST(abs(n_old * 10000 // NULLIF(t_old, 0)
+                    - n_new * 10000 // NULLIF(t_new, 0))
                 > {EMB_DRIFT_BP} AS INT) AS drifted
     FROM hist CROSS JOIN tot
     """

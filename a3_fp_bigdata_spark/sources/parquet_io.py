@@ -32,8 +32,15 @@ def read_serving_table(spark: SparkSession, path: str) -> DataFrame:
 
 
 def find_latest_data_path(base_dir: str, prefix: str) -> str | None:
-    """S4: newest ``{prefix}*`` subdirectory by mtime (app.py:98-108).
-    Driver-side listing of version dirs only — never lists data files."""
+    """S4: newest ``{prefix}*`` subdirectory (app.py:98-108).
+    Driver-side listing of version dirs only — never lists data files.
+
+    When EVERY candidate's suffix is a decimal number (``version=N``
+    directories, timestamped dumps), newest is max by int(suffix) —
+    mtime ties on coarse-granularity filesystems or clock skew between
+    writes must not select a stale version (ADVICE r11). mtime remains
+    the rule only for non-numeric suffixes, matching the reference's
+    behavior for its free-form timestamped names."""
     try:
         candidates = [
             os.path.join(base_dir, d)
@@ -43,7 +50,12 @@ def find_latest_data_path(base_dir: str, prefix: str) -> str | None:
         ]
     except FileNotFoundError:
         return None
-    return max(candidates, key=os.path.getmtime) if candidates else None
+    if not candidates:
+        return None
+    suffixes = [os.path.basename(p)[len(prefix):] for p in candidates]
+    if all(s.isdigit() for s in suffixes):
+        return max(candidates, key=lambda p: int(os.path.basename(p)[len(prefix):]))
+    return max(candidates, key=os.path.getmtime)
 
 
 def write_parquet_overwrite(

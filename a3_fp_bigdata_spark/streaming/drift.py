@@ -145,8 +145,10 @@ def st14_stream_embedding_drift(
         F.sum("n_old").cast("long").alias("t_old"),
         F.sum("n_new").cast("long").alias("t_new"),
     )
-    share_old = F.expr("n_old * 10000 DIV t_old")
-    share_new = F.expr("n_new * 10000 DIV t_new")
+    # same NULLIF zero-guard as dq4 (whose SQL replays this run):
+    # a degenerate corpus yields NULL shares on both engines
+    share_old = F.expr("n_old * 10000 DIV nullif(t_old, 0)")
+    share_new = F.expr("n_new * 10000 DIV nullif(t_new, 0)")
     return (
         hist.crossJoin(F.broadcast(totals))
         .select(

@@ -1900,13 +1900,16 @@ def _tiff_packbits_encode(data):
     return bytes(out)
 
 
-def _build_tiff(arr, comp, strips, predictor=1):
-    """Independent multi-strip TIFF builder for the compressed paths."""
+def _build_tiff(arr, comp, strips, predictor=1, strip_rows_override=None):
+    """Independent multi-strip TIFF builder for the compressed paths.
+    ``strip_rows_override`` lets a test lie about where strips split
+    (the IFD still claims the computed rows_per_strip) to pin the
+    per-strip decoded-length check."""
     import struct
 
     h, w = arr.shape[:2]
     rows_per_strip = (h + strips - 1) // strips
-    strip_rows = [
+    strip_rows = strip_rows_override or [
         arr[y : y + rows_per_strip] for y in range(0, h, rows_per_strip)
     ]
     payloads = []
@@ -1999,6 +2002,40 @@ def test_tiff_lzw_packbits_predictor_decode_exactly():
         # LZW + horizontal predictor (the real-world archival combo)
         got = decode_tiff(_build_tiff(arr, 5, 2, predictor=2))
         assert np.array_equal(got, arr), ("predictor", arr.shape)
+
+
+def test_tiff_packbits_truncated_literal_run_raises():
+    """ADVICE r11: a literal run extending past the strip end must
+    raise like the repeat-run path, not silently clip."""
+    from a3_fp_bigdata_spark.multimodal.tiff_codec import (
+        _packbits_decode,
+    )
+
+    # header 0x05 promises 6 literal bytes; only 3 follow
+    with pytest.raises(ValueError, match="truncated literal run"):
+        _packbits_decode(b"\x05abc")
+    # repeat-run truncation still raises too
+    with pytest.raises(ValueError, match="truncated run"):
+        _packbits_decode(b"\xfe")
+    # -128 no-op at end of stream stays legal
+    assert _packbits_decode(b"\x00a\x80") == b"a"
+
+
+def test_tiff_misaligned_strips_raise_even_when_total_matches():
+    """ADVICE r11: strips split at the wrong rows (1+3 instead of the
+    IFD's claimed 2+2) keep the TOTAL byte count right, so only a
+    per-strip decoded-length check catches the shifted pixels."""
+    from a3_fp_bigdata_spark.multimodal.tiff_codec import decode_tiff
+
+    rng = np.random.default_rng(279)
+    arr = rng.integers(0, 256, (4, 8, 3), dtype=np.uint8)
+    # sanity: the honest 2+2 split decodes exactly
+    assert np.array_equal(decode_tiff(_build_tiff(arr, 32773, 2)), arr)
+    bad = _build_tiff(
+        arr, 32773, 2, strip_rows_override=[arr[:1], arr[1:]]
+    )
+    with pytest.raises(ValueError, match="strip 0"):
+        decode_tiff(bad)
 
 
 def test_tiff_unsupported_compression_still_raises():

@@ -126,6 +126,20 @@ def test_read_stamped_scratch_guards_torn_reads(spark, tmp_path):
     gen_b.coalesce(1).write.mode("append").parquet(path)
     assert read_stamped_scratch(spark, path).count() == 0
 
+    # ADVICE r11 — the coincidence case the count-equality alone would
+    # pass: 4 rows stamped 5 plus 1 row stamped 4 totals 5, matching
+    # generation B's stamp. countDistinct(n_src) == 1 must kill it.
+    path2 = str(tmp_path / "coincidence.parquet")
+    four_of_b = spark.range(4).select(
+        F.col("id").alias("media_id"), F.lit(5).cast("long").alias("n_src")
+    )
+    one_of_a = spark.range(1).select(
+        (F.col("id") + 50).alias("media_id"),
+        F.lit(4).cast("long").alias("n_src"),
+    )
+    four_of_b.unionByName(one_of_a).coalesce(1).write.parquet(path2)
+    assert read_stamped_scratch(spark, path2).count() == 0
+
 
 def test_audit_scratch_stale_sf_red_flags(spark):
     """The audit queries (a19/d4/sim11) share a fixed uid-scoped scratch

@@ -76,6 +76,26 @@ def test_latest_path_discovery(tmp_path):
     assert parquet_io.find_latest_data_path(str(tmp_path), "api_") == str(new)
 
 
+def test_latest_path_numeric_versions_beat_mtime(tmp_path):
+    """ADVICE r11: for version=N directories the numeric suffix decides
+    newest — an mtime tie (coarse filesystem) or clock skew must never
+    select a stale version. Non-numeric suffixes keep the mtime rule
+    (covered above)."""
+    v1 = tmp_path / "version=1"
+    v2 = tmp_path / "version=2"
+    v10 = tmp_path / "version=10"
+    for d in (v1, v2, v10):
+        d.mkdir()
+    # adversarial mtimes: the NEWEST version gets the OLDEST clock
+    now = time.time()
+    os.utime(v10, (now - 500, now - 500))
+    os.utime(v2, (now - 100, now - 100))
+    os.utime(v1, (now, now))
+    got = parquet_io.find_latest_data_path(str(tmp_path), "version=")
+    # also pins int ordering (10 > 2, not lexicographic "2" > "10")
+    assert got == str(v10)
+
+
 def test_kafka_payload_codec_roundtrip(spark):
     ev = table(spark, SF0001, "events").limit(200)
     payload = kafka_io.to_payload(ev, key_col="event_id")
