@@ -23,8 +23,9 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from a3_fp_bigdata_spark.data import read_stamped_scratch, run_scratch
 from a3_fp_bigdata_spark.multimodal.images import extract_features
-from a3_fp_bigdata_spark.registry import query
+from a3_fp_bigdata_spark.registry import pin, query
 
 #: Committed icon fixture set (6 deterministic PNGs — incl. one
 #: color-type-3 palette/PLTE image, tools/make_png_fixtures.py — + 2
@@ -58,34 +59,179 @@ def image_dir_source(
     )
 
 
-@query("mm4_image_dir_features")
+# ---------------------------------------------------------------------------
+# Scratch-oracle attestation for the fixture-directory feature queries
+# (r12, VERDICT ask #3): the decoded image explodes to per-pixel
+# INTEGER rows (images.pixel_rows) materialized to a fingerprinted
+# scratch; Spark derives the per-image features from the read-back via
+# groupBy/avg/max while DuckDB re-aggregates the SAME bytes with its
+# own SQL — the feature derivation (means, dimensions) is
+# cross-checked engine-vs-engine, and the decoded pixel VALUES stay
+# pinned by the pytest goldens (generator-derived expected pixels).
+# avg over integer channel values is bit-exact on both engines: the
+# sums are exact int64, the single division is correctly rounded, so
+# no float rounding is needed anywhere. Audit-scale machinery like
+# mm7's hash scratch — the production feature path stays
+# extract_features (mm2: one aggregate inside the Arrow batch).
+# ---------------------------------------------------------------------------
+
+
+def _pixel_scratch_sql(scratch: str) -> str:
+    """Shared oracle CTE over a stamped pixel scratch: single-
+    generation guard (count equality + distinct-stamp, matching
+    read_stamped_scratch's strictness), then per-image re-aggregation."""
+    src = f"read_parquet('{scratch}/*.parquet')"
+    return f"""
+    WITH px AS (
+      SELECT * FROM {src}
+      WHERE n_src = (SELECT count(*) FROM {src})
+        AND 1 = (SELECT count(DISTINCT n_src) FROM {src})
+    )
+    """
+
+
+def _image_features_oracle(scratch: str) -> str:
+    return (
+        _pixel_scratch_sql(scratch)
+        + """
+    SELECT media_id,
+           avg(r) AS img_avg_red,
+           avg(g) AS img_avg_green,
+           avg(b) AS img_avg_blue,
+           CAST(max(x) + 1 AS INT) AS img_width,
+           CAST(max(y) + 1 AS INT) AS img_height
+    FROM px GROUP BY media_id
+    """
+    )
+
+
+def _write_stamped(df: DataFrame, scratch: str) -> None:
+    """Stamp every row with the frame's total count and overwrite the
+    scratch (the mm7 protocol: a torn/stale read disagrees loudly)."""
+    stamp = df.agg(F.count("*").cast("long").alias("n_src"))
+    df.crossJoin(F.broadcast(stamp)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(scratch)
+
+
+def _attested_image_features(
+    spark: SparkSession, fixture_dir: str, glob: str, scratch: str
+) -> DataFrame:
+    from a3_fp_bigdata_spark.multimodal.images import pixel_rows
+
+    media = image_dir_source(spark, fixture_dir, glob=glob)
+    px = pin(pixel_rows(media))  # decode once: feeds stamp + scratch
+    _write_stamped(px, scratch)
+    back = read_stamped_scratch(spark, scratch)
+    return (
+        back.groupBy("media_id")
+        .agg(
+            F.avg("r").alias("img_avg_red"),
+            F.avg("g").alias("img_avg_green"),
+            F.avg("b").alias("img_avg_blue"),
+            (F.max("x") + 1).cast("int").alias("img_width"),
+            (F.max("y") + 1).cast("int").alias("img_height"),
+        )
+        .orderBy("media_id")
+    )
+
+
+def _attested_frame_features(
+    spark: SparkSession,
+    fixture_dir: str,
+    glob: str,
+    scratch: str,
+    decode_frames,
+) -> DataFrame:
+    from a3_fp_bigdata_spark.multimodal.images import frame_pixel_rows
+
+    media = image_dir_source(spark, fixture_dir, glob=glob)
+    px = pin(frame_pixel_rows(media, decode_frames))
+    _write_stamped(px, scratch)
+    back = read_stamped_scratch(spark, scratch)
+    return (
+        back.groupBy("media_id", "frame_idx")
+        .agg(
+            F.max("n_frames").alias("n_frames"),
+            F.avg("r").alias("img_avg_red"),
+            F.avg("g").alias("img_avg_green"),
+            F.avg("b").alias("img_avg_blue"),
+            (F.max("x") + 1).cast("int").alias("img_width"),
+            (F.max("y") + 1).cast("int").alias("img_height"),
+        )
+        .select(
+            "media_id", "frame_idx", "n_frames", "img_avg_red",
+            "img_avg_green", "img_avg_blue", "img_width", "img_height",
+        )
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+def _frame_features_oracle(scratch: str) -> str:
+    return (
+        _pixel_scratch_sql(scratch)
+        + """
+    SELECT media_id, frame_idx,
+           CAST(max(n_frames) AS INT) AS n_frames,
+           avg(r) AS img_avg_red,
+           avg(g) AS img_avg_green,
+           avg(b) AS img_avg_blue,
+           CAST(max(x) + 1 AS INT) AS img_width,
+           CAST(max(y) + 1 AS INT) AS img_height
+    FROM px GROUP BY media_id, frame_idx
+    """
+    )
+
+
+_MM4_PX_SCRATCH = run_scratch("mm4_px")
+_MM6_PX_SCRATCH = run_scratch("mm6_px")
+_MM12_PX_SCRATCH = run_scratch("mm12_px")
+_MM13_PX_SCRATCH = run_scratch("mm13_px")
+_MM14_PX_SCRATCH = run_scratch("mm14_px")
+
+
+@query(
+    "mm4_image_dir_features",
+    oracle=_image_features_oracle(_MM4_PX_SCRATCH),
+)
 def mm4_image_dir_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end reference shape (feature_extractor.py:15-34): scan an
     image directory, decode every PNG, JPEG and GIF for real
     (png_codec / jpeg_codec / gif_codec; PIL when present), emit
     per-image channel means + dimensions (animated GIF contributes its
-    first frame, PIL's convert('RGB') behavior). Rows-only: the input
-    is the committed fixture directory, not a parquet table, so there
-    is no DuckDB twin; pytest pins the exact feature values."""
-    media = image_dir_source(
-        spark, FIXTURE_DIR, glob="*.{png,jpg,jpeg,gif}"
+    first frame, PIL's convert('RGB') behavior).
+
+    ORACLE-BACKED since r12 (was rows-only): the decode materializes
+    per-pixel integer rows to fingerprinted scratch and BOTH engines
+    re-aggregate means/dims from the same bytes independently — a
+    broken aggregation or torn scratch is a red hash mismatch; the
+    pixel values themselves stay pinned by the pytest goldens."""
+    return _attested_image_features(
+        spark, FIXTURE_DIR, "*.{png,jpg,jpeg,gif}", _MM4_PX_SCRATCH
     )
-    return extract_features(media).orderBy("media_id")
 
 
-@query("mm6_gif_frame_features")
+@query(
+    "mm6_gif_frame_features",
+    oracle=_frame_features_oracle(_MM6_PX_SCRATCH),
+)
 def mm6_gif_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over a REAL container format: binaryFile-scan the
     committed GIFs, explode each into composited frames inside the
     Arrow batch (gif_codec decodes transparency + disposal), emit
     per-frame channel means. The video-pipeline shape — demux to
     frames, featurize per frame — with genuine bytes instead of
-    frame_sample's synthetic fixed-stride payloads. Rows-only: fixture
-    directory input, no DuckDB twin; pytest pins the per-frame values."""
-    from a3_fp_bigdata_spark.multimodal.images import gif_frame_features
+    frame_sample's synthetic fixed-stride payloads.
 
-    media = image_dir_source(spark, FIXTURE_DIR, glob="*.gif")
-    return gif_frame_features(media).orderBy("media_id", "frame_idx")
+    ORACLE-BACKED since r12 (was rows-only): per-frame pixel rows land
+    in fingerprinted scratch; Spark and DuckDB re-derive the per-frame
+    features independently (see _attested_frame_features); pytest pins
+    the composited frame pixels against the generator."""
+    from a3_fp_bigdata_spark.multimodal.gif_codec import decode_gif_frames
+
+    return _attested_frame_features(
+        spark, FIXTURE_DIR, "*.gif", _MM6_PX_SCRATCH, decode_gif_frames
+    )
 
 
 #: committed modern-format fixture set (tools/make_modern_format_
@@ -98,7 +244,10 @@ MODERN_FIXTURE_DIR = os.path.join(
 )
 
 
-@query("mm12_modern_format_features")
+@query(
+    "mm12_modern_format_features",
+    oracle=_image_features_oracle(_MM12_PX_SCRATCH),
+)
 def mm12_modern_format_features(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -106,14 +255,14 @@ def mm12_modern_format_features(
     formats a 2020s web crawl actually contains: progressive JPEG
     (SOF2) and lossless WebP (VP8L) — both decoded for real by the
     pure-python codecs (jpeg_codec, webp_codec; PIL when present).
-    Rows-only like mm4 (fixture-directory input, no DuckDB twin);
-    pytest pins the exact channel means against the foreign
-    generators' OWN expected pixels, so a decode drift in either
-    codec is a red golden, not a silent feature shift."""
-    media = image_dir_source(
-        spark, MODERN_FIXTURE_DIR, glob="*.{jpg,webp}"
+    ORACLE-BACKED since r12 via the shared pixel-scratch protocol
+    (see _attested_image_features); pytest pins the exact channel
+    means against the foreign generators' OWN expected pixels, so a
+    decode drift in either codec is a red golden, not a silent
+    feature shift."""
+    return _attested_image_features(
+        spark, MODERN_FIXTURE_DIR, "*.{jpg,webp}", _MM12_PX_SCRATCH
     )
-    return extract_features(media).orderBy("media_id")
 
 
 #: committed APNG fixture set (tools/make_apng_fixtures.py):
@@ -127,7 +276,10 @@ APNG_FIXTURE_DIR = os.path.join(
 )
 
 
-@query("mm13_apng_frame_features")
+@query(
+    "mm13_apng_frame_features",
+    oracle=_frame_features_oracle(_MM13_PX_SCRATCH),
+)
 def mm13_apng_frame_features(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -138,15 +290,18 @@ def mm13_apng_frame_features(
     frames (apng_codec honors fcTL/fdAT sequencing, dispose NONE/
     BACKGROUND/PREVIOUS, blend SOURCE/OVER, palette tRNS alpha, and
     skips the non-animated IDAT default image), emit per-frame channel
-    means. Rows-only like mm6 (fixture-directory input, no DuckDB
-    twin); pytest pins exact frame arrays against the independent
-    compositor's committed ground truth."""
-    from a3_fp_bigdata_spark.multimodal.images import (
-        apng_frame_features,
+    means. ORACLE-BACKED since r12 via the shared per-frame
+    pixel-scratch protocol (see _attested_frame_features); pytest pins
+    exact frame arrays against the independent compositor's committed
+    ground truth."""
+    from a3_fp_bigdata_spark.multimodal.apng_codec import (
+        decode_apng_frames,
     )
 
-    media = image_dir_source(spark, APNG_FIXTURE_DIR, glob="*.png")
-    return apng_frame_features(media).orderBy("media_id", "frame_idx")
+    return _attested_frame_features(
+        spark, APNG_FIXTURE_DIR, "*.png", _MM13_PX_SCRATCH,
+        decode_apng_frames,
+    )
 
 
 #: committed archival-TIFF fixture set (tools/make_tiff_lzw_fixtures
@@ -158,7 +313,10 @@ ARCHIVAL_FIXTURE_DIR = os.path.join(
 )
 
 
-@query("mm14_archival_tiff_features")
+@query(
+    "mm14_archival_tiff_features",
+    oracle=_image_features_oracle(_MM14_PX_SCRATCH),
+)
 def mm14_archival_tiff_features(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -166,11 +324,11 @@ def mm14_archival_tiff_features(
     the scanned-document / microfilm slice of real corpora, where LZW
     and PackBits compression (with the horizontal predictor) dominate:
     all decoded for real by tiff_codec's r11 decompressors (PIL when
-    present). Rows-only like mm4/mm12 (fixture-directory input, no
-    DuckDB twin); pytest pins the exact channel means against the
-    independent generator's own pixel arrays, so an LZW width-change
-    or predictor bug is a red golden, not a silent feature shift."""
-    media = image_dir_source(
-        spark, ARCHIVAL_FIXTURE_DIR, glob="*.tif"
+    present). ORACLE-BACKED since r12 via the shared pixel-scratch
+    protocol (see _attested_image_features); pytest pins the exact
+    channel means against the independent generator's own pixel
+    arrays, so an LZW width-change or predictor bug is a red golden,
+    not a silent feature shift."""
+    return _attested_image_features(
+        spark, ARCHIVAL_FIXTURE_DIR, "*.tif", _MM14_PX_SCRATCH
     )
-    return extract_features(media).orderBy("media_id")

@@ -204,6 +204,100 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=_FEATURE_SCHEMA)
 
 
+_PIXEL_SCHEMA = "media_id long, y int, x int, r int, g int, b int"
+
+
+def pixel_rows(media: DataFrame) -> DataFrame:
+    """Decode -> one row per pixel (media_id, y, x, r, g, b) — the
+    scratch-oracle materialization behind the fixture-directory
+    feature queries (mm4/mm12/mm14): Spark AND DuckDB re-aggregate
+    channel means and dimensions from these integer rows
+    independently, so the feature derivation is cross-checked (the
+    mm7 pattern: scratch carries decoded values, each engine does its
+    own downstream math). Audit-scale machinery: pixel explosion is
+    proportionate for fixture corpora and CI attestation; the
+    production feature path stays extract_features (one aggregate
+    inside the Arrow batch, mm2)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            frames: list[pd.DataFrame] = []
+            for mid, payload, mtype in zip(
+                pdf["media_id"], pdf["payload"], pdf["media_type"]
+            ):
+                arr = decode_image(bytes(payload), mtype)
+                h, w = arr.shape[:2]
+                yy, xx = np.divmod(
+                    np.arange(h * w, dtype=np.int32), np.int32(w)
+                )
+                flat = arr.reshape(-1, 3).astype(np.int32)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "media_id": np.full(h * w, mid, dtype=np.int64),
+                            "y": yy,
+                            "x": xx,
+                            "r": flat[:, 0],
+                            "g": flat[:, 1],
+                            "b": flat[:, 2],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return media.mapInPandas(batches, schema=_PIXEL_SCHEMA)
+
+
+_FRAME_PIXEL_SCHEMA = (
+    "media_id long, frame_idx int, n_frames int, "
+    "y int, x int, r int, g int, b int"
+)
+
+
+def frame_pixel_rows(media: DataFrame, decode_frames) -> DataFrame:
+    """pixel_rows' animation twin: every composited frame of every
+    container explodes to per-pixel rows tagged (frame_idx, n_frames)
+    — the scratch both engines re-aggregate per-frame features from
+    (mm6/mm13)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            frames: list[pd.DataFrame] = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                decoded = decode_frames(bytes(payload))
+                for i, arr in enumerate(decoded):
+                    h, w = arr.shape[:2]
+                    yy, xx = np.divmod(
+                        np.arange(h * w, dtype=np.int32), np.int32(w)
+                    )
+                    flat = arr.reshape(-1, 3).astype(np.int32)
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "media_id": np.full(
+                                    h * w, mid, dtype=np.int64
+                                ),
+                                "frame_idx": np.full(
+                                    h * w, i, dtype=np.int32
+                                ),
+                                "n_frames": np.full(
+                                    h * w, len(decoded), dtype=np.int32
+                                ),
+                                "y": yy,
+                                "x": xx,
+                                "r": flat[:, 0],
+                                "g": flat[:, 1],
+                                "b": flat[:, 2],
+                            }
+                        )
+                    )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return media.mapInPandas(batches, schema=_FRAME_PIXEL_SCHEMA)
+
+
 def resize_images(media: DataFrame, out_h: int, out_w: int) -> DataFrame:
     """Decode -> nearest-neighbor resize -> re-encode as raw RGB bytes.
     Output payloads are exactly out_h*out_w*3 bytes."""

@@ -412,6 +412,38 @@ EMB_DRIFT_CELLS = 16
 EMB_SNAPSHOT_PCT = 50
 
 
+def _drift_cell_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared dq4/dq5 input: the per-super-cell (n_old, n_new) count
+    histogram over the LSH-bucketed embedding corpus, split into
+    snapshots by the deterministic vec_id hash. At most 2^planes rows
+    regardless of corpus size; one map-side-combinable count each."""
+    from a3_fp_bigdata_spark.operators.similarity import (
+        _buckets,
+        _planes,
+    )
+    from a3_fp_bigdata_spark.operators.text_analysis import (
+        sample_predicate,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    buckets = _buckets(emb, _planes(emb))
+    is_old = sample_predicate(F.col("vec_id"), EMB_SNAPSHOT_PCT)
+    tagged = buckets.select(
+        F.pmod(F.col("bucket"), F.lit(EMB_DRIFT_CELLS))
+        .cast("long")
+        .alias("cell"),
+        is_old.alias("old"),
+    )
+    return tagged.groupBy("cell").agg(
+        F.sum(F.when(F.col("old"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_old"),
+        F.sum(F.when(~F.col("old"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+    )
+
+
 @query(
     "dq4_embedding_drift",
     oracle=None,  # attached below (needs similarity's bucketed CTE)
@@ -433,31 +465,7 @@ def dq4_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     2^planes rows at any corpus size — so the monitor costs one
     map-side-combinable count over each snapshot plus a grid-sized
     join. Zero floats: shares are int64 basis points."""
-    from a3_fp_bigdata_spark.operators.similarity import (
-        _buckets,
-        _planes,
-    )
-    from a3_fp_bigdata_spark.operators.text_analysis import (
-        sample_predicate,
-    )
-
-    emb = table(spark, sf_dir, "embeddings")
-    buckets = _buckets(emb, _planes(emb))
-    is_old = sample_predicate(F.col("vec_id"), EMB_SNAPSHOT_PCT)
-    tagged = buckets.select(
-        F.pmod(F.col("bucket"), F.lit(EMB_DRIFT_CELLS))
-        .cast("long")
-        .alias("cell"),
-        is_old.alias("old"),
-    )
-    hist = tagged.groupBy("cell").agg(
-        F.sum(F.when(F.col("old"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_old"),
-        F.sum(F.when(~F.col("old"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_new"),
-    )
+    hist = _drift_cell_hist(spark, sf_dir)
     totals = hist.agg(
         F.sum("n_old").cast("long").alias("t_old"),
         F.sum("n_new").cast("long").alias("t_new"),
@@ -482,17 +490,16 @@ def dq4_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _attach_dq4_oracle() -> None:
-    import dataclasses
-
-    from a3_fp_bigdata_spark import registry as _R
+def _sql_drift_hist() -> str:
+    """The oracle-side twin of _drift_cell_hist: bucketed CTE + the
+    per-cell snapshot histogram, shared by dq4's and dq5's oracles."""
     from a3_fp_bigdata_spark.operators.similarity import _SQL_BUCKETED_CTE
     from a3_fp_bigdata_spark.operators.text_analysis import (
         sample_predicate_sql,
     )
 
     old = sample_predicate_sql("vec_id", EMB_SNAPSHOT_PCT)
-    sql = f"""
+    return f"""
     {_SQL_BUCKETED_CTE}, hist AS (
       SELECT bucket % {EMB_DRIFT_CELLS} AS cell,
              CAST(sum(CASE WHEN {old} THEN 1 ELSE 0 END) AS BIGINT)
@@ -501,7 +508,16 @@ def _attach_dq4_oracle() -> None:
                AS n_new
       FROM bucketed
       GROUP BY 1
-    ), tot AS (
+    )"""
+
+
+def _attach_dq4_oracle() -> None:
+    import dataclasses
+
+    from a3_fp_bigdata_spark import registry as _R
+
+    sql = f"""
+    {_sql_drift_hist()}, tot AS (
       SELECT CAST(sum(n_old) AS BIGINT) AS t_old,
              CAST(sum(n_new) AS BIGINT) AS t_new
       FROM hist

@@ -282,6 +282,17 @@ def test_audio_dir_features_pinned(spark):
     a = [tuple(r) for r in q(spark, SF0001).collect()]
     assert a == [tuple(r) for r in q(spark, SF0001).collect()] and len(a) == 3
 
+    # r12 scratch-oracle rewrite: the query now re-derives features
+    # from materialized integer PCM rows via Spark SQL aggregation —
+    # pin that this derivation equals the direct UDF float math
+    # (extract_audio_features) on every fixture
+    direct = {
+        r.media_id: (r.duration_s, r.sample_rate, r.n_channels, r.rms, r.peak)
+        for r in A.extract_audio_features(media).collect()
+    }
+    for row in a:
+        assert direct[row[0]] == tuple(row[1:]), (row, direct[row[0]])
+
     # codec error contract
     with pytest.raises(ValueError):
         A.decode_wav(b"RIFFjunkWAVE")

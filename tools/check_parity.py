@@ -135,9 +135,15 @@ for name in names:
     ocols = sorted(ores.columns)
     for m in dtype_mismatches(sdf, ores):
         print(f"FAIL {name}: dtype-class {m}"); fail = True
+    # itertuples, NOT iterrows: iterrows builds a per-row Series whose
+    # common dtype upcasts int64 to float64 whenever the row also has
+    # a float column — an xxhash64 media_id next to a double mean
+    # loses its low bits and red-flags a correct result (r12, the mm
+    # pixel-scratch oracles). itertuples preserves each column's dtype.
+    _pos = [list(ores.columns).index(c) for c in ocols]
     orows = sorted(
-        tuple(norm(v) for v in (row[c] for c in ocols))
-        for _, row in ores.iterrows()
+        tuple(norm(t[i]) for i in _pos)
+        for t in ores.itertuples(index=False, name=None)
     )
     if cols != ocols:
         print(f"FAIL {name}: cols {cols} vs {ocols}"); fail = True
