@@ -538,3 +538,133 @@ def _attach_dq4_oracle() -> None:
 
 
 _attach_dq4_oracle()
+
+
+#: dq5 decision rule: smoothed Pearson chi-square over the
+#: EMB_DRIFT_CELLS super-cell grid, degrees of freedom = cells - 1,
+#: critical value χ²_{0.999, df=15} = 37.697 in integer MICRO-units —
+#: per-cell contributions are quantized to int64 millionths before the
+#: sum (the ml5 pattern), so the statistic aggregates exactly on both
+#: engines with no float-order dependence.
+CHI2_CRIT_MICRO = 37_697_000
+#: Laplace +1 smoothing on every grid cell: a snapshot with an empty
+#: cell keeps the statistic finite (no 0-expected division), the
+#: standard production-monitor smoothing.
+CHI2_SMOOTH = 1
+
+
+def chi2_drift_decision(
+    spark: SparkSession, hist: DataFrame, n_cells: int = EMB_DRIFT_CELLS
+) -> DataFrame:
+    """(cell, n_old, n_new) histogram -> one-row chi-square drift
+    verdict. Exact-arithmetic construction: with smoothed counts
+    so = n_old + 1, sn = n_new + 1 and totals T_o, T_n, the per-cell
+    Pearson term (O - E)^2 / E rewrites to
+    (sn*T_o - so*T_n)^2 / (T_o * T_n * so) — the difference is an
+    EXACT int64 cross-multiplication (never a float share), and the
+    single division + micro-quantization are correctly-rounded double
+    ops both engines perform identically. Scale: the decision runs on
+    the grid (16 rows) whatever the corpus size; overflow bound is
+    snapshot totals ≤ ~3e9 rows (the int64 cross-product), past which
+    the monitor shards by embedding-space region first."""
+    grid = spark.range(n_cells).select(
+        F.col("id").cast("long").alias("cell")
+    )
+    full = grid.join(hist, "cell", "left").select(
+        "cell",
+        (F.coalesce(F.col("n_old"), F.lit(0)) + CHI2_SMOOTH)
+        .cast("long")
+        .alias("so"),
+        (F.coalesce(F.col("n_new"), F.lit(0)) + CHI2_SMOOTH)
+        .cast("long")
+        .alias("sn"),
+    )
+    tot = full.agg(
+        F.sum("so").cast("long").alias("t_o"),
+        F.sum("sn").cast("long").alias("t_n"),
+    )
+    diff = F.col("sn") * F.col("t_o") - F.col("so") * F.col("t_n")
+    den = (
+        F.col("t_o").cast("double")
+        * F.col("t_n").cast("double")
+        * F.col("so").cast("double")
+    )
+    contrib = (diff.cast("double") * diff.cast("double")) / den
+    micro = F.floor(contrib * 1000000 + F.lit(0.5)).cast("long")
+    cells = full.crossJoin(F.broadcast(tot)).select(micro.alias("micro"))
+    return cells.agg(
+        F.count("*").cast("int").alias("n_cells"),
+        F.sum("micro").cast("long").alias("chi2_micro"),
+    ).select(
+        "n_cells",
+        (F.col("n_cells") - 1).cast("int").alias("df"),
+        "chi2_micro",
+        F.lit(CHI2_CRIT_MICRO).cast("long").alias("crit_micro"),
+        (F.col("chi2_micro") > CHI2_CRIT_MICRO).cast("int").alias("drifted"),
+    )
+
+
+@query(
+    "dq5_drift_decision",
+    oracle=None,  # attached below (shares dq4's hist CTE)
+)
+def dq5_drift_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decision rule a production drift monitor actually fires on
+    (VERDICT r11 ask #6): dq4 reports per-cell share deltas; dq5
+    collapses the same histogram to ONE smoothed Pearson chi-square
+    verdict against a pinned critical value (χ²_0.999, df = 15) —
+    dq2's threshold-contract shape applied to the embedding space.
+    Output: (n_cells, df, chi2_micro, crit_micro, drifted).
+
+    Fully SQL-replayed: the statistic is a sum of int64 micro-unit
+    cell contributions built from exact cross-multiplications (see
+    chi2_drift_decision), so DuckDB reproduces it bit-for-bit from the
+    raw embeddings table. A planted-shift pytest pins the decision's
+    sensitivity (mass moved between cells -> drifted=1) and its
+    stability under the null (hash-split corpus -> drifted=0)."""
+    return chi2_drift_decision(spark, _drift_cell_hist(spark, sf_dir))
+
+
+def _attach_dq5_oracle() -> None:
+    import dataclasses
+
+    from a3_fp_bigdata_spark import registry as _R
+
+    c = EMB_DRIFT_CELLS
+    s = CHI2_SMOOTH
+    sql = f"""
+    {_sql_drift_hist()}, grid AS (
+      SELECT CAST(range AS BIGINT) AS cell FROM range({c})
+    ), full_h AS (
+      SELECT g.cell,
+             CAST(coalesce(h.n_old, 0) + {s} AS BIGINT) AS so,
+             CAST(coalesce(h.n_new, 0) + {s} AS BIGINT) AS sn
+      FROM grid g LEFT JOIN hist h ON h.cell = g.cell
+    ), tot AS (
+      SELECT CAST(sum(so) AS BIGINT) AS t_o,
+             CAST(sum(sn) AS BIGINT) AS t_n
+      FROM full_h
+    ), cells AS (
+      SELECT CAST(floor(
+               (CAST(sn * t_o - so * t_n AS DOUBLE)
+                * CAST(sn * t_o - so * t_n AS DOUBLE))
+               / ((CAST(t_o AS DOUBLE) * CAST(t_n AS DOUBLE))
+                  * CAST(so AS DOUBLE))
+               * 1000000 + 0.5) AS BIGINT) AS micro
+      FROM full_h CROSS JOIN tot
+    )
+    SELECT CAST(count(*) AS INT) AS n_cells,
+           CAST(count(*) - 1 AS INT) AS df,
+           CAST(sum(micro) AS BIGINT) AS chi2_micro,
+           CAST({CHI2_CRIT_MICRO} AS BIGINT) AS crit_micro,
+           CAST(sum(micro) > {CHI2_CRIT_MICRO} AS INT) AS drifted
+    FROM cells
+    """
+    rq = _R._REGISTRY["dq5_drift_decision"]
+    if rq.oracle is None:
+        _R._REGISTRY["dq5_drift_decision"] = dataclasses.replace(
+            rq, oracle=sql
+        )
+
+
+_attach_dq5_oracle()

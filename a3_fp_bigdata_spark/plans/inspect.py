@@ -43,19 +43,18 @@ def shuffle_count(df: DataFrame) -> int:
     return len(re.findall(r"\bExchange (?:hashpartitioning|rangepartitioning|RoundRobinPartitioning|SinglePartition)", plan))
 
 
-def exchange_counts(df: DataFrame) -> tuple[int, int]:
-    """(per_run, staged) shuffle-exchange counts from a JVM plan walk.
-
-    ``per_run`` counts exchanges that execute on EVERY run of the query;
-    ``staged`` counts exchanges inside cached (InMemoryRelation)
-    subtrees, each distinct relation counted ONCE — those run only when
-    the shared stage materializes (per corpus snapshot in production:
-    the shingle/bucket/cluster stages are built once and every dedup
-    rung reads them). The text-regex alternative over-counts: the
-    formatted plan re-expands a cached relation's child plan at every
-    reference site, so one staged exchange can appear 3x in the dump.
-    Broadcast exchanges are excluded throughout (small-side movement);
-    ReusedExchange is a pointer, not a second execution."""
+def _walk_counts(df: DataFrame, node_names: frozenset[str]) -> tuple[int, int]:
+    """(per_run, staged) counts of the given exec-node class names from
+    a JVM plan walk. ``per_run`` counts nodes that execute on EVERY run
+    of the query; ``staged`` counts nodes inside cached
+    (InMemoryRelation) subtrees, each distinct relation counted ONCE —
+    those run only when the shared stage materializes (per corpus
+    snapshot in production: the shingle/bucket/cluster stages are built
+    once and every dedup rung reads them). The text-regex alternative
+    over-counts: the formatted plan re-expands a cached relation's
+    child plan at every reference site, so one staged node can appear
+    3x in the dump. ReusedExchange is a pointer, not a second
+    execution."""
     jvm = df._sc._jvm
     seen_relations: set[int] = set()
     counts = {"run": 0, "staged": 0}
@@ -70,9 +69,9 @@ def exchange_counts(df: DataFrame) -> tuple[int, int]:
         if name.endswith("QueryStageExec"):  # shuffle/broadcast/cache stage
             walk(node.plan(), in_cache)
             return
-        if name == "ShuffleExchangeExec":
+        if name in node_names:
             counts["staged" if in_cache else "run"] += 1
-        elif name == "InMemoryTableScanExec":
+        if name == "InMemoryTableScanExec":
             rel = node.relation()
             # dedupe on the shared CachedRDDBuilder: the cache manager
             # hands out a fresh InMemoryRelation instance per reference,
@@ -88,6 +87,24 @@ def exchange_counts(df: DataFrame) -> tuple[int, int]:
 
     walk(df._jdf.queryExecution().executedPlan(), False)
     return counts["run"], counts["staged"]
+
+
+def exchange_counts(df: DataFrame) -> tuple[int, int]:
+    """(per_run, staged) shuffle-exchange counts (see _walk_counts).
+    Broadcast exchanges are excluded (small-side movement)."""
+    return _walk_counts(df, frozenset({"ShuffleExchangeExec"}))
+
+
+def broadcast_join_counts(df: DataFrame) -> tuple[int, int]:
+    """(per_run, staged) broadcast-join counts from the same
+    cache-aware JVM walk (r12: the text count over executedPlan
+    re-expands cached subtrees at every reference site — pl8's dump
+    showed 64 broadcast joins of which only a fraction execute per
+    run; the rest live inside staged relations materialized once)."""
+    return _walk_counts(
+        df,
+        frozenset({"BroadcastHashJoinExec", "BroadcastNestedLoopJoinExec"}),
+    )
 
 
 def partition_filters(df: DataFrame) -> list[str]:

@@ -313,3 +313,74 @@ def test_dq4_planted_shift_fires_and_identical_split_does_not(spark, tmp_path):
     write(True, shift)
     shift_rows = QC.dq4_embedding_drift(spark, str(shift)).collect()
     assert sum(r["drifted"] for r in shift_rows) >= 1, shift_rows
+
+
+def test_dq5_chi_square_decision_planted_shift(spark, tmp_path):
+    """dq5's one-row verdict: the smoothed chi-square must stay under
+    the pinned χ²_0.999 critical value on a null split (same
+    directions in both snapshots) and fire on a planted distribution
+    shift; the micro-unit statistic must equal an independent python
+    replay of the exact integer construction from the histogram."""
+    import numpy as np
+
+    from a3_fp_bigdata_spark.operators import quality_checks as QC
+    from a3_fp_bigdata_spark.operators.similarity import N_PLANES
+
+    rng = np.random.default_rng(11)
+    dim = 16
+    planes = rng.standard_normal((N_PLANES, dim))
+    dir_a = rng.standard_normal(dim)
+    dir_b = rng.standard_normal(dim)
+
+    def write(corpus_shifted: bool, path):
+        rows = [(0, (dir_a + 0.01 * rng.standard_normal(dim)).tolist())]
+        rows += [(i + 1, planes[i].tolist()) for i in range(N_PLANES)]
+        vid = N_PLANES + 1
+        pred = lambda k: ((k % 1_000_003) * 2_654_435_761) % 100 < QC.EMB_SNAPSHOT_PCT  # noqa: E731
+        for _ in range(3000):
+            base = dir_a if (pred(vid) or not corpus_shifted) else dir_b
+            rows.append((vid, (base + 0.05 * rng.standard_normal(dim)).tolist()))
+            vid += 1
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(path / "embeddings.parquet")
+        )
+
+    ctrl, shift = tmp_path / "ctrl", tmp_path / "shift"
+    ctrl.mkdir(), shift.mkdir()
+    write(False, ctrl)
+    write(True, shift)
+
+    r = QC.dq5_drift_decision(spark, str(ctrl)).collect()[0]
+    assert (r["n_cells"], r["df"]) == (QC.EMB_DRIFT_CELLS, QC.EMB_DRIFT_CELLS - 1)
+    assert r["crit_micro"] == QC.CHI2_CRIT_MICRO
+    assert r["drifted"] == 0 and r["chi2_micro"] <= QC.CHI2_CRIT_MICRO, r
+
+    s = QC.dq5_drift_decision(spark, str(shift)).collect()[0]
+    assert s["drifted"] == 1 and s["chi2_micro"] > QC.CHI2_CRIT_MICRO, s
+
+    # independent python replay of the exact integer construction,
+    # from the SAME histogram the decision consumed
+    hist = {
+        row["cell"]: (row["n_old"], row["n_new"])
+        for row in QC._drift_cell_hist(spark, str(shift)).collect()
+    }
+    cells = [
+        (hist.get(c, (0, 0))[0] + QC.CHI2_SMOOTH,
+         hist.get(c, (0, 0))[1] + QC.CHI2_SMOOTH)
+        for c in range(QC.EMB_DRIFT_CELLS)
+    ]
+    t_o = sum(so for so, _ in cells)
+    t_n = sum(sn for _, sn in cells)
+    import math
+
+    micro = sum(
+        math.floor(
+            (float(sn * t_o - so * t_n) * float(sn * t_o - so * t_n))
+            / ((float(t_o) * float(t_n)) * float(so))
+            * 1000000
+            + 0.5
+        )
+        for so, sn in cells
+    )
+    assert micro == s["chi2_micro"]
