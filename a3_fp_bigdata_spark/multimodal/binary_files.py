@@ -184,6 +184,7 @@ def _frame_features_oracle(scratch: str) -> str:
 
 
 _MM4_PX_SCRATCH = run_scratch("mm4_px")
+_MM15_PX_SCRATCH = run_scratch("mm15_px")
 _MM6_PX_SCRATCH = run_scratch("mm6_px")
 _MM12_PX_SCRATCH = run_scratch("mm12_px")
 _MM13_PX_SCRATCH = run_scratch("mm13_px")
@@ -311,6 +312,33 @@ def mm13_apng_frame_features(
 ARCHIVAL_FIXTURE_DIR = os.path.join(
     os.path.dirname(__file__), "fixtures", "archival"
 )
+
+
+#: committed favicon fixture set (tools/make_ico_fixtures.py):
+#: PNG-payload multi-size, 32bpp-DIB, and mixed DIB-vs-PNG selection
+#: cases — expected pixels re-derivable from the generator at test
+#: time (expected_arrays()).
+ICO_FIXTURE_DIR = os.path.join(
+    os.path.dirname(__file__), "fixtures", "ico"
+)
+
+
+@query(
+    "mm15_favicon_features",
+    oracle=_image_features_oracle(_MM15_PX_SCRATCH),
+)
+def mm15_favicon_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mm4's binaryFile->decode->featurize shape over ICO — the
+    favicon container every web crawl carries at high frequency
+    (r12's new real format, ico_codec): ICONDIR parsing, largest-entry
+    selection, PNG-payload and headerless-DIB sub-images (the doubled
+    XOR+AND height), composed over the existing png/bmp decode cores.
+    ORACLE-BACKED from birth via the shared pixel-scratch protocol
+    (see _attested_image_features); pytest pins the exact channel
+    means against the generator's own expected arrays."""
+    return _attested_image_features(
+        spark, ICO_FIXTURE_DIR, "*.ico", _MM15_PX_SCRATCH
+    )
 
 
 @query(

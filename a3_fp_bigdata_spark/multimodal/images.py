@@ -118,6 +118,12 @@ def decode_image_pure(payload: bytes, media_type: str) -> np.ndarray:
         from a3_fp_bigdata_spark.multimodal.tiff_codec import decode_tiff
 
         return decode_tiff(payload)
+    if media_type in ("image/ico", "image/x-icon", "image/vnd.microsoft.icon"):
+        # real decode, no image libs: ICONDIR container -> largest
+        # entry -> png_codec or the headerless-DIB path (ico_codec)
+        from a3_fp_bigdata_spark.multimodal.ico_codec import decode_ico
+
+        return decode_ico(payload)
     if media_type == "image/webp":
         # real decode, no image libs: LOSSLESS WebP (VP8L) per the
         # public spec — prefix codes, LZ77 + color cache, predictor/

@@ -2106,3 +2106,73 @@ def test_mm14_archival_tiff_query_matches_golden_means(spark):
         assert abs(r["img_avg_red"] - float(means[0])) < 1e-9, name
         assert abs(r["img_avg_green"] - float(means[1])) < 1e-9, name
         assert abs(r["img_avg_blue"] - float(means[2])) < 1e-9, name
+
+
+# ---------------------------------------------------------------------------
+# ICO: favicon container decode (ico_codec) + mm15
+# ---------------------------------------------------------------------------
+
+
+def test_ico_codec_roundtrip_and_selection():
+    """decode_ico must return the LARGEST entry's exact pixels for
+    every committed fixture (re-derived from the generator), across
+    PNG payloads, 32bpp DIBs (doubled XOR+AND height), and mixed
+    containers where a later/larger PNG must beat an earlier DIB."""
+    import os
+
+    from a3_fp_bigdata_spark.multimodal.binary_files import ICO_FIXTURE_DIR
+    from a3_fp_bigdata_spark.multimodal.ico_codec import decode_ico
+    from tools.make_ico_fixtures import expected_arrays
+
+    want = expected_arrays()
+    for name, (exp, data) in want.items():
+        # committed bytes == generator bytes (no silent fixture drift)
+        with open(os.path.join(ICO_FIXTURE_DIR, name), "rb") as fh:
+            assert fh.read() == data, f"{name} drifted from its generator"
+        assert np.array_equal(decode_ico(data), exp), name
+
+
+def test_ico_codec_error_contract():
+    import struct
+
+    from a3_fp_bigdata_spark.multimodal.ico_codec import decode_ico
+
+    with pytest.raises(ValueError, match="too short"):
+        decode_ico(b"\x00\x00\x01")
+    with pytest.raises(ValueError, match="signature"):
+        decode_ico(b"\x01\x00\x01\x00\x01\x00" + b"\x00" * 16)
+    # CUR (type 2) refuses loudly
+    with pytest.raises(NotImplementedError, match="CUR"):
+        decode_ico(struct.pack("<HHH", 0, 2, 1) + b"\x00" * 16)
+    with pytest.raises(ValueError, match="zero images"):
+        decode_ico(struct.pack("<HHH", 0, 1, 0))
+
+
+def test_mm15_favicon_query_matches_generator(spark):
+    """The registered favicon query reproduces the generator's exact
+    channel means + dims per fixture (matched by filename hash)."""
+    from pyspark.sql import functions as F
+
+    from a3_fp_bigdata_spark import registry
+    from tools.make_ico_fixtures import expected_arrays
+
+    want = expected_arrays()
+    rows = registry.all_queries()["mm15_favicon_features"](
+        spark, SF0001
+    ).collect()
+    assert len(rows) == len(want)
+    spark_hash = {
+        r["h"]: r["fname"]
+        for r in spark.createDataFrame(
+            [(n,) for n in want], "fname string"
+        )
+        .select("fname", F.xxhash64("fname").alias("h"))
+        .collect()
+    }
+    for r in rows:
+        exp, _ = want[spark_hash[r["media_id"]]]
+        assert (r["img_height"], r["img_width"]) == exp.shape[:2]
+        means = exp.reshape(-1, 3).mean(axis=0)
+        assert abs(r["img_avg_red"] - float(means[0])) < 1e-9
+        assert abs(r["img_avg_green"] - float(means[1])) < 1e-9
+        assert abs(r["img_avg_blue"] - float(means[2])) < 1e-9
