@@ -462,7 +462,9 @@ def decode_vp8l(data: bytes) -> np.ndarray:
 
 def decode_webp(payload: bytes) -> np.ndarray:
     """RIFF WebP container -> HxWx3 uint8 RGB (alpha dropped, PIL's
-    convert('RGB') behavior). Lossless (VP8L) only; lossy VP8 raises."""
+    convert('RGB') behavior). Lossless (VP8L) decodes here; lossy
+    VP8 keyframes decode through vp8_codec (r12 — full RFC 6386
+    intra-frame transcription, bit-exact vs libwebp at YUV level)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("not a WebP (bad RIFF header)")
     pos = 12
@@ -474,9 +476,12 @@ def decode_webp(payload: bytes) -> np.ndarray:
             rgba = decode_vp8l(body)
             return rgba[..., :3].copy()
         if tag == b"VP8 ":
+            from a3_fp_bigdata_spark.multimodal.vp8_codec import decode_vp8
+
+            return decode_vp8(body)
+        if tag == b"VP8X":
             raise NotImplementedError(
-                "lossy VP8 WebP unsupported (this codec is the "
-                "LOSSLESS path); PIL decodes it when installed"
+                "extended WebP (VP8X: alpha/animation/EXIF) unsupported"
             )
         pos += 8 + size + (size & 1)
-    raise ValueError("no VP8L chunk in WebP container")
+    raise ValueError("no VP8/VP8L chunk in WebP container")

@@ -61,20 +61,21 @@ def test_native_fast_path_matches_pure_python_on_every_fixture():
 def test_decode_real_format_raises_without_pil():
     if M.HAVE_PIL:
         pytest.skip("PIL installed; stub gate not reachable")
-    # the pure-python codecs cover PNG/JPEG/GIF/BMP/TIFF/lossless-WebP;
+    # the pure-python codecs cover PNG/JPEG/GIF/BMP/TIFF/ICO and BOTH
+    # WebP profiles (VP8L lossless; r12 adds lossy VP8 keyframes);
     # formats beyond them (AVIF etc.) still need PIL and must say so,
-    # not guess — and a LOSSY WebP hits webp_codec's documented
-    # NotImplementedError boundary
+    # not guess — and an extended-WebP (VP8X) container hits the
+    # documented NotImplementedError boundary
     with pytest.raises(NotImplementedError):
         M.decode_image(b"unknown", "image/avif")
     import struct as _struct
 
-    lossy = (
-        b"RIFF" + _struct.pack("<I", 16) + b"WEBP"
-        + b"VP8 " + _struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+    vp8x = (
+        b"RIFF" + _struct.pack("<I", 30) + b"WEBP"
+        + b"VP8X" + _struct.pack("<I", 10) + b"\x00" * 10
     )
     with pytest.raises(NotImplementedError):
-        M.decode_image(lossy, "image/webp")
+        M.decode_image(vp8x, "image/webp")
     # corrupt bytes fail loudly in the codecs, not silently
     with pytest.raises(ValueError):
         M.decode_image(b"\x89PNG\r\n\x1a\njunk", "image/png")
@@ -1399,11 +1400,13 @@ def test_vp8l_webp_guards_are_loud():
         decode_webp(data[: len(data) - 6])
     with pytest.raises(ValueError):
         decode_webp(b"RIFX" + data[4:])
+    # r12: lossy VP8 keyframes now DECODE (vp8_codec); a garbage VP8
+    # chunk still fails loudly inside the frame parser
     lossy = (
         b"RIFF" + struct.pack("<I", 16) + b"WEBP"
         + b"VP8 " + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
     )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="frame too short"):
         decode_webp(lossy)
 
 
@@ -2171,6 +2174,176 @@ def test_mm15_favicon_query_matches_generator(spark):
     }
     for r in rows:
         exp, _ = want[spark_hash[r["media_id"]]]
+        assert (r["img_height"], r["img_width"]) == exp.shape[:2]
+        means = exp.reshape(-1, 3).mean(axis=0)
+        assert abs(r["img_avg_red"] - float(means[0])) < 1e-9
+        assert abs(r["img_avg_green"] - float(means[1])) < 1e-9
+        assert abs(r["img_avg_blue"] - float(means[2])) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# VP8: lossy WebP keyframe decode (vp8_codec) + mm16
+# ---------------------------------------------------------------------------
+
+
+def _vp8_frame(data):
+    import struct
+
+    pos = 12
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if tag == b"VP8 ":
+            return data[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    raise AssertionError("no VP8 chunk")
+
+
+def _lossy_webp_fixture_bytes():
+    import os
+
+    from a3_fp_bigdata_spark.multimodal.binary_files import (
+        LOSSY_WEBP_FIXTURE_DIR,
+    )
+
+    out = {}
+    for name in sorted(os.listdir(LOSSY_WEBP_FIXTURE_DIR)):
+        with open(os.path.join(LOSSY_WEBP_FIXTURE_DIR, name), "rb") as fh:
+            out[name] = fh.read()
+    return out
+
+
+def _vp8_goldens():
+    import os
+
+    return np.load(
+        os.path.join(os.path.dirname(__file__), "golden", "vp8_yuv.npz")
+    )
+
+
+def test_vp8_decoder_bit_exact_vs_libwebp_goldens():
+    """THE foreign-implementation equality pin: the pure-python VP8
+    keyframe decoder must reproduce the committed YUV planes —
+    libwebp's OWN decode of the same committed bytes — bit for bit on
+    every fixture. A single wrong entry in any probability table, a
+    predictor slip, or a loop-filter off-by-one desyncs or drifts and
+    fails this."""
+    from a3_fp_bigdata_spark.multimodal.vp8_codec import decode_vp8_yuv
+
+    golden = _vp8_goldens()
+    fixtures = _lossy_webp_fixture_bytes()
+    assert len(fixtures) == 5
+    for name, data in fixtures.items():
+        Y, U, V = decode_vp8_yuv(_vp8_frame(data))
+        assert np.array_equal(Y, golden[name + "/Y"]), name
+        assert np.array_equal(U, golden[name + "/U"]), name
+        assert np.array_equal(V, golden[name + "/V"]), name
+
+
+def test_vp8_goldens_re_derivable_from_system_libwebp():
+    """Env-gated oracle re-derivation (the PIL-equality test's shape):
+    when the system libwebp is present, its decode of the committed
+    bytes must equal the committed goldens — pinning that the goldens
+    ARE the foreign implementation's output, not this repo's."""
+    from a3_fp_bigdata_spark.multimodal import webp_native as N
+
+    if not N.HAVE_LIBWEBP:
+        pytest.skip("libwebp not available")
+    golden = _vp8_goldens()
+    for name, data in _lossy_webp_fixture_bytes().items():
+        Y, U, V = N.decode_yuv(data)
+        assert np.array_equal(Y, golden[name + "/Y"]), name
+        assert np.array_equal(U, golden[name + "/U"]), name
+        assert np.array_equal(V, golden[name + "/V"]), name
+
+
+def test_vp8_property_random_images_match_libwebp():
+    """Env-gated property test: random content/dims/quality through
+    libwebp's ENCODER must decode bit-identically (YUV) in the pure
+    decoder — exercises segmentation headers, all intra modes, the
+    token categories, and the loop filter across random streams."""
+    from a3_fp_bigdata_spark.multimodal import webp_native as N
+    from a3_fp_bigdata_spark.multimodal.vp8_codec import decode_vp8_yuv
+
+    if not N.HAVE_LIBWEBP:
+        pytest.skip("libwebp not available")
+    rng = np.random.default_rng(1234)
+    for trial in range(8):
+        h, w = int(rng.integers(8, 70)), int(rng.integers(8, 70))
+        if trial % 2:
+            arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        else:
+            yy, xx = np.mgrid[0:h, 0:w]
+            arr = np.stack(
+                [(xx * 3) % 256, (yy * 5) % 256, (xx * xx + yy) % 256],
+                axis=2,
+            ).astype(np.uint8)
+        data = N.encode_rgb(np.ascontiguousarray(arr), float(rng.choice([15, 50, 80, 95])))
+        Yg, Ug, Vg = N.decode_yuv(data)
+        Y, U, V = decode_vp8_yuv(_vp8_frame(data))
+        assert np.array_equal(Y, Yg) and np.array_equal(U, Ug) and np.array_equal(V, Vg), (h, w, trial)
+
+
+def test_vp8_error_contract():
+    from a3_fp_bigdata_spark.multimodal.vp8_codec import decode_vp8
+    from a3_fp_bigdata_spark.multimodal.webp_codec import decode_webp
+
+    data = next(iter(_lossy_webp_fixture_bytes().values()))
+    frame = bytearray(_vp8_frame(data))
+    # interframe bit set -> loud refusal
+    frame[0] |= 1
+    with pytest.raises(NotImplementedError, match="interframe"):
+        decode_vp8(bytes(frame))
+    # bad start code
+    frame2 = bytearray(_vp8_frame(data))
+    frame2[3] = 0x00
+    with pytest.raises(ValueError, match="start code"):
+        decode_vp8(bytes(frame2))
+    # VP8X container refuses loudly
+    vp8x = (
+        b"RIFF" + (30).to_bytes(4, "little") + b"WEBP"
+        + b"VP8X" + (10).to_bytes(4, "little") + b"\x00" * 10
+    )
+    with pytest.raises(NotImplementedError, match="VP8X"):
+        decode_webp(vp8x)
+
+
+def test_lossy_webp_through_decode_image_and_mm16(spark):
+    """The full pipeline surface: decode_image_pure handles lossy VP8
+    through the webp container, and the registered mm16 query's
+    channel means equal the goldens' YUV converted by the SHARED
+    yuv_to_rgb (one conversion on every path, so fast == pure)."""
+    from pyspark.sql import functions as F
+
+    from a3_fp_bigdata_spark import registry
+    from a3_fp_bigdata_spark.multimodal.images import decode_image_pure
+    from a3_fp_bigdata_spark.multimodal.vp8_codec import yuv_to_rgb
+
+    golden = _vp8_goldens()
+    fixtures = _lossy_webp_fixture_bytes()
+    want = {}
+    for name, data in fixtures.items():
+        rgb = yuv_to_rgb(
+            golden[name + "/Y"], golden[name + "/U"], golden[name + "/V"]
+        )
+        got = decode_image_pure(data, "image/webp")
+        assert np.array_equal(got, rgb), name
+        want[name] = rgb
+
+    rows = registry.all_queries()["mm16_lossy_webp_features"](
+        spark, SF0001
+    ).collect()
+    assert len(rows) == len(want)
+    spark_hash = {
+        r["h"]: r["fname"]
+        for r in spark.createDataFrame(
+            [(n,) for n in want], "fname string"
+        )
+        .select("fname", F.xxhash64("fname").alias("h"))
+        .collect()
+    }
+    for r in rows:
+        exp = want[spark_hash[r["media_id"]]]
         assert (r["img_height"], r["img_width"]) == exp.shape[:2]
         means = exp.reshape(-1, 3).mean(axis=0)
         assert abs(r["img_avg_red"] - float(means[0])) < 1e-9

@@ -33,13 +33,14 @@ REPS = int(os.environ.get("DECODE_BENCH_REPS", "5"))
 MEDIA_TYPES = {
     ".png": "image/png", ".jpg": "image/jpeg", ".gif": "image/gif",
     ".bmp": "image/bmp", ".tif": "image/tiff", ".webp": "image/webp",
+    ".ico": "image/ico",
 }
 
 
 def corpus() -> list[tuple[bytes, str]]:
     fix_root = os.path.join(os.path.dirname(M.__file__), "fixtures")
     out = []
-    for pattern in ("*", "neardup/*", "modern/*", "foreign/*"):
+    for pattern in ("*", "neardup/*", "modern/*", "foreign/*", "archival/*", "apng/*", "ico/*", "lossy_webp/*"):
         for path in sorted(glob.glob(os.path.join(fix_root, pattern))):
             mt = MEDIA_TYPES.get(os.path.splitext(path)[1])
             if mt:
@@ -58,6 +59,45 @@ def main() -> None:
         for payload, mt in files:
             M.decode_image_pure(payload, mt)
     pure_s = round((time.perf_counter() - t0) / REPS, 3)
+
+    # per-format pure timings (the honest "which codec is the
+    # bottleneck" breakdown the README cites)
+    per_format: dict[str, float] = {}
+    for fmt in sorted({mt for _, mt in files}):
+        sub = [(p, mt) for p, mt in files if mt == fmt]
+        t0 = time.perf_counter()
+        for _ in range(REPS):
+            for payload, mt in sub:
+                M.decode_image_pure(payload, mt)
+        per_format[f"{fmt} ({len(sub)})"] = round(
+            (time.perf_counter() - t0) / REPS, 3
+        )
+
+    # native lane for LOSSY webp: the system libwebp via ctypes
+    # (webp_native) — available even on PIL-less boxes like this
+    # container, so the fast-vs-pure gap is a committed number
+    from a3_fp_bigdata_spark.multimodal import webp_native as W
+
+    native_webp_s = None
+    pure_webp_s = None
+    if W.HAVE_LIBWEBP:
+        lossy = [
+            (p, mt) for p, mt in files
+            if mt == "image/webp" and b"VP8 " in p[:24]
+        ]
+        if lossy:
+            for payload, _ in lossy:
+                W.decode_rgb_via_yuv(payload)
+            t0 = time.perf_counter()
+            for _ in range(REPS):
+                for payload, _ in lossy:
+                    W.decode_rgb_via_yuv(payload)
+            native_webp_s = round((time.perf_counter() - t0) / REPS, 4)
+            t0 = time.perf_counter()
+            for _ in range(REPS):
+                for payload, mt in lossy:
+                    M.decode_image_pure(payload, mt)
+            pure_webp_s = round((time.perf_counter() - t0) / REPS, 4)
 
     pil_s = None
     if M.HAVE_PIL:
@@ -78,6 +118,14 @@ def main() -> None:
                 "pil_s": pil_s,
                 "speedup": (
                     round(pure_s / pil_s, 1) if pil_s else None
+                ),
+                "per_format_pure_s": per_format,
+                "lossy_webp_pure_s": pure_webp_s,
+                "lossy_webp_native_s": native_webp_s,
+                "lossy_webp_native_speedup": (
+                    round(pure_webp_s / native_webp_s, 1)
+                    if native_webp_s
+                    else None
                 ),
             }
         )
