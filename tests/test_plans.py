@@ -584,3 +584,29 @@ def test_heavy_hitters_summary_stays_k_scale(spark, qs):
     assert "Python" not in plan and "InPandas" not in plan
     # the global (K-row) ranking is the ONLY single-partition exchange
     assert plan.count("Exchange SinglePartition") <= 2
+
+
+def test_broadcast_join_counts_dedupes_cached_subtrees(spark):
+    """broadcast_join_counts (r12): broadcast joins inside a cached
+    frame referenced twice count ONCE as staged; joins outside the
+    cache land in per_run. The text count this replaces re-expanded
+    the cached subtree at every reference site (pl8's 64-broadcast
+    PLANS row was mostly that)."""
+    small = spark.range(5).select(F.col("id").alias("k"), F.lit(1).alias("w"))
+    base = (
+        spark.range(50_000)
+        .select((F.col("id") % 5).alias("k"))
+        .join(F.broadcast(small), "k")
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+        .persist()
+    )
+    try:
+        j = base.alias("a").join(base.alias("b"), "k").join(
+            F.broadcast(small), "k"
+        )
+        run, staged = PI.broadcast_join_counts(j)
+        assert staged == 1, (run, staged)  # base's bcast join, once
+        assert run >= 1  # the outer broadcast join runs every time
+    finally:
+        base.unpersist()
