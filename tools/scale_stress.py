@@ -820,19 +820,27 @@ def main() -> None:
             if s1 or s10
             else ""
         )
+        pb_ratio = (w10 / b10) / max(w1 / b1, 0.001)
         print(
             f"- {name}: wall {w1:.1f} -> {w10:.1f} s "
             f"({w10 / max(w1, 0.001):.1f}x at {b10 // b1}x batches; "
-            f"per-batch {w1 / b1:.2f} -> {w10 / b10:.2f} s); "
+            f"per-batch {w1 / b1:.2f} -> {w10 / b10:.2f} s, "
+            f"{pb_ratio:.1f}x); "
             f"{r1} -> {r10} rows{size} — "
             + (
-                "view rows track DISTINCT KEYS (10x by construction), "
-                "per-batch wall stays ~flat: no accumulated-corpus "
-                "rescan per batch."
+                "view rows track DISTINCT KEYS (10x by construction); "
+                "per-batch wall grows with the TOUCHED-BUCKET rewrite "
+                "(view bytes 10x at a fixed bucket count), far below "
+                "the ~10x an accumulated-corpus rescan would show — "
+                "production scales the bucket count with the key set "
+                "so per-bucket rewrite stays bounded."
                 if name.startswith("st10")
                 else "the audited top-K stays counter-bounded "
-                "(<= K rows) at both scales while wall tracks batch "
-                "count only."
+                "(<= K rows) at both scales (batch size is constant "
+                "by construction); residual per-batch growth is "
+                "micro-batch scheduling plus sink/checkpoint listing "
+                "overhead accumulating with batch count, while the "
+                "merged view itself never exceeds shards x K rows."
             )
         )
 
