@@ -796,7 +796,43 @@ def _uncapped_bands(
     )
 
 
-@query("d9_simhash_pairs", oracle=None)
+#: d9's own fingerprint scratch (r12): the pair QUERY itself now runs
+#: the audit-tier protocol — materialized fingerprints, oracle
+#: re-derives the full pair LIST quadratically — so the driver/parity
+#: row is value-verified, not rows-only (the pigeonhole audit keeps
+#: attesting the set-difference contract on top).
+_D9_FP_SCRATCH = run_scratch("d9_fps")
+
+
+@query(
+    "d9_simhash_pairs",
+    oracle=f"""
+    WITH fps AS (
+      SELECT doc_id, simhash
+      FROM read_parquet('{_D9_FP_SCRATCH}/*.parquet')
+      WHERE {fingerprint_where('documents', 'doc_id')}
+    ), bands AS (
+      SELECT doc_id, b.i AS band_idx,
+             (simhash >> (b.i * 8)) & 255 AS band_val
+      FROM fps CROSS JOIN (SELECT unnest(range({SIMHASH_BANDS})) AS i) b
+    ), uncapped AS (
+      SELECT band_idx, band_val FROM bands
+      GROUP BY band_idx, band_val
+      HAVING count(*) <= {MAX_BUCKET_DOCS}
+    )
+    SELECT fa.doc_id AS doc_a, fb.doc_id AS doc_b,
+           CAST(bit_count(xor(fa.simhash, fb.simhash)) AS INTEGER)
+             AS hamming
+    FROM fps fa JOIN fps fb ON fa.doc_id < fb.doc_id
+    WHERE bit_count(xor(fa.simhash, fb.simhash))
+            <= {SIMHASH_MAX_HAMMING}
+      AND EXISTS (
+        SELECT 1 FROM uncapped u
+        WHERE ((fa.simhash >> (u.band_idx * 8)) & 255) = u.band_val
+          AND ((fb.simhash >> (u.band_idx * 8)) & 255) = u.band_val
+      )
+    """,
+)
 def d9_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup PAIRS — the rung d5's signatures feed.
     Pigeonhole banding: split the {SIMHASH_PAIR_BITS}-bit fingerprint
@@ -815,13 +851,31 @@ def d9_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantee pinned in tests therefore holds for pairs outside capped
     buckets. Rows-only: fingerprints are xxhash-seeded
     (engine-specific); pytest pins the pigeonhole contract against
-    d3's exact pairs."""
-    sh = simhash_frame(spark, sf_dir, SIMHASH_PAIR_BITS)
-    # the 48-column simhash agg feeds BOTH self-join sides: pin it, or
-    # the tokenize+explode+agg subtree runs twice (dedup.py's measured
-    # multi-reference rule; released by sweeps via release_pinned)
-    sh = pin(sh)
-    return _pairs_from_simhash(sh)
+    d3's exact pairs.
+
+    ORACLE-BACKED since r12 (was rows-only): the fingerprints
+    materialize to fingerprinted scratch and the banded pair derivation
+    runs from the read-back, while DuckDB re-derives the SAME pair list
+    with an independent quadratic bit_count(xor) self-join restricted
+    to uncapped bands — the d9_pigeonhole_audit's expected-set CTE,
+    promoted to the query's own oracle. A banding bug, a wrong cap, or
+    a wrong hamming value is now a red hash mismatch on this row
+    directly; the audit row keeps attesting the set-difference contract
+    on top. The quadratic side lives in the ORACLE only — the Spark
+    plan stays work-proportional-to-collisions."""
+    fp = src_fingerprint(table(spark, sf_dir, "documents"), "doc_id")
+    sh = simhash_frame(spark, sf_dir, SIMHASH_PAIR_BITS).select(
+        "doc_id", "simhash"
+    )
+    sh.crossJoin(F.broadcast(fp)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(_D9_FP_SCRATCH)
+    # the read-back feeds BOTH self-join sides: pin it, or the scan
+    # runs twice (dedup.py's measured multi-reference rule)
+    fps = pin(
+        spark.read.parquet(_D9_FP_SCRATCH).drop("n_src", "src_ck")
+    )
+    return _pairs_from_simhash(fps)
 
 
 def _pairs_from_simhash(
