@@ -186,6 +186,7 @@ def _frame_features_oracle(scratch: str) -> str:
 _MM4_PX_SCRATCH = run_scratch("mm4_px")
 _MM15_PX_SCRATCH = run_scratch("mm15_px")
 _MM16_PX_SCRATCH = run_scratch("mm16_px")
+_MM17_PX_SCRATCH = run_scratch("mm17_px")
 _MM6_PX_SCRATCH = run_scratch("mm6_px")
 _MM12_PX_SCRATCH = run_scratch("mm12_px")
 _MM13_PX_SCRATCH = run_scratch("mm13_px")
@@ -333,6 +334,100 @@ def mm16_lossy_webp_features(
     pixel-scratch protocol (see _attested_image_features)."""
     return _attested_image_features(
         spark, LOSSY_WEBP_FIXTURE_DIR, "*.webp", _MM16_PX_SCRATCH
+    )
+
+
+#: committed ALPHA-WebP fixture set (tools/make_alpha_webp_fixtures
+#: .py): VP8X+ALPH+VP8 lossy stills (every ALPH lane libwebp emits)
+#: plus lossless RGBA/small-palette streams (pixel bundling, 2-D
+#: distance map) — goldens are libwebp's own decode.
+ALPHA_WEBP_FIXTURE_DIR = os.path.join(
+    os.path.dirname(__file__), "fixtures", "alpha_webp"
+)
+
+
+@query(
+    "mm17_alpha_webp_features",
+    oracle=_pixel_scratch_sql(_MM17_PX_SCRATCH)
+    + """
+    SELECT media_id,
+           avg(r) AS img_avg_red,
+           avg(g) AS img_avg_green,
+           avg(b) AS img_avg_blue,
+           avg(a) AS img_avg_alpha,
+           CAST(max(x) + 1 AS INT) AS img_width,
+           CAST(max(y) + 1 AS INT) AS img_height
+    FROM px GROUP BY media_id
+    """,
+)
+def mm17_alpha_webp_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Alpha-aware featurization over EXTENDED WebP (VP8X + ALPH)
+    stills and lossless RGBA streams — the transparency-carrying
+    slice of modern web media (r12): ALPH planes decode through both
+    container lanes (raw and headerless-VP8L, all prediction
+    filters), lossless RGBA through the VP8L paths r12 closed (pixel
+    bundling, the 2-D distance map, single-symbol full-form codes) —
+    all pinned BIT-EXACT against the system libwebp's own decode.
+    Emits per-image channel means INCLUDING mean alpha (the column a
+    transparency-composition or watermark filter keys on) + dims,
+    cross-checked through the shared RGBA pixel-scratch protocol."""
+    import numpy as np
+
+    from a3_fp_bigdata_spark.multimodal.webp_codec import (
+        decode_webp_rgba,
+    )
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            frames = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = decode_webp_rgba(bytes(payload))
+                hh, ww = arr.shape[:2]
+                yy, xx = np.divmod(
+                    np.arange(hh * ww, dtype=np.int32), np.int32(ww)
+                )
+                flat = arr.reshape(-1, 4).astype(np.int32)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "media_id": np.full(
+                                hh * ww, mid, dtype=np.int64
+                            ),
+                            "y": yy, "x": xx,
+                            "r": flat[:, 0], "g": flat[:, 1],
+                            "b": flat[:, 2], "a": flat[:, 3],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    media = image_dir_source(
+        spark, ALPHA_WEBP_FIXTURE_DIR, glob="*.webp"
+    )
+    px = pin(
+        media.select("media_id", "payload").mapInPandas(
+            batches,
+            schema="media_id long, y int, x int, r int, g int, b int, a int",
+        )
+    )
+    _write_stamped(px, _MM17_PX_SCRATCH)
+    back = read_stamped_scratch(spark, _MM17_PX_SCRATCH)
+    return (
+        back.groupBy("media_id")
+        .agg(
+            F.avg("r").alias("img_avg_red"),
+            F.avg("g").alias("img_avg_green"),
+            F.avg("b").alias("img_avg_blue"),
+            F.avg("a").alias("img_avg_alpha"),
+            (F.max("x") + 1).cast("int").alias("img_width"),
+            (F.max("y") + 1).cast("int").alias("img_height"),
+        )
+        .orderBy("media_id")
     )
 
 

@@ -42,6 +42,22 @@ _CLC_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13,
 
 _HASH_MUL = 0x1E35A7BD  # color-cache hash multiplier (spec 4.2.3)
 
+#: 2-D distance map (lossless spec 4.2.2.2): distance codes 1..120
+#: address close NEIGHBORS as (dy<<4)|(8-dx) byte codes; plain
+#: distances start at 121. Previously an honest NotImplementedError
+#: (the 120-entry constant is spec data; r12 carries it, verified by
+#: libwebp-encoded fixtures decoding bit-exactly).
+_CODE_TO_PLANE = (
+    24, 7, 23, 25, 40, 6, 39, 41, 22, 26, 38, 42, 56, 5, 55,
+    57, 21, 27, 54, 58, 37, 43, 72, 4, 71, 73, 20, 28, 53, 59,
+    70, 74, 36, 44, 88, 69, 75, 52, 60, 3, 87, 89, 19, 29, 86,
+    90, 35, 45, 68, 76, 85, 91, 51, 61, 104, 2, 103, 105, 18, 30,
+    102, 106, 34, 46, 84, 92, 67, 77, 101, 107, 50, 62, 120, 1, 119,
+    121, 83, 93, 17, 31, 100, 108, 66, 78, 118, 122, 33, 47, 117, 123,
+    49, 63, 99, 109, 82, 94, 0, 116, 124, 65, 79, 16, 32, 98, 110,
+    48, 115, 125, 81, 95, 64, 114, 126, 97, 111, 80, 113, 127, 96, 112,
+)
+
 
 class _LsbReader:
     """LSB-first bit reader over the VP8L data stream."""
@@ -128,7 +144,7 @@ def _read_prefix_code(r: _LsbReader, alphabet: int) -> _Code:
     clc_lengths = [0] * 19
     for i in range(num_clc):
         clc_lengths[_CLC_ORDER[i]] = r.bits(3)
-    clc = _canonical(clc_lengths)
+    clc = _lengths_to_code(clc_lengths)
     if r.bits(1):  # explicit max-symbol
         length_nbits = 2 + 2 * r.bits(3)
         max_symbol = 2 + r.bits(length_nbits)
@@ -139,7 +155,7 @@ def _read_prefix_code(r: _LsbReader, alphabet: int) -> _Code:
     i = 0
     while i < alphabet and max_symbol > 0:
         max_symbol -= 1
-        sym = _read_symbol(r, clc)
+        sym = clc.read(r)
         if sym < 16:
             lengths[i] = sym
             i += 1
@@ -155,6 +171,18 @@ def _read_prefix_code(r: _LsbReader, alphabet: int) -> _Code:
             i += 11 + r.bits(7)
     if i > alphabet:
         raise ValueError("VP8L code lengths overflow the alphabet")
+    return _lengths_to_code(lengths)
+
+
+def _lengths_to_code(lengths: list[int]) -> _Code:
+    """Lengths -> readable code, honoring the SINGLE-SYMBOL special
+    case: a code with exactly one used symbol is read in ZERO bits
+    (libwebp's BuildHuffmanTable convention; real encoders emit such
+    codes through the full serialization for constant channels — r12,
+    found by a libwebp-encoded stream, not the spec text)."""
+    used = [s for s, ln in enumerate(lengths) if ln]
+    if len(used) == 1:
+        return _Code(None, used[0])
     return _Code(_canonical(lengths), None)
 
 
@@ -227,13 +255,14 @@ def _decode_pixels(
             length = _lz77_value(r, s - 256)
             dist_code = _lz77_value(r, g[4].read(r))
             if dist_code <= 120:
-                raise NotImplementedError(
-                    "VP8L 2-D distance map (codes <= 120) unsupported: "
-                    "the spec's 120-entry neighbor table is a fixed "
-                    "constant this codec does not carry; plain "
-                    "distances decode fully"
-                )
-            dist = dist_code - 120
+                # 2-D neighbor: (dy, dx) from the plane-code table,
+                # distance = dy*width + dx (min 1)
+                pc = _CODE_TO_PLANE[dist_code - 1]
+                dist = (pc >> 4) * w + (8 - (pc & 0xF))
+                if dist < 1:
+                    dist = 1
+            else:
+                dist = dist_code - 120
             if dist > pos or pos + length > n:
                 raise ValueError("VP8L backward reference out of range")
             for i in range(length):
@@ -270,7 +299,11 @@ def _clamp_add_subtract_full(l, t, tl):
 
 def _clamp_add_subtract_half(ave, tl):
     a = ave.astype(np.int32)
-    v = a + (a - tl.astype(np.int32)) // 2
+    diff = a - tl.astype(np.int32)
+    # C's integer /2 truncates toward ZERO; numpy // floors — they
+    # disagree on negative diffs (r12, found by a libwebp-encoded
+    # stream whose mode-13 tiles drifted by one level)
+    v = a + ((diff + (diff < 0)) >> 1)
     return np.clip(v, 0, 255).astype(np.uint8)
 
 
@@ -381,9 +414,33 @@ def decode_vp8l(data: bytes) -> np.ndarray:
     r.bits(1)  # alpha hint
     if r.bits(3) != 0:
         raise ValueError("unknown VP8L version")
+    img = _vp8l_image(r, w, h)
+    # ARGB channel planes -> RGBA
+    return np.stack(
+        [img[..., 1], img[..., 2], img[..., 3], img[..., 0]], axis=2
+    )
 
+
+def decode_vp8l_alpha_plane(data: bytes, w: int, h: int) -> np.ndarray:
+    """HEADERLESS VP8L stream (the ALPH chunk's lossless lane: no
+    signature, no dims — the container supplies them) -> (h, w) uint8
+    alpha values, carried in the stream's green channel per the WebP
+    alpha spec."""
+    img = _vp8l_image(_LsbReader(data), w, h)
+    return img[..., 2].copy()
+
+
+def _vp8l_image(r: _LsbReader, w: int, h: int) -> np.ndarray:
+    """Shared VP8L image-stream decode (transforms onward) -> (h, w, 4)
+    ARGB planes. Entered from the signed/dimensioned main header
+    (decode_vp8l) or headerless for ALPH alpha streams."""
     transforms = []
     seen = set()
+    cur_w = w  # color-indexing with <= 16 colors PACKS pixels: the
+    # coded image (and every transform/meta image read after it) uses
+    # the reduced width; the palette inverse unbundles back to cur_w's
+    # pre-reduction value (spec: pixel bundling, r12 — previously an
+    # honest NotImplementedError; alpha planes hit it constantly)
     while r.bits(1):
         ttype = r.bits(2)
         if ttype in seen:
@@ -393,7 +450,7 @@ def decode_vp8l(data: bytes) -> np.ndarray:
             transforms.append(("subtract_green",))
         elif ttype in (0, 1):  # predictor / cross-color
             bits = r.bits(3) + 2
-            sw = -(-w // (1 << bits))
+            sw = -(-cur_w // (1 << bits))
             sh = -(-h // (1 << bits))
             sub = _decode_entropy_image(r, sw, sh)
             transforms.append(
@@ -401,16 +458,22 @@ def decode_vp8l(data: bytes) -> np.ndarray:
             )
         else:  # 3: color indexing
             n_colors = r.bits(8) + 1
-            if n_colors <= 16:
-                raise NotImplementedError(
-                    "VP8L pixel bundling (palette <= 16) unsupported"
-                )
             pal_img = _decode_entropy_image(r, n_colors, 1)
             # palette entries are delta-coded component-wise
             pal = np.cumsum(
                 pal_img[0].astype(np.int32), axis=0
             ).astype(np.uint8)
-            transforms.append(("palette", pal))
+            if n_colors <= 2:
+                xbits = 3  # 8 one-bit indices per green byte
+            elif n_colors <= 4:
+                xbits = 2  # 4 two-bit indices
+            elif n_colors <= 16:
+                xbits = 1  # 2 four-bit indices
+            else:
+                xbits = 0
+            transforms.append(("palette", pal, xbits, cur_w))
+            if xbits:
+                cur_w = -(-cur_w // (1 << xbits))
 
     cache_bits = 0
     cache = None
@@ -425,7 +488,7 @@ def decode_vp8l(data: bytes) -> np.ndarray:
     n_groups = 1
     if r.bits(1):  # meta prefix-code image
         meta_bits = r.bits(3) + 2
-        mw = -(-w // (1 << meta_bits))
+        mw = -(-cur_w // (1 << meta_bits))
         mh = -(-h // (1 << meta_bits))
         meta_img = _decode_entropy_image(r, mw, mh)
         # group index = (red << 8) | green
@@ -435,13 +498,21 @@ def decode_vp8l(data: bytes) -> np.ndarray:
         n_groups = int(meta.max()) + 1
     groups = [_read_group(r, cache_bits) for _ in range(n_groups)]
     img = _decode_pixels(
-        r, w, h, groups, meta, meta_bits, cache_bits, cache
+        r, cur_w, h, groups, meta, meta_bits, cache_bits, cache
     )
 
     for t in reversed(transforms):
         if t[0] == "palette":
-            pal = t[1]
+            _, pal, xbits, out_w = t
             idx = img[..., 2].astype(np.int32)  # green channel indexes
+            if xbits:
+                # unbundle: each green byte packs 2/4/8 indices,
+                # least-significant bits first (spec: pixel bundling)
+                ibits = 8 >> xbits
+                xs = np.arange(out_w)
+                sub = idx[:, xs >> xbits]
+                shift = (xs & ((1 << xbits) - 1)) * ibits
+                idx = (sub >> shift[None, :]) & ((1 << ibits) - 1)
             if (idx >= len(pal)).any():
                 raise ValueError("palette index out of range")
             img = pal[idx]
@@ -454,10 +525,7 @@ def decode_vp8l(data: bytes) -> np.ndarray:
         else:
             _inverse_predictor(img, t[2][..., 2], t[1])
 
-    # ARGB channel planes -> RGBA
-    return np.stack(
-        [img[..., 1], img[..., 2], img[..., 3], img[..., 0]], axis=2
-    )
+    return img
 
 
 def decode_webp(payload: bytes) -> np.ndarray:
@@ -484,4 +552,126 @@ def decode_webp(payload: bytes) -> np.ndarray:
                 "extended WebP (VP8X: alpha/animation/EXIF) unsupported"
             )
         pos += 8 + size + (size & 1)
+    raise ValueError("no VP8/VP8L chunk in WebP container")
+
+
+# ---------------------------------------------------------------------------
+# Extended WebP (VP8X) stills: ALPH alpha plane + container dispatch
+# (r12 — alpha WebP is the dominant still format modern sites ship)
+# ---------------------------------------------------------------------------
+
+#: ALPH prediction filters (container spec): the stored plane is a
+#: residual against a per-pixel predictor; decode adds it back mod 256.
+_ALPHA_FILTER_NONE, _ALPHA_FILTER_H, _ALPHA_FILTER_V, _ALPHA_FILTER_G = range(4)
+
+
+def _unfilter_alpha(a: np.ndarray, method: int) -> np.ndarray:
+    """Undo the ALPH prediction filter in place (row-sequential — the
+    gradient predictor needs the reconstructed previous row)."""
+    if method == _ALPHA_FILTER_NONE:
+        return a
+    h, w = a.shape
+    out = a.astype(np.int32)
+    if method == _ALPHA_FILTER_H:
+        # first pixel raw; first row predicts from left; later rows'
+        # first pixel predicts from above, rest from left
+        for y in range(h):
+            start = 0
+            if y > 0:
+                out[y, 0] = (out[y, 0] + out[y - 1, 0]) & 0xFF
+                start = 1
+            elif w > 0:
+                start = 1
+            acc = out[y, start - 1] if start else 0
+            for x in range(start, w):
+                acc = (out[y, x] + acc) & 0xFF
+                out[y, x] = acc
+    elif method == _ALPHA_FILTER_V:
+        # first row: first pixel raw, rest predict from left; later
+        # rows predict from above (vectorized cumulative add down)
+        for x in range(1, w):
+            out[0, x] = (out[0, x] + out[0, x - 1]) & 0xFF
+        for y in range(1, h):
+            out[y] = (out[y] + out[y - 1]) & 0xFF
+    else:  # gradient: clamp(left + above - above_left)
+        for y in range(h):
+            for x in range(w):
+                if x == 0 and y == 0:
+                    pred = 0
+                elif y == 0:
+                    pred = out[0, x - 1]
+                elif x == 0:
+                    pred = out[y - 1, 0]
+                else:
+                    g = (
+                        int(out[y, x - 1])
+                        + int(out[y - 1, x])
+                        - int(out[y - 1, x - 1])
+                    )
+                    pred = 0 if g < 0 else 255 if g > 255 else g
+                out[y, x] = (out[y, x] + pred) & 0xFF
+    return out.astype(np.uint8)
+
+
+def decode_alph(body: bytes, w: int, h: int) -> np.ndarray:
+    """ALPH chunk -> (h, w) uint8 alpha plane. Header byte (LSB
+    first): 2 bits compression (0 raw, 1 headerless-VP8L), 2 bits
+    filtering, 2 bits preprocessing (encode-side level reduction — a
+    decoder no-op), 2 reserved."""
+    if not body:
+        raise ValueError("empty ALPH chunk")
+    hdr = body[0]
+    comp = hdr & 3
+    filt = (hdr >> 2) & 3
+    data = body[1:]
+    if comp == 0:
+        if len(data) < w * h:
+            raise ValueError("truncated raw ALPH plane")
+        plane = np.frombuffer(data, dtype=np.uint8, count=w * h).reshape(
+            h, w
+        ).copy()
+    elif comp == 1:
+        plane = decode_vp8l_alpha_plane(data, w, h)
+    else:
+        raise ValueError(f"reserved ALPH compression method {comp}")
+    return _unfilter_alpha(plane, filt)
+
+
+def _walk_chunks(payload: bytes):
+    pos = 12
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        yield tag, payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+
+
+def decode_webp_rgba(payload: bytes) -> np.ndarray:
+    """RIFF WebP container -> (h, w, 4) uint8 RGBA, VP8X stills
+    included: the base image comes from the VP8 (lossy keyframe,
+    vp8_codec) or VP8L chunk, the alpha plane from ALPH when present
+    (opaque otherwise / VP8L's own alpha when lossless). Animation
+    (ANIM/ANMF) raises — multi-frame stills are APNG/GIF territory
+    with per-frame state this surface doesn't model."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP (bad RIFF header)")
+    alpha = None
+    for tag, body in _walk_chunks(payload):
+        if tag == b"ANIM" or tag == b"ANMF":
+            raise NotImplementedError("animated WebP unsupported")
+        if tag == b"ALPH":
+            alpha = body
+        elif tag == b"VP8L":
+            rgba = decode_vp8l(body)
+            return rgba  # VP8L carries its own alpha; ALPH never set
+        elif tag == b"VP8 ":
+            from a3_fp_bigdata_spark.multimodal.vp8_codec import decode_vp8
+
+            rgb = decode_vp8(body)
+            h, w = rgb.shape[:2]
+            if alpha is not None:
+                a = decode_alph(alpha, w, h)
+            else:
+                a = np.full((h, w), 255, dtype=np.uint8)
+            return np.dstack([rgb, a])
     raise ValueError("no VP8/VP8L chunk in WebP container")

@@ -40,6 +40,16 @@ try:  # pragma: no cover - environment-dependent
         ctypes.c_char_p, ctypes.c_size_t,
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
     ]
+    _lib.WebPEncodeRGBA.restype = ctypes.c_size_t
+    _lib.WebPEncodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+    ]
+    _lib.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+    _lib.WebPDecodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
     _lib.WebPDecodeYUV.restype = ctypes.POINTER(ctypes.c_uint8)
     _lib.WebPDecodeYUV.argtypes = [
         ctypes.c_char_p, ctypes.c_size_t,
@@ -75,6 +85,40 @@ def encode_rgb(arr: np.ndarray, quality: float) -> bytes:
     data = ctypes.string_at(out, n)
     _lib.WebPFree(out)
     return data
+
+
+def encode_rgba(arr: np.ndarray, quality: float) -> bytes:
+    """HxWx4 uint8 -> lossy WebP bytes (VP8X + ALPH + VP8 when alpha
+    is non-trivial) via libwebp."""
+    _require()
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = _lib.WebPEncodeRGBA(
+        arr.tobytes(), w, h, w * 4, float(quality), ctypes.byref(out)
+    )
+    if not n:
+        raise ValueError("WebPEncodeRGBA failed")
+    data = ctypes.string_at(out, n)
+    _lib.WebPFree(out)
+    return data
+
+
+def decode_rgba(payload: bytes) -> np.ndarray:
+    """WebP bytes -> (h, w, 4) uint8 RGBA, libwebp's output (lossy RGB
+    channels go through libwebp's fancy upsampler — use the ALPHA
+    channel as ground truth; color parity is pinned at YUV level)."""
+    _require()
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    p = _lib.WebPDecodeRGBA(
+        payload, len(payload), ctypes.byref(w), ctypes.byref(h)
+    )
+    if not p:
+        raise ValueError("WebPDecodeRGBA failed")
+    out = np.ctypeslib.as_array(p, shape=(h.value, w.value, 4)).copy()
+    _lib.WebPFree(p)
+    return out
 
 
 def decode_yuv(payload: bytes):

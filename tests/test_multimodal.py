@@ -2349,3 +2349,182 @@ def test_lossy_webp_through_decode_image_and_mm16(spark):
         assert abs(r["img_avg_red"] - float(means[0])) < 1e-9
         assert abs(r["img_avg_green"] - float(means[1])) < 1e-9
         assert abs(r["img_avg_blue"] - float(means[2])) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Alpha WebP: VP8X + ALPH decode + the VP8L paths r12 closed + mm17
+# ---------------------------------------------------------------------------
+
+
+def _alpha_webp_fixture_bytes():
+    import os
+
+    from a3_fp_bigdata_spark.multimodal.binary_files import (
+        ALPHA_WEBP_FIXTURE_DIR,
+    )
+
+    out = {}
+    for name in sorted(os.listdir(ALPHA_WEBP_FIXTURE_DIR)):
+        with open(os.path.join(ALPHA_WEBP_FIXTURE_DIR, name), "rb") as fh:
+            out[name] = fh.read()
+    return out
+
+
+def _alpha_goldens():
+    import os
+
+    return np.load(
+        os.path.join(os.path.dirname(__file__), "golden", "webp_alpha.npz")
+    )
+
+
+def test_alpha_webp_bit_exact_vs_libwebp_goldens():
+    """VP8X stills: the ALPH plane (both container lanes, prediction
+    filters) and the color channels must reproduce libwebp's own
+    decode bit-for-bit — alpha directly, lossy color at YUV level,
+    lossless RGBA in full (including the small-palette pixel-bundled
+    and distance-mapped streams the VP8L decoder previously refused)."""
+    from a3_fp_bigdata_spark.multimodal.vp8_codec import decode_vp8_yuv
+    from a3_fp_bigdata_spark.multimodal.webp_codec import (
+        _walk_chunks,
+        decode_webp_rgba,
+    )
+
+    golden = _alpha_goldens()
+    fixtures = _alpha_webp_fixture_bytes()
+    assert len(fixtures) == 5
+    lossy = lossless = 0
+    for name, data in fixtures.items():
+        mine = decode_webp_rgba(data)
+        assert np.array_equal(mine[..., 3], golden[name + "/A"]), name
+        if name + "/RGBA" in golden.files:
+            assert np.array_equal(mine, golden[name + "/RGBA"]), name
+            lossless += 1
+        else:
+            frame = [b for t, b in _walk_chunks(data) if t == b"VP8 "][0]
+            Y, U, V = decode_vp8_yuv(frame)
+            assert np.array_equal(Y, golden[name + "/Y"]), name
+            assert np.array_equal(U, golden[name + "/U"]), name
+            assert np.array_equal(V, golden[name + "/V"]), name
+            lossy += 1
+    assert lossy == 3 and lossless == 2
+
+
+def test_alpha_webp_goldens_re_derivable_from_system_libwebp():
+    from a3_fp_bigdata_spark.multimodal import webp_native as N
+
+    if not N.HAVE_LIBWEBP:
+        pytest.skip("libwebp not available")
+    golden = _alpha_goldens()
+    for name, data in _alpha_webp_fixture_bytes().items():
+        rgba = N.decode_rgba(data)
+        assert np.array_equal(rgba[..., 3], golden[name + "/A"]), name
+
+
+def test_vp8l_property_random_lossless_match_libwebp():
+    """Env-gated property test against libwebp's REAL lossless
+    encoder: random palettes (bundling), tiled repeats (distance
+    map), gradients (predictors incl. the mode-13 truncating
+    division), noise, and RGBA — decode must equal libwebp's decode
+    exactly."""
+    import ctypes
+
+    from a3_fp_bigdata_spark.multimodal import webp_native as N
+    from a3_fp_bigdata_spark.multimodal.webp_codec import (
+        decode_webp_rgba,
+    )
+
+    if not N.HAVE_LIBWEBP:
+        pytest.skip("libwebp not available")
+    lib = N._lib
+    for fn in ("WebPEncodeLosslessRGB", "WebPEncodeLosslessRGBA"):
+        f = getattr(lib, fn)
+        f.restype = ctypes.c_size_t
+        f.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ]
+
+    def enc(img):
+        out = ctypes.POINTER(ctypes.c_uint8)()
+        a = np.ascontiguousarray(img)
+        f = (
+            lib.WebPEncodeLosslessRGB
+            if img.shape[2] == 3
+            else lib.WebPEncodeLosslessRGBA
+        )
+        n = f(a.tobytes(), img.shape[1], img.shape[0],
+              img.shape[1] * img.shape[2], ctypes.byref(out))
+        d = ctypes.string_at(out, n)
+        lib.WebPFree(out)
+        return d
+
+    rng = np.random.default_rng(4321)
+    for trial in range(10):
+        h, w = int(rng.integers(5, 80)), int(rng.integers(5, 80))
+        kind = trial % 5
+        if kind == 0:
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        elif kind == 1:
+            base = rng.integers(0, 256, (h, 8, 3), dtype=np.uint8)
+            img = np.tile(base, (1, (w + 7) // 8, 1))[:, :w]
+        elif kind == 2:
+            pal = rng.integers(
+                0, 256, (int(rng.integers(2, 17)), 3), dtype=np.uint8
+            )
+            img = pal[rng.integers(0, len(pal), (h, w))]
+        elif kind == 3:
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = np.stack(
+                [(xx * 3) % 256, (yy * 5) % 256, ((xx + yy) * 2) % 256],
+                axis=2,
+            ).astype(np.uint8)
+        else:
+            img = np.dstack(
+                [rng.integers(0, 256, (h, w, 3), dtype=np.uint8),
+                 ((np.mgrid[0:h, 0:w][1] * 255) // max(w - 1, 1)).astype(np.uint8)]
+            )
+        data = enc(img)
+        gold = N.decode_rgba(data)
+        mine = decode_webp_rgba(data)
+        assert np.array_equal(mine, gold), (trial, kind, h, w)
+
+
+def test_mm17_alpha_features_match_goldens(spark):
+    """The registered alpha-feature query's means (incl. mean alpha)
+    equal the golden-derived RGBA exactly — lossy color through the
+    shared yuv_to_rgb, alpha/lossless straight from the goldens."""
+    from pyspark.sql import functions as F
+
+    from a3_fp_bigdata_spark import registry
+    from a3_fp_bigdata_spark.multimodal.vp8_codec import yuv_to_rgb
+
+    golden = _alpha_goldens()
+    want = {}
+    for name in _alpha_webp_fixture_bytes():
+        if name + "/RGBA" in golden.files:
+            rgba = golden[name + "/RGBA"]
+        else:
+            rgb = yuv_to_rgb(
+                golden[name + "/Y"], golden[name + "/U"], golden[name + "/V"]
+            )
+            rgba = np.dstack([rgb, golden[name + "/A"]])
+        want[name] = rgba
+    rows = registry.all_queries()["mm17_alpha_webp_features"](
+        spark, SF0001
+    ).collect()
+    assert len(rows) == len(want)
+    spark_hash = {
+        r["h"]: r["fname"]
+        for r in spark.createDataFrame([(n,) for n in want], "fname string")
+        .select("fname", F.xxhash64("fname").alias("h"))
+        .collect()
+    }
+    for r in rows:
+        exp = want[spark_hash[r["media_id"]]]
+        assert (r["img_height"], r["img_width"]) == exp.shape[:2]
+        means = exp.reshape(-1, 4).mean(axis=0)
+        assert abs(r["img_avg_red"] - float(means[0])) < 1e-9
+        assert abs(r["img_avg_green"] - float(means[1])) < 1e-9
+        assert abs(r["img_avg_blue"] - float(means[2])) < 1e-9
+        assert abs(r["img_avg_alpha"] - float(means[3])) < 1e-9
