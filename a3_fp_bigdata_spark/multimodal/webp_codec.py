@@ -9,19 +9,28 @@ transforms a real encoder emits: PREDICTOR (modes 0-13), COLOR
 (cross-color), SUBTRACT_GREEN, and COLOR_INDEXING (palettes > 16
 colors; pixel-bundled palettes raise).
 
-Honest subset boundaries (loud, like tiff_codec's):
-- lossy VP8 chunks raise (this is the LOSSLESS codec);
-- distance codes <= 120 (the spec's 120-entry 2-D neighbor offset
-  table) raise NotImplementedError: the table is a fixed constant we
-  cannot re-derive from first principles, and guessing it would decode
-  real files silently wrong — plain distances (code > 120) decode
-  fully;
-- pixel bundling (color-indexing with <= 16 palette entries) raises.
+Round 12 completes the surface (each addition pinned bit-exact
+against the SYSTEM libwebp's real encoder output — see
+tests/test_multimodal.py's alpha/lossless property sweeps):
+- lossy VP8 keyframe chunks now decode through vp8_codec (full
+  RFC 6386 intra-frame transcription);
+- the spec's 120-entry 2-D distance table is carried
+  (_CODE_TO_PLANE), so ALL distance codes decode;
+- pixel bundling (color-indexing with <= 16 palette entries)
+  decodes, including the bundled-width interplay with other
+  transforms;
+- single-symbol prefix codes serialized through the FULL form read
+  zero bits (libwebp's convention for constant channels);
+- extended WebP (VP8X) STILLS decode, with the ALPH alpha plane's
+  raw and headerless-VP8L lanes + all prediction filters
+  (decode_webp_rgba). Animated WebP (ANIM/ANMF) still raises.
 
 Fixtures come from tools/make_vp8l.py — an independent foreign-style
 generator (own bit writer, own canonical-code construction, own
-transform forward passes) so decoding is a cross-implementation check
-against the spec, not a self round-trip. Cites reference
+transform forward passes) — plus libwebp-encoded alpha/lossy corpora
+(tools/make_alpha_webp_fixtures.py, make_lossy_webp_fixtures.py), so
+decoding is a cross-implementation check against the spec AND the
+dominant real encoder, not a self round-trip. Cites reference
 feature_extractor.py:20 (PIL opens WebP generically; this codec keeps
 the decode path real when PIL is absent).
 """
@@ -548,9 +557,9 @@ def decode_webp(payload: bytes) -> np.ndarray:
 
             return decode_vp8(body)
         if tag == b"VP8X":
-            raise NotImplementedError(
-                "extended WebP (VP8X: alpha/animation/EXIF) unsupported"
-            )
+            # extended STILL: decode through the RGBA surface (raises
+            # on ANIM/ANMF) and drop alpha — convert('RGB') behavior
+            return decode_webp_rgba(payload)[..., :3].copy()
         pos += 8 + size + (size & 1)
     raise ValueError("no VP8/VP8L chunk in WebP container")
 

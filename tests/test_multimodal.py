@@ -64,18 +64,19 @@ def test_decode_real_format_raises_without_pil():
     # the pure-python codecs cover PNG/JPEG/GIF/BMP/TIFF/ICO and BOTH
     # WebP profiles (VP8L lossless; r12 adds lossy VP8 keyframes);
     # formats beyond them (AVIF etc.) still need PIL and must say so,
-    # not guess — and an extended-WebP (VP8X) container hits the
-    # documented NotImplementedError boundary
+    # not guess — and ANIMATED WebP hits the documented
+    # NotImplementedError boundary (VP8X stills decode since r12)
     with pytest.raises(NotImplementedError):
         M.decode_image(b"unknown", "image/avif")
     import struct as _struct
 
-    vp8x = (
-        b"RIFF" + _struct.pack("<I", 30) + b"WEBP"
-        + b"VP8X" + _struct.pack("<I", 10) + b"\x00" * 10
+    anim = (
+        b"RIFF" + _struct.pack("<I", 40) + b"WEBP"
+        + b"VP8X" + _struct.pack("<I", 10) + b"\x02" + b"\x00" * 9
+        + b"ANIM" + _struct.pack("<I", 6) + b"\x00" * 6
     )
     with pytest.raises(NotImplementedError):
-        M.decode_image(vp8x, "image/webp")
+        M.decode_image(anim, "image/webp")
     # corrupt bytes fail loudly in the codecs, not silently
     with pytest.raises(ValueError):
         M.decode_image(b"\x89PNG\r\n\x1a\njunk", "image/png")
@@ -2299,13 +2300,14 @@ def test_vp8_error_contract():
     frame2[3] = 0x00
     with pytest.raises(ValueError, match="start code"):
         decode_vp8(bytes(frame2))
-    # VP8X container refuses loudly
-    vp8x = (
-        b"RIFF" + (30).to_bytes(4, "little") + b"WEBP"
-        + b"VP8X" + (10).to_bytes(4, "little") + b"\x00" * 10
+    # animated WebP refuses loudly (VP8X STILLS decode since late r12)
+    anim = (
+        b"RIFF" + (40).to_bytes(4, "little") + b"WEBP"
+        + b"VP8X" + (10).to_bytes(4, "little") + b"\x02" + b"\x00" * 9
+        + b"ANIM" + (6).to_bytes(4, "little") + b"\x00" * 6
     )
-    with pytest.raises(NotImplementedError, match="VP8X"):
-        decode_webp(vp8x)
+    with pytest.raises(NotImplementedError, match="animated"):
+        decode_webp(anim)
 
 
 def test_lossy_webp_through_decode_image_and_mm16(spark):
