@@ -59,6 +59,19 @@ try:  # pragma: no cover - not installed in this container
 except ImportError:
     HAVE_PIL = False
 
+try:  # libwebp ctypes lane (r12) — absent on minimal boxes. Only the
+    # BOOL lives at module scope: this module ships by value into Arrow
+    # workers, and a captured webp_native module would drag its ctypes
+    # CDLL (unpicklable pointers) into the closure. The binding itself
+    # is re-imported lazily inside _decode_webp_engine, so each worker
+    # process binds its own handle.
+    from a3_fp_bigdata_spark.multimodal import webp_native as _wn
+
+    HAVE_LIBWEBP = _wn.HAVE_LIBWEBP
+    del _wn
+except Exception:  # pragma: no cover - defensive import guard
+    HAVE_LIBWEBP = False
+
 
 # ---------------------------------------------------------------------------
 # Decoders (the stubbed boundary)
@@ -79,9 +92,58 @@ def decode_image(payload: bytes, media_type: str = "image/fake") -> np.ndarray:
         h = 16 + (len(payload) % 48)
         w = 16 + (payload[0] % 48)
         return np.resize(np.frombuffer(payload, dtype=np.uint8), (h, w, 3))
+    if media_type == "image/webp":
+        # NEVER PIL for WebP (ADVICE r12, medium): PIL's lossy RGB goes
+        # through libwebp's fancy upsampler, which structurally differs
+        # from the engine's pinned nearest-neighbor yuv_to_rgb — feature
+        # values (mm16) would silently drift per environment. The engine
+        # lane is deterministic everywhere: libwebp-via-shared-YUV when
+        # the ctypes lane is bound (DECODE_BENCH.md: ~212x), else the
+        # pure codecs — identical output either way.
+        return _decode_webp_engine(payload)
     if HAVE_PIL:  # pragma: no cover - preferred path when installed
         return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
     return decode_image_pure(payload, media_type)
+
+
+def _decode_webp_engine(payload: bytes) -> np.ndarray:
+    """The engine's WebP lane: output is pinned bit-identical between
+    the native (libwebp ctypes) and pure paths, so the dispatch is a
+    pure speed choice. Lossy stills decode natively to YUV and convert
+    through the SHARED vp8_codec.yuv_to_rgb (fast == pure exactly);
+    lossless stills use libwebp's exact RGBA surface (lossless decode
+    admits no variance). Anything else — animation, malformed
+    containers — goes to the pure codecs, which either decode or raise
+    the honest boundary error."""
+    from a3_fp_bigdata_spark.multimodal.webp_codec import decode_webp
+
+    if HAVE_LIBWEBP:
+        from a3_fp_bigdata_spark.multimodal import webp_native
+
+        base, animated = _webp_container_probe(payload)
+        if not animated:
+            if base == b"VP8 ":
+                return webp_native.decode_rgb_via_yuv(payload)
+            if base == b"VP8L":
+                return webp_native.decode_rgba(payload)[..., :3].copy()
+    return decode_webp(payload)
+
+
+def _webp_container_probe(payload: bytes) -> tuple[bytes | None, bool]:
+    """(base bitstream tag, is_animated) from a cheap chunk walk —
+    enough to decide whether the native still-image lane applies."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        return None, False
+    from a3_fp_bigdata_spark.multimodal.webp_codec import _walk_chunks
+
+    base = None
+    animated = False
+    for tag, _body in _walk_chunks(payload):
+        if tag in (b"ANIM", b"ANMF"):
+            animated = True
+        elif tag in (b"VP8 ", b"VP8L") and base is None:
+            base = tag
+    return base, animated
 
 
 def decode_image_pure(payload: bytes, media_type: str) -> np.ndarray:
@@ -125,17 +187,19 @@ def decode_image_pure(payload: bytes, media_type: str) -> np.ndarray:
 
         return decode_ico(payload)
     if media_type == "image/webp":
-        # real decode, no image libs: LOSSLESS WebP (VP8L) per the
-        # public spec — prefix codes, LZ77 + color cache, predictor/
-        # cross-color/subtract-green/palette transforms; lossy VP8
-        # raises (webp_codec documents the honest subset boundary)
+        # real decode, no image libs: the FULL still surface — lossless
+        # VP8L (prefix codes, LZ77 + color cache, all transforms, pixel
+        # bundling), lossy VP8 keyframes (vp8_codec, RFC 6386,
+        # libwebp-bit-exact at YUV level), and VP8X extended stills with
+        # ALPH alpha planes (alpha dropped here, convert('RGB'))
         from a3_fp_bigdata_spark.multimodal.webp_codec import decode_webp
 
         return decode_webp(payload)
     raise NotImplementedError(
         f"decoding {media_type!r} requires PIL, which is not installed; "
         "'image/png', 'image/jpeg', 'image/gif', 'image/bmp', 'image/tiff', "
-        "'image/webp' (pure-python codecs) and 'image/fake' work without it"
+        "'image/ico', 'image/webp' (pure-python codecs) and 'image/fake' "
+        "work without it"
     )
 
 

@@ -552,6 +552,15 @@ CHI2_CRIT_MICRO = 37_697_000
 #: standard production-monitor smoothing.
 CHI2_SMOOTH = 1
 
+#: Exact-int64 safety bound on each snapshot total (ADVICE r12): the
+#: cross-product |sn*T_o - so*T_n| <= T_n*T_o must stay below 2^63-1,
+#: so each total is capped at 3e9 (3e9 * 3e9 = 9e18 < 9.22e18). Spark
+#: wraps int64 silently on overflow while DuckDB raises — without this
+#: guard the two engines would diverge in FAILURE MODE (silent wrong
+#: chi2 verdict vs loud error). Past the bound, shard the monitor by
+#: embedding-space region first.
+CHI2_MAX_TOTAL = 3_000_000_000
+
 
 def chi2_drift_decision(
     spark: SparkSession, hist: DataFrame, n_cells: int = EMB_DRIFT_CELLS
@@ -591,7 +600,24 @@ def chi2_drift_decision(
     )
     contrib = (diff.cast("double") * diff.cast("double")) / den
     micro = F.floor(contrib * 1000000 + F.lit(0.5)).cast("long")
-    cells = full.crossJoin(F.broadcast(tot)).select(micro.alias("micro"))
+    # loud overflow guard (ADVICE r12): assert_true raises in the JVM
+    # when a snapshot total exceeds the exact-int64 bound, matching
+    # DuckDB's loud overflow error instead of Spark's silent wrap
+    in_bound = (F.col("t_o") <= F.lit(CHI2_MAX_TOTAL)) & (
+        F.col("t_n") <= F.lit(CHI2_MAX_TOTAL)
+    )
+    guarded = F.when(
+        F.assert_true(
+            in_bound,
+            F.lit(
+                "chi2_drift_decision: snapshot total exceeds the exact-"
+                f"int64 bound ({CHI2_MAX_TOTAL}); shard by embedding-"
+                "space region first"
+            ),
+        ).isNull(),
+        micro,
+    )
+    cells = full.crossJoin(F.broadcast(tot)).select(guarded.alias("micro"))
     return cells.agg(
         F.count("*").cast("int").alias("n_cells"),
         F.sum("micro").cast("long").alias("chi2_micro"),

@@ -35,12 +35,16 @@ def find_latest_data_path(base_dir: str, prefix: str) -> str | None:
     """S4: newest ``{prefix}*`` subdirectory (app.py:98-108).
     Driver-side listing of version dirs only — never lists data files.
 
-    When EVERY candidate's suffix is a decimal number (``version=N``
-    directories, timestamped dumps), newest is max by int(suffix) —
-    mtime ties on coarse-granularity filesystems or clock skew between
-    writes must not select a stale version (ADVICE r11). mtime remains
-    the rule only for non-numeric suffixes, matching the reference's
-    behavior for its free-form timestamped names."""
+    For ``version=`` prefixes with all-numeric suffixes (the versioned
+    snapshot chain, src9), newest is max by int(suffix) — mtime ties on
+    coarse-granularity filesystems or clock skew between writes must
+    not select a stale version (ADVICE r11). Every OTHER prefix keeps
+    the reference's pure-mtime rule (app.py:103), including all-digit
+    timestamped dump names: there a regenerated/backfilled
+    lower-numbered directory is the newest WRITE and must win
+    (rewrite-wins semantics — ADVICE r12 gated the numeric rule to
+    ``version=`` for exactly this reason; version numbers are
+    identity, timestamps in free-form names are just names)."""
     try:
         candidates = [
             os.path.join(base_dir, d)
@@ -53,7 +57,7 @@ def find_latest_data_path(base_dir: str, prefix: str) -> str | None:
     if not candidates:
         return None
     suffixes = [os.path.basename(p)[len(prefix):] for p in candidates]
-    if all(s.isdigit() for s in suffixes):
+    if prefix.endswith("version=") and all(s.isdigit() for s in suffixes):
         return max(candidates, key=lambda p: int(os.path.basename(p)[len(prefix):]))
     return max(candidates, key=os.path.getmtime)
 

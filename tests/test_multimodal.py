@@ -2530,3 +2530,50 @@ def test_mm17_alpha_features_match_goldens(spark):
         assert abs(r["img_avg_green"] - float(means[1])) < 1e-9
         assert abs(r["img_avg_blue"] - float(means[2])) < 1e-9
         assert abs(r["img_avg_alpha"] - float(means[3])) < 1e-9
+
+
+def test_decode_image_webp_never_pil_engine_lane_matches_pure():
+    """ADVICE r12 (medium): decode_image must NEVER route image/webp
+    through PIL — PIL's lossy RGB goes through libwebp's fancy
+    upsampler and structurally differs from the engine's pinned
+    nearest-neighbor yuv_to_rgb, so mm16's features would drift per
+    environment. This pins the whole dispatch: on every committed WebP
+    fixture (simple lossy VP8, VP8X+ALPH alpha stills, lossless), the
+    production entry point decode_image equals the pure reference
+    decode_webp bit for bit — which, on a box where the libwebp ctypes
+    lane resolves (this one), also proves the NATIVE lane taken by the
+    dispatch is bit-identical to pure."""
+    from a3_fp_bigdata_spark.multimodal import images
+    from a3_fp_bigdata_spark.multimodal.webp_codec import decode_webp
+
+    fixtures = {}
+    fixtures.update(_lossy_webp_fixture_bytes())
+    fixtures.update(_alpha_webp_fixture_bytes())
+    assert fixtures
+    for name, data in fixtures.items():
+        want = decode_webp(data)
+        got = images.decode_image(data, "image/webp")
+        assert got.dtype == np.uint8 and got.shape == want.shape, name
+        assert np.array_equal(got, want), name
+
+
+def test_webp_container_probe():
+    """The cheap chunk walk behind the native-lane dispatch: base
+    bitstream tag + animation flag, on real fixtures and a synthetic
+    ANIM container."""
+    from a3_fp_bigdata_spark.multimodal.images import _webp_container_probe
+
+    lossy = next(iter(_lossy_webp_fixture_bytes().values()))
+    assert _webp_container_probe(lossy) == (b"VP8 ", False)
+    alpha = _alpha_webp_fixture_bytes()
+    assert _webp_container_probe(alpha["lossless_rgba.webp"]) == (
+        b"VP8L",
+        False,
+    )
+    anim = (
+        b"RIFF" + (40).to_bytes(4, "little") + b"WEBP"
+        + b"VP8X" + (10).to_bytes(4, "little") + b"\x02" + b"\x00" * 9
+        + b"ANIM" + (6).to_bytes(4, "little") + b"\x00" * 6
+    )
+    assert _webp_container_probe(anim) == (None, True)
+    assert _webp_container_probe(b"nope") == (None, False)

@@ -384,3 +384,26 @@ def test_dq5_chi_square_decision_planted_shift(spark, tmp_path):
         for so, sn in cells
     )
     assert micro == s["chi2_micro"]
+
+
+def test_dq5_overflow_guard_fails_loudly(spark):
+    """ADVICE r12: past the exact-int64 bound Spark would WRAP the
+    cross-product silently while DuckDB raises — the guard makes Spark
+    raise too (same failure MODE on both engines). A snapshot total
+    over CHI2_MAX_TOTAL must error, never return a wrapped verdict."""
+    import pytest
+
+    from a3_fp_bigdata_spark.operators import quality_checks as QC
+
+    ok = spark.createDataFrame(
+        [(0, 10, 20), (1, 30, 5)], "cell long, n_old long, n_new long"
+    )
+    row = QC.chi2_drift_decision(spark, ok).collect()[0]
+    assert row["n_cells"] == QC.EMB_DRIFT_CELLS
+
+    huge = spark.createDataFrame(
+        [(0, QC.CHI2_MAX_TOTAL + 1, 20)],
+        "cell long, n_old long, n_new long",
+    )
+    with pytest.raises(Exception, match="exact-\\s*int64 bound|ASSERT"):
+        QC.chi2_drift_decision(spark, huge).collect()

@@ -389,3 +389,19 @@ def test_src9_version_chain_semantics(spark):
             assert abs(snap[k] - round(bal + 500 - 250, 2)) < 1e-9, k
             checked_double += 1
     assert checked_double > 0 and checked_deleted > 0
+
+
+def test_latest_path_rewrite_wins_for_timestamped_dumps(tmp_path):
+    """ADVICE r12: the numeric rule is GATED to ``version=`` prefixes.
+    Free-form timestamped dump names keep the reference's pure-mtime
+    rule (app.py:103) — a regenerated/backfilled LOWER-numbered dump
+    is the newest write and must win."""
+    early = tmp_path / "api_20250101"
+    late = tmp_path / "api_20250201"
+    for d in (early, late):
+        d.mkdir()
+    now = time.time()
+    os.utime(late, (now - 100, now - 100))
+    os.utime(early, (now, now))  # regenerated: newest WRITE
+    got = parquet_io.find_latest_data_path(str(tmp_path), "api_")
+    assert got == str(early)
