@@ -148,35 +148,46 @@ def all_oracles() -> dict[str, str]:
 #: pinned in tests/test_registry.py::ROTATED_OUT_FAMILIES.
 CANONICAL = frozenset(
     {
-        # aggregates: rollup + r11's fully-SQL-replayed Bloom-filter
-        # audit (a21 Misra-Gries rotated out green r11; z_a21)
-        "a9_rollup", "a22_bloom_filter_audit",
-        # data quality: expectation suite + r11's embedding-space drift
-        # monitor (dq3 FK audit out green r11; z_dq3)
-        "dq1_expectations", "dq4_embedding_drift",
+        # aggregates: rollup (a22 Bloom audit out green r12; z_a22 —
+        # the audit tier keeps d11/sim11 + incoming d9 in-window)
+        "a9_rollup",
+        # data quality: expectation suite + r12's chi-square drift
+        # DECISION (fully SQL-replayed over dq4's hist CTE; dq4's
+        # histogram plan is composed inside it — dq4 out green r12)
+        "dq1_expectations", "dq5_drift_decision",
         # dedup ladder: exact, MinHash+LSH flagship (rows-only),
-        # containment audit, connected-components clusters, and r11's
-        # per-document gram-novelty score
+        # containment audit, connected-components clusters, and r12's
+        # SimHash pair table (own fingerprint-scratch oracle; d20
+        # gram-novelty out green r12, z_d20 — tx18 carries the n-gram
+        # shape in-window)
         "d1_exact_dedup", "d4_minhash_lsh",
+        "d9_simhash_pairs",
         "d11_containment_audit", "d12_dedup_clusters",
-        "d20_gram_novelty",
         # scalar/text functions
         "f1_extract_keywords",
         # grouped-map Arrow surface
         "g1_zscore_grouped_map",
-        # joins: broadcast, salted-skew, as-of, bucketized
-        # interval-overlap self-join
+        # joins: broadcast, salted-skew, as-of (j12 interval-overlap
+        # out green r12; z_j12 — j8 keeps the range-condition shape)
         "j1_left_outer_broadcast", "j7_salted_skew_join", "j8_asof_join",
-        "j12_interval_overlap_join",
         # ML fits (rows-only by design) + r11's calibration audit
         "ml1_cluster_sizes", "ml5_calibration_audit",
-        # multimodal: decode flagship (rows-only) + media split-leakage
-        "mm2_image_features", "mm11_media_split_leakage",
+        # multimodal: decode flagship (rows-only) + the r12
+        # scratch-oracle surface — fixture-dir features (mm4), modern
+        # formats (mm12), APNG frame compositor (mm13), ICO (mm15),
+        # lossy VP8 (mm16, libwebp-oracle-pinned), VP8X+ALPH alpha
+        # (mm17). mm11 split-leakage out green r12 (z_mm11; pk7
+        # carries the split-leakage shape in-window). mm5/mm6/mm14
+        # stay z_ per the r13 triage in ROTATION.md.
+        "mm2_image_features", "mm4_image_dir_features",
+        "mm12_modern_format_features", "mm13_apng_frame_features",
+        "mm15_favicon_features", "mm16_lossy_webp_features",
+        "mm17_alpha_webp_features",
         # packing/mixing: greedy packer, domain mixture, split leakage,
-        # curriculum schedule + r11's best-fit-decreasing audit
-        # (pk12/pk14/pk15 out green r11; z_ twins)
+        # curriculum schedule (pk16 best-fit audit out green r12;
+        # z_pk16 — pk2 keeps the packing shape)
         "pk2_greedy_pack", "pk5_domain_mixture", "pk7_split_leakage",
-        "pk13_curriculum_schedule", "pk16_bestfit_pack_audit",
+        "pk13_curriculum_schedule",
         # pipeline: manifest, checksum, + the r10 corpus-release flagship
         "pl1_training_manifest", "pl3_corpus_checksum",
         "pl8_release_manifest",
@@ -193,10 +204,11 @@ CANONICAL = frozenset(
         # serving endpoints
         "srv_top_apps",
         # streaming: REAL micro-batch tumbling run, stream-stream join,
-        # session windows, + r11's streaming drift histogram (st13
-        # hot-keys out green r11; z_st13)
+        # session windows (st14 drift histogram out green r12; z_st14 —
+        # dq5 carries the drift contract in-window and st12 the
+        # stateful-streaming shape)
         "st5_stream_tumbling", "st7_stream_stream_join",
-        "st12_stream_session_window", "st14_stream_embedding_drift",
+        "st12_stream_session_window",
         # top-k / sort
         "t1_topk_multikey",
         # tokenizer induction (frozen-model accounting)
@@ -205,10 +217,11 @@ CANONICAL = frozenset(
         # repetition rules (tx17 Gopher cascade out green r11; z_tx17 —
         # tx18 composes the same n-gram machinery)
         "tx2_quality_score", "tx10_redact_pii", "tx18_dup_gram_fraction",
-        # upsert/CDC: merge, SCD2, full changelog apply
-        "u1_merge_upsert", "u2_scd2_history", "u5_cdc_apply_changelog",
-        # r13 rotation candidates are noted in ROTATION.md per protocol
-        # (new r12 queries earn slots once z_-parity-green this round).
+        # upsert/CDC: merge, SCD2 (u5 changelog apply out green r12;
+        # z_u5 — u1 keeps the keyed-merge shape)
+        "u1_merge_upsert", "u2_scd2_history",
+        # r14 rotation candidates are noted in ROTATION.md per protocol
+        # (new r13 queries earn slots once z_-parity-green this round).
         # windows: top-k per group, sessionize, rolling z-score
         # (w10 EWMA out green r11; z_w10)
         "w1_topk_per_group", "w5_sessionize", "w11_rolling_zscore",
