@@ -39,8 +39,13 @@ from pyspark.ml.regression import RandomForestRegressor
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from a3_fp_bigdata_spark.data import table
-from a3_fp_bigdata_spark.registry import query
+from a3_fp_bigdata_spark.data import (
+    fingerprint_where,
+    run_scratch,
+    src_fingerprint,
+    table,
+)
+from a3_fp_bigdata_spark.registry import pin, query
 from a3_fp_bigdata_spark.session import session_token
 
 #: Numeric feature columns of the customer-features frame (analog of the
@@ -211,19 +216,125 @@ def ml1_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.groupBy("cluster").agg(F.count("*").alias("n")).orderBy("cluster")
 
 
-@query("ml2_rf_score_table")
+#: ml2/ml3 scratch (r13, VERDICT ask #5): the model OUTPUTS — the only
+#: seed/impl-specific values — materialize to fingerprinted scratch;
+#: everything DOWNSTREAM of the fit (ml2's ranked score-table
+#: selection, ml3's RMSE aggregation) is re-derived independently by
+#: both engines from the same materialized predictions, so the
+#: aggregation surface is value-attested even though the fit itself
+#: admits no SQL oracle. Same division of labor as ml5's calibration
+#: audit, promoted onto the queries themselves.
+_ML2_SCORED_SCRATCH = run_scratch("ml2_scored")
+_ML3_PRED_SCRATCH = run_scratch("ml3_preds")
+
+_ML2_COLS = (
+    "c_custkey", "c_acctbal", CATEGORICAL, "order_cnt",
+    "total_spent", "avg_order", "cluster", "PredictedRating",
+)
+
+
+def _write_fingerprinted(df: DataFrame, spark, sf_dir: str, scratch: str):
+    """Stamp rows with the CUSTOMER table's (count, key-checksum)
+    fingerprint and overwrite the scratch — stale/foreign scratch
+    yields an empty oracle side and a red mismatch, never a false
+    PASS. Returns the read-back with the stamp dropped."""
+    fp = src_fingerprint(table(spark, sf_dir, "customer"), "c_custkey")
+    pin(df).crossJoin(F.broadcast(fp)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(scratch)
+    return spark.read.parquet(scratch).drop("n_src", "src_ck")
+
+
+@query(
+    "ml2_rf_score_table",
+    oracle=f"""
+    SELECT {", ".join(_ML2_COLS)}
+    FROM read_parquet('{_ML2_SCORED_SCRATCH}/*.parquet')
+    WHERE {fingerprint_where('customer', 'c_custkey')}
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 20
+    """,
+)
 def ml2_rf_score_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 12-col final API-table shape (spark_script.py:136-142): every
     customer with cluster + PredictedRating, top 20 by account balance
-    (total order with unique key so the sample is stable). Rows-only."""
+    (total order with unique key so the sample is stable).
+
+    ORACLE-BACKED since r13 (was rows-only): the full scored frame —
+    the seed-internal model outputs, taken as given — materializes to
+    stamped scratch; Spark ranks/limits from the read-back while DuckDB
+    replays the same total order and LIMIT independently, so the
+    selection surface (sort keys, tie-break, cut) is value-attested."""
     final, _, _, _ = fit_transform(spark, sf_dir)
-    return final.orderBy(F.desc("c_acctbal"), "c_custkey").limit(20)
+    back = _write_fingerprinted(final, spark, sf_dir, _ML2_SCORED_SCRATCH)
+    return back.orderBy(F.desc("c_acctbal"), "c_custkey").limit(20)
 
 
-@query("ml3_training_rmse")
+#: micro-quantization unit for the materialized (label, prediction)
+#: pairs and centi-unit for the per-row squared error: e is exact
+#: int64 micros, (e/1e6)^2 is the same correctly-rounded double on
+#: both engines, and the floor(x*100+0.5) centi-count keeps the SUM an
+#: exact integer (order-independent) — bound: |e| <= ~3e5 gives
+#: <= 9e12 centi-units/row, ~1e6 training rows before the int64 sum
+#: nears 2^63. Beyond that, shard the evaluation by cluster first.
+_ML3_MICRO = 1_000_000
+
+
+@query(
+    "ml3_training_rmse",
+    oracle=f"""
+    WITH p AS (
+      SELECT label_micro, pred_micro
+      FROM read_parquet('{_ML3_PRED_SCRATCH}/*.parquet')
+      WHERE {fingerprint_where('customer', 'c_custkey')}
+    ), e AS (
+      SELECT CAST(floor(
+               power(CAST(label_micro - pred_micro AS DOUBLE)
+                     / {_ML3_MICRO}, 2) * 100 + 0.5
+             ) AS BIGINT) AS e2_centi
+      FROM p
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_train,
+           CAST(sum(e2_centi) AS BIGINT) AS sse_centi,
+           sqrt(CAST(sum(e2_centi) AS DOUBLE) / 100.0 / count(*))
+             AS rmse
+    FROM e
+    """,
+)
 def ml3_training_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-set RMSE of the RF branch (spark_script.py:117-121) as a
-    one-row frame. Rows-only: exact value is impl/seed-specific; pytest
-    asserts a finite upper bound."""
-    _, _, _, rmse = fit_transform(spark, sf_dir)
-    return spark.createDataFrame([(float(rmse),)], "rmse double")
+    one-row frame (n_train, sse_centi, rmse).
+
+    ORACLE-BACKED since r13 (was rows-only): per-row (label,
+    prediction) pairs — micro-quantized int64, the seed-internal
+    values taken as given — materialize to stamped scratch, and BOTH
+    engines independently re-derive the RMSE with the exact-integer
+    construction above (int64 micro difference, one correctly-rounded
+    double square, exact centi-unit sum, one division + sqrt), so the
+    aggregation is value-attested while the fit stays in Spark.
+    pytest pins this rmse against RegressionEvaluator's within 1e-6
+    relative, so the quantized construction can't drift from the
+    reference metric (spark_script.py:117-121)."""
+    scored, _, _, _ = fit_transform(spark, sf_dir)
+    pairs = scored.filter(F.col(RF_LABEL).isNotNull()).select(
+        "c_custkey",
+        F.floor(F.col(RF_LABEL) * _ML3_MICRO + 0.5)
+        .cast("long")
+        .alias("label_micro"),
+        F.floor(F.col("PredictedRating") * _ML3_MICRO + 0.5)
+        .cast("long")
+        .alias("pred_micro"),
+    )
+    back = _write_fingerprinted(pairs, spark, sf_dir, _ML3_PRED_SCRATCH)
+    e_d = (
+        (F.col("label_micro") - F.col("pred_micro")).cast("double")
+        / _ML3_MICRO
+    )
+    e2_centi = F.floor(F.pow(e_d, 2) * 100 + F.lit(0.5)).cast("long")
+    return back.select(e2_centi.alias("e2_centi")).agg(
+        F.count("*").cast("long").alias("n_train"),
+        F.sum("e2_centi").cast("long").alias("sse_centi"),
+        F.sqrt(
+            F.sum("e2_centi").cast("double") / 100.0 / F.count("*")
+        ).alias("rmse"),
+    )

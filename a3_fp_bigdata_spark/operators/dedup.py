@@ -537,22 +537,33 @@ def d4_containment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def simhash_frame(
-    spark: SparkSession, sf_dir: str, nbits: int = 32
-) -> DataFrame:
-    """(doc_id, simhash): per-token xxhash64, signed bit votes, majority
-    sign per bit. One map-side-combinable aggregate — the cheapest
-    near-dup signal at scale. ``nbits`` trades resolution (short docs
-    need more bits — one changed token flips several) against agg
-    width; d5 keeps the 32-bit form, d9's pair finder uses 48."""
+def _token_hash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h): one int64 xxhash64 per token OCCURRENCE (the
+    multiset — duplicate tokens vote more than once, as in the
+    original aggregate). The only engine-specific step of the SimHash
+    derivation; everything downstream is exact integer math both
+    engines can replay."""
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    return (
+        docs.select(
+            "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
+        )
+        .withColumn("h", F.xxhash64("tok"))
+        .select("doc_id", "h")
+    )
+
+
+def _simhash_from_token_hashes(th: DataFrame, nbits: int) -> DataFrame:
+    """(doc_id, h) token hashes -> (doc_id, simhash): signed bit votes,
+    majority sign per bit, bit-pack. One map-side-combinable
+    aggregate — the cheapest near-dup signal at scale. ``nbits`` trades
+    resolution (short docs need more bits — one changed token flips
+    several) against agg width; d5 keeps the 32-bit form, d9's pair
+    finder uses 48."""
     # Plain arithmetic (2*bit - 1) instead of CASE WHEN: same ±1 vote,
     # branch-free codegen — measured ~10% faster cold at sf0.1, byte-identical
     # fingerprints.
-    votes = toks.groupBy("doc_id").agg(
+    votes = th.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.shiftright("h", j).bitwiseAND(F.lit(1)) * 2 - 1
@@ -566,11 +577,68 @@ def simhash_frame(
     return votes.select("doc_id", simhash.alias("simhash"))
 
 
-@query("d5_simhash", oracle=None)
+def simhash_frame(
+    spark: SparkSession, sf_dir: str, nbits: int = 32
+) -> DataFrame:
+    """(doc_id, simhash): per-token xxhash64 -> signed bit votes ->
+    majority sign per bit (see the two halves above)."""
+    return _simhash_from_token_hashes(_token_hash_frame(spark, sf_dir), nbits)
+
+
+#: d5's token-hash scratch (r13, the d9 pattern one rung earlier): the
+#: per-occurrence token hashes — the ONLY engine-specific step —
+#: materialize to fingerprinted scratch; Spark aggregates the
+#: fingerprints from the read-back while DuckDB independently replays
+#: the exact-integer vote/majority/bit-pack derivation in SQL. A vote
+#: bug, a wrong shift, or a packing slip is a red hash mismatch on
+#: this row directly; only xxhash64 itself stays attested by the d3
+#: (exact-Jaccard) pytest contract instead.
+_D5_TOK_SCRATCH = run_scratch("d5_tok_hashes")
+
+_D5_NBITS = 32
+
+
+def _d5_oracle() -> str:
+    votes = ",\n             ".join(
+        f"sum(((h >> {j}) & 1) * 2 - 1) AS b{j}" for j in range(_D5_NBITS)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {2 ** j} ELSE 0 END)"
+        for j in range(_D5_NBITS)
+    )
+    return f"""
+    WITH th AS (
+      SELECT doc_id, h
+      FROM read_parquet('{_D5_TOK_SCRATCH}/*.parquet')
+      WHERE {fingerprint_where('documents', 'doc_id')}
+    ), votes AS (
+      SELECT doc_id, {votes}
+      FROM th GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM votes
+    """
+
+
+@query("d5_simhash", oracle=_d5_oracle())
 def d5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash fingerprints (see simhash_frame). Rows-only check
-    (hash internals are engine-specific)."""
-    return simhash_frame(spark, sf_dir, 32)
+    """32-bit SimHash fingerprints (see simhash_frame).
+
+    ORACLE-BACKED since r13 (was rows-only "hash internals are
+    engine-specific"): only the per-token xxhash64 is engine-specific —
+    it materializes to stamped scratch, and BOTH engines independently
+    derive the fingerprints from the same hashes (exact int64 votes,
+    majority signs, bit packing — DuckDB's ``>>`` is arithmetic like
+    Spark's shiftright, so bit extraction agrees on negative hashes).
+    Audit-scale note: the scratch is per-occurrence (corpus token
+    count) — proportionate for attestation tiers; the production path
+    is the fused simhash_frame aggregate with no materialization."""
+    th = _token_hash_frame(spark, sf_dir)
+    fp = src_fingerprint(table(spark, sf_dir, "documents"), "doc_id")
+    pin(th).crossJoin(F.broadcast(fp)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(_D5_TOK_SCRATCH)
+    back = spark.read.parquet(_D5_TOK_SCRATCH).drop("n_src", "src_ck")
+    return _simhash_from_token_hashes(back, _D5_NBITS)
 
 
 @query("d7_ml_minhash_lsh", oracle=None)

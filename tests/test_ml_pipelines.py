@@ -211,3 +211,42 @@ def test_ml5_calibration_bins_partition_the_holdout(spark, qf_scored):
         assert lo - 1e-4 <= r["mean_p"] <= hi + 1e-4 or r["bin"] == 9
         assert abs(r["abs_gap"] - abs(r["mean_p"] - r["emp_rate"])) <= 2e-4
         assert 0.0 <= r["emp_rate"] <= 1.0
+
+
+def test_ml3_scratch_rmse_matches_evaluator(spark, fitted):
+    """r13 flip: ml3's quantized scratch construction (int64 micro
+    pairs, exact centi-unit SSE) must reproduce RegressionEvaluator's
+    RMSE to ~1e-6 relative — the quantization is an attestation
+    device, not a different metric."""
+    _, _, _, rmse_eval = fitted
+    from a3_fp_bigdata_spark import registry
+
+    row = registry.all_queries()["ml3_training_rmse"](
+        spark, SF0001
+    ).collect()[0]
+    assert row["n_train"] > 0 and row["sse_centi"] >= 0
+    assert abs(row["rmse"] - rmse_eval) <= 1e-6 * max(rmse_eval, 1.0), (
+        row["rmse"],
+        rmse_eval,
+    )
+
+
+def test_ml2_scratch_table_is_top20_of_final(spark, fitted):
+    """r13 flip: ml2's read-back ranking must equal the direct top-20
+    of the scored frame (same total order, unique tie-break)."""
+    final, _, _, _ = fitted
+    from a3_fp_bigdata_spark import registry
+
+    want = [
+        (r["c_custkey"], r["cluster"])
+        for r in final.orderBy(
+            F.desc("c_acctbal"), "c_custkey"
+        ).limit(20).collect()
+    ]
+    got = [
+        (r["c_custkey"], r["cluster"])
+        for r in registry.all_queries()["ml2_rf_score_table"](
+            spark, SF0001
+        ).collect()
+    ]
+    assert got == want
