@@ -431,6 +431,46 @@ def mm17_alpha_webp_features(
     )
 
 
+#: committed ANIMATED-WebP fixture set (tools/make_anim_webp_fixtures
+#: .py): VP8X ANIM/ANMF containers assembled foreign-by-construction
+#: around libwebp-encoded frame bitstreams (lossless, lossy VP8,
+#: lossy+ALPH) — sub-rectangle placement, alpha-blend vs overwrite,
+#: dispose-to-background; ground-truth canvases from an INDEPENDENT
+#: scalar compositor in tests/golden/anim_webp_frames.npz.
+ANIM_WEBP_FIXTURE_DIR = os.path.join(
+    os.path.dirname(__file__), "fixtures", "anim_webp"
+)
+
+_MM18_PX_SCRATCH = run_scratch("mm18_px")
+
+
+@query(
+    "mm18_anim_webp_features",
+    oracle=_frame_features_oracle(_MM18_PX_SCRATCH),
+)
+def mm18_anim_webp_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """mm13's frame-sampling shape over ANIMATED WebP — the last
+    honest NotImplementedError in the WebP family, closed in r13:
+    binaryFile-scan the committed ANIM containers, run the canvas
+    state machine (webp_codec.decode_webp_anim_rgba: ANMF
+    sub-rectangles, source-over blend vs overwrite, dispose-to-
+    background; frame bitstreams reuse the VP8/VP8L/ALPH still
+    decoders verbatim), flatten each composited canvas over black,
+    emit per-frame channel means. ORACLE-BACKED from birth via the
+    shared per-frame pixel-scratch protocol; pytest pins exact frame
+    arrays against the independent compositor's committed truth."""
+    from a3_fp_bigdata_spark.multimodal.webp_codec import (
+        decode_webp_frames,
+    )
+
+    return _attested_frame_features(
+        spark, ANIM_WEBP_FIXTURE_DIR, "*.webp", _MM18_PX_SCRATCH,
+        decode_webp_frames,
+    )
+
+
 #: committed archival-TIFF fixture set (tools/make_tiff_lzw_fixtures
 #: .py): LZW (incl. the horizontal predictor) and PackBits strips from
 #: an INDEPENDENT spec-transcribed writer, scanned-document / photo /

@@ -23,7 +23,18 @@ tests/test_multimodal.py's alpha/lossless property sweeps):
   zero bits (libwebp's convention for constant channels);
 - extended WebP (VP8X) STILLS decode, with the ALPH alpha plane's
   raw and headerless-VP8L lanes + all prediction filters
-  (decode_webp_rgba). Animated WebP (ANIM/ANMF) still raises.
+  (decode_webp_rgba).
+
+Round 13 closes the last WebP boundary: ANIMATED WebP (VP8X ANIM +
+ANMF frames) decodes through decode_webp_anim_rgba /
+decode_webp_frames — per-frame sub-bitstreams (VP8 keyframes, VP8L,
+optional ALPH planes) reuse the still decoders verbatim; the canvas
+state machine implements the container spec's sub-rectangle
+placement, alpha-blend vs no-blend, and dispose-to-background
+(transparent, the WebPAnimDecoder/browser convention — see
+decode_webp_anim_rgba's note). Ground truth: an INDEPENDENT scalar
+compositor in tools/make_anim_webp_fixtures.py over libwebp-decoded
+per-frame pixels, committed as tests/golden/anim_webp_frames.npz.
 
 Fixtures come from tools/make_vp8l.py — an independent foreign-style
 generator (own bit writer, own canonical-code construction, own
@@ -659,15 +670,15 @@ def decode_webp_rgba(payload: bytes) -> np.ndarray:
     """RIFF WebP container -> (h, w, 4) uint8 RGBA, VP8X stills
     included: the base image comes from the VP8 (lossy keyframe,
     vp8_codec) or VP8L chunk, the alpha plane from ALPH when present
-    (opaque otherwise / VP8L's own alpha when lossless). Animation
-    (ANIM/ANMF) raises — multi-frame stills are APNG/GIF territory
-    with per-frame state this surface doesn't model."""
+    (opaque otherwise / VP8L's own alpha when lossless). Animated
+    containers (ANIM/ANMF, r13) return the FIRST composited canvas —
+    PIL's frame-0 convention, like decode_gif."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("not a WebP (bad RIFF header)")
     alpha = None
     for tag, body in _walk_chunks(payload):
         if tag == b"ANIM" or tag == b"ANMF":
-            raise NotImplementedError("animated WebP unsupported")
+            return decode_webp_anim_rgba(payload)[0]
         if tag == b"ALPH":
             alpha = body
         elif tag == b"VP8L":
@@ -684,3 +695,122 @@ def decode_webp_rgba(payload: bytes) -> np.ndarray:
                 a = np.full((h, w), 255, dtype=np.uint8)
             return np.dstack([rgb, a])
     raise ValueError("no VP8/VP8L chunk in WebP container")
+
+
+# ---------------------------------------------------------------------------
+# Animated WebP (VP8X ANIM + ANMF): the canvas state machine (r13)
+# ---------------------------------------------------------------------------
+
+
+def _u24(b: bytes, off: int) -> int:
+    return b[off] | (b[off + 1] << 8) | (b[off + 2] << 16)
+
+
+def _decode_subframe_rgba(frame_bytes: bytes) -> np.ndarray:
+    """ANMF frame payload (optional ALPH chunk + one VP8/VP8L chunk,
+    standard even-padded chunk headers) -> (fh, fw, 4) RGBA. Reuses
+    the still decoders verbatim — animation adds container state, not
+    bitstream semantics."""
+    alpha = None
+    pos = 0
+    while pos + 8 <= len(frame_bytes):
+        tag = frame_bytes[pos : pos + 4]
+        (size,) = struct.unpack("<I", frame_bytes[pos + 4 : pos + 8])
+        body = frame_bytes[pos + 8 : pos + 8 + size]
+        if tag == b"ALPH":
+            alpha = body
+        elif tag == b"VP8L":
+            return decode_vp8l(body)
+        elif tag == b"VP8 ":
+            from a3_fp_bigdata_spark.multimodal.vp8_codec import decode_vp8
+
+            rgb = decode_vp8(body)
+            h, w = rgb.shape[:2]
+            if alpha is not None:
+                a = decode_alph(alpha, w, h)
+            else:
+                a = np.full((h, w), 255, dtype=np.uint8)
+            return np.dstack([rgb, a])
+        pos += 8 + size + (size & 1)
+    raise ValueError("ANMF frame without VP8/VP8L bitstream")
+
+
+def decode_webp_anim_rgba(payload: bytes) -> list[np.ndarray]:
+    """Animated WebP -> list of composited (canvas_h, canvas_w, 4)
+    uint8 RGBA canvases, one per ANMF frame, per the container spec's
+    state machine: each frame is a sub-rectangle at (2*stored_x,
+    2*stored_y) with size (w-1)+1 x (h-1)+1, either alpha-blended
+    (flags bit 1 clear: non-premultiplied source-over, the APNG OVER
+    formula) or overwritten (bit 1 set) onto the canvas, and — AFTER
+    the canvas is emitted — optionally disposed (flags bit 0): the
+    frame rectangle is cleared to TRANSPARENT black. (The spec wording
+    says "background color specified in the ANIM chunk", which it also
+    permits renderers to ignore; libwebp's own WebPAnimDecoder and
+    every browser clear to transparent, so that is the convention
+    implemented and pinned here. The ANIM background color is a
+    viewer hint, parsed but not painted.) The canvas starts fully
+    transparent.
+
+    Scale note: like decode_gif/decode_apng this is the Arrow-batched
+    mapInPandas interior — per-payload work, no Spark plan impact; a
+    production deployment swaps it for libwebpdemux with zero plan
+    changes (the still-image native lane already demonstrates the
+    swap)."""
+    from a3_fp_bigdata_spark.multimodal.apng_codec import blend_over
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP (bad RIFF header)")
+    canvas_w = canvas_h = None
+    canvas = None
+    frames: list[np.ndarray] = []
+    for tag, body in _walk_chunks(payload):
+        if tag == b"VP8X":
+            canvas_w = _u24(body, 4) + 1
+            canvas_h = _u24(body, 7) + 1
+            canvas = np.zeros((canvas_h, canvas_w, 4), dtype=np.uint8)
+        elif tag == b"ANMF":
+            if canvas is None:
+                raise ValueError("ANMF before VP8X canvas header")
+            fx = 2 * _u24(body, 0)
+            fy = 2 * _u24(body, 3)
+            fw = _u24(body, 6) + 1
+            fh = _u24(body, 9) + 1
+            flags = body[15]
+            no_blend = bool(flags & 0x02)
+            dispose_bg = bool(flags & 0x01)
+            if fx + fw > canvas_w or fy + fh > canvas_h:
+                raise ValueError("ANMF frame exceeds canvas bounds")
+            rgba = _decode_subframe_rgba(body[16:])
+            if rgba.shape[:2] != (fh, fw):
+                raise ValueError(
+                    f"ANMF bitstream {rgba.shape[1]}x{rgba.shape[0]} != "
+                    f"declared {fw}x{fh}"
+                )
+            region = canvas[fy : fy + fh, fx : fx + fw]
+            if no_blend:
+                region[...] = rgba
+            else:
+                region[...] = blend_over(region, rgba)
+            frames.append(canvas.copy())
+            if dispose_bg:
+                canvas[fy : fy + fh, fx : fx + fw] = 0
+    if not frames:
+        raise ValueError("animated WebP with no ANMF frames")
+    return frames
+
+
+def decode_webp_frames(payload: bytes) -> list[np.ndarray]:
+    """WebP bytes -> list of composited HxWx3 uint8 RGB frames (the
+    decode_gif_frames/decode_apng_frames shape the frame-feature
+    scratch protocol consumes): animated containers run the canvas
+    state machine and flatten each RGBA canvas over opaque black
+    (viewer semantics, apng_codec.flatten_rgba); stills are a single
+    frame through the same flatten so alpha handling is uniform."""
+    from a3_fp_bigdata_spark.multimodal.apng_codec import flatten_rgba
+
+    for tag, _body in _walk_chunks(payload):
+        if tag in (b"ANIM", b"ANMF"):
+            return [
+                flatten_rgba(c) for c in decode_webp_anim_rgba(payload)
+            ]
+    return [flatten_rgba(decode_webp_rgba(payload))]

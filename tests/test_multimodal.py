@@ -2300,13 +2300,14 @@ def test_vp8_error_contract():
     frame2[3] = 0x00
     with pytest.raises(ValueError, match="start code"):
         decode_vp8(bytes(frame2))
-    # animated WebP refuses loudly (VP8X STILLS decode since late r12)
+    # animated WebP DECODES since r13 — but a frameless ANIM container
+    # still refuses loudly rather than returning an empty canvas
     anim = (
         b"RIFF" + (40).to_bytes(4, "little") + b"WEBP"
         + b"VP8X" + (10).to_bytes(4, "little") + b"\x02" + b"\x00" * 9
         + b"ANIM" + (6).to_bytes(4, "little") + b"\x00" * 6
     )
-    with pytest.raises(NotImplementedError, match="animated"):
+    with pytest.raises(ValueError, match="no ANMF frames"):
         decode_webp(anim)
 
 
@@ -2577,3 +2578,109 @@ def test_webp_container_probe():
     )
     assert _webp_container_probe(anim) == (None, True)
     assert _webp_container_probe(b"nope") == (None, False)
+
+
+def _anim_webp_fixture_bytes():
+    import os
+
+    from a3_fp_bigdata_spark.multimodal.binary_files import (
+        ANIM_WEBP_FIXTURE_DIR,
+    )
+
+    out = {}
+    for name in sorted(os.listdir(ANIM_WEBP_FIXTURE_DIR)):
+        with open(os.path.join(ANIM_WEBP_FIXTURE_DIR, name), "rb") as fh:
+            out[name] = fh.read()
+    return out
+
+
+def _anim_webp_goldens():
+    import os
+
+    return np.load(
+        os.path.join(
+            os.path.dirname(__file__), "golden", "anim_webp_frames.npz"
+        )
+    )
+
+
+def test_anim_webp_frames_match_independent_compositor():
+    """r13: animated WebP (VP8X ANIM/ANMF) — every composited frame of
+    every committed fixture must ARRAY-EQUAL the committed ground
+    truth from the INDEPENDENT scalar compositor
+    (tools/make_anim_webp_fixtures.py; frame pixels pinned by libwebp
+    itself). Covers sub-rectangle placement, fractional-alpha
+    source-over blending, overwrite frames, dispose-to-background,
+    and lossless/lossy/lossy+ALPH frame bitstreams."""
+    from a3_fp_bigdata_spark.multimodal.webp_codec import (
+        decode_webp_frames,
+    )
+
+    golden = _anim_webp_goldens()
+    fixtures = _anim_webp_fixture_bytes()
+    assert len(fixtures) == 5
+    for name, data in fixtures.items():
+        frames = decode_webp_frames(data)
+        want = [
+            golden[k]
+            for k in sorted(
+                (k for k in golden.files if k.startswith(name + "/")),
+                key=lambda k: int(k.rsplit("frame", 1)[1]),
+            )
+        ]
+        assert len(frames) == len(want) > 1, name
+        for i, (got, exp) in enumerate(zip(frames, want)):
+            assert got.shape == exp.shape, (name, i)
+            assert np.array_equal(got, exp), (name, i)
+
+
+def test_anim_webp_first_frame_surfaces():
+    """decode_webp / decode_webp_rgba on an animated container return
+    the FIRST composited canvas (PIL frame-0 convention, like GIF) —
+    and decode_image routes it through the pure compositor lane (the
+    native one-shot API refuses multi-frame files)."""
+    from a3_fp_bigdata_spark.multimodal import images
+    from a3_fp_bigdata_spark.multimodal.webp_codec import (
+        decode_webp,
+        decode_webp_anim_rgba,
+        decode_webp_rgba,
+    )
+
+    data = _anim_webp_fixture_bytes()["anim_subrect_blend.webp"]
+    canvases = decode_webp_anim_rgba(data)
+    assert np.array_equal(decode_webp_rgba(data), canvases[0])
+    assert np.array_equal(decode_webp(data), canvases[0][..., :3])
+    assert np.array_equal(
+        images.decode_image(data, "image/webp"), canvases[0][..., :3]
+    )
+
+
+def test_mm18_anim_features_match_goldens(spark):
+    """The registered animated-WebP query's per-frame means equal the
+    committed independent-compositor truth exactly."""
+    from pyspark.sql import functions as F
+
+    from a3_fp_bigdata_spark import registry
+
+    golden = _anim_webp_goldens()
+    names = sorted(_anim_webp_fixture_bytes())
+    rows = registry.all_queries()["mm18_anim_webp_features"](
+        spark, SF0001
+    ).collect()
+    spark_hash = {
+        r["h"]: r["fname"]
+        for r in spark.createDataFrame([(n,) for n in names], "fname string")
+        .select("fname", F.xxhash64("fname").alias("h"))
+        .collect()
+    }
+    assert len(rows) == sum(
+        1 for k in golden.files
+    )  # one row per (fixture, frame)
+    for r in rows:
+        fname = spark_hash[r["media_id"]]
+        exp = golden[f"{fname}/frame{r['frame_idx']}"]
+        assert (r["img_height"], r["img_width"]) == exp.shape[:2]
+        means = exp.reshape(-1, 3).mean(axis=0)
+        assert abs(r["img_avg_red"] - float(means[0])) < 1e-9, (fname, r)
+        assert abs(r["img_avg_green"] - float(means[1])) < 1e-9
+        assert abs(r["img_avg_blue"] - float(means[2])) < 1e-9
