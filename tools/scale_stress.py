@@ -289,6 +289,73 @@ def amplify_corpus(spark, factor: int) -> tuple[str, int]:
     return out, n_rows
 
 
+def microbatch_overhead_probe(spark, src_dir: str, nfiles: int = 40) -> dict:
+    """Isolate st13's residual per-batch growth (r13, VERDICT ask #6):
+    run the SAME staged corpus through (a) a NO-OP foreachBatch sink —
+    pure micro-batch scheduling + source/checkpoint listing — and (b)
+    the real hot_key_sink merge, collecting PER-BATCH triggerExecution
+    durations from the streaming progress log. Early-vs-late batch
+    means separate "accumulates with batch count" (listing growth)
+    from "flat per-batch work" (bounded merge)."""
+    import json as _json
+
+    from a3_fp_bigdata_spark.data import table as _table
+    from a3_fp_bigdata_spark.schemas import TESTDATA
+    from a3_fp_bigdata_spark.streaming.hot_keys import hot_key_sink
+    from a3_fp_bigdata_spark.streaming.incremental_dedup import _scratch_dir
+    from a3_fp_bigdata_spark.streaming.ingest import streaming_shuffle
+
+    stage = _scratch_dir("a3_probe_stage_")
+    _table(spark, src_dir, "documents").repartition(
+        nfiles, "doc_id"
+    ).write.mode("overwrite").parquet(stage)
+
+    def run(make_sink) -> tuple[float, list[float]]:
+        stream = (
+            spark.readStream.schema(TESTDATA["documents"])
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage)
+        )
+        t0 = time.perf_counter()
+        with streaming_shuffle(spark, 8):
+            q = make_sink(stream)
+            q.awaitTermination()
+        wall = time.perf_counter() - t0
+        durs = []
+        for p in q.recentProgress:
+            d = _json.loads(p.json) if hasattr(p, "json") else p
+            if d.get("numInputRows", 0) > 0:
+                durs.append(d["durationMs"]["triggerExecution"] / 1000.0)
+        return wall, durs
+
+    noop_wall, noop_durs = run(
+        lambda s: s.writeStream.foreachBatch(
+            lambda df, bid: df.count()
+        )
+        .option("checkpointLocation", _scratch_dir("a3_probe_cp_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    merge_wall, merge_durs = run(
+        lambda s: hot_key_sink(
+            s,
+            spark,
+            _scratch_dir("a3_probe_out_"),
+            checkpoint_dir=_scratch_dir("a3_probe_cp2_"),
+        )
+    )
+
+    def halves(durs: list[float]) -> tuple[float, float]:
+        k = max(len(durs) // 4, 1)
+        return sum(durs[:k]) / k, sum(durs[-k:]) / k
+
+    return {
+        "nfiles": nfiles,
+        "noop": (noop_wall, *halves(noop_durs), len(noop_durs)),
+        "merge": (merge_wall, *halves(merge_durs), len(merge_durs)),
+    }
+
+
 def main() -> None:
     sf_dir, stats = build_corpus()
     emb_stats = build_embeddings()
@@ -843,6 +910,52 @@ def main() -> None:
                 "merged view itself never exceeds shards x K rows."
             )
         )
+
+    # ---- st13 listing-cost isolation (r13, VERDICT ask #6)
+    print()
+    print("## Micro-batch overhead isolation (st13's residual growth)")
+    print()
+    print("The SAME 40-file staged corpus through (a) a NO-OP")
+    print("foreachBatch sink — pure micro-batch scheduling + source/")
+    print("checkpoint listing, zero sink work — and (b) the real")
+    print("hot_key_sink merge; per-batch triggerExecution durations")
+    print("from the streaming progress log, first-quarter vs")
+    print("last-quarter batch means. A rising no-op mean = listing/")
+    print("checkpoint cost accumulating with batch count; a flat one")
+    print("pins the residual growth on the merge (view re-list +")
+    print("touched-bucket rewrite), which is bounded by the view's")
+    print("<= shards x K rows.")
+    print()
+    probe = microbatch_overhead_probe(spark, big_dir, nfiles=40)
+    print("| sink | wall s | batches | per-batch s (first 1/4) | per-batch s (last 1/4) |")
+    print("|---|---|---|---|---|")
+    for label, key in (("no-op (scheduling+listing)", "noop"),
+                       ("hot_key_sink merge", "merge")):
+        w, first, last, nb = probe[key]
+        print(f"| {label} | {w:.1f} | {nb} | {first:.2f} | {last:.2f} |")
+    nw, nf_, nl, _ = probe["noop"]
+    mw, mf, ml, _ = probe["merge"]
+    print()
+    print(
+        f"- Scheduling+listing floor: {nw:.1f} s of st13's per-batch "
+        f"budget is sink-independent ({nf_:.2f} -> {nl:.2f} s/batch "
+        f"first->last quarter, {nl / max(nf_, 1e-9):.2f}x drift); the "
+        f"merge adds {mf - nf_:.2f} -> {ml - nl:.2f} s/batch on top "
+        f"({(ml - nl) / max(mf - nf_, 1e-9):.2f}x drift)."
+    )
+    print(
+        "- Production mitigations for the listing component at 10^4+"
+        " batch counts: checkpoint compaction is automatic (the"
+        " offsets/commits logs compact every"
+        " spark.sql.streaming.minBatchesToRetain); the view re-list"
+        " per batch is one bounded directory (buckets x ~1 file, the"
+        " merge rewrites in place); source listing is the staged-dir"
+        " file index, O(files) once per trigger — a file-notification"
+        " source (or Kafka) replaces it at production cadence. State"
+        " itself never lives in the checkpoint here (the view IS the"
+        " store), so RocksDB state-store growth does not apply to"
+        " this sink design."
+    )
 
     # ---- time-series rung: gap-heavy grid + one bot user
     print()
