@@ -256,12 +256,21 @@ def main() -> None:
     try_force(lambda: queries[warm](spark, sf_dir), f"warm:{warm}")
 
     # Host-speed calibration: a fixed synthetic workload (data-independent,
-    # deterministic shape) timed before and after the sweep. The shared
-    # box's speed swings ~1.5x between windows (same code measured 19.1 s
-    # and 31.9 s hours apart); `calib` lets a reader normalize headline
-    # numbers across rounds/windows instead of guessing which run was on
-    # an idle box. Not used to adjust `value` — raw wall time stays the
-    # honest headline.
+    # deterministic shape) timed at INTERLEAVED points through the sweep.
+    # The shared box's speed swings ~1.5x between windows (same code
+    # measured 19.1 s and 31.9 s hours apart), and r12 showed bookend-only
+    # probes are blind to MID-RUN contention (a +17% headline regression
+    # with identical bookends, bracketed by same-code sweeps 14% apart —
+    # VERDICT r12 watch #1). Probes now run before the sweep, right after
+    # the headline block, every CALIB_EVERY queries, and after the sweep;
+    # value_norm divides by the mean of ALL probes (same definition —
+    # "mean host speed during the sweep" — just a better estimator), and
+    # value_norm_seg corrects each headline query by its LOCAL bounding
+    # probes, so a contention spike confined to one segment no longer
+    # smears across the whole normalization. Not used to adjust `value` —
+    # raw wall time stays the honest headline.
+    CALIB_EVERY = 25
+
     def calibrate() -> float:
         from pyspark.sql import functions as F
 
@@ -273,10 +282,17 @@ def main() -> None:
         )
         return round(time.perf_counter() - t0, 3)
 
-    calib_before = calibrate()
+    calib_points: list[tuple[int, float]] = []  # (queries timed so far, s)
+
+    def probe_calib(pos: int) -> None:
+        calib_points.append((pos, calibrate()))
+
+    probe_calib(0)
 
     timings: dict[str, float] = {}
-    for name in to_time:
+    qpos: dict[str, int] = {}
+    for i, name in enumerate(to_time):
+        qpos[name] = i
         t = try_force(lambda n=name: queries[n](spark, sf_dir), name)
         if t is not None:
             timings[name] = t
@@ -284,8 +300,23 @@ def main() -> None:
             registry.release_pinned()  # drop per-query persisted frames
         except Exception as e:  # noqa: BLE001
             errors[f"release:{name}"] = f"{type(e).__name__}: {str(e)[:120]}"
+        done = i + 1
+        if done < len(to_time) and (
+            done == len(headline) or done % CALIB_EVERY == 0
+        ):
+            probe_calib(done)
 
-    calib_after = calibrate()
+    probe_calib(len(to_time))
+    calib_before = calib_points[0][1]
+    calib_after = calib_points[-1][1]
+
+    def local_calib(pos: int) -> float:
+        """Mean of the probes bounding ``pos``'s segment."""
+        before = [c for p, c in calib_points if p <= pos]
+        after = [c for p, c in calib_points if p > pos]
+        lo = before[-1] if before else calib_points[0][1]
+        hi = after[0] if after else calib_points[-1][1]
+        return (lo + hi) / 2
 
     # outlier re-probe AFTER the sweep (the contention window that
     # inflated the first reading has usually passed by then)
@@ -340,11 +371,26 @@ def main() -> None:
     # calib-normalized headline (see CALIB_REF): host-speed-corrected
     # seconds, computable from values already on the line — emitted so
     # no reader has to do the division or know which runs were on an
-    # idle box
-    calib_mean = (calib_before + calib_after) / 2
+    # idle box. The mean now covers ALL interleaved probes (r13);
+    # value_norm_seg additionally corrects each headline query by its
+    # LOCAL segment's probes — when the two disagree materially, the
+    # sweep hit localized contention and value_norm_seg is the better
+    # cross-round comparator.
+    calib_mean = sum(c for _, c in calib_points) / len(calib_points)
     value_norm = (
         round(total * CALIB_REF / calib_mean, 3)
         if total is not None and calib_mean > 0
+        else None
+    )
+    value_norm_seg = (
+        round(
+            sum(
+                timings[n] * CALIB_REF / local_calib(qpos[n])
+                for n in headline_timed
+            ),
+            3,
+        )
+        if total is not None
         else None
     )
     # Full per-query map goes to a committed FILE; the printed line must
@@ -358,6 +404,7 @@ def main() -> None:
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "value_norm": value_norm,
+                "value_norm_seg": value_norm_seg,
                 "calib_ref": CALIB_REF,
                 "unit": "sec",
                 "queries": timings,
@@ -367,6 +414,7 @@ def main() -> None:
                 "headline_timed": headline_timed,
                 "partial": partial,
                 "sf": sf,
+                "calib_points": calib_points,
                 "env": {
                     "pyspark": __import__("pyspark").__version__,
                     "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
@@ -382,11 +430,13 @@ def main() -> None:
         "metric": "headline_queries_total_wall",
         "value": total,
         "value_norm": value_norm,
+        "value_norm_seg": value_norm_seg,
         "calib_ref": CALIB_REF,
         "unit": "sec",
         "queries": {n: timings[n] for n in headline_timed},
         "sf": sf,
         "calib": [calib_before, calib_after],
+        "calib_probes": [c for _, c in calib_points],
     }
     if partial:
         line_dict["partial"] = sorted(
