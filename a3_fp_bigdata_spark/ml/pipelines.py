@@ -45,7 +45,7 @@ from a3_fp_bigdata_spark.data import (
     src_fingerprint,
     table,
 )
-from a3_fp_bigdata_spark.registry import pin, query
+from a3_fp_bigdata_spark.registry import query
 from a3_fp_bigdata_spark.session import session_token
 
 #: Numeric feature columns of the customer-features frame (analog of the
@@ -239,7 +239,10 @@ def _write_fingerprinted(df: DataFrame, spark, sf_dir: str, scratch: str):
     yields an empty oracle side and a red mismatch, never a false
     PASS. Returns the read-back with the stamp dropped."""
     fp = src_fingerprint(table(spark, sf_dir, "customer"), "c_custkey")
-    pin(df).crossJoin(F.broadcast(fp)).coalesce(1).write.mode(
+    # no pin: the frame feeds exactly ONE write (the read-back is a
+    # fresh scan of the scratch) — persisting a single-consumer frame
+    # just burns executor memory (ADVICE r13)
+    df.crossJoin(F.broadcast(fp)).coalesce(1).write.mode(
         "overwrite"
     ).parquet(scratch)
     return spark.read.parquet(scratch).drop("n_src", "src_ck")
@@ -251,7 +254,7 @@ def _write_fingerprinted(df: DataFrame, spark, sf_dir: str, scratch: str):
     SELECT {", ".join(_ML2_COLS)}
     FROM read_parquet('{_ML2_SCORED_SCRATCH}/*.parquet')
     WHERE {fingerprint_where('customer', 'c_custkey')}
-    ORDER BY c_acctbal DESC, c_custkey
+    ORDER BY c_acctbal DESC NULLS LAST, c_custkey
     LIMIT 20
     """,
 )
@@ -267,7 +270,13 @@ def ml2_rf_score_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection surface (sort keys, tie-break, cut) is value-attested."""
     final, _, _, _ = fit_transform(spark, sf_dir)
     back = _write_fingerprinted(final, spark, sf_dir, _ML2_SCORED_SCRATCH)
-    return back.orderBy(F.desc("c_acctbal"), "c_custkey").limit(20)
+    # desc_nulls_last EXPLICITLY: Spark's desc already sorts nulls
+    # last, but DuckDB's DESC puts them FIRST — both sides pin the
+    # same null placement so the total order can't diverge if the
+    # feature frame ever carries a null balance (ADVICE r13)
+    return back.orderBy(
+        F.desc_nulls_last("c_acctbal"), "c_custkey"
+    ).limit(20)
 
 
 #: micro-quantization unit for the materialized (label, prediction)
@@ -287,12 +296,16 @@ _ML3_MICRO = 1_000_000
       SELECT label_micro, pred_micro
       FROM read_parquet('{_ML3_PRED_SCRATCH}/*.parquet')
       WHERE {fingerprint_where('customer', 'c_custkey')}
-    ), e AS (
-      SELECT CAST(floor(
-               power(CAST(label_micro - pred_micro AS DOUBLE)
-                     / {_ML3_MICRO}, 2) * 100 + 0.5
-             ) AS BIGINT) AS e2_centi
+    ), d AS (
+      -- plain multiplication, NOT power(x,2): IEEE mandates correctly-
+      -- rounded *, so both engines get the same double bit-for-bit;
+      -- pow() routes through libm and carries no such guarantee
+      SELECT CAST(label_micro - pred_micro AS DOUBLE)
+               / {_ML3_MICRO} AS e_d
       FROM p
+    ), e AS (
+      SELECT CAST(floor(e_d * e_d * 100 + 0.5) AS BIGINT) AS e2_centi
+      FROM d
     )
     SELECT CAST(count(*) AS BIGINT) AS n_train,
            CAST(sum(e2_centi) AS BIGINT) AS sse_centi,
@@ -330,11 +343,34 @@ def ml3_training_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("label_micro") - F.col("pred_micro")).cast("double")
         / _ML3_MICRO
     )
-    e2_centi = F.floor(F.pow(e_d, 2) * 100 + F.lit(0.5)).cast("long")
-    return back.select(e2_centi.alias("e2_centi")).agg(
+    e2_centi = F.floor(e_d * e_d * 100 + F.lit(0.5)).cast("long")
+    agg = back.select(e2_centi.alias("e2_centi")).agg(
         F.count("*").cast("long").alias("n_train"),
         F.sum("e2_centi").cast("long").alias("sse_centi"),
+        F.max("e2_centi").cast("long").alias("max_e2c"),
+    )
+    # loud overflow guard (the dq5 pattern): sum <= max*count, so the
+    # exact-int64 sum is provably safe when max_e2c <= 2^62 / n_train.
+    # Spark wraps int64 silently past that; DuckDB raises — the guard
+    # makes Spark raise too instead of returning a wrapped SSE.
+    in_bound = F.col("max_e2c") <= F.expr(
+        f"CAST({2 ** 62} AS BIGINT) DIV GREATEST(n_train, 1L)"
+    )
+    guarded_sse = F.when(
+        F.assert_true(
+            in_bound,
+            F.lit(
+                "ml3_training_rmse: per-row squared-error magnitude x "
+                "row count exceeds the exact-int64 bound; shard the "
+                "evaluation by cluster first"
+            ),
+        ).isNull(),
+        F.col("sse_centi"),
+    )
+    return agg.select(
+        "n_train",
+        guarded_sse.alias("sse_centi"),
         F.sqrt(
-            F.sum("e2_centi").cast("double") / 100.0 / F.count("*")
+            guarded_sse.cast("double") / 100.0 / F.col("n_train")
         ).alias("rmse"),
     )

@@ -634,7 +634,10 @@ def d5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the fused simhash_frame aggregate with no materialization."""
     th = _token_hash_frame(spark, sf_dir)
     fp = src_fingerprint(table(spark, sf_dir, "documents"), "doc_id")
-    pin(th).crossJoin(F.broadcast(fp)).coalesce(1).write.mode(
+    # no pin: th feeds exactly one write; the aggregation reads the
+    # scratch back, not th (d9 pins its READ-BACK because it feeds
+    # both self-join sides — different shape)
+    th.crossJoin(F.broadcast(fp)).coalesce(1).write.mode(
         "overwrite"
     ).parquet(_D5_TOK_SCRATCH)
     back = spark.read.parquet(_D5_TOK_SCRATCH).drop("n_src", "src_ck")

@@ -2684,3 +2684,31 @@ def test_mm18_anim_features_match_goldens(spark):
         assert abs(r["img_avg_red"] - float(means[0])) < 1e-9, (fname, r)
         assert abs(r["img_avg_green"] - float(means[1])) < 1e-9
         assert abs(r["img_avg_blue"] - float(means[2])) < 1e-9
+
+
+def test_vp8x_canvas_fields_match_libwebp_writer():
+    """ADVICE r13: the animation path's VP8X canvas parse (_u24 at
+    offsets 4/7) was only exercised on containers this repo wrote —
+    self-consistent layouts can hide a field-offset slip. Pin the
+    offsets against libwebp's OWN VP8X headers (the committed alpha
+    stills): declared canvas must equal the decoded bitstream dims,
+    and the ALPHA flag bit (0x10) must be set exactly on the ALPH
+    carriers."""
+    from a3_fp_bigdata_spark.multimodal.webp_codec import (
+        _walk_chunks,
+        decode_webp_rgba,
+    )
+
+    seen = 0
+    for name, data in _alpha_webp_fixture_bytes().items():
+        chunks = dict(_walk_chunks(data))
+        if b"VP8X" not in chunks:
+            continue
+        seen += 1
+        body = chunks[b"VP8X"]
+        w = body[4] | (body[5] << 8) | (body[6] << 16)
+        h = body[7] | (body[8] << 8) | (body[9] << 16)
+        rgba = decode_webp_rgba(data)
+        assert (h + 1, w + 1) == rgba.shape[:2], name
+        assert bool(body[0] & 0x10) == (b"ALPH" in chunks), name
+    assert seen >= 3  # the lossy-alpha stills all carry VP8X
