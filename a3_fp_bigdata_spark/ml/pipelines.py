@@ -207,13 +207,42 @@ def fit_transform(
 # ---------------------------------------------------------------------------
 
 
-@query("ml1_cluster_sizes")
+_ML1_ASSIGN_SCRATCH = run_scratch("ml1_assignments")
+
+
+@query(
+    "ml1_cluster_sizes",
+    oracle=f"""
+    SELECT cluster, CAST(count(*) AS BIGINT) AS n
+    FROM read_parquet('{_ML1_ASSIGN_SCRATCH}/*.parquet')
+    WHERE {fingerprint_where('customer', 'c_custkey')}
+    GROUP BY cluster
+    ORDER BY cluster
+    """,
+)
 def ml1_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster histogram of the fitted KMeans pipeline — the reference's
     diagnostic `groupBy('cluster').count().orderBy('cluster')`
-    (spark_script.py:80). Rows-only: centroid assignment is impl-specific."""
+    (spark_script.py:80).
+
+    ORACLE-BACKED since r13 (was rows-only "centroid assignment is
+    impl-specific"): the assignments — the seed-internal values, taken
+    as given — materialize to stamped scratch, and BOTH engines
+    independently derive the histogram from the same rows. A dropped
+    customer, a double count, or a grouping slip is a red hash
+    mismatch; the centroid geometry itself stays pinned by pytest's
+    k-cluster/coverage invariants (no SQL oracle can exist for the
+    fit)."""
     final, _, _, _ = fit_transform(spark, sf_dir)
-    return final.groupBy("cluster").agg(F.count("*").alias("n")).orderBy("cluster")
+    back = _write_fingerprinted(
+        final.select("c_custkey", "cluster"), spark, sf_dir,
+        _ML1_ASSIGN_SCRATCH,
+    )
+    return (
+        back.groupBy("cluster")
+        .agg(F.count("*").alias("n"))
+        .orderBy("cluster")
+    )
 
 
 #: ml2/ml3 scratch (r13, VERDICT ask #5): the model OUTPUTS — the only

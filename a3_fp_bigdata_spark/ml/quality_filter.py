@@ -120,25 +120,86 @@ def fit_score(
     return _QF_CACHE[key]
 
 
-@query("ml4_quality_filter")
+_ML4_SCORE_SCRATCH = run_scratch("ml4_scores")
+
+
+@query(
+    "ml4_quality_filter",
+    oracle=None,  # attached below (needs data.fingerprint_where)
+)
 def ml4_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion report of the model-based quality filter against its
     weak-supervision label, split by fit/holdout membership: one row
     per (in_fit, label, keep) cell with count and mean P(keep). This is
     the keep-rate dashboard a production filter ships — and because the
     label is a deterministic text function, the holdout cells measure
-    real generalization, not leakage. Rows-only: IDF weights and LBFGS
-    iterates are impl-specific, not SQL-expressible; pytest pins the
-    invariants (holdout accuracy floor, full coverage)."""
+    real generalization, not leakage.
+
+    ORACLE-BACKED since r13 (was rows-only "IDF weights and LBFGS
+    iterates are impl-specific"): per-doc (in_fit, label, keep,
+    micro-quantized P(keep)) — the model outputs, taken as given —
+    materialize to stamped scratch, and BOTH engines independently
+    re-derive the confusion cells (exact int64 counts + micro-sum, one
+    shared division construction, half_up to 2 decimals). The fit
+    itself stays pinned by pytest's holdout-accuracy floor."""
+    from a3_fp_bigdata_spark.data import src_fingerprint, table
+
     scored, _ = fit_score(spark, sf_dir)
+    rows = scored.select(
+        "doc_id",
+        F.col("in_fit"),
+        F.col("label"),
+        F.col("keep"),
+        F.floor(F.col("p_keep") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("p_micro"),
+    )
+    fp = src_fingerprint(table(spark, sf_dir, "documents"), "doc_id")
+    rows.crossJoin(F.broadcast(fp)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(_ML4_SCORE_SCRATCH)
+    back = spark.read.parquet(_ML4_SCORE_SCRATCH).drop("n_src", "src_ck")
     return (
-        scored.groupBy("in_fit", "label", "keep")
+        back.groupBy("in_fit", "label", "keep")
         .agg(
             F.count("*").alias("n"),
-            half_up(F.avg("p_keep"), 2).alias("mean_p"),
+            half_up(
+                F.sum("p_micro").cast("double") / 1000000.0 / F.count("*"),
+                2,
+            ).alias("mean_p"),
         )
         .orderBy("in_fit", "label", "keep")
     )
+
+
+def _attach_ml4_oracle() -> None:
+    """Deferred like st13's: renders data.py's fingerprint snippet."""
+    import dataclasses
+
+    from a3_fp_bigdata_spark import registry as _R
+    from a3_fp_bigdata_spark.data import fingerprint_where
+
+    mean_sql = half_up_sql(
+        "CAST(sum(p_micro) AS DOUBLE) / CAST(1000000 AS DOUBLE)"
+        " / count(*)", 2
+    )
+    sql = f"""
+    SELECT in_fit, label, keep,
+           CAST(count(*) AS BIGINT) AS n,
+           {mean_sql} AS mean_p
+    FROM read_parquet('{_ML4_SCORE_SCRATCH}/*.parquet')
+    WHERE {fingerprint_where('documents', 'doc_id')}
+    GROUP BY in_fit, label, keep
+    ORDER BY in_fit, label, keep
+    """
+    rq = _R._REGISTRY["ml4_quality_filter"]
+    if rq.oracle is None:
+        _R._REGISTRY["ml4_quality_filter"] = dataclasses.replace(
+            rq, oracle=sql
+        )
+
+
+_attach_ml4_oracle()
 
 
 #: ml5 scratch — the audit-scratch protocol (mm7/mm9): Spark

@@ -431,6 +431,105 @@ def mm17_alpha_webp_features(
     )
 
 
+_MM19_PX_SCRATCH = run_scratch("mm19_px")
+
+#: resize attestation target (mm19): 8x8 like mm3's probe
+_RS_OUT = 8
+
+
+def _mm19_oracle() -> str:
+    return (
+        _pixel_scratch_sql(_MM19_PX_SCRATCH)
+        + f"""
+    , dims AS (
+      SELECT media_id, max(y) + 1 AS h, max(x) + 1 AS w
+      FROM px GROUP BY media_id
+    ), grid AS (
+      SELECT oy.g AS oy, ox.g AS ox
+      FROM (SELECT unnest(range({_RS_OUT})) AS g) oy,
+           (SELECT unnest(range({_RS_OUT})) AS g) ox
+    ), samples AS (
+      SELECT d.media_id, d.h, d.w,
+             least((g.oy * d.h) // {_RS_OUT}, d.h - 1) AS sy,
+             least((g.ox * d.w) // {_RS_OUT}, d.w - 1) AS sx
+      FROM dims d CROSS JOIN grid g
+    )
+    SELECT s.media_id,
+           avg(p.r) AS rs_avg_red,
+           avg(p.g) AS rs_avg_green,
+           avg(p.b) AS rs_avg_blue,
+           CAST(max(s.w) AS INT) AS img_width,
+           CAST(max(s.h) AS INT) AS img_height
+    FROM samples s
+    JOIN px p
+      ON p.media_id = s.media_id AND p.y = s.sy AND p.x = s.sx
+    GROUP BY s.media_id
+    """
+    )
+
+
+@query("mm19_resize_attested", oracle=_mm19_oracle())
+def mm19_resize_attested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine attestation of the RESIZE INDEX MATH (r13; the
+    strong rung behind mm3's contract oracle): decode the committed
+    icon fixtures, materialize ORIGINAL pixels to stamped scratch,
+    then BOTH engines independently replay nearest-neighbor 8x8
+    sampling — src row = least((oy*h) div 8, h-1), same for columns,
+    exactly images.resize_nn's arithmetic — and aggregate channel
+    means over the 64 sampled pixels (exact int sums, one division).
+    A selection-index slip, an off-by-one clamp, or a transposed axis
+    is a red hash mismatch on this row; pytest additionally pins the
+    means against resize_nn applied directly to the decoded arrays."""
+    from a3_fp_bigdata_spark.multimodal.images import pixel_rows
+
+    media = image_dir_source(spark, FIXTURE_DIR, glob="*.png")
+    px = pin(pixel_rows(media))
+    _write_stamped(px, _MM19_PX_SCRATCH)
+    back = read_stamped_scratch(spark, _MM19_PX_SCRATCH)
+    dims = back.groupBy("media_id").agg(
+        (F.max("y") + 1).alias("h"), (F.max("x") + 1).alias("w")
+    )
+    grid = F.array(
+        *[
+            F.struct(F.lit(oy).alias("oy"), F.lit(ox).alias("ox"))
+            for oy in range(_RS_OUT)
+            for ox in range(_RS_OUT)
+        ]
+    )
+    samples = dims.select(
+        "media_id", "h", "w", F.explode(grid).alias("g")
+    ).select(
+        "media_id",
+        "h",
+        "w",
+        F.least(
+            F.expr(f"CAST((g.oy * h) DIV {_RS_OUT} AS INT)"),
+            F.col("h") - 1,
+        ).alias("sy"),
+        F.least(
+            F.expr(f"CAST((g.ox * w) DIV {_RS_OUT} AS INT)"),
+            F.col("w") - 1,
+        ).alias("sx"),
+    )
+    joined = F.broadcast(samples).alias("s").join(
+        back.alias("p"),
+        (F.col("s.media_id") == F.col("p.media_id"))
+        & (F.col("p.y") == F.col("s.sy"))
+        & (F.col("p.x") == F.col("s.sx")),
+    )
+    return (
+        joined.groupBy("s.media_id")
+        .agg(
+            F.avg("p.r").alias("rs_avg_red"),
+            F.avg("p.g").alias("rs_avg_green"),
+            F.avg("p.b").alias("rs_avg_blue"),
+            F.max("s.w").cast("int").alias("img_width"),
+            F.max("s.h").cast("int").alias("img_height"),
+        )
+        .orderBy("media_id")
+    )
+
+
 #: committed ANIMATED-WebP fixture set (tools/make_anim_webp_fixtures
 #: .py): VP8X ANIM/ANMF containers assembled foreign-by-construction
 #: around libwebp-encoded frame bitstreams (lossless, lossy VP8,

@@ -523,10 +523,28 @@ def mm2_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media_table(spark, sf_dir))
 
 
-@query("mm3_resize_probe")
+@query(
+    "mm3_resize_probe",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(192 AS INT) AS payload_bytes,
+           CAST(8 AS INT) AS height,
+           CAST(8 AS INT) AS width
+    FROM documents
+    """,
+)
 def mm3_resize_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize every image to 8x8 and return byte-length proof rows
-    (payload sizes are schema-determined: 8*8*3). Rows-only."""
+    (payload sizes are schema-determined: 8*8*3).
+
+    ORACLE-BACKED since r13 as a CONTRACT oracle: the decode+resize
+    really runs (Arrow mapInPandas over every payload), and the oracle
+    states the output contract — full media coverage (one row per
+    document, hash-checked on media_id) and the schema-determined
+    sizes. The resize INDEX MATH itself is value-attested
+    cross-engine by mm19_resize_attested (DuckDB replays the
+    nearest-neighbor selection from the pixel scratch) and pinned by
+    the resize_nn pytest goldens."""
     resized = resize_images(media_table(spark, sf_dir), 8, 8)
     return resized.select(
         "media_id", F.length("payload").alias("payload_bytes"), "height", "width"

@@ -133,7 +133,8 @@ def all_oracles() -> dict[str, str]:
 #: The round driver's correctness sweep is BOUNDED: it hash-checks only
 #: the alphabetically-first 50 exposed query names. CANONICAL curates one
 #: window covering every SURVEY §2 operator family with oracle-backed
-#: representatives (plus the three rows-only flagships d4/ml1/mm2, whose
+#: representatives (plus the rows-only flagships d4/mm2 — ml1 flipped
+#: to a scratch-backed oracle in r13 — whose
 #: families admit no stronger check). Entries outside the set are
 #: depth/variant queries; exposure renames them with a "z_" prefix so
 #: they sort after the window. Nothing is hidden — all tiers are exposed,

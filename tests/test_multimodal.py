@@ -61,11 +61,11 @@ def test_native_fast_path_matches_pure_python_on_every_fixture():
 def test_decode_real_format_raises_without_pil():
     if M.HAVE_PIL:
         pytest.skip("PIL installed; stub gate not reachable")
-    # the pure-python codecs cover PNG/JPEG/GIF/BMP/TIFF/ICO and BOTH
-    # WebP profiles (VP8L lossless; r12 adds lossy VP8 keyframes);
-    # formats beyond them (AVIF etc.) still need PIL and must say so,
-    # not guess — and ANIMATED WebP hits the documented
-    # NotImplementedError boundary (VP8X stills decode since r12)
+    # the pure-python codecs cover PNG/JPEG/GIF/BMP/TIFF/ICO and the
+    # FULL WebP family (VP8L lossless, lossy VP8 keyframes, VP8X
+    # stills, r13 animation); formats beyond them (AVIF etc.) still
+    # need PIL and must say so, not guess — and a FRAMELESS animated
+    # container refuses loudly rather than returning an empty canvas
     with pytest.raises(NotImplementedError):
         M.decode_image(b"unknown", "image/avif")
     import struct as _struct
@@ -75,7 +75,7 @@ def test_decode_real_format_raises_without_pil():
         + b"VP8X" + _struct.pack("<I", 10) + b"\x02" + b"\x00" * 9
         + b"ANIM" + _struct.pack("<I", 6) + b"\x00" * 6
     )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="no ANMF frames"):
         M.decode_image(anim, "image/webp")
     # corrupt bytes fail loudly in the codecs, not silently
     with pytest.raises(ValueError):
@@ -2712,3 +2712,46 @@ def test_vp8x_canvas_fields_match_libwebp_writer():
         assert (h + 1, w + 1) == rgba.shape[:2], name
         assert bool(body[0] & 0x10) == (b"ALPH" in chunks), name
     assert seen >= 3  # the lossy-alpha stills all carry VP8X
+
+
+def test_mm19_resize_attestation_matches_resize_nn(spark):
+    """The registered resize-attestation query's sampled means must
+    equal resize_nn applied directly to the decoded fixture arrays —
+    the cross-engine SQL replay and the numpy index math are the same
+    function."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from a3_fp_bigdata_spark import registry
+    from a3_fp_bigdata_spark.multimodal.binary_files import FIXTURE_DIR
+    from a3_fp_bigdata_spark.multimodal.images import (
+        decode_image,
+        resize_nn,
+    )
+
+    names = sorted(
+        n for n in os.listdir(FIXTURE_DIR) if n.endswith(".png")
+    )
+    want = {}
+    for n in names:
+        with open(os.path.join(FIXTURE_DIR, n), "rb") as fh:
+            arr = decode_image(fh.read(), "image/png")
+        rs = resize_nn(arr, 8, 8).reshape(-1, 3).astype(np.int64)
+        want[n] = (rs.mean(axis=0), arr.shape)
+    rows = registry.all_queries()["mm19_resize_attested"](
+        spark, SF0001
+    ).collect()
+    assert len(rows) == len(want)
+    spark_hash = {
+        r["h"]: r["fname"]
+        for r in spark.createDataFrame([(n,) for n in names], "fname string")
+        .select("fname", F.xxhash64("fname").alias("h"))
+        .collect()
+    }
+    for r in rows:
+        means, shape = want[spark_hash[r["media_id"]]]
+        assert (r["img_height"], r["img_width"]) == shape[:2]
+        assert abs(r["rs_avg_red"] - float(means[0])) < 1e-9
+        assert abs(r["rs_avg_green"] - float(means[1])) < 1e-9
+        assert abs(r["rs_avg_blue"] - float(means[2])) < 1e-9

@@ -69,10 +69,13 @@ def test_every_family_has_oracle_backed_canonical_entry():
             continue
         members = [n for n in registry.CANONICAL if _family(n) == fam]
         assert members, f"family {fam!r} missing from CANONICAL"
-        if fam != "ml":  # ML fits are rows-only by design (seeded models)
-            assert any(n in oracles for n in members), (
-                f"family {fam!r} has no oracle-backed canonical entry"
-            )
+        # r13 removed the historical "ml" exception: ml1/ml5 are now
+        # scratch-oracle-backed (assignments/scores taken as given,
+        # aggregation replayed by DuckDB), so EVERY family must carry
+        # an oracle-backed canonical entry.
+        assert any(n in oracles for n in members), (
+            f"family {fam!r} has no oracle-backed canonical entry"
+        )
 
 
 def test_deferred_names_round_trip():
