@@ -485,7 +485,10 @@ def mm19_resize_attested(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = image_dir_source(spark, FIXTURE_DIR, glob="*.png")
     px = pin(pixel_rows(media))
     _write_stamped(px, _MM19_PX_SCRATCH)
-    back = read_stamped_scratch(spark, _MM19_PX_SCRATCH)
+    # the read-back feeds BOTH the dims aggregate and the sample join:
+    # pin it, or the scan + stamp-guard run twice (d9's measured
+    # multi-reference rule)
+    back = pin(read_stamped_scratch(spark, _MM19_PX_SCRATCH))
     dims = back.groupBy("media_id").agg(
         (F.max("y") + 1).alias("h"), (F.max("x") + 1).alias("w")
     )

@@ -904,10 +904,10 @@ def main() -> None:
                 if name.startswith("st10")
                 else "the audited top-K stays counter-bounded "
                 "(<= K rows) at both scales (batch size is constant "
-                "by construction); residual per-batch growth is "
-                "micro-batch scheduling plus sink/checkpoint listing "
-                "overhead accumulating with batch count, while the "
-                "merged view itself never exceeds shards x K rows."
+                "by construction); the overhead-isolation rung below "
+                "pins WHERE the residual per-batch growth lives "
+                "(the merge, not listing), while the merged view "
+                "itself never exceeds shards x K rows."
             )
         )
 
