@@ -40,7 +40,7 @@ MEDIA_TYPES = {
 def corpus() -> list[tuple[bytes, str]]:
     fix_root = os.path.join(os.path.dirname(M.__file__), "fixtures")
     out = []
-    for pattern in ("*", "neardup/*", "modern/*", "foreign/*", "archival/*", "apng/*", "ico/*", "lossy_webp/*", "alpha_webp/*"):
+    for pattern in ("*", "neardup/*", "modern/*", "foreign/*", "archival/*", "apng/*", "ico/*", "lossy_webp/*", "alpha_webp/*", "anim_webp/*"):
         for path in sorted(glob.glob(os.path.join(fix_root, pattern))):
             mt = MEDIA_TYPES.get(os.path.splitext(path)[1])
             if mt:
