@@ -2755,3 +2755,72 @@ def test_mm19_resize_attestation_matches_resize_nn(spark):
         assert abs(r["rs_avg_red"] - float(means[0])) < 1e-9
         assert abs(r["rs_avg_green"] - float(means[1])) < 1e-9
         assert abs(r["rs_avg_blue"] - float(means[2])) < 1e-9
+
+
+def test_anim_webp_randomized_vs_independent_compositor():
+    """Property sweep over the blend/dispose matrix (the committed
+    fixtures are hand-picked; this walks a wider space): randomized
+    canvases and frame stacks — random even offsets, random sub-rect
+    sizes, random no-blend/dispose flags, fractional/binary/opaque
+    alpha — assembled through the fixture tool's muxer around
+    libwebp-encoded LOSSLESS bitstreams, then required to ARRAY-EQUAL
+    the tool's independent scalar compositor frame by frame."""
+    from a3_fp_bigdata_spark.multimodal import webp_native as N
+
+    if not N.HAVE_LIBWEBP:
+        pytest.skip("libwebp not available")
+    import os as _os
+    import sys
+
+    sys.path.insert(
+        0, _os.path.join(_os.path.dirname(__file__), _os.pardir)
+    )
+    from tools.make_anim_webp_fixtures import (
+        animated_container,
+        anmf,
+        extract_bitstream_chunks,
+        scalar_compose,
+        truth_rgba,
+    )
+    from tools.make_alpha_webp_fixtures import _encode_lossless_rgba
+    from a3_fp_bigdata_spark.multimodal.webp_codec import (
+        decode_webp_frames,
+    )
+
+    rng = np.random.default_rng(1337)
+    for trial in range(12):
+        cw = int(rng.integers(10, 40))
+        ch = int(rng.integers(10, 40))
+        n_frames = int(rng.integers(2, 5))
+        frames, placed = [], []
+        for i in range(n_frames):
+            if i == 0:
+                fx = fy = 0
+                fw, fh = cw, ch
+            else:
+                fw = int(rng.integers(1, cw + 1))
+                fh = int(rng.integers(1, ch + 1))
+                fx = 2 * int(rng.integers(0, (cw - fw) // 2 + 1))
+                fy = 2 * int(rng.integers(0, (ch - fh) // 2 + 1))
+            kind = rng.integers(0, 3)
+            rgb = rng.integers(0, 256, (fh, fw, 3), dtype=np.uint8)
+            if kind == 0:
+                a = np.full((fh, fw), 255, np.uint8)
+            elif kind == 1:
+                a = rng.integers(0, 256, (fh, fw), dtype=np.uint8)
+            else:
+                a = (rng.integers(0, 2, (fh, fw)) * 255).astype(np.uint8)
+            still = _encode_lossless_rgba(np.dstack([rgb, a]))
+            no_blend = bool(rng.integers(0, 2)) or i == 0
+            dispose = bool(rng.integers(0, 2))
+            frames.append(
+                anmf(fx, fy, fw, fh, 40, no_blend, dispose,
+                     extract_bitstream_chunks(still))
+            )
+            placed.append((fx, fy, truth_rgba(still), no_blend, dispose))
+        data = animated_container(cw, ch, frames, True)
+        got = decode_webp_frames(data)
+        want = scalar_compose(cw, ch, placed)
+        assert len(got) == len(want) == n_frames, trial
+        for i, (g, w) in enumerate(zip(got, want)):
+            assert np.array_equal(g, w), (trial, i)
