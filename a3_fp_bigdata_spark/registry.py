@@ -90,6 +90,7 @@ def _load_all_modules() -> None:
         scalars,
         semistructured,
         setops,
+        suffixes,
         temporal,
         upsert,
         similarity,
