@@ -287,6 +287,12 @@ def main() -> None:
     def probe_calib(pos: int) -> None:
         calib_points.append((pos, calibrate()))
 
+    # JIT-warm the calib workload itself before the first probe: the
+    # cold first run reads 0.66-0.85 s vs ~0.55 s steady on an idle box
+    # (codegen + whole-stage JIT, not host load), which would overstate
+    # slowness at exactly the headline segment and make value_norm_seg
+    # overcorrect the headline downward.
+    calibrate()
     probe_calib(0)
 
     timings: dict[str, float] = {}
