@@ -248,3 +248,73 @@ def d22_exact_substring_spans(
     ).select(
         "pos_a", "pos_b", F.decode(span_a, "UTF-8").alias("span")
     )
+
+#: LCP cap: repeats are interesting from SPAN_L up; 64 bounds the
+#: per-pair work (64 O(1) binary slices) whatever the true overlap.
+LCP_CAP = 64
+
+
+def _lcp_terms_sql() -> str:
+    """Sum of monotone prefix-equality indicators == the capped LCP
+    (equality at L implies equality at every l < L, so the indicator
+    staircase sums to max L). Rendered from ONE generator for both
+    engines."""
+    return " + ".join(
+        f"(CASE WHEN substring(a.s, a.p + 1, {L}) ="
+        f" substring(a.s, b.p + 1, {L}) THEN 1 ELSE 0 END)"
+        for L in range(1, LCP_CAP + 1)
+    )
+
+
+@query(
+    "d23_lcp_array",
+    oracle=_slice_sql()
+    + f"""
+    , sa AS (
+      SELECT p, s,
+             row_number() OVER (ORDER BY substring(s, p + 1)) AS r
+      FROM keep
+    )
+    SELECT CAST(a.r AS INT) AS sa_rank,
+           a.p AS pos_a, b.p AS pos_b,
+           CAST({_lcp_terms_sql()} AS INT) AS lcp
+    FROM sa a JOIN sa b ON b.r = a.r + 1
+    """,
+)
+def d23_lcp_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (capped) LCP array over the audit slice — with d21 this is
+    the standard exact-dedup toolkit: lcp[i] = length of the common
+    prefix of SA-adjacent suffixes, the structure every repeated-
+    substring statistic (longest repeat, repeat histograms, d22's
+    span threshold) reads off directly. Computed WITHOUT per-char
+    loops on either engine: by the prefix property, equality at
+    length L implies equality at every shorter length, so the sum of
+    {LCP_CAP} monotone equality indicators IS max(L) — each indicator
+    one O(1) binary slice compare (see d22's binary-lane note). The
+    oracle re-derives the same pairs and the same staircase from its
+    own independent suffix sort. Separators need no special case: a
+    separator byte only ever equals another separator, and SA-adjacent
+    suffixes from different documents mismatch at or before it."""
+    sa = build_suffix_array(spark, sf_dir)
+    nxt = sa.select(
+        (F.col("sa_rank") - 1).alias("sa_rank"),
+        F.col("pos").alias("pos_b"),
+    )
+    sl_bin = corpus_slice(spark, sf_dir).select(
+        F.encode("s", "UTF-8").alias("s_bin")
+    )
+    adj = (
+        sa.join(nxt, "sa_rank")
+        .select("sa_rank", F.col("pos").alias("pos_a"), "pos_b")
+        .crossJoin(F.broadcast(sl_bin))
+    )
+    lcp = sum(
+        (
+            F.substring(F.col("s_bin"), F.col("pos_a") + 1, L)
+            == F.substring(F.col("s_bin"), F.col("pos_b") + 1, L)
+        ).cast("int")
+        for L in range(1, LCP_CAP + 1)
+    )
+    return adj.select(
+        "sa_rank", "pos_a", "pos_b", lcp.cast("int").alias("lcp")
+    )

@@ -121,3 +121,27 @@ def test_sa_cache_shared_between_queries(spark):
         spark, SF0001
     ).count()
     assert len(SX._SA_CACHE) == 1  # reused, not rebuilt
+
+
+def test_d23_lcp_matches_python_ground_truth(spark):
+    """Capped LCP of every SA-adjacent pair equals a direct python
+    common-prefix count over the same slice."""
+    s = SX.corpus_slice(spark, SF0001).first()["s"]
+    rows = registry.all_queries()["d23_lcp_array"](
+        spark, SF0001
+    ).orderBy("sa_rank").collect()
+    sa = _python_suffix_array(s)
+    assert len(rows) == len(sa) - 1
+    for r in rows:
+        a, b = r["pos_a"], r["pos_b"]
+        k = 0
+        while (
+            k < SX.LCP_CAP
+            and a + k < len(s)
+            and b + k < len(s)
+            and s[a + k] == s[b + k]
+        ):
+            k += 1
+        assert r["lcp"] == k, (a, b, k, r["lcp"])
+        # adjacency really is the SA's
+        assert (r["sa_rank"], a) in sa
