@@ -158,13 +158,18 @@ CANONICAL = frozenset(
         # histogram plan is composed inside it — dq4 out green r12)
         "dq1_expectations", "dq5_drift_decision",
         # dedup ladder: exact, MinHash+LSH flagship (rows-only),
-        # containment audit, connected-components clusters, and r12's
-        # SimHash pair table (own fingerprint-scratch oracle; d20
-        # gram-novelty out green r12, z_d20 — tx18 carries the n-gram
-        # shape in-window)
-        "d1_exact_dedup", "d4_minhash_lsh",
-        "d9_simhash_pairs",
-        "d11_containment_audit", "d12_dedup_clusters",
+        # containment audit, r13's SimHash fingerprints (token-hash
+        # scratch oracle), and the r13 suffix-array rung — SA by
+        # distributed prefix doubling (d21), exact-substring spans
+        # (d22, the Lee et al. method itself), capped LCP array (d23),
+        # all with FIRST-PRINCIPLES brute-force-suffix-sort oracles.
+        # d9 pair-finder out green r13 (z_d9 — d5 carries the simhash
+        # machinery + scratch shape); d12 clusters out green r13
+        # (z_d12 — d1/d11 keep the dedup join shapes, d13 composes
+        # d12's chain in its z_ twin)
+        "d1_exact_dedup", "d4_minhash_lsh", "d5_simhash",
+        "d11_containment_audit",
+        "d21_suffix_array", "d22_exact_substring_spans", "d23_lcp_array",
         # scalar/text functions
         "f1_extract_keywords",
         # grouped-map Arrow surface
@@ -172,24 +177,34 @@ CANONICAL = frozenset(
         # joins: broadcast, salted-skew, as-of (j12 interval-overlap
         # out green r12; z_j12 — j8 keeps the range-condition shape)
         "j1_left_outer_broadcast", "j7_salted_skew_join", "j8_asof_join",
-        # ML fits (rows-only by design) + r11's calibration audit
-        "ml1_cluster_sizes", "ml5_calibration_audit",
-        # multimodal: decode flagship (rows-only) + the r12
-        # scratch-oracle surface — fixture-dir features (mm4), modern
-        # formats (mm12), APNG frame compositor (mm13), ICO (mm15),
-        # lossy VP8 (mm16, libwebp-oracle-pinned), VP8X+ALPH alpha
-        # (mm17). mm11 split-leakage out green r12 (z_mm11; pk7
-        # carries the split-leakage shape in-window). mm5/mm6/mm14
-        # stay z_ per the r13 triage in ROTATION.md.
-        "mm2_image_features", "mm4_image_dir_features",
-        "mm12_modern_format_features", "mm13_apng_frame_features",
-        "mm15_favicon_features", "mm16_lossy_webp_features",
-        "mm17_alpha_webp_features",
-        # packing/mixing: greedy packer, domain mixture, split leakage,
-        # curriculum schedule (pk16 best-fit audit out green r12;
-        # z_pk16 — pk2 keeps the packing shape)
+        # ML surface — all scratch-oracle-backed since r13: cluster
+        # sizes (ml1), RF score table with replayed rank (ml2),
+        # micro-unit RMSE (ml3), quality-filter confusion replay
+        # (ml4). ml5 calibration audit out green r13 (z_ml5 — the
+        # audit tier keeps d11/sim11 in-window and ml3/ml4 carry the
+        # micro-unit replay shape)
+        "ml1_cluster_sizes", "ml2_rf_score_table",
+        "ml3_training_rmse", "ml4_quality_filter",
+        # multimodal: decode flagship (rows-only) + one representative
+        # per distinct decode machinery — fixture-dir features (mm4),
+        # modern formats (mm12), lossy VP8 (mm16, libwebp-oracle-
+        # pinned), resize contract (mm3) + its value-level attestation
+        # (mm19), animated WebP (mm18 — the ANIM/ANMF canvas state
+        # machine, which subsumes mm13's APNG compositor shape).
+        # Out green r13: mm13 (z_mm13 — mm18 drives the same frame
+        # compositor), mm15 (z_mm15 — mm4's scratch shape, ICO codec
+        # pytest-pinned), mm17 (z_mm17 — mm16 keeps the WebP lane,
+        # mm18 composites RGBA frames). mm5/mm6/mm14 stay z_ per the
+        # r13 triage in ROTATION.md.
+        "mm2_image_features", "mm3_resize_probe",
+        "mm4_image_dir_features",
+        "mm12_modern_format_features", "mm16_lossy_webp_features",
+        "mm18_anim_webp_features", "mm19_resize_attested",
+        # packing/mixing: greedy packer, domain mixture, split leakage
+        # (pk13 curriculum out green r13; z_pk13 — pk5 keeps the
+        # mixture shape, pk2 the two-pass prefix pattern; pk16 audit
+        # out green r12, z_pk16)
         "pk2_greedy_pack", "pk5_domain_mixture", "pk7_split_leakage",
-        "pk13_curriculum_schedule",
         # pipeline: manifest, checksum, + the r10 corpus-release flagship
         "pl1_training_manifest", "pl3_corpus_checksum",
         "pl8_release_manifest",
@@ -199,10 +214,10 @@ CANONICAL = frozenset(
         "sim11_ivf_recall_audit",
         # set ops
         "so3_except",
-        # SQL surface + sources: JSON round-trip + r11's
-        # versioned-snapshot (time-travel-lite) read
+        # SQL surface + sources: JSON round-trip (src9 versioned-
+        # snapshot out green r13; z_src9 — src2 keeps the source
+        # round-trip shape, the snapshot chain stays parity-green)
         "sql1_spark_sql_surface", "src2_json_roundtrip",
-        "src9_versioned_snapshot_read",
         # serving endpoints
         "srv_top_apps",
         # streaming: REAL micro-batch tumbling run, stream-stream join,
@@ -219,14 +234,15 @@ CANONICAL = frozenset(
         # repetition rules (tx17 Gopher cascade out green r11; z_tx17 —
         # tx18 composes the same n-gram machinery)
         "tx2_quality_score", "tx10_redact_pii", "tx18_dup_gram_fraction",
-        # upsert/CDC: merge, SCD2 (u5 changelog apply out green r12;
-        # z_u5 — u1 keeps the keyed-merge shape)
-        "u1_merge_upsert", "u2_scd2_history",
-        # r14 rotation candidates are noted in ROTATION.md per protocol
-        # (new r13 queries earn slots once z_-parity-green this round).
-        # windows: top-k per group, sessionize, rolling z-score
-        # (w10 EWMA out green r11; z_w10)
-        "w1_topk_per_group", "w5_sessionize", "w11_rolling_zscore",
+        # upsert/CDC: merge (u2 SCD2 out green r13; z_u2 — u1 keeps
+        # the keyed-merge shape; u5 out green r12, z_u5)
+        "u1_merge_upsert",
+        # r15 rotation candidates are noted in ROTATION.md per protocol
+        # (new r14 queries earn slots once z_-parity-green this round).
+        # windows: top-k per group, sessionize (w11 rolling z-score
+        # out green r13; z_w11 — w5 keeps the range-frame shape;
+        # w10 EWMA out green r11, z_w10)
+        "w1_topk_per_group", "w5_sessionize",
     }
 )
 

@@ -93,7 +93,7 @@ for name in SPOT:
         fails.append((name, "mismatch"))
 
 # 3. probes
-for name in ("d4_minhash_lsh", "z_d5_simhash"):
+for name in ("d4_minhash_lsh", exposure_name("d5_simhash")):
     n = qs[name](spark, SF).count()
     print(f"{name}: {n} rows (rows-only)")
     assert n >= 0
