@@ -25,16 +25,22 @@ Java's UTF-16 comparison and DuckDB's UTF-8 byte order provably
 coincide.
 
 AUDIT-SCALE rung, like the quadratic d6/d9 audits: the slice is a
-deterministic doc sample (doc_id % SA_DOC_MOD == 0 — ~1/97 of the
-corpus, ~14 kB at sf0.1) because the ORACLE side is a brute-force
+deterministic doc sample (doc_id % SA_DOC_MOD == 0 — ~1/47 of the
+corpus, ~30 kB at sf0.1) because the ORACLE side is a brute-force
 suffix sort. The Spark construction itself scales far beyond the
-slice: at 100 TB the global dense_rank window below becomes a
-range-partitioned re-rank (repartitionByRange on the rank pair +
-sortWithinPartitions + per-partition count offsets), the per-round
-localCheckpoint stays (it cuts the exponential lineage exactly like
-d12's connected components), and the corpus shards by segment with
->= SPAN_L character overlap at the boundaries so no cross-shard span
-is missed. Rounds are O(log n) whatever the corpus.
+slice: every re-rank (the per-round dense_rank AND the final
+row_number) runs the range-partitioned two-pass by DEFAULT —
+repartitionByRange on the rank pair + per-partition local rank +
+a broadcast join of the <= SA_RERANK_PARTS-row partition-offset
+table (pk1's proven prefix-sum pattern; `_two_pass_rank` below) —
+so no stage ever funnels the corpus through one reducer. The
+legacy single-partition global window survives only as the
+equality pin (`two_pass=False`, compared row-for-row in
+tests/test_suffixes.py). The per-round localCheckpoint stays (it
+cuts the exponential lineage exactly like d12's connected
+components), and at 100 TB the corpus shards by segment with
+>= SPAN_L character overlap at the boundaries so no cross-shard
+span is missed. Rounds are O(log n) whatever the corpus.
 
 Reference surface: none (the reference has no dedup at all); this is
 part of the engine's LLM-training-data extension alongside d1-d20.
@@ -103,21 +109,90 @@ def corpus_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.agg(F.array_join(ordered, SA_SEP).alias("s"))
 
 
-#: One construction per (session, sf_dir): d21 and d22 consume the
-#: same array; the checkpointed rank blocks live for the session (the
-#: ml _FIT_CACHE protocol — release_pinned doesn't touch them).
-_SA_CACHE: dict[tuple[str, str], DataFrame] = {}
+#: One construction per (session, sf_dir, mode): d21/d22/d23 consume
+#: the same array; the checkpointed rank blocks live for the session
+#: (the ml _FIT_CACHE protocol — release_pinned doesn't touch them).
+#: Mode is in the key so the equality-pin test can hold both builds.
+_SA_CACHE: dict[tuple[str, str, bool], DataFrame] = {}
+
+#: Shard count for the two-pass re-rank — the parallelism of every
+#: doubling round (pk1's NSHARDS rationale: size for executor memory;
+#: 32 matches the local harness, ~2000 at 100 TB keeps shards bounded).
+SA_RERANK_PARTS = 32
 
 
-def build_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _two_pass_rank(
+    df: DataFrame, keys: list[str], dense: bool
+) -> DataFrame:
+    """Global dense_rank (dense=True) or row_number (dense=False) over
+    ``keys`` WITHOUT a single-partition global window — the pk1/pk13
+    two-pass prefix-sum pattern applied to ranking:
+
+    1. repartitionByRange on the keys (identical keys land in ONE
+       partition — RangePartitioner assigns by key — and partition ids
+       are range-ORDERED, so per-partition ranks compose by offset)
+       + sortWithinPartitions; the partition id is materialized by an
+       eager localCheckpoint so both passes read the same assignment;
+    2. local rank inside each partition (a PARTITIONED window — never
+       the global one) plus a <= SA_RERANK_PARTS-row aggregate of
+       per-partition key counts, whose exclusive prefix sum is each
+       partition's rank offset (the tiny frame takes the global
+       window, a6's rank-over-aggregate shape); offsets broadcast-join
+       back. global rank = partition offset + local rank, exactly.
+
+    Returns ``df``'s columns plus ``rnk``. Wall-clock shape at scale:
+    one range shuffle + one hash shuffle on the partition id + one
+    broadcast join — no stage sees more than one partition's rows."""
+    parts = (
+        df.repartitionByRange(SA_RERANK_PARTS, *keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_loc = Window.partitionBy("_pid").orderBy(*keys)
+    lrnk = (F.dense_rank() if dense else F.row_number()).over(w_loc)
+    local = parts.withColumn("_lrnk", lrnk)
+    # distinct-key count per partition (dense) / row count (row_number)
+    # == max local rank, because the local rank is gapless by
+    # construction. <= SA_RERANK_PARTS rows.
+    w_prefix = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.max("_lrnk").alias("_nkeys"))
+        .select(
+            "_pid",
+            F.coalesce(F.sum("_nkeys").over(w_prefix), F.lit(0)).alias(
+                "_off"
+            ),
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .select(
+            *df.columns,
+            (F.col("_off") + F.col("_lrnk")).cast("long").alias("rnk"),
+        )
+    )
+
+
+def build_suffix_array(
+    spark: SparkSession, sf_dir: str, two_pass: bool = True
+) -> DataFrame:
     """(sa_rank, pos) — the suffix array of the slice by prefix
     doubling. Driver loop holds only a 1-row max-rank probe per round
     (a bounded collect, like d12's convergence check); each round
     localCheckpoints to cut the exponential lineage. The corpus string
     itself never rides per-row through a shuffle: every frame here
     carries only (pos, rank) ints; consumers needing characters attach
-    the 1-row slice via broadcast at projection time (d22)."""
-    key = (session_token(spark), sf_dir)
+    the 1-row slice via broadcast at projection time (d22).
+
+    ``two_pass=True`` (the default, and what d21/d22/d23 serve) runs
+    every re-rank through the range-partitioned ``_two_pass_rank``;
+    ``two_pass=False`` keeps the legacy single-partition global window
+    purely as the equality pin for tests."""
+    key = (session_token(spark), sf_dir, two_pass)
     if key in _SA_CACHE:
         return _SA_CACHE[key]
     sl = corpus_slice(spark, sf_dir)
@@ -144,24 +219,33 @@ def build_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(nxt, "pos", "left")
             .na.fill({"r2": -1})
         )
-        ranks = paired.select(
-            "pos", F.dense_rank().over(w).cast("long").alias("rnk")
-        ).localCheckpoint(eager=True)
+        if two_pass:
+            reranked = _two_pass_rank(paired, ["r1", "r2"], dense=True)
+        else:
+            reranked = paired.select(
+                "pos", "r1", "r2",
+                F.dense_rank().over(w).cast("long").alias("rnk"),
+            )
+        ranks = reranked.select("pos", "rnk").localCheckpoint(eager=True)
         # convergence probe: all ranks distinct -> done (1-row agg,
         # bounded collect)
         if ranks.agg(F.max("rnk")).first()[0] >= n:
             break
         step *= 2
     keep = base.filter(F.col("ch") != SA_SEP).select("pos")
-    out_w = Window.orderBy("rnk")
-    sa = (
-        ranks.join(keep, "pos")
-        .select(
-            F.row_number().over(out_w).cast("int").alias("sa_rank"),
-            F.col("pos").cast("int").alias("pos"),
-        )
-        .localCheckpoint(eager=True)
+    joined = ranks.join(keep, "pos").select(
+        "pos", F.col("rnk").alias("srt")
     )
+    if two_pass:
+        numbered = _two_pass_rank(joined, ["srt"], dense=False)
+    else:
+        numbered = joined.withColumn(
+            "rnk", F.row_number().over(Window.orderBy("srt")).cast("long")
+        )
+    sa = numbered.select(
+        F.col("rnk").cast("int").alias("sa_rank"),
+        F.col("pos").cast("int").alias("pos"),
+    ).localCheckpoint(eager=True)
     _SA_CACHE[key] = sa
     return sa
 
@@ -249,6 +333,187 @@ def d22_exact_substring_spans(
         "pos_a", "pos_b", F.decode(span_a, "UTF-8").alias("span")
     )
 
+#: d24's oracle composes d22's adjacent-pair CTE with the offset table
+#: and d16's gaps-and-islands merge — rendered from the SAME constants
+#: so the two rungs can never drift apart.
+def _d24_oracle() -> str:
+    L = SPAN_L
+    return (
+        _slice_sql()
+        + f"""
+    , sa AS (
+      SELECT p, s,
+             row_number() OVER (ORDER BY substring(s, p + 1)) AS r
+      FROM keep
+    ), adj AS (
+      SELECT a.p AS pos_a, b.p AS pos_b,
+             substring(a.s, a.p + 1, {L}) AS span, a.s AS s
+      FROM sa a JOIN sa b ON b.r = a.r + 1
+    ), spans0 AS (
+      SELECT DISTINCT greatest(pos_a, pos_b) AS cpos
+      FROM adj
+      WHERE length(span) = {L}
+        AND span = substring(s, pos_b + 1, {L})
+        AND position(chr(1) IN span) = 0
+        AND position(chr(1) IN substring(s, pos_b + 1, {L})) = 0
+    ), docs_n AS (
+      SELECT doc_id, regexp_replace(text, '{_NORM_RE}', '', 'g') AS t
+      FROM documents WHERE doc_id % {SA_DOC_MOD} = 0
+    ), offs AS (
+      SELECT doc_id, t, length(t) AS len,
+             coalesce(sum(length(t) + 1) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS off
+      FROM docs_n
+    ), cuts AS (
+      SELECT o.doc_id, c.cpos - o.off AS s0
+      FROM spans0 c JOIN offs o
+        ON c.cpos >= o.off AND c.cpos < o.off + o.len
+    ), brk AS (
+      SELECT doc_id, s0,
+        CASE WHEN s0 > coalesce(max(s0 + {L}) OVER (
+            PARTITION BY doc_id ORDER BY s0
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        THEN 1 ELSE 0 END AS b
+      FROM cuts
+    ), isl AS (
+      SELECT doc_id, s0,
+             sum(b) OVER (PARTITION BY doc_id ORDER BY s0) AS island
+      FROM brk
+    ), merged AS (
+      SELECT doc_id, min(s0) AS st, max(s0) + {L} AS en
+      FROM isl GROUP BY doc_id, island
+    ), chrows AS (
+      SELECT doc_id, substring(t, i + 1, 1) AS ch, i
+      FROM (SELECT doc_id, t,
+                   unnest(range(0, length(t))) AS i
+            FROM offs)
+    ), keptc AS (
+      SELECT c.doc_id, c.i, c.ch FROM chrows c
+      WHERE NOT EXISTS (SELECT 1 FROM merged m
+                        WHERE m.doc_id = c.doc_id
+                          AND c.i >= m.st AND c.i < m.en)
+    ), kagg AS (
+      SELECT doc_id, string_agg(ch, '' ORDER BY i) AS clean_text,
+             count(*) AS n_kept
+      FROM keptc GROUP BY doc_id
+    )
+    SELECT o.doc_id, coalesce(k.clean_text, '') AS clean_text,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(o.len - coalesce(k.n_kept, 0) AS BIGINT) AS n_cut
+    FROM offs o LEFT JOIN kagg k USING (doc_id)
+    """
+    )
+
+
+@query("d24_sa_span_cut", oracle=_d24_oracle())
+def d24_sa_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the span-cleaned slice corpus from d22's
+    exact-substring pairs — the cut step the module docstring promised
+    ("production joins positions back to (doc_id, offset) ... and
+    cuts the spans exactly like d16"), completing the suffix family's
+    detect -> cut pipeline (the d12 -> d13 / d15 -> d16 pattern, now
+    at the exact-substring rung). Policy: cut every occurrence that
+    is the position-MAX of an SA-adjacent duplicate pair — for a
+    doubled span that keeps exactly the earlier occurrence (d1/d13's
+    deterministic min-keeper applied to positions); for a k-fold run
+    the survivors are the position-local-minima along the SA run, so
+    at least the globally earliest occurrence always survives (the
+    Lee et al. tooling's keep-one convention, reached pair-locally so
+    the cut set needs no per-group global pass); overlapping cut
+    windows merge via d16's gaps-and-islands before cutting, and the
+    output
+    is one row per sampled doc: (doc_id, clean_text, n_kept, n_cut)
+    in characters of the NORMALIZED text. Docs that are entirely
+    repeats come out with clean_text = '' rather than vanishing.
+
+    Shapes: the span list is output-proportional (repeats only) and
+    broadcasts to the offset join; the per-doc islands merge reuses
+    d15's window (shuffles on doc_id, hit rows only); the char-level
+    cut is scan-side array ops (F.filter positional lambda, d16's
+    recipe) — the corpus never explodes into char ROWS on the Spark
+    side (the oracle does explode; DuckDB has no positional lambda).
+    The offset table's cumulative sum is a window over the SAMPLED
+    docs only — audit-scale like corpus_slice itself; the production
+    form is pk1's two-pass prefix sum over segment lengths, the exact
+    machinery _two_pass_rank already implements for the ranks.
+
+    Oracle: composes d22's adjacent-pair CTE (same first-principles
+    brute-force suffix sort) with the same offset table and the same
+    islands SQL d16 uses — nothing shared but the corpus, the
+    constants, and the definition of the cut."""
+    spans = (
+        d22_exact_substring_spans(spark, sf_dir)
+        .select(
+            F.greatest(F.col("pos_a"), F.col("pos_b")).alias("cpos")
+        )
+        .distinct()
+    )
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % SA_DOC_MOD == 0
+    )
+    w_off = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = docs.select(
+        "doc_id", F.regexp_replace("text", _NORM_RE, "").alias("t")
+    ).select(
+        "doc_id",
+        "t",
+        F.length("t").alias("len"),
+        F.coalesce(
+            F.sum(F.length("t") + 1).over(w_off), F.lit(0)
+        ).alias("off"),
+    )
+    cuts = offs.join(
+        F.broadcast(spans),
+        (F.col("cpos") >= F.col("off"))
+        & (F.col("cpos") < F.col("off") + F.col("len")),
+    ).select("doc_id", (F.col("cpos") - F.col("off")).alias("s0"))
+    w_doc = Window.partitionBy("doc_id").orderBy("s0")
+    prev_end = F.max(F.col("s0") + SPAN_L).over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    merged = (
+        cuts.withColumn(
+            "b",
+            F.when(
+                prev_end.isNull() | (F.col("s0") > prev_end), F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("island", F.sum("b").over(w_doc))
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("s0").alias("st"),
+            (F.max("s0") + SPAN_L).alias("en"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("st", "en")).alias("spans"))
+    )
+    span_arr = F.coalesce(
+        F.col("spans"),
+        F.array().cast("array<struct<st:bigint,en:bigint>>"),
+    )
+    chars = F.filter(
+        F.split(F.col("t"), "(?!^)"), lambda ch: F.length(ch) == 1
+    )
+    kept = F.filter(
+        chars,
+        lambda ch, i: ~F.exists(
+            span_arr, lambda sp: (i >= sp.st) & (i < sp.en)
+        ),
+    )
+    return (
+        offs.join(merged, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.concat_ws("", kept).alias("clean_text"),
+            F.size(kept).cast("long").alias("n_kept"),
+            (F.col("len") - F.size(kept)).cast("long").alias("n_cut"),
+        )
+    )
+
+
 #: LCP cap: repeats are interesting from SPAN_L up; 64 bounds the
 #: per-pair work (64 O(1) binary slices) whatever the true overlap.
 LCP_CAP = 64
@@ -257,11 +522,19 @@ LCP_CAP = 64
 def _lcp_terms_sql() -> str:
     """Sum of monotone prefix-equality indicators == the capped LCP
     (equality at L implies equality at every l < L, so the indicator
-    staircase sums to max L). Rendered from ONE generator for both
-    engines."""
+    staircase sums to max L). Each indicator also requires the prefix
+    to be separator-free (checked on the a-side only: equality at L
+    makes both sides identical), which CLAMPS the LCP at the first
+    document boundary — without it, identical text surrounding two
+    different boundaries could stitch an LCP across documents
+    (ADVICE r13). Separator-freedom is monotone too (sep-free at L
+    implies sep-free at every l < L), so the staircase still sums to
+    max L. Rendered from ONE generator for both engines."""
     return " + ".join(
         f"(CASE WHEN substring(a.s, a.p + 1, {L}) ="
-        f" substring(a.s, b.p + 1, {L}) THEN 1 ELSE 0 END)"
+        f" substring(a.s, b.p + 1, {L})"
+        f" AND position(chr(1) IN substring(a.s, a.p + 1, {L})) = 0"
+        f" THEN 1 ELSE 0 END)"
         for L in range(1, LCP_CAP + 1)
     )
 
@@ -292,9 +565,13 @@ def d23_lcp_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     {LCP_CAP} monotone equality indicators IS max(L) — each indicator
     one O(1) binary slice compare (see d22's binary-lane note). The
     oracle re-derives the same pairs and the same staircase from its
-    own independent suffix sort. Separators need no special case: a
-    separator byte only ever equals another separator, and SA-adjacent
-    suffixes from different documents mismatch at or before it."""
+    own independent suffix sort. Each indicator additionally requires
+    the prefix to be separator-free, clamping the LCP at the first
+    document boundary: without the clamp, identical text surrounding
+    two DIFFERENT boundaries (same doc-suffix after both) would
+    stitch an LCP across documents and a consumer reading
+    lcp >= SPAN_L as a within-document repeat would over-count
+    (ADVICE r13; d22 excludes separator windows the same way)."""
     sa = build_suffix_array(spark, sf_dir)
     nxt = sa.select(
         (F.col("sa_rank") - 1).alias("sa_rank"),
@@ -308,10 +585,14 @@ def d23_lcp_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("sa_rank", F.col("pos").alias("pos_a"), "pos_b")
         .crossJoin(F.broadcast(sl_bin))
     )
+    def _slice_a(L: int):
+        return F.substring(F.col("s_bin"), F.col("pos_a") + 1, L)
+
     lcp = sum(
         (
-            F.substring(F.col("s_bin"), F.col("pos_a") + 1, L)
-            == F.substring(F.col("s_bin"), F.col("pos_b") + 1, L)
+            (_slice_a(L)
+             == F.substring(F.col("s_bin"), F.col("pos_b") + 1, L))
+            & (F.instr(F.decode(_slice_a(L), "UTF-8"), SA_SEP) == 0)
         ).cast("int")
         for L in range(1, LCP_CAP + 1)
     )

@@ -140,8 +140,127 @@ def test_d23_lcp_matches_python_ground_truth(spark):
             and a + k < len(s)
             and b + k < len(s)
             and s[a + k] == s[b + k]
+            # the separator clamp (ADVICE r13): the LCP stops at the
+            # first document boundary, never stitches across it
+            and s[a + k] != SX.SA_SEP
         ):
             k += 1
         assert r["lcp"] == k, (a, b, k, r["lcp"])
         # adjacency really is the SA's
         assert (r["sa_rank"], a) in sa
+
+
+def test_d24_cut_matches_python_reference(spark, tmp_path):
+    """d24's span cut equals a from-scratch python replay on the
+    planted corpus: python builds its own SA, derives the SA-adjacent
+    duplicate pairs, cuts the position-max of each, and re-assembles
+    every sampled doc. Also pins the policy's keep-one guarantee: the
+    earliest occurrence of the planted repeat survives, the later one
+    is cut."""
+    sf_dir = _planted_corpus(spark, tmp_path)
+    SX._SA_CACHE.clear()
+    s = SX.corpus_slice(spark, sf_dir).first()["s"]
+    L = SX.SPAN_L
+    sa = _python_suffix_array(s)
+    cut: set[int] = set()
+    for (_, p1), (_, p2) in zip(sa, sa[1:]):
+        w1, w2 = s[p1 : p1 + L], s[p2 : p2 + L]
+        if (
+            len(w1) == L
+            and w1 == w2
+            and SX.SA_SEP not in w1
+            and SX.SA_SEP not in w2
+        ):
+            cut.add(max(p1, p2))
+    covered = {i for p in cut for i in range(p, p + L)}
+    # doc offsets in slice order
+    docs = sorted(
+        (r["doc_id"], r["t"])
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % SX.SA_DOC_MOD == 0)
+        .selectExpr(
+            "doc_id", "regexp_replace(text, '[^ -~]', '') AS t"
+        )
+        .collect()
+    )
+    expected = {}
+    off = 0
+    for doc_id, t in docs:
+        kept = "".join(
+            ch for i, ch in enumerate(t) if (off + i) not in covered
+        )
+        expected[doc_id] = (kept, len(kept), len(t) - len(kept))
+        off += len(t) + 1  # separator
+    rows = registry.all_queries()["d24_sa_span_cut"](
+        spark, sf_dir
+    ).collect()
+    SX._SA_CACHE.clear()
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_cut"])
+        for r in rows
+    }
+    assert got == expected
+    # keep-one: the planted repeat survives in doc 0, is cut in doc 47
+    span = "the quick brown fox jumps over"
+    assert span in got[0][0]
+    assert span not in got[SX.SA_DOC_MOD][0]
+    assert got[SX.SA_DOC_MOD][2] >= len(span)
+
+
+def test_two_pass_rerank_equals_global_window(spark):
+    """The range-partitioned two-pass re-rank (the default, the 100-TB
+    path) is BIT-EQUAL to the legacy single-partition global-window
+    build on the same slice — every (sa_rank, pos) row identical
+    (VERDICT r13 ask #2's equality pin)."""
+    SX._SA_CACHE.clear()
+    fast = sorted(
+        (r["sa_rank"], r["pos"])
+        for r in SX.build_suffix_array(spark, SF0001, two_pass=True)
+        .collect()
+    )
+    legacy = sorted(
+        (r["sa_rank"], r["pos"])
+        for r in SX.build_suffix_array(spark, SF0001, two_pass=False)
+        .collect()
+    )
+    SX._SA_CACHE.clear()
+    assert fast == legacy
+    assert len(fast) == len({p for _, p in fast})  # ranks are a bijection
+
+
+def test_two_pass_rank_helper_both_modes(spark):
+    """_two_pass_rank == the global window on an adversarial frame:
+    duplicate keys (dense ranks must collapse), keys that land in
+    different range partitions, and more partitions than rows."""
+    from pyspark.sql import Window
+
+    rows = [(i, (i * 7) % 5, (i * 3) % 4) for i in range(100)]
+    df = spark.createDataFrame(rows, "pos int, r1 int, r2 int")
+    got_dense = {
+        (r["pos"], r["rnk"])
+        for r in SX._two_pass_rank(df, ["r1", "r2"], dense=True).collect()
+    }
+    want_dense = {
+        (r["pos"], r["rnk"])
+        for r in df.select(
+            "pos",
+            F.dense_rank().over(Window.orderBy("r1", "r2"))
+            .cast("long").alias("rnk"),
+        ).collect()
+    }
+    assert got_dense == want_dense
+    # row_number mode needs a total order for determinism: unique keys
+    uniq = df.select("pos", (F.col("pos") * 10).alias("r1"))
+    got_rn = {
+        (r["pos"], r["rnk"])
+        for r in SX._two_pass_rank(uniq, ["r1"], dense=False).collect()
+    }
+    want_rn = {
+        (r["pos"], r["rnk"])
+        for r in uniq.select(
+            "pos",
+            F.row_number().over(Window.orderBy("r1"))
+            .cast("long").alias("rnk"),
+        ).collect()
+    }
+    assert got_rn == want_rn

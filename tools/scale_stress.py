@@ -1438,6 +1438,127 @@ def main() -> None:
     print("+ 1) x edge-shuffle. Clique-ish dedup graphs finish in 2-3")
     print("rounds however large the corpus; a chain-shaped graph is")
     print("the case CC_MAX_ITERS exists to refuse loudly.")
+
+    # ---- suffix-array re-rank rung (r14, VERDICT ask #2): the d21
+    # prefix-doubling build's re-rank is range-partitioned two-pass by
+    # DEFAULT now. Two pins: (a) at a size where the funnel is VISIBLE
+    # (10M keys — audit slices are small enough that AQE legitimately
+    # coalesces either plan to one partition), _two_pass_rank spreads
+    # the rank stage across range shards while the global window
+    # drags every row through ONE reducer task — the shape, not the
+    # local wall, is the evidence: a 10M-row single-task sort is still
+    # fast in one JVM, but it is the task whose input grows with the
+    # corpus; (b) the full build agrees bit-exactly between the two
+    # modes on a slice ~20x the audit slice (the pytest pin,
+    # re-asserted at stress scale).
+    print()
+    print("## suffix-array re-rank rung (d21, r14)")
+    print()
+    from pyspark.sql import Window
+
+    from a3_fp_bigdata_spark.operators import suffixes as SX
+
+    print("| re-rank of 10M (r1, r2) keys | wall s | rank-stage "
+          "partitions | max partition rows | max share |")
+    print("|---|---|---|---|---|")
+    big = spark.range(10_000_000).select(
+        F.col("id").alias("pos"),
+        (F.col("id") % 100_000).alias("r1"),
+        ((F.col("id") * 7) % 997).alias("r2"),
+    )
+    n_big = 10_000_000
+    for label, ranked in (
+        (
+            "two-pass (default)",
+            lambda: SX._two_pass_rank(big, ["r1", "r2"], dense=True),
+        ),
+        (
+            "global window (legacy pin)",
+            lambda: big.select(
+                "pos",
+                F.dense_rank()
+                .over(Window.orderBy("r1", "r2"))
+                .cast("long")
+                .alias("rnk"),
+            ),
+        ),
+    ):
+        t0 = time.perf_counter()
+        out = ranked()
+        # partition stats of the RANK stage's output, measured in the
+        # same action that forces it. The per-pid agg MUST consume the
+        # rank column all the way to the collected rows: any layer
+        # that drops `rnk` lets Catalyst prune it, elide the Window
+        # node entirely, and report the INPUT's partitioning (observed
+        # twice while writing this rung: count()-only and a
+        # max(rnk)-then-discard both read 8 partitions / 0.5 s with
+        # the sort never running). Bounded collect: <= one row per
+        # partition.
+        per_pid = (
+            out.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(F.count("*").alias("c"), F.max("rnk").alias("mr"))
+            .collect()
+        )
+        assert all(r["mr"] is not None for r in per_pid)
+        dist = {
+            "mx": max(r["c"] for r in per_pid),
+            "np": len(per_pid),
+        }
+        dt = time.perf_counter() - t0
+        print(
+            f"| {label} | {dt:.1f} | {dist['np']} | {dist['mx']} | "
+            f"{dist['mx'] / n_big:.1%} |"
+        )
+        if "two-pass" in label:
+            assert dist["np"] > 1, "two-pass rank landed in one partition"
+            two_pass_max_share = dist["mx"] / n_big
+        else:
+            assert dist["mx"] == n_big  # the funnel, demonstrated
+    print()
+    print(f"Two-pass max partition share at 10M keys: "
+          f"{two_pass_max_share:.1%} — no stage sees the whole frame;")
+    print("the window plan's rank stage holds 100% of the rows in one")
+    print("task (asserted in-run). Local walls are comparable — a")
+    print("10M-row single-task Tungsten sort is fast in one JVM — but")
+    print("the window task's input grows with the corpus while the")
+    print("two-pass shards stay ~frame/SA_RERANK_PARTS, which at")
+    print("100 TB is the difference between a stage that finishes and")
+    print("one that can't hold its input. That is why two-pass is the")
+    print("default in build_suffix_array, not a flag you remember to")
+    print("set.")
+    print()
+    old_mod = SX.SA_DOC_MOD
+    SX.SA_DOC_MOD = 2  # ~half the stress corpus in the slice
+    SX._SA_CACHE.clear()
+    try:
+        slice_len = len(SX.corpus_slice(spark, sf_dir).first()["s"])
+        walls = {}
+        for tp in (True, False):
+            t0 = time.perf_counter()
+            n_sa = SX.build_suffix_array(spark, sf_dir, two_pass=tp).count()
+            walls[tp] = time.perf_counter() - t0
+        fast = SX.build_suffix_array(spark, sf_dir, two_pass=True)
+        legacy = SX.build_suffix_array(spark, sf_dir, two_pass=False)
+        n_diff = (
+            fast.join(legacy.withColumnRenamed("pos", "pos2"), "sa_rank")
+            .filter(F.col("pos") != F.col("pos2"))
+            .count()
+        )
+        print(
+            f"Full-build equality at stress scale: {slice_len}-char "
+            f"slice, {n_sa} suffixes; rows differing between modes: "
+            f"{n_diff} (asserted 0). Walls: two-pass "
+            f"{walls[True]:.1f} s vs window {walls[False]:.1f} s — at "
+            "audit-slice sizes the two-pass pays fixed per-round stage "
+            "overhead (2 extra exchanges + the pid-pinning checkpoint "
+            "per doubling round) and the window is cheaper; the "
+            "crossover argument is the 10M-key table above, where the "
+            "funnel, not the overhead, dominates."
+        )
+        assert n_diff == 0
+    finally:
+        SX.SA_DOC_MOD = old_mod
+        SX._SA_CACHE.clear()
     spark.stop()
 
 
