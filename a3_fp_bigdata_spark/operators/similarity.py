@@ -365,8 +365,38 @@ IVF_CELLS = 16
 IVF_NPROBE = 4
 IVF_SEED = 7
 
+#: sim3's cell-assignment scratch (r14 flip to oracle-backed — the
+#: d5/ml2 recipe): the seeded KMeans cells and the probe flags are the
+#: ONLY engine-specific steps; they materialize to fingerprinted
+#: scratch and BOTH engines independently re-derive the final answer
+#: (filter probed candidates, exact cosine against the vec_id=0 query,
+#: total-ordered top-k) — a probe-selection bug, a wrong cosine, or a
+#: tie-break slip is a red hash mismatch on the row itself. Only the
+#: KMeans fit stays seed-internal; its recall is separately attested
+#: by sim11_ivf_recall_audit against DuckDB's own ground truth.
+_SIM3_SCRATCH = run_scratch("sim3_ivf_cells")
 
-@query("sim3_ivf_ann", oracle=None)
+
+def _sim3_oracle() -> str:
+    return f"""
+    WITH vecs AS (
+      SELECT vec_id, {_SQL_D.format(col='embedding')} AS e
+      FROM embeddings
+    ), q AS (
+      SELECT e AS qe FROM vecs WHERE vec_id = 0
+    ), cand AS (
+      SELECT vec_id FROM read_parquet('{_SIM3_SCRATCH}/*.parquet')
+      WHERE {fingerprint_where('embeddings', 'vec_id')}
+        AND probed AND vec_id <> 0
+    )
+    SELECT v.vec_id, {half_up_sql(_sql_cos('v.e', 'q.qe'))} AS cosine
+    FROM cand c JOIN vecs v USING (vec_id) CROSS JOIN q
+    ORDER BY {half_up_sql(_sql_cos('v.e', 'q.qe'))} DESC, v.vec_id
+    LIMIT {ANN_TOPK}
+    """
+
+
+@query("sim3_ivf_ann", oracle=_sim3_oracle())
 def sim3_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN — the cell-probing scale path FAISS-style:
 
@@ -379,9 +409,13 @@ def sim3_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
        the query vector (centroids are a k-row driver-local list — the
        only driver-side data, O(k*dim)).
 
-    Rows-only: centroid positions are impl/seed-specific; pytest pins
-    recall against sim1's exact top-k.
-    """
+    ORACLE-BACKED since r14 (was rows-only "cells are seed-specific"):
+    the assignment + probe flags materialize to stamped scratch and
+    the oracle replays the exact selection and ranking from them (see
+    _SIM3_SCRATCH note); pytest additionally pins recall against
+    sim1's exact top-k. Audit-scale note: the scratch is one row per
+    vector — the production path keeps the assignment as the vector
+    table's partition key with no extra materialization."""
     from pyspark.ml.clustering import KMeans as MLKMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -405,14 +439,27 @@ def sim3_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = ((centers - qvec) ** 2).sum(axis=1)
     probe_cells = [int(c) for c in np.argsort(d2)[:IVF_NPROBE]]
 
+    fp = src_fingerprint(table(spark, sf_dir, "embeddings"), "vec_id")
+    scr = assigned.select(
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        F.col("cell").isin(probe_cells).alias("probed"),
+    )
+    scr.crossJoin(F.broadcast(fp)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(_SIM3_SCRATCH)
+    back = spark.read.parquet(_SIM3_SCRATCH).drop("n_src", "src_ck")
+
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_emb")
     )
     cos = half_up(cosine(F.col("embedding"), F.col("q_emb")))
+    cand = back.filter(
+        F.col("probed") & (F.col("vec_id") != 0)
+    ).select("vec_id")
     return (
-        assigned.filter(
-            F.col("cell").isin(probe_cells) & (F.col("vec_id") != 0)
-        )
+        table(spark, sf_dir, "embeddings")
+        .join(cand, "vec_id")
         .crossJoin(F.broadcast(q))
         .select("vec_id", cos.alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -1264,7 +1311,35 @@ def _pq_encoded(spark: SparkSession, sf_dir: str, cb) -> DataFrame:
     )
 
 
-@query("sim12_pq_ann", oracle=None)
+#: sim12's shortlist scratch (r14 flip to oracle-backed — the sim3
+#: recipe one stage later): the codebooks, codes, and ADC scores are
+#: the engine/seed-specific half; the SHORTLIST they select
+#: materializes to fingerprinted scratch and both engines replay the
+#: exact-rerank stage independently (exact cosine over the shortlist,
+#: total-ordered top-k). Quantization internals stay attested by
+#: sim12_pq_recall_audit's independent ground truth.
+_SIM12_SL_SCRATCH = run_scratch("sim12_shortlist")
+
+
+def _sim12_oracle() -> str:
+    return f"""
+    WITH vecs AS (
+      SELECT vec_id, {_SQL_D.format(col='embedding')} AS e
+      FROM embeddings
+    ), q AS (
+      SELECT e AS qe FROM vecs WHERE vec_id = 0
+    ), cand AS (
+      SELECT vec_id FROM read_parquet('{_SIM12_SL_SCRATCH}/*.parquet')
+      WHERE {fingerprint_where('embeddings', 'vec_id')}
+    )
+    SELECT v.vec_id, {half_up_sql(_sql_cos('v.e', 'q.qe'))} AS cosine
+    FROM cand c JOIN vecs v USING (vec_id) CROSS JOIN q
+    ORDER BY {half_up_sql(_sql_cos('v.e', 'q.qe'))} DESC, v.vec_id
+    LIMIT {ANN_TOPK}
+    """
+
+
+@query("sim12_pq_ann", oracle=_sim12_oracle())
 def sim12_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with exact rerank (IVF-PQ's scoring
     half, FAISS-style): train PQ_M seeded sub-codebooks, encode every
@@ -1282,12 +1357,14 @@ def sim12_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
        to the raw vectors and exact JVM cosine picks the final
        top-{ANN_TOPK}.
 
-    Rows-only (codebooks are seed/impl-specific, like sim3's cells);
-    sim12_pq_recall_audit attests recall against an independent DuckDB
-    ground truth, and pytest pins recall vs sim1. Scale: training on a
-    sample, encoding one narrow distributed pass, the ADC scan reads a
-    ~30x smaller index, and the rerank touches k' rows — nothing here
-    grows faster than one pass over the codes."""
+    ORACLE-BACKED since r14 (was rows-only "codebooks are seed/impl-
+    specific"): the shortlist materializes to stamped scratch and the
+    oracle replays the exact rerank from it (see _SIM12_SL_SCRATCH
+    note); sim12_pq_recall_audit separately attests recall against an
+    independent DuckDB ground truth, and pytest pins recall vs sim1.
+    Scale: training on a sample, encoding one narrow distributed pass,
+    the ADC scan reads a ~30x smaller index, and the rerank touches k'
+    rows — nothing here grows faster than one pass over the codes."""
     import numpy as np
 
     cb = _pq_codebooks(spark, sf_dir)
@@ -1323,12 +1400,20 @@ def sim12_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(PQ_SHORTLIST)
         .select("vec_id")
     )
+    # materialize the shortlist to fingerprinted scratch; the rerank
+    # below (and the oracle) read it back, so the attested selection
+    # is exactly the bytes the quantizer produced
+    fp = src_fingerprint(table(spark, sf_dir, "embeddings"), "vec_id")
+    shortlist.crossJoin(F.broadcast(fp)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(_SIM12_SL_SCRATCH)
+    back = spark.read.parquet(_SIM12_SL_SCRATCH).drop("n_src", "src_ck")
     qrow = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_emb")
     )
     cos = half_up(cosine(F.col("embedding"), F.col("q_emb")))
     return (
-        emb.join(F.broadcast(shortlist), "vec_id")
+        emb.join(F.broadcast(back), "vec_id")
         .crossJoin(F.broadcast(qrow))
         .select("vec_id", cos.alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -1462,7 +1547,40 @@ def _semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _SEMDEDUP_STAGE[key]
 
 
-@query("d17_semantic_dedup", oracle=None)
+#: d17's cell-assignment scratch (r14 flip to oracle-backed): the
+#: seeded k-means cells (the only engine-specific step) materialize to
+#: fingerprinted scratch, and BOTH engines independently re-derive the
+#: keep rule from them — Spark joins raw embeddings back by vec_id and
+#: runs the within-cell pair filter; DuckDB replays the identical
+#: quadratic min-id-keeper CTE its audit already proved (the d5
+#: pattern: internals attested by materialization, the DECISION
+#: replayed end-to-end).
+_D17_CELLS_SCRATCH = run_scratch("d17_cells")
+
+
+def _d17_oracle() -> str:
+    return f"""
+    WITH vecs AS (
+      SELECT vec_id, {_SQL_D.format(col='embedding')} AS e
+      FROM embeddings
+    ), mat AS (
+      SELECT vec_id, cell
+      FROM read_parquet('{_D17_CELLS_SCRATCH}/*.parquet')
+      WHERE {fingerprint_where('embeddings', 'vec_id')}
+    ), prior AS (
+      SELECT DISTINCT b.vec_id
+      FROM mat a JOIN mat b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN vecs ea ON ea.vec_id = a.vec_id
+      JOIN vecs eb ON eb.vec_id = b.vec_id
+      WHERE {_sql_cos('ea.e', 'eb.e')} >= {SEMDEDUP_EPS}
+    )
+    SELECT m.vec_id, m.cell,
+           m.vec_id NOT IN (SELECT vec_id FROM prior) AS is_kept
+    FROM mat m
+    """
+
+
+@query("d17_semantic_dedup", oracle=_d17_oracle())
 def d17_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup — SEMANTIC dedup over embeddings, the rung the text
     ladder can't reach (paraphrases and re-renderings share no
@@ -1487,16 +1605,37 @@ def d17_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid — the dedup-shaped hot spot, since near-identical vectors
     cluster together by definition.
 
-    Rows-only (cells are seed-specific, like sim3); the audit query
-    is the oracle-backed attestation."""
+    ORACLE-BACKED since r14 (was rows-only "cells are seed-specific"):
+    the assignments materialize to stamped scratch and the oracle
+    replays the min-id keep rule from them in full (see
+    _D17_CELLS_SCRATCH note); d17_semdedup_audit remains the separate
+    attestation over the published verdict. Audit-scale note: the
+    scratch is one row per vector — the production path keeps the
+    assignment as the IVF index's own materialized artifact."""
     # already localCheckpoint-backed by the stage memo — no pin needed
     assigned = _semdedup_cells(spark, sf_dir)
-    a = assigned.select(
+    fp = src_fingerprint(
+        table(spark, sf_dir, "embeddings"), "vec_id"
+    )
+    assigned.select("vec_id", "cell").crossJoin(
+        F.broadcast(fp)
+    ).coalesce(1).write.mode("overwrite").parquet(_D17_CELLS_SCRATCH)
+    back = pin(
+        spark.read.parquet(_D17_CELLS_SCRATCH)
+        .drop("n_src", "src_ck")
+        .join(
+            table(spark, sf_dir, "embeddings").select(
+                "vec_id", "embedding"
+            ),
+            "vec_id",
+        )
+    )
+    a = back.select(
         "cell",
         F.col("vec_id").alias("va"),
         F.col("embedding").alias("ea"),
     )
-    b = assigned.select(
+    b = back.select(
         "cell",
         F.col("vec_id").alias("vb"),
         F.col("embedding").alias("eb"),
@@ -1509,7 +1648,7 @@ def d17_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("_d", F.lit(1))
     )
-    return assigned.join(dropped, "vec_id", "left").select(
+    return back.join(dropped, "vec_id", "left").select(
         "vec_id", "cell", F.col("_d").isNull().alias("is_kept")
     )
 

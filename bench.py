@@ -297,19 +297,47 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     qpos: dict[str, int] = {}
+    # median-of-3 headline protocol (r14, VERDICT r13 ask #3): five
+    # same-code r13 sweeps spanned 16.8-22.1 s raw, so a SINGLE pass
+    # cannot gate round-over-round regressions. After the first
+    # headline pass (whose sum stays `value`, the series comparable
+    # back to r01), the headline block runs twice more and
+    # `value_med3` sums the per-query MEDIANS — one contention spike
+    # in any single pass can no longer move the gate. Passes 2-3 run
+    # inside the same session, so session memos (sim4's index, ml
+    # fits, the SA cache) stay warm: value_med3 is the SESSION-STEADY
+    # headline, a protocol of its own — compare it to other
+    # value_med3 readings only, never to pre-r14 `value`.
+    HEADLINE_PASSES = 3
+    headline_passes: dict[str, list[float]] = {n: [] for n in headline}
     for i, name in enumerate(to_time):
         qpos[name] = i
         t = try_force(lambda n=name: queries[n](spark, sf_dir), name)
         if t is not None:
             timings[name] = t
+            if name in headline_passes:
+                headline_passes[name].append(t)
         try:
             registry.release_pinned()  # drop per-query persisted frames
         except Exception as e:  # noqa: BLE001
             errors[f"release:{name}"] = f"{type(e).__name__}: {str(e)[:120]}"
         done = i + 1
-        if done < len(to_time) and (
-            done == len(headline) or done % CALIB_EVERY == 0
-        ):
+        if done == len(headline):
+            probe_calib(done)
+            for p in range(2, HEADLINE_PASSES + 1):
+                for hname in headline:
+                    tp = try_force(
+                        lambda n=hname: queries[n](spark, sf_dir),
+                        f"{hname}#pass{p}",
+                    )
+                    if tp is not None:
+                        headline_passes[hname].append(tp)
+                    try:
+                        registry.release_pinned()
+                    except Exception:  # noqa: BLE001
+                        pass
+                probe_calib(done)
+        elif done < len(to_time) and done % CALIB_EVERY == 0:
             probe_calib(done)
 
     probe_calib(len(to_time))
@@ -399,6 +427,24 @@ def main() -> None:
         if total is not None
         else None
     )
+    # median-of-3 headline (the r14 regression gate — see the protocol
+    # note above the sweep loop): per-query medians over the three
+    # passes; null if any headline query missed a pass.
+    from statistics import median
+
+    med3_ok = not partial and all(
+        len(headline_passes[n]) == HEADLINE_PASSES for n in headline
+    )
+    value_med3 = (
+        round(sum(median(headline_passes[n]) for n in headline), 3)
+        if med3_ok
+        else None
+    )
+    value_med3_norm = (
+        round(value_med3 * CALIB_REF / calib_mean, 3)
+        if value_med3 is not None and calib_mean > 0
+        else None
+    )
     # Full per-query map goes to a committed FILE; the printed line must
     # stay small (headline-only) — a 117-entry JSON line overflowed the
     # round driver's tail capture in round 2 and the round lost its
@@ -411,9 +457,12 @@ def main() -> None:
                 "value": total,
                 "value_norm": value_norm,
                 "value_norm_seg": value_norm_seg,
+                "value_med3": value_med3,
+                "value_med3_norm": value_med3_norm,
                 "calib_ref": CALIB_REF,
                 "unit": "sec",
                 "queries": timings,
+                "headline_passes": headline_passes,
                 "reprobes": reprobes,
                 "errors": errors,
                 "headline": headline,
@@ -437,6 +486,8 @@ def main() -> None:
         "value": total,
         "value_norm": value_norm,
         "value_norm_seg": value_norm_seg,
+        "value_med3": value_med3,
+        "value_med3_norm": value_med3_norm,
         "calib_ref": CALIB_REF,
         "unit": "sec",
         "queries": {n: timings[n] for n in headline_timed},
