@@ -38,9 +38,13 @@ legacy single-partition global window survives only as the
 equality pin (`two_pass=False`, compared row-for-row in
 tests/test_suffixes.py). The per-round localCheckpoint stays (it
 cuts the exponential lineage exactly like d12's connected
-components), and at 100 TB the corpus shards by segment with
->= SPAN_L character overlap at the boundaries so no cross-shard
-span is missed. Rounds are O(log n) whatever the corpus.
+components), and the span-extraction stage has a no-broadcast lane
+(d25): the corpus cuts into SA_SEG_BYTES segments with SPAN_L-1
+overlap bytes at the boundaries, positions join to segments by an
+int key, and windows slice out of the segment at local offsets —
+row-set-equal to d22's broadcast lane by pytest pin, so no
+cross-segment span is missed. Rounds are O(log n) whatever the
+corpus.
 
 Reference surface: none (the reference has no dedup at all); this is
 part of the engine's LLM-training-data extension alongside d1-d20.
@@ -332,6 +336,127 @@ def d22_exact_substring_spans(
     ).select(
         "pos_a", "pos_b", F.decode(span_a, "UTF-8").alias("span")
     )
+
+#: Segment width for d25's no-broadcast span extraction. Audit-sized
+#: here (the sf0.01 slice cuts into ~9 segments so the path is
+#: genuinely exercised); at 100 TB pick segments sized for executor
+#: memory (e.g. 64 MiB) — the shape is unchanged: every segment
+#: carries SPAN_L-1 overlap bytes so a window starting inside a
+#: segment always reads entirely from it.
+SA_SEG_BYTES = 8192
+
+
+def _slice_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(seg_id, seg binary): the slice cut into SA_SEG_BYTES segments,
+    each padded with the next SPAN_L-1 bytes, so span extraction joins
+    positions to segments instead of broadcasting the whole corpus —
+    the 100-TB lane where the slice outgrows a broadcast variable."""
+    sl_bin = corpus_slice(spark, sf_dir).select(
+        F.encode("s", "UTF-8").alias("sb")
+    )
+    n_segs = F.ceil(F.length("sb") / F.lit(SA_SEG_BYTES)).cast("int")
+    return sl_bin.select(
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_segs - 1),
+                lambda i: F.substring(
+                    F.col("sb"),
+                    i * SA_SEG_BYTES + 1,
+                    SA_SEG_BYTES + SPAN_L - 1,
+                ),
+            )
+        ).alias("seg_id", "seg")
+    )
+
+
+@query(
+    "d25_segmented_spans",
+    # same output as d22 by construction (the pairs come from the SAME
+    # global SA; only WHERE the characters are read from changes), so
+    # the same first-principles oracle applies verbatim
+    oracle=_slice_sql()
+    + f"""
+    , sa AS (
+      SELECT p, s,
+             row_number() OVER (ORDER BY substring(s, p + 1)) AS r
+      FROM keep
+    ), adj AS (
+      SELECT a.p AS pos_a, b.p AS pos_b,
+             substring(a.s, a.p + 1, {SPAN_L}) AS span, a.s AS s
+      FROM sa a JOIN sa b ON b.r = a.r + 1
+    )
+    SELECT pos_a, pos_b, span
+    FROM adj
+    WHERE length(span) = {SPAN_L}
+      AND span = substring(s, pos_b + 1, {SPAN_L})
+      AND position(chr(1) IN span) = 0
+      AND position(chr(1) IN substring(s, pos_b + 1, {SPAN_L})) = 0
+    """,
+)
+def d25_segmented_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d22's span extraction WITHOUT the corpus broadcast — the 100-TB
+    lane the module docstring promised ("the corpus shards by segment
+    with >= SPAN_L character overlap at the boundaries"): the slice
+    cuts into SA_SEG_BYTES segments each padded with the next
+    SPAN_L-1 bytes (_slice_segments), every SA-adjacent pair joins to
+    its two segments by seg_id (plain shuffle joins on an int key —
+    co-partitioned at scale, AQE-sized here), and the {SPAN_L}-byte
+    windows slice OUT OF THE SEGMENT at local offsets (same O(1)
+    binary arithmetic as d22's broadcast lane). The overlap padding
+    guarantees any window STARTING inside a segment reads entirely
+    from it, so no cross-segment span is missed; the SA itself is
+    rank-only (no strings) and needs no segmentation. Output and
+    oracle are d22's verbatim — tests/test_suffixes.py additionally
+    pins row-set equality between the two lanes."""
+    sa = build_suffix_array(spark, sf_dir)
+    nxt = sa.select(
+        (F.col("sa_rank") - 1).alias("sa_rank"),
+        F.col("pos").alias("pos_b"),
+    )
+    segs = _slice_segments(spark, sf_dir)
+    adj = (
+        sa.join(nxt, "sa_rank")
+        .select(F.col("pos").alias("pos_a"), "pos_b")
+        .withColumn(
+            "seg_a", F.floor(F.col("pos_a") / SA_SEG_BYTES).cast("int")
+        )
+        .withColumn(
+            "seg_b", F.floor(F.col("pos_b") / SA_SEG_BYTES).cast("int")
+        )
+        .join(
+            segs.select(
+                F.col("seg_id").alias("seg_a"),
+                F.col("seg").alias("bytes_a"),
+            ),
+            "seg_a",
+        )
+        .join(
+            segs.select(
+                F.col("seg_id").alias("seg_b"),
+                F.col("seg").alias("bytes_b"),
+            ),
+            "seg_b",
+        )
+    )
+    span_a = F.substring(
+        F.col("bytes_a"),
+        F.col("pos_a") - F.col("seg_a") * SA_SEG_BYTES + 1,
+        SPAN_L,
+    )
+    span_b = F.substring(
+        F.col("bytes_b"),
+        F.col("pos_b") - F.col("seg_b") * SA_SEG_BYTES + 1,
+        SPAN_L,
+    )
+    return adj.filter(
+        (F.length(span_a) == SPAN_L)
+        & (span_a == span_b)
+        & (F.instr(F.decode(span_a, "UTF-8"), SA_SEP) == 0)
+        & (F.instr(F.decode(span_b, "UTF-8"), SA_SEP) == 0)
+    ).select(
+        "pos_a", "pos_b", F.decode(span_a, "UTF-8").alias("span")
+    )
+
 
 #: d24's oracle composes d22's adjacent-pair CTE with the offset table
 #: and d16's gaps-and-islands merge — rendered from the SAME constants

@@ -150,6 +150,35 @@ def test_d23_lcp_matches_python_ground_truth(spark):
         assert (r["sa_rank"], a) in sa
 
 
+def test_d25_segmented_equals_broadcast_lane(spark, tmp_path):
+    """d25 (segment-join span extraction, no corpus broadcast) returns
+    exactly d22's row set — on sf0.001 AND on the planted corpus with
+    a segment width shrunk so spans straddle segment boundaries (the
+    overlap-padding case the 100-TB story leans on)."""
+    qs = registry.all_queries()
+
+    def rows(name, sf_dir):
+        return sorted(
+            (r["pos_a"], r["pos_b"], r["span"])
+            for r in qs[name](spark, sf_dir).collect()
+        )
+
+    assert rows("d25_segmented_spans", SF0001) == rows(
+        "d22_exact_substring_spans", SF0001
+    )
+    sf_dir = _planted_corpus(spark, tmp_path)
+    SX._SA_CACHE.clear()
+    old_seg = SX.SA_SEG_BYTES
+    SX.SA_SEG_BYTES = 16  # < SPAN_L: every window crosses a boundary
+    try:
+        got = rows("d25_segmented_spans", sf_dir)
+        want = rows("d22_exact_substring_spans", sf_dir)
+    finally:
+        SX.SA_SEG_BYTES = old_seg
+        SX._SA_CACHE.clear()
+    assert got == want and len(got) > 0
+
+
 def test_d24_cut_matches_python_reference(spark, tmp_path):
     """d24's span cut equals a from-scratch python replay on the
     planted corpus: python builds its own SA, derives the SA-adjacent
