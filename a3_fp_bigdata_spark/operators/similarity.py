@@ -376,6 +376,54 @@ IVF_SEED = 7
 #: by sim11_ivf_recall_audit against DuckDB's own ground truth.
 _SIM3_SCRATCH = run_scratch("sim3_ivf_cells")
 
+#: (assigned-checkpoint, probe_cells) memoized per (session, sf_dir):
+#: the seeded KMeans fit is sim3's dominant cost and sim11's audit
+#: runs sim3 a second time in the same sweep — one fit serves both
+#: (the _SEMDEDUP_STAGE/_PQ_CB_STAGE protocol; ADVICE r14).
+_SIM3_STAGE: dict[tuple[str, str], tuple[DataFrame, list[int]]] = {}
+
+
+def _sim3_assignments(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[int]]:
+    """((vec_id, cell) checkpoint, nprobe nearest cells to the query) —
+    the seed-internal half of sim3, fit once per session+sf."""
+    from pyspark.ml.clustering import KMeans as MLKMeans
+    from pyspark.ml.functions import array_to_vector
+
+    import numpy as np
+
+    from a3_fp_bigdata_spark.operators.dedup import _session_stopped
+
+    key = (session_token(spark), sf_dir)
+    for k in [k for k, (df, _) in _SIM3_STAGE.items()
+              if _session_stopped(df)]:
+        _SIM3_STAGE.pop(k)
+    if key in _SIM3_STAGE:
+        return _SIM3_STAGE[key]
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "vec", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    km = MLKMeans(
+        k=IVF_CELLS, seed=IVF_SEED, featuresCol="vec", predictionCol="cell"
+    ).fit(emb)
+    assigned = (
+        km.transform(emb)
+        .select("vec_id", F.col("cell").cast("int").alias("cell"))
+        .localCheckpoint()
+    )
+    centers = np.vstack(km.clusterCenters())
+    qvec = np.array(
+        emb.filter(F.col("vec_id") == 0).select("embedding").first()[0],
+        dtype=np.float64,
+    )
+    # nprobe nearest cells by euclidean distance to the query
+    # (driver-side over k centroids only)
+    d2 = ((centers - qvec) ** 2).sum(axis=1)
+    probe_cells = [int(c) for c in np.argsort(d2)[:IVF_NPROBE]]
+    _SIM3_STAGE[key] = (assigned, probe_cells)
+    return _SIM3_STAGE[key]
+
 
 def _sim3_oracle() -> str:
     return f"""
@@ -416,33 +464,11 @@ def sim3_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim1's exact top-k. Audit-scale note: the scratch is one row per
     vector — the production path keeps the assignment as the vector
     table's partition key with no extra materialization."""
-    from pyspark.ml.clustering import KMeans as MLKMeans
-    from pyspark.ml.functions import array_to_vector
-
-    import numpy as np
-
-    emb = table(spark, sf_dir, "embeddings").withColumn(
-        "vec", array_to_vector(F.col("embedding").cast("array<double>"))
-    )
-    km = MLKMeans(
-        k=IVF_CELLS, seed=IVF_SEED, featuresCol="vec", predictionCol="cell"
-    ).fit(emb)
-    assigned = km.transform(emb)
-
-    centers = np.vstack(km.clusterCenters())
-    qvec = np.array(
-        emb.filter(F.col("vec_id") == 0).select("embedding").first()[0],
-        dtype=np.float64,
-    )
-    # nprobe nearest cells by euclidean distance to the query (driver-side
-    # over k centroids only)
-    d2 = ((centers - qvec) ** 2).sum(axis=1)
-    probe_cells = [int(c) for c in np.argsort(d2)[:IVF_NPROBE]]
-
+    assigned, probe_cells = _sim3_assignments(spark, sf_dir)
     fp = src_fingerprint(table(spark, sf_dir, "embeddings"), "vec_id")
     scr = assigned.select(
         "vec_id",
-        F.col("cell").cast("int").alias("cell"),
+        "cell",
         F.col("cell").isin(probe_cells).alias("probed"),
     )
     scr.crossJoin(F.broadcast(fp)).coalesce(1).write.mode(
@@ -450,9 +476,9 @@ def sim3_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(_SIM3_SCRATCH)
     back = spark.read.parquet(_SIM3_SCRATCH).drop("n_src", "src_ck")
 
-    q = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("q_emb")
-    )
+    q = table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") == 0
+    ).select(F.col("embedding").alias("q_emb"))
     cos = half_up(cosine(F.col("embedding"), F.col("q_emb")))
     cand = back.filter(
         F.col("probed") & (F.col("vec_id") != 0)

@@ -56,7 +56,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from a3_fp_bigdata_spark.data import table
-from a3_fp_bigdata_spark.registry import query
+from a3_fp_bigdata_spark.registry import pin, query
 from a3_fp_bigdata_spark.session import session_token
 
 #: deterministic doc sample for the audit slice (~1/47 of the corpus —
@@ -117,7 +117,7 @@ def corpus_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the same array; the checkpointed rank blocks live for the session
 #: (the ml _FIT_CACHE protocol — release_pinned doesn't touch them).
 #: Mode is in the key so the equality-pin test can hold both builds.
-_SA_CACHE: dict[tuple[str, str, bool], DataFrame] = {}
+_SA_CACHE: dict[tuple[str, str, bool, int], DataFrame] = {}
 
 #: Shard count for the two-pass re-rank — the parallelism of every
 #: doubling round (pk1's NSHARDS rationale: size for executor memory;
@@ -181,6 +181,53 @@ def _two_pass_rank(
     )
 
 
+def _two_pass_prefix_sum(
+    df: DataFrame, keys: list[str], val: str
+) -> DataFrame:
+    """df's columns plus ``psum`` = EXCLUSIVE prefix sum of ``val`` in
+    the total order of ``keys`` (which must be unique rows-wise, or
+    the within-partition prefix is ambiguous) — _two_pass_rank's shape
+    with sum in place of rank: range shards + per-partition running
+    sum + a broadcast join of the <= SA_RERANK_PARTS-row partition
+    totals' exclusive prefix. No single-partition stage (ADVICE r14:
+    d24's offset table previously took the global-window shortcut the
+    rank path had just been cured of)."""
+    parts = (
+        df.repartitionByRange(SA_RERANK_PARTS, *keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_loc = (
+        Window.partitionBy("_pid")
+        .orderBy(*keys)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = parts.withColumn(
+        "_lsum", F.coalesce(F.sum(val).over(w_loc), F.lit(0))
+    )
+    w_prefix = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        parts.groupBy("_pid")
+        .agg(F.sum(val).alias("_t"))
+        .select(
+            "_pid",
+            F.coalesce(F.sum("_t").over(w_prefix), F.lit(0)).alias(
+                "_off"
+            ),
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .select(
+            *df.columns,
+            (F.col("_off") + F.col("_lsum")).cast("long").alias("psum"),
+        )
+    )
+
+
 def build_suffix_array(
     spark: SparkSession, sf_dir: str, two_pass: bool = True
 ) -> DataFrame:
@@ -196,7 +243,10 @@ def build_suffix_array(
     every re-rank through the range-partitioned ``_two_pass_rank``;
     ``two_pass=False`` keeps the legacy single-partition global window
     purely as the equality pin for tests."""
-    key = (session_token(spark), sf_dir, two_pass)
+    # SA_DOC_MOD is in the key: the SCALE rung and tests retune the
+    # sample modulus, and a memo keyed only by sf_dir would hand back
+    # the previous modulus's slice (ADVICE r14)
+    key = (session_token(spark), sf_dir, two_pass, SA_DOC_MOD)
     if key in _SA_CACHE:
         return _SA_CACHE[key]
     sl = corpus_slice(spark, sf_dir)
@@ -413,15 +463,22 @@ def d25_segmented_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sa_rank") - 1).alias("sa_rank"),
         F.col("pos").alias("pos_b"),
     )
-    segs = _slice_segments(spark, sf_dir)
+    # pin: both seg joins read this frame (ADVICE r14 — unpinned, the
+    # collect_list slice agg behind it ran once per join side)
+    segs = pin(_slice_segments(spark, sf_dir))
+    # integer `div`, not float `/` + floor: exact for every int64
+    # position, the pk1 rationale (double division is exact only
+    # below 2^53) — ADVICE r14
     adj = (
         sa.join(nxt, "sa_rank")
         .select(F.col("pos").alias("pos_a"), "pos_b")
         .withColumn(
-            "seg_a", F.floor(F.col("pos_a") / SA_SEG_BYTES).cast("int")
+            "seg_a",
+            F.expr(f"CAST(pos_a div {SA_SEG_BYTES} AS INT)"),
         )
         .withColumn(
-            "seg_b", F.floor(F.col("pos_b") / SA_SEG_BYTES).cast("int")
+            "seg_b",
+            F.expr(f"CAST(pos_b div {SA_SEG_BYTES} AS INT)"),
         )
         .join(
             segs.select(
@@ -558,10 +615,9 @@ def d24_sa_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut is scan-side array ops (F.filter positional lambda, d16's
     recipe) — the corpus never explodes into char ROWS on the Spark
     side (the oracle does explode; DuckDB has no positional lambda).
-    The offset table's cumulative sum is a window over the SAMPLED
-    docs only — audit-scale like corpus_slice itself; the production
-    form is pk1's two-pass prefix sum over segment lengths, the exact
-    machinery _two_pass_rank already implements for the ranks.
+    The offset table runs the two-pass prefix sum
+    (_two_pass_prefix_sum, pk1's pattern on range shards) — no
+    single-partition window anywhere in the plan.
 
     Oracle: composes d22's adjacent-pair CTE (same first-principles
     brute-force suffix sort) with the same offset table and the same
@@ -577,18 +633,18 @@ def d24_sa_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % SA_DOC_MOD == 0
     )
-    w_off = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offs = docs.select(
+    base = docs.select(
         "doc_id", F.regexp_replace("text", _NORM_RE, "").alias("t")
     ).select(
         "doc_id",
         "t",
         F.length("t").alias("len"),
-        F.coalesce(
-            F.sum(F.length("t") + 1).over(w_off), F.lit(0)
-        ).alias("off"),
+        (F.length("t") + 1).cast("long").alias("_w"),
+    )
+    # exclusive prefix of (len + 1 separator) in doc_id order — the
+    # two-pass prefix sum, NOT a global window (ADVICE r14)
+    offs = _two_pass_prefix_sum(base, ["doc_id"], "_w").select(
+        "doc_id", "t", "len", F.col("psum").alias("off")
     )
     cuts = offs.join(
         F.broadcast(spans),
