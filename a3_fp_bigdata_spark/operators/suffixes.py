@@ -124,6 +124,13 @@ _SA_CACHE: dict[tuple[str, str, bool, int], DataFrame] = {}
 #: 32 matches the local harness, ~2000 at 100 TB keeps shards bounded).
 SA_RERANK_PARTS = 32
 
+#: Manber-Myers base: the initial rank covers this many characters in
+#: ONE binary-prefix dense rank, replacing log2(SA_BASE_CHARS) early
+#: doubling rounds (each round is fixed stage overhead at audit
+#: scale). Must be a power of two so the doubling sequence stays
+#: aligned (8 -> 16 -> 32 ...).
+SA_BASE_CHARS = 8
+
 
 def _two_pass_rank(
     df: DataFrame, keys: list[str], dense: bool
@@ -174,6 +181,52 @@ def _two_pass_rank(
     )
     return (
         local.join(F.broadcast(offsets), "_pid")
+        .select(
+            *df.columns,
+            (F.col("_off") + F.col("_lrnk")).cast("long").alias("rnk"),
+        )
+    )
+
+
+def _bucket_rank(
+    df: DataFrame, keys: list[str], n: int, dense: bool
+) -> DataFrame:
+    """_two_pass_rank for NUMERIC first keys with a known domain
+    [1..n] (every doubling round's r1 and the final converged rank):
+    the shard is computed ARITHMETICALLY — ((k1 - 1) * PARTS) div n,
+    monotone in k1, equal keys share a shard — instead of by
+    repartitionByRange, which costs a whole extra pass (the
+    RangePartitioner SAMPLES the frame before shuffling it) plus a
+    pid-pinning checkpoint per round. At 100 TB that sampling pass is
+    a second full read of the round's frame; here the bucket is a
+    pure row function, so the only full-frame work is the one
+    partitioned window. Offsets come from a per-bucket count aggregate
+    (countDistinct over the keys for dense, count(*) for row_number)
+    — map-side combinable, <= SA_RERANK_PARTS result rows — never
+    from a second evaluation of the window."""
+    b = F.expr(
+        f"CAST((({keys[0]} - 1) * {SA_RERANK_PARTS}) div {n} AS INT)"
+    )
+    bdf = df.withColumn("_bkt", b)
+    w_loc = Window.partitionBy("_bkt").orderBy(*keys)
+    lrnk = (F.dense_rank() if dense else F.row_number()).over(w_loc)
+    local = bdf.withColumn("_lrnk", lrnk)
+    cnt = F.countDistinct(*keys) if dense else F.count("*")
+    w_prefix = Window.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        bdf.groupBy("_bkt")
+        .agg(cnt.alias("_n"))
+        .select(
+            "_bkt",
+            F.coalesce(F.sum("_n").over(w_prefix), F.lit(0)).alias(
+                "_off"
+            ),
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), "_bkt")
         .select(
             *df.columns,
             (F.col("_off") + F.col("_lrnk")).cast("long").alias("rnk"),
@@ -256,14 +309,38 @@ def build_suffix_array(
     base = sl.select(
         F.posexplode(F.split(F.col("s"), "(?!^)")).alias("pos", "ch")
     ).filter(F.length("ch") == 1)
-    # initial rank: the character code (pure ASCII after normalization)
-    ranks = base.select(
-        "pos", F.ascii("ch").cast("long").alias("rnk")
-    ).localCheckpoint(eager=True)
+    # initial rank: dense rank of the SA_BASE_CHARS-byte binary prefix
+    # (one O(1) slice of the broadcast slice per suffix — d22's binary
+    # lane). memcmp order on ASCII bytes == char order, and a shorter
+    # tail prefix sorts before a longer one sharing it — exactly the
+    # rank-by-first-k semantics, so this replaces log2(SA_BASE_CHARS)
+    # doubling rounds with ONE re-rank (each round costs fixed stage
+    # overhead at audit scale: measured 13.8 s -> ~9 s at sf0.1).
+    sl_bin = sl.select(F.encode("s", "UTF-8").alias("s_bin"))
+    pref = base.crossJoin(F.broadcast(sl_bin)).select(
+        "pos",
+        F.substring(
+            F.col("s_bin"), F.col("pos") + 1, SA_BASE_CHARS
+        ).alias("k"),
+    )
+    if two_pass:
+        first = _two_pass_rank(pref, ["k"], dense=True)
+    else:
+        first = pref.select(
+            "pos",
+            F.dense_rank()
+            .over(Window.orderBy("k"))
+            .cast("long")
+            .alias("rnk"),
+        )
+    ranks = first.select("pos", "rnk").localCheckpoint(eager=True)
     n = ranks.count()
-    step = 1
+    step = SA_BASE_CHARS
     w = Window.orderBy("r1", "r2")
-    while step < n:
+    while (
+        step < n
+        and ranks.agg(F.max("rnk")).first()[0] < n
+    ):
         nxt = ranks.select(
             (F.col("pos") - step).alias("pos"),
             F.col("rnk").alias("r2"),
@@ -274,24 +351,27 @@ def build_suffix_array(
             .na.fill({"r2": -1})
         )
         if two_pass:
-            reranked = _two_pass_rank(paired, ["r1", "r2"], dense=True)
+            # r1 is last round's dense rank — numeric, domain [1..n]:
+            # the arithmetic-bucket variant needs no sampling pass
+            reranked = _bucket_rank(paired, ["r1", "r2"], n, dense=True)
         else:
             reranked = paired.select(
                 "pos", "r1", "r2",
                 F.dense_rank().over(w).cast("long").alias("rnk"),
             )
         ranks = reranked.select("pos", "rnk").localCheckpoint(eager=True)
-        # convergence probe: all ranks distinct -> done (1-row agg,
-        # bounded collect)
-        if ranks.agg(F.max("rnk")).first()[0] >= n:
-            break
+        # convergence is probed at the loop head (all ranks distinct
+        # -> done; 1-row agg, bounded collect) — also catches a base
+        # rank that is already a total order before any doubling
         step *= 2
     keep = base.filter(F.col("ch") != SA_SEP).select("pos")
     joined = ranks.join(keep, "pos").select(
         "pos", F.col("rnk").alias("srt")
     )
     if two_pass:
-        numbered = _two_pass_rank(joined, ["srt"], dense=False)
+        # srt is the converged rank — distinct values in [1..n], the
+        # perfectly uniform case for the arithmetic bucket
+        numbered = _bucket_rank(joined, ["srt"], n, dense=False)
     else:
         numbered = joined.withColumn(
             "rnk", F.row_number().over(Window.orderBy("srt")).cast("long")

@@ -293,3 +293,39 @@ def test_two_pass_rank_helper_both_modes(spark):
         ).collect()
     }
     assert got_rn == want_rn
+    # the arithmetic-bucket variant (numeric keys, known domain) must
+    # agree with both on the same frames: r1 in [1..5] stresses the
+    # many-keys-per-bucket case, the unique frame the uniform case
+    n_dom = 5
+    shifted = df.select("pos", (F.col("r1") + 1).alias("r1"), "r2")
+    got_b = {
+        (r["pos"], r["rnk"])
+        for r in SX._bucket_rank(
+            shifted, ["r1", "r2"], n_dom, dense=True
+        ).collect()
+    }
+    want_b = {
+        (r["pos"], r["rnk"])
+        for r in shifted.select(
+            "pos",
+            F.dense_rank().over(Window.orderBy("r1", "r2"))
+            .cast("long").alias("rnk"),
+        ).collect()
+    }
+    assert got_b == want_b
+    uniq2 = uniq.select("pos", (F.col("pos") + 1).alias("r1"))
+    got_bu = {
+        (r["pos"], r["rnk"])
+        for r in SX._bucket_rank(
+            uniq2, ["r1"], 100, dense=False
+        ).collect()
+    }
+    want_bu = {
+        (r["pos"], r["rnk"])
+        for r in uniq2.select(
+            "pos",
+            F.row_number().over(Window.orderBy("r1"))
+            .cast("long").alias("rnk"),
+        ).collect()
+    }
+    assert got_bu == want_bu
