@@ -1449,7 +1449,7 @@ def main() -> None:
     # local wall, is the evidence: a 10M-row single-task sort is still
     # fast in one JVM, but it is the task whose input grows with the
     # corpus; (b) the full build agrees bit-exactly between the two
-    # modes on a slice ~20x the audit slice (the pytest pin,
+    # modes on a slice ~28x the audit slice (the pytest pin,
     # re-asserted at stress scale).
     print()
     print("## suffix-array re-rank rung (d21, r14)")
@@ -1527,8 +1527,16 @@ def main() -> None:
     print("default in build_suffix_array, not a flag you remember to")
     print("set.")
     print()
+    # ~1/15 of the stress corpus => a ~1 MB slice, ~28x the sf0.1
+    # audit slice. NOT smaller mods: the slice string materializes
+    # through single-task stages by design (the oracle needs ONE
+    # string), and a first attempt at SA_DOC_MOD=2 (~7.5 MB, 7.5M
+    # suffixes) GC-wedged the broadcast stage for 30+ min — the rung
+    # pins equality at beyond-audit scale, it does not pretend the
+    # concatenated-slice harness IS the 100 TB path (per-segment
+    # offsets are, see d25).
     old_mod = SX.SA_DOC_MOD
-    SX.SA_DOC_MOD = 2  # ~half the stress corpus in the slice
+    SX.SA_DOC_MOD = 15
     SX._SA_CACHE.clear()
     try:
         slice_len = len(SX.corpus_slice(spark, sf_dir).first()["s"])
