@@ -46,6 +46,15 @@ row-set-equal to d22's broadcast lane by pytest pin, so no
 cross-segment span is missed. Rounds are O(log n) whatever the
 corpus.
 
+Since late r14 the BUILD INPUT is distributed too: the default path
+consumes ``suffix_char_rows`` (per-doc explode + two-pass offset
+prefix sum + synthetic separator rows — no task ever materializes a
+corpus-sized array; the r14 SCALE harness measured the monolithic
+explode GC-wedging at a 7.5 MB slice) and reads its initial
+SA_BASE_CHARS-byte rank keys from the stitched overlap segments.
+The single concatenated string remains ONLY as the oracle's
+definition of the slice and in d22's broadcast audit lane.
+
 Reference surface: none (the reference has no dedup at all); this is
 part of the engine's LLM-training-data extension alongside d1-d20.
 """
@@ -118,6 +127,69 @@ def corpus_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (the ml _FIT_CACHE protocol — release_pinned doesn't touch them).
 #: Mode is in the key so the equality-pin test can hold both builds.
 _SA_CACHE: dict[tuple[str, str, bool, int], DataFrame] = {}
+
+#: char-rows memo (same keying rationale as _SA_CACHE; cleared by the
+#: same tests that clear it)
+_ROWS_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+
+
+def suffix_char_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(pos, ch) — the slice as DISTRIBUTED character rows, content-
+    identical to ``corpus_slice``'s single string (equality-pinned in
+    tests): per-doc normalize + split (each task explodes only its own
+    docs' short strings — never one corpus-sized array in one task,
+    the single-task shape that GC-wedged a 7.5 MB slice in the r14
+    SCALE harness), global positions from the two-pass offset prefix
+    sum, and one synthetic separator row between consecutive docs.
+    This is the production input of the SA build; the 1-row
+    concatenated string survives only as the ORACLE's definition of
+    the slice (DuckDB needs one string to sort suffixes of) and in
+    d22's broadcast span lane.
+
+    Checkpoint-memoized per (session, sf_dir, SA_DOC_MOD): the build
+    reads it for the prefix keys AND the keep filter, and
+    _slice_segments stitches from it — one offset prefix sum serves
+    all three."""
+    key = (session_token(spark), sf_dir, SA_DOC_MOD)
+    if key in _ROWS_CACHE:
+        return _ROWS_CACHE[key]
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % SA_DOC_MOD == 0
+    )
+    base = docs.select(
+        "doc_id", F.regexp_replace("text", _NORM_RE, "").alias("t")
+    ).select(
+        "doc_id",
+        "t",
+        F.length("t").alias("len"),
+        (F.length("t") + 1).cast("long").alias("_w"),
+    )
+    offs = _two_pass_prefix_sum(base, ["doc_id"], "_w").select(
+        "doc_id", "t", "len", F.col("psum").alias("off")
+    )
+    chars = (
+        offs.select(
+            "off",
+            F.posexplode(F.split(F.col("t"), "(?!^)")).alias("i", "ch"),
+        )
+        .filter(F.length("ch") == 1)
+        .select(
+            (F.col("off") + F.col("i")).cast("int").alias("pos"), "ch"
+        )
+    )
+    last = offs.agg(F.max("doc_id").alias("last_id"))
+    seps = (
+        offs.crossJoin(F.broadcast(last))
+        .filter(F.col("doc_id") != F.col("last_id"))
+        .select(
+            (F.col("off") + F.col("len")).cast("int").alias("pos"),
+            F.lit(SA_SEP).alias("ch"),
+        )
+    )
+    _ROWS_CACHE[key] = chars.unionByName(seps).localCheckpoint(
+        eager=True
+    )
+    return _ROWS_CACHE[key]
 
 #: Shard count for the two-pass re-rank — the parallelism of every
 #: doubling round (pk1's NSHARDS rationale: size for executor memory;
@@ -292,40 +364,67 @@ def build_suffix_array(
     carries only (pos, rank) ints; consumers needing characters attach
     the 1-row slice via broadcast at projection time (d22).
 
-    ``two_pass=True`` (the default, and what d21/d22/d23 serve) runs
-    every re-rank through the range-partitioned ``_two_pass_rank``;
-    ``two_pass=False`` keeps the legacy single-partition global window
-    purely as the equality pin for tests."""
+    ``two_pass=True`` (the default, and what d21/d22/d23 serve) is the
+    fully-distributed build: the input is ``suffix_char_rows`` (per-doc
+    explode — NO single-task corpus-sized array anywhere), the initial
+    rank reads its SA_BASE_CHARS-byte binary prefix from the stitched
+    overlap segments (d25's machinery — no corpus broadcast either),
+    and every re-rank runs the range-partitioned two-pass.
+    ``two_pass=False`` keeps the legacy monolithic build (one exploded
+    string + broadcast slice + single-partition global windows) purely
+    as the equality pin for tests.
+
+    Initial rank semantics (both paths): dense rank of the
+    SA_BASE_CHARS-byte prefix. memcmp order on ASCII bytes == char
+    order, and a shorter tail prefix sorts before a longer one sharing
+    it — exactly the rank-by-first-k semantics, so one rank replaces
+    log2(SA_BASE_CHARS) doubling rounds (each round costs fixed stage
+    overhead at audit scale: measured 13.8 s -> ~9 s at sf0.1)."""
     # SA_DOC_MOD is in the key: the SCALE rung and tests retune the
     # sample modulus, and a memo keyed only by sf_dir would hand back
     # the previous modulus's slice (ADVICE r14)
     key = (session_token(spark), sf_dir, two_pass, SA_DOC_MOD)
     if key in _SA_CACHE:
         return _SA_CACHE[key]
-    sl = corpus_slice(spark, sf_dir)
-    # the (?!^) lookahead also matches at end-of-string, and Spark's
-    # split keeps trailing empties (Java limit -1) — drop the final
-    # zero-length token or a phantom empty suffix takes rank 1
-    base = sl.select(
-        F.posexplode(F.split(F.col("s"), "(?!^)")).alias("pos", "ch")
-    ).filter(F.length("ch") == 1)
-    # initial rank: dense rank of the SA_BASE_CHARS-byte binary prefix
-    # (one O(1) slice of the broadcast slice per suffix — d22's binary
-    # lane). memcmp order on ASCII bytes == char order, and a shorter
-    # tail prefix sorts before a longer one sharing it — exactly the
-    # rank-by-first-k semantics, so this replaces log2(SA_BASE_CHARS)
-    # doubling rounds with ONE re-rank (each round costs fixed stage
-    # overhead at audit scale: measured 13.8 s -> ~9 s at sf0.1).
-    sl_bin = sl.select(F.encode("s", "UTF-8").alias("s_bin"))
-    pref = base.crossJoin(F.broadcast(sl_bin)).select(
-        "pos",
-        F.substring(
-            F.col("s_bin"), F.col("pos") + 1, SA_BASE_CHARS
-        ).alias("k"),
-    )
     if two_pass:
+        rows = suffix_char_rows(spark, sf_dir)
+        segs = pin(_slice_segments(spark, sf_dir))
+        w_seg = SA_SEG_BYTES
+        pref = (
+            rows.select(
+                "pos",
+                F.expr(f"CAST(pos div {w_seg} AS INT)").alias("seg_id"),
+            )
+            .join(segs, "seg_id")
+            .select(
+                "pos",
+                F.substring(
+                    F.col("seg"),
+                    F.col("pos") - F.col("seg_id") * w_seg + 1,
+                    SA_BASE_CHARS,
+                ).alias("k"),
+            )
+        )
         first = _two_pass_rank(pref, ["k"], dense=True)
+        keep_src = rows
     else:
+        sl = corpus_slice(spark, sf_dir)
+        # the (?!^) lookahead also matches at end-of-string, and
+        # Spark's split keeps trailing empties (Java limit -1) — drop
+        # the final zero-length token or a phantom empty suffix takes
+        # rank 1
+        base = sl.select(
+            F.posexplode(F.split(F.col("s"), "(?!^)")).alias(
+                "pos", "ch"
+            )
+        ).filter(F.length("ch") == 1)
+        sl_bin = sl.select(F.encode("s", "UTF-8").alias("s_bin"))
+        pref = base.crossJoin(F.broadcast(sl_bin)).select(
+            "pos",
+            F.substring(
+                F.col("s_bin"), F.col("pos") + 1, SA_BASE_CHARS
+            ).alias("k"),
+        )
         first = pref.select(
             "pos",
             F.dense_rank()
@@ -333,6 +432,7 @@ def build_suffix_array(
             .cast("long")
             .alias("rnk"),
         )
+        keep_src = base
     ranks = first.select("pos", "rnk").localCheckpoint(eager=True)
     n = ranks.count()
     step = SA_BASE_CHARS
@@ -364,7 +464,7 @@ def build_suffix_array(
         # -> done; 1-row agg, bounded collect) — also catches a base
         # rank that is already a total order before any doubling
         step *= 2
-    keep = base.filter(F.col("ch") != SA_SEP).select("pos")
+    keep = keep_src.filter(F.col("ch") != SA_SEP).select("pos")
     joined = ranks.join(keep, "pos").select(
         "pos", F.col("rnk").alias("srt")
     )
@@ -480,22 +580,46 @@ def _slice_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(seg_id, seg binary): the slice cut into SA_SEG_BYTES segments,
     each padded with the next SPAN_L-1 bytes, so span extraction joins
     positions to segments instead of broadcasting the whole corpus —
-    the 100-TB lane where the slice outgrows a broadcast variable."""
-    sl_bin = corpus_slice(spark, sf_dir).select(
-        F.encode("s", "UTF-8").alias("sb")
-    )
-    n_segs = F.ceil(F.length("sb") / F.lit(SA_SEG_BYTES)).cast("int")
-    return sl_bin.select(
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_segs - 1),
-                lambda i: F.substring(
-                    F.col("sb"),
-                    i * SA_SEG_BYTES + 1,
-                    SA_SEG_BYTES + SPAN_L - 1,
+    the 100-TB lane where the slice outgrows a broadcast variable.
+
+    Built from the DISTRIBUTED char rows (r14): each char assigns to
+    its home segment (pos div W) plus, when it falls in the first
+    SPAN_L-1 positions of a segment, to the previous segment's
+    overlap; one groupBy(seg_id) stitches each segment's own chars
+    back into bytes (a bounded collect_list of W + SPAN_L - 1 structs
+    per group). No stage ever holds the whole slice — byte-identical
+    to slicing the concatenated string (pytest pin)."""
+    rows = suffix_char_rows(spark, sf_dir)
+    w = SA_SEG_BYTES
+    # segment j holds byte pos iff j*w <= pos <= j*w + w + SPAN_L - 2;
+    # solving for j: j in [max(0, ceil((pos - w - SPAN_L + 2)/w)),
+    # pos div w] — the ceil collapses to (pos - SPAN_L + 1) div w with
+    # the greatest(0, .) clamp absorbing the negative-truncation cases.
+    # One sequence-explode covers ANY w (a char fans out to
+    # ceil((SPAN_L-1)/w) + 1 segments: 2 at the production width,
+    # more only when a test shrinks w below the overlap).
+    assigned = rows.select(
+        "pos",
+        "ch",
+        F.explode(
+            F.sequence(
+                F.greatest(
+                    F.lit(0),
+                    F.expr(f"CAST((pos - {SPAN_L - 1}) div {w} AS INT)"),
                 ),
+                F.expr(f"CAST(pos div {w} AS INT)"),
             )
-        ).alias("seg_id", "seg")
+        ).alias("seg_id"),
+    )
+    stitched = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "ch"))),
+            lambda s: s.ch,
+        ),
+        "",
+    )
+    return assigned.groupBy("seg_id").agg(
+        F.encode(stitched, "UTF-8").alias("seg")
     )
 
 

@@ -64,11 +64,11 @@ def _planted_corpus(spark, tmp_path):
 
 def test_d22_finds_planted_cross_doc_span(spark, tmp_path):
     sf_dir = _planted_corpus(spark, tmp_path)
-    SX._SA_CACHE.clear()  # keyed by sf_dir, but keep the test hermetic
+    SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear()  # keyed by sf_dir, but keep the test hermetic
     rows = registry.all_queries()["d22_exact_substring_spans"](
         spark, sf_dir
     ).collect()
-    SX._SA_CACHE.clear()
+    SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear()
     spans = {r["span"] for r in rows}
     # every reported span really is SPAN_L chars of the planted repeat
     s = SX.corpus_slice(spark, sf_dir).first()["s"]
@@ -93,7 +93,7 @@ def test_d22_zero_false_negatives_on_planted(spark, tmp_path):
     recoverable from d22's adjacent-pair output via span equality —
     the Lee et al. completeness property at test scale."""
     sf_dir = _planted_corpus(spark, tmp_path)
-    SX._SA_CACHE.clear()
+    SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear()
     s = SX.corpus_slice(spark, sf_dir).first()["s"]
     windows: dict[str, list[int]] = {}
     for p in range(len(s) - SX.SPAN_L + 1):
@@ -105,7 +105,7 @@ def test_d22_zero_false_negatives_on_planted(spark, tmp_path):
     rows = registry.all_queries()["d22_exact_substring_spans"](
         spark, sf_dir
     ).collect()
-    SX._SA_CACHE.clear()
+    SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear()
     got_spans = {r["span"] for r in rows}
     assert dup_spans == got_spans, (
         dup_spans - got_spans,
@@ -114,7 +114,7 @@ def test_d22_zero_false_negatives_on_planted(spark, tmp_path):
 
 
 def test_sa_cache_shared_between_queries(spark):
-    SX._SA_CACHE.clear()
+    SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear()
     registry.all_queries()["d21_suffix_array"](spark, SF0001).count()
     assert len(SX._SA_CACHE) == 1
     registry.all_queries()["d22_exact_substring_spans"](
@@ -167,7 +167,7 @@ def test_d25_segmented_equals_broadcast_lane(spark, tmp_path):
         "d22_exact_substring_spans", SF0001
     )
     sf_dir = _planted_corpus(spark, tmp_path)
-    SX._SA_CACHE.clear()
+    SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear()
     old_seg = SX.SA_SEG_BYTES
     SX.SA_SEG_BYTES = 16  # < SPAN_L: every window crosses a boundary
     try:
@@ -175,7 +175,7 @@ def test_d25_segmented_equals_broadcast_lane(spark, tmp_path):
         want = rows("d22_exact_substring_spans", sf_dir)
     finally:
         SX.SA_SEG_BYTES = old_seg
-        SX._SA_CACHE.clear()
+        SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear()
     assert got == want and len(got) > 0
 
 
@@ -187,7 +187,7 @@ def test_d24_cut_matches_python_reference(spark, tmp_path):
     earliest occurrence of the planted repeat survives, the later one
     is cut."""
     sf_dir = _planted_corpus(spark, tmp_path)
-    SX._SA_CACHE.clear()
+    SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear()
     s = SX.corpus_slice(spark, sf_dir).first()["s"]
     L = SX.SPAN_L
     sa = _python_suffix_array(s)
@@ -223,7 +223,7 @@ def test_d24_cut_matches_python_reference(spark, tmp_path):
     rows = registry.all_queries()["d24_sa_span_cut"](
         spark, sf_dir
     ).collect()
-    SX._SA_CACHE.clear()
+    SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear()
     got = {
         r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_cut"])
         for r in rows
@@ -236,12 +236,47 @@ def test_d24_cut_matches_python_reference(spark, tmp_path):
     assert got[SX.SA_DOC_MOD][2] >= len(span)
 
 
+def test_char_rows_reconstruct_slice_string(spark):
+    """suffix_char_rows (the distributed build input) reconstructs
+    corpus_slice's concatenated string byte-for-byte — every char, at
+    every global position, separators included."""
+    s = SX.corpus_slice(spark, SF0001).first()["s"]
+    rows = SX.suffix_char_rows(spark, SF0001).collect()
+    got = [None] * len(s)
+    for r in rows:
+        assert got[r["pos"]] is None  # no position written twice
+        got[r["pos"]] = r["ch"]
+    assert "".join(got) == s
+
+
+def test_segments_reconstruct_slice_bytes(spark):
+    """The stitched overlap segments are exactly the byte windows the
+    monolithic slicing would produce — width + overlap, boundaries,
+    final short segment."""
+    s = SX.corpus_slice(spark, SF0001).first()["s"].encode()
+    old_seg = SX.SA_SEG_BYTES
+    SX.SA_SEG_BYTES = 257  # force several segments + a short tail
+    try:
+        segs = {
+            r["seg_id"]: bytes(r["seg"])
+            for r in SX._slice_segments(spark, SF0001).collect()
+        }
+    finally:
+        SX.SA_SEG_BYTES = old_seg
+    w = 257
+    import math
+
+    assert set(segs) == set(range(math.ceil(len(s) / w)))
+    for i, seg in segs.items():
+        assert seg == s[i * w : (i + 1) * w + SX.SPAN_L - 1], i
+
+
 def test_two_pass_rerank_equals_global_window(spark):
     """The range-partitioned two-pass re-rank (the default, the 100-TB
     path) is BIT-EQUAL to the legacy single-partition global-window
     build on the same slice — every (sa_rank, pos) row identical
     (VERDICT r13 ask #2's equality pin)."""
-    SX._SA_CACHE.clear()
+    SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear()
     fast = sorted(
         (r["sa_rank"], r["pos"])
         for r in SX.build_suffix_array(spark, SF0001, two_pass=True)
@@ -252,7 +287,7 @@ def test_two_pass_rerank_equals_global_window(spark):
         for r in SX.build_suffix_array(spark, SF0001, two_pass=False)
         .collect()
     )
-    SX._SA_CACHE.clear()
+    SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear()
     assert fast == legacy
     assert len(fast) == len({p for _, p in fast})  # ranks are a bijection
 
