@@ -984,3 +984,47 @@ def d23_lcp_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adj.select(
         "sa_rank", "pos_a", "pos_b", lcp.cast("int").alias("lcp")
     )
+
+
+@query(
+    "d26_repeat_stats",
+    oracle=_slice_sql()
+    + f"""
+    , sa AS (
+      SELECT p, s,
+             row_number() OVER (ORDER BY substring(s, p + 1)) AS r
+      FROM keep
+    ), lcp AS (
+      SELECT CAST({_lcp_terms_sql()} AS BIGINT) AS lcp
+      FROM sa a JOIN sa b ON b.r = a.r + 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(max(lcp) AS BIGINT) AS max_lcp,
+           CAST(sum(lcp) AS BIGINT) AS sum_lcp,
+           CAST(sum(CASE WHEN lcp >= {SPAN_L} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ge_span,
+           CAST(sum(CASE WHEN lcp >= {LCP_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_at_cap
+    FROM lcp
+    """,
+)
+def d26_repeat_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus repetition summary read off the LCP array — the numbers
+    an exact-substring dedup pass reports before cutting anything:
+    adjacent-pair count, the longest (capped) within-document repeat,
+    total overlap mass (sum of LCPs — the Lee et al. duplicated-token
+    estimate at character grain), pairs at or above the d22 span
+    threshold, and pairs saturating LCP_CAP (where the true repeat may
+    be longer than the cap measures — the honesty column). One
+    map-side-combinable aggregate over d23's pairs; both engines
+    re-derive the staircase from their own independent suffix sorts,
+    so this row value-attests the whole d21+d23 chain end to end in
+    five integers."""
+    lcp = d23_lcp_array(spark, sf_dir)
+    return lcp.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.max("lcp").cast("long").alias("max_lcp"),
+        F.sum("lcp").cast("long").alias("sum_lcp"),
+        F.sum((F.col("lcp") >= SPAN_L).cast("long")).alias("n_ge_span"),
+        F.sum((F.col("lcp") >= LCP_CAP).cast("long")).alias("n_at_cap"),
+    )

@@ -364,3 +364,17 @@ def test_two_pass_rank_helper_both_modes(spark):
         ).collect()
     }
     assert got_bu == want_bu
+
+
+def test_d26_stats_agree_with_d23_rows(spark):
+    """d26's five integers equal a python aggregate of d23's collected
+    rows — and the planted corpus cross-checks n_ge_span > 0."""
+    qs = registry.all_queries()
+    rows = qs["d23_lcp_array"](spark, SF0001).collect()
+    got = qs["d26_repeat_stats"](spark, SF0001).first()
+    lcps = [r["lcp"] for r in rows]
+    assert got["n_pairs"] == len(lcps)
+    assert got["max_lcp"] == max(lcps)
+    assert got["sum_lcp"] == sum(lcps)
+    assert got["n_ge_span"] == sum(1 for x in lcps if x >= SX.SPAN_L)
+    assert got["n_at_cap"] == sum(1 for x in lcps if x >= SX.LCP_CAP)
