@@ -38,13 +38,16 @@ legacy single-partition global window survives only as the
 equality pin (`two_pass=False`, compared row-for-row in
 tests/test_suffixes.py). The per-round localCheckpoint stays (it
 cuts the exponential lineage exactly like d12's connected
-components), and the span-extraction stage has a no-broadcast lane
-(d25): the corpus cuts into SA_SEG_BYTES segments with SPAN_L-1
-overlap bytes at the boundaries, positions join to segments by an
-int key, and windows slice out of the segment at local offsets —
-row-set-equal to d22's broadcast lane by pytest pin, so no
-cross-segment span is missed. Rounds are O(log n) whatever the
-corpus.
+components), and every character-reading projection is segmented BY
+DEFAULT since r15 (the r14 VERDICT's top ask): the corpus cuts into
+SA_SEG_BYTES segments with a parameterized overlap (SPAN_L-1 for
+d22/d25's span windows, LCP_CAP-1 for d23/d26's staircase),
+positions join to segments by an int key, and windows slice out of
+the segment at local offsets — NO corpus-sized broadcast variable
+anywhere in the family's default plans. The legacy broadcast
+projections survive only as equality pins (_spans_broadcast,
+_lcp_broadcast — row-set-equal by pytest pin, so no cross-segment
+window is missed). Rounds are O(log n) whatever the corpus.
 
 Since late r14 the BUILD INPUT is distributed too: the default path
 consumes ``suffix_char_rows`` (per-doc explode + two-pass offset
@@ -53,7 +56,7 @@ corpus-sized array; the r14 SCALE harness measured the monolithic
 explode GC-wedging at a 7.5 MB slice) and reads its initial
 SA_BASE_CHARS-byte rank keys from the stitched overlap segments.
 The single concatenated string remains ONLY as the oracle's
-definition of the slice and in d22's broadcast audit lane.
+definition of the slice and in the broadcast equality-pin lanes.
 
 Reference surface: none (the reference has no dedup at all); this is
 part of the engine's LLM-training-data extension alongside d1-d20.
@@ -65,7 +68,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from a3_fp_bigdata_spark.data import table
-from a3_fp_bigdata_spark.registry import pin, query
+from a3_fp_bigdata_spark.registry import query
 from a3_fp_bigdata_spark.session import session_token
 
 #: deterministic doc sample for the audit slice (~1/47 of the corpus —
@@ -132,6 +135,13 @@ _SA_CACHE: dict[tuple[str, str, bool, int], DataFrame] = {}
 #: same tests that clear it)
 _ROWS_CACHE: dict[tuple[str, str, int], DataFrame] = {}
 
+#: stitched-segment memo — the staged-table shape: ONE segment build
+#: per (session, sf_dir, modulus, width, overlap) serves the SA build's
+#: prefix keys, d22/d25's span projection and d23/d26's LCP staircase
+#: (each overlap width gets its own entry). Cleared wherever
+#: _SA_CACHE/_ROWS_CACHE are.
+_SEG_CACHE: dict[tuple[str, str, int, int, int], DataFrame] = {}
+
 
 def suffix_char_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(pos, ch) — the slice as DISTRIBUTED character rows, content-
@@ -144,7 +154,7 @@ def suffix_char_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the production input of the SA build; the 1-row
     concatenated string survives only as the ORACLE's definition of
     the slice (DuckDB needs one string to sort suffixes of) and in
-    d22's broadcast span lane.
+    the _spans_broadcast/_lcp_broadcast equality-pin lanes.
 
     Checkpoint-memoized per (session, sf_dir, SA_DOC_MOD): the build
     reads it for the prefix keys AND the keep filter, and
@@ -223,6 +233,12 @@ def _two_pass_rank(
        window, a6's rank-over-aggregate shape); offsets broadcast-join
        back. global rank = partition offset + local rank, exactly.
 
+    ``dense=False`` (row_number) requires ``keys`` to be a total order
+    — unique rows-wise — or the tie order within a partition is
+    arbitrary, exactly as it would be under a global window
+    (_two_pass_prefix_sum states the same precondition); current
+    callers only pass unique keys.
+
     Returns ``df``'s columns plus ``rnk``. Wall-clock shape at scale:
     one range shuffle + one hash shuffle on the partition id + one
     broadcast join — no stage sees more than one partition's rows."""
@@ -261,7 +277,11 @@ def _two_pass_rank(
 
 
 def _bucket_rank(
-    df: DataFrame, keys: list[str], n: int, dense: bool
+    df: DataFrame,
+    keys: list[str],
+    n: int,
+    dense: bool,
+    bucket=None,
 ) -> DataFrame:
     """_two_pass_rank for NUMERIC first keys with a known domain
     [1..n] (every doubling round's r1 and the final converged rank):
@@ -275,9 +295,19 @@ def _bucket_rank(
     partitioned window. Offsets come from a per-bucket count aggregate
     (countDistinct over the keys for dense, count(*) for row_number)
     — map-side combinable, <= SA_RERANK_PARTS result rows — never
-    from a second evaluation of the window."""
-    b = F.expr(
-        f"CAST((({keys[0]} - 1) * {SA_RERANK_PARTS}) div {n} AS INT)"
+    from a second evaluation of the window.
+
+    ``bucket`` overrides the shard expression for keys whose domain is
+    NOT [1..n]: any Column that is monotone non-decreasing in the key
+    order and constant on equal keys preserves exactness (the
+    per-bucket offsets compose local ranks in key order either way) —
+    the initial packed-prefix rank passes the top-bits mapping below."""
+    b = (
+        bucket
+        if bucket is not None
+        else F.expr(
+            f"CAST((({keys[0]} - 1) * {SA_RERANK_PARTS}) div {n} AS INT)"
+        )
     )
     bdf = df.withColumn("_bkt", b)
     w_loc = Window.partitionBy("_bkt").orderBy(*keys)
@@ -368,8 +398,11 @@ def build_suffix_array(
     fully-distributed build: the input is ``suffix_char_rows`` (per-doc
     explode — NO single-task corpus-sized array anywhere), the initial
     rank reads its SA_BASE_CHARS-byte binary prefix from the stitched
-    overlap segments (d25's machinery — no corpus broadcast either),
-    and every re-rank runs the range-partitioned two-pass.
+    overlap segments (d25's machinery — no corpus broadcast either)
+    PACKED into one int64 (order-isomorphic big-endian packing, r15)
+    so it shards arithmetically like the doubling rounds — no
+    RangePartitioner sampling pass anywhere in the build — and every
+    re-rank runs the sampling-free bucketed two-pass.
     ``two_pass=False`` keeps the legacy monolithic build (one exploded
     string + broadcast slice + single-partition global windows) purely
     as the equality pin for tests.
@@ -388,8 +421,25 @@ def build_suffix_array(
         return _SA_CACHE[key]
     if two_pass:
         rows = suffix_char_rows(spark, sf_dir)
-        segs = pin(_slice_segments(spark, sf_dir))
+        segs = _slice_segments(spark, sf_dir)
         w_seg = SA_SEG_BYTES
+        # Pack the SA_BASE_CHARS-byte prefix into ONE int64 (r14
+        # VERDICT watch #2): hex the binary window, right-pad the hex
+        # string with '0' (== right-padding the bytes with 0x00, which
+        # sorts below every slice byte — min real byte is SA_SEP 0x01 —
+        # so a shorter tail prefix still sorts first), and conv base-16.
+        # Big-endian byte order makes integer order == memcmp order,
+        # and the top byte is <= 0x7E (printable ASCII), so the packed
+        # value is a POSITIVE signed int64. With a numeric key the
+        # initial rank takes _bucket_rank's sampling-free arithmetic
+        # shard — same as every doubling round — instead of paying
+        # _two_pass_rank's RangePartitioner pass + pid-pinning
+        # checkpoint on the coldest, largest frame of the build. The
+        # shard maps the top 15 bits (first byte + 7 more) through the
+        # same monotone formula; ASCII text concentrates first bytes
+        # in [0x20, 0x7E] so shards skew toward letter buckets — at
+        # 100 TB widen SA_RERANK_PARTS or shard on a sampled histogram
+        # (one reservoir pass), the same remedy as any range shard.
         pref = (
             rows.select(
                 "pos",
@@ -402,10 +452,23 @@ def build_suffix_array(
                     F.col("seg"),
                     F.col("pos") - F.col("seg_id") * w_seg + 1,
                     SA_BASE_CHARS,
+                ).alias("kb"),
+            )
+            .select(
+                "pos",
+                F.expr(
+                    f"CAST(conv(rpad(hex(kb), {2 * SA_BASE_CHARS}, '0'),"
+                    " 16, 10) AS BIGINT)"
                 ).alias("k"),
             )
         )
-        first = _two_pass_rank(pref, ["k"], dense=True)
+        top_bucket = F.expr(
+            f"CAST(((k div {1 << 48}) * {SA_RERANK_PARTS})"
+            f" div {1 << 15} AS INT)"
+        )
+        first = _bucket_rank(
+            pref, ["k"], n=0, dense=True, bucket=top_bucket
+        )
         keep_src = rows
     else:
         sl = corpus_slice(spark, sf_dir)
@@ -534,28 +597,120 @@ def d22_exact_substring_spans(
     excluded so spans never stitch across documents. Output is the
     adjacent pair list (pos_a, pos_b, span); production joins
     positions back to (doc_id, offset) via the slice offset table and
-    cuts the spans exactly like d16."""
+    cuts the spans exactly like d16.
+
+    DEFAULT LANE = the segmented no-broadcast projection (r15 — the
+    d21-re-rank playbook: the scale path graduated from twin to
+    default): positions join SA_SEG_BYTES overlap segments by int key
+    and windows slice at local offsets, so NO corpus-sized broadcast
+    variable exists anywhere in the plan (at 100 TB the slice outgrows
+    a broadcast). The legacy broadcast projection survives as
+    ``_spans_broadcast``, equality-pinned in tests/test_suffixes.py."""
+    return _spans_segmented(spark, sf_dir)
+
+
+def _adjacent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(sa_rank, pos_a, pos_b): every SA-adjacent suffix pair — the
+    shared input of the span projection (d22/d25), the LCP staircase
+    (d23) and everything composed on top (d24/d26). Rank-only ints;
+    no strings ride this join."""
     sa = build_suffix_array(spark, sf_dir)
     nxt = sa.select(
         (F.col("sa_rank") - 1).alias("sa_rank"),
         F.col("pos").alias("pos_b"),
     )
-    # attach the 1-row slice by broadcast ONLY here, at projection
-    # time — the spans are cut and the corpus bytes dropped inside one
-    # stage, so the string never materializes per row. The slice is
-    # attached as BINARY: Spark's string substring walks UTF-8 from
-    # byte 0 to find a char offset (O(position) per call, and the
-    # filter re-evaluates each span per predicate — measured ~10 s at
-    # sf0.1), while binary substring is an O(1) slice; the slice is
-    # printable-ASCII by construction, so bytes == chars exactly.
+    return sa.join(nxt, "sa_rank").select(
+        "sa_rank", F.col("pos").alias("pos_a"), "pos_b"
+    )
+
+
+def _segment_windows(
+    spark: SparkSession, sf_dir: str, adj: DataFrame, win_len: int
+) -> DataFrame:
+    """Attach ``win_a``/``win_b`` (the <= ``win_len``-byte windows
+    starting at pos_a/pos_b) to an adjacent-pair frame WITHOUT
+    broadcasting the corpus: each side joins its overlap segment by
+    int seg_id (plain shuffle joins — co-partitioned at scale,
+    AQE-sized here) and the window slices out of the segment at a
+    local offset (O(1) binary substring). Segments carry
+    ``win_len - 1`` overlap bytes, so any window STARTING inside a
+    segment reads entirely from it — no cross-segment window is ever
+    truncated (and a window truncated by the END of the slice is
+    truncated identically to a global substring). Integer ``div`` for
+    the segment ids — exact for every int64 position (pk1's
+    rationale)."""
+    segs = _slice_segments(spark, sf_dir, overlap=win_len - 1)
+    w = SA_SEG_BYTES
+    return (
+        adj.withColumn("seg_a", F.expr(f"CAST(pos_a div {w} AS INT)"))
+        .withColumn("seg_b", F.expr(f"CAST(pos_b div {w} AS INT)"))
+        .join(
+            segs.select(
+                F.col("seg_id").alias("seg_a"),
+                F.col("seg").alias("bytes_a"),
+            ),
+            "seg_a",
+        )
+        .join(
+            segs.select(
+                F.col("seg_id").alias("seg_b"),
+                F.col("seg").alias("bytes_b"),
+            ),
+            "seg_b",
+        )
+        .withColumn(
+            "win_a",
+            F.substring(
+                F.col("bytes_a"),
+                F.col("pos_a") - F.col("seg_a") * w + 1,
+                win_len,
+            ),
+        )
+        .withColumn(
+            "win_b",
+            F.substring(
+                F.col("bytes_b"),
+                F.col("pos_b") - F.col("seg_b") * w + 1,
+                win_len,
+            ),
+        )
+        .drop("bytes_a", "bytes_b", "seg_a", "seg_b")
+    )
+
+
+def _spans_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The span projection over segment windows — d22's AND d25's
+    shared implementation (one code path; two registered names keep
+    both the family flagship and the explicitly-segmented rung in the
+    registry)."""
+    adj = _segment_windows(
+        spark, sf_dir, _adjacent_pairs(spark, sf_dir), SPAN_L
+    )
+    span_a, span_b = F.col("win_a"), F.col("win_b")
+    return adj.filter(
+        (F.length(span_a) == SPAN_L)
+        & (span_a == span_b)
+        & (F.instr(F.decode(span_a, "UTF-8"), SA_SEP) == 0)
+        & (F.instr(F.decode(span_b, "UTF-8"), SA_SEP) == 0)
+    ).select(
+        "pos_a", "pos_b", F.decode(span_a, "UTF-8").alias("span")
+    )
+
+
+def _spans_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LEGACY broadcast span projection — attach the 1-row slice
+    as BINARY (Spark's string substring walks UTF-8 from byte 0 per
+    call — O(position); binary substring is an O(1) slice; the slice
+    is printable-ASCII, so bytes == chars) and cut windows at global
+    offsets. Kept ONLY as the equality pin for the segmented default
+    (tests/test_suffixes.py pins row-set equality, including
+    boundary-straddling windows at a shrunken SA_SEG_BYTES) — a
+    broadcast variable cannot hold a 100 TB slice."""
+    adj = _adjacent_pairs(spark, sf_dir)
     sl_bin = corpus_slice(spark, sf_dir).select(
         F.encode("s", "UTF-8").alias("s_bin")
     )
-    adj = (
-        sa.join(nxt, "sa_rank")
-        .select(F.col("pos").alias("pos_a"), "pos_b")
-        .crossJoin(F.broadcast(sl_bin))
-    )
+    adj = adj.crossJoin(F.broadcast(sl_bin))
     span_a = F.substring(F.col("s_bin"), F.col("pos_a") + 1, SPAN_L)
     span_b = F.substring(F.col("s_bin"), F.col("pos_b") + 1, SPAN_L)
     return adj.filter(
@@ -576,28 +731,47 @@ def d22_exact_substring_spans(
 SA_SEG_BYTES = 8192
 
 
-def _slice_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _slice_segments(
+    spark: SparkSession, sf_dir: str, overlap: int = SPAN_L - 1
+) -> DataFrame:
     """(seg_id, seg binary): the slice cut into SA_SEG_BYTES segments,
-    each padded with the next SPAN_L-1 bytes, so span extraction joins
-    positions to segments instead of broadcasting the whole corpus —
-    the 100-TB lane where the slice outgrows a broadcast variable.
+    each padded with the next ``overlap`` bytes, so projection stages
+    join positions to segments instead of broadcasting the whole
+    corpus — the 100-TB lane where the slice outgrows a broadcast
+    variable. The overlap parameterizes per consumer (r15 VERDICT
+    ask): span windows need SPAN_L-1, the LCP staircase needs
+    LCP_CAP-1, the build's prefix keys need SA_BASE_CHARS-1 (covered
+    by the SPAN_L-1 default) — each width guarantees any window of
+    the matching length STARTING inside a segment reads entirely
+    from it.
 
     Built from the DISTRIBUTED char rows (r14): each char assigns to
     its home segment (pos div W) plus, when it falls in the first
-    SPAN_L-1 positions of a segment, to the previous segment's
+    ``overlap`` positions of a segment, to the preceding segments'
     overlap; one groupBy(seg_id) stitches each segment's own chars
-    back into bytes (a bounded collect_list of W + SPAN_L - 1 structs
+    back into bytes (a bounded collect_list of W + overlap structs
     per group). No stage ever holds the whole slice — byte-identical
-    to slicing the concatenated string (pytest pin)."""
+    to slicing the concatenated string (pytest pin).
+
+    Memoized per (session, sf_dir, SA_DOC_MOD, SA_SEG_BYTES, overlap)
+    with an eager localCheckpoint — the staged-table shape: the SA
+    build, d22/d25 and d23/d26 all read their segment table once per
+    session (the ml _FIT_CACHE protocol; release_pinned doesn't touch
+    it, cache-clearing tests clear _SEG_CACHE alongside _SA_CACHE)."""
+    key = (
+        session_token(spark), sf_dir, SA_DOC_MOD, SA_SEG_BYTES, overlap
+    )
+    if key in _SEG_CACHE:
+        return _SEG_CACHE[key]
     rows = suffix_char_rows(spark, sf_dir)
     w = SA_SEG_BYTES
-    # segment j holds byte pos iff j*w <= pos <= j*w + w + SPAN_L - 2;
-    # solving for j: j in [max(0, ceil((pos - w - SPAN_L + 2)/w)),
-    # pos div w] — the ceil collapses to (pos - SPAN_L + 1) div w with
+    # segment j holds byte pos iff j*w <= pos <= j*w + w + overlap - 1;
+    # solving for j: j in [max(0, ceil((pos - w - overlap + 1)/w)),
+    # pos div w] — the ceil collapses to (pos - overlap) div w with
     # the greatest(0, .) clamp absorbing the negative-truncation cases.
     # One sequence-explode covers ANY w (a char fans out to
-    # ceil((SPAN_L-1)/w) + 1 segments: 2 at the production width,
-    # more only when a test shrinks w below the overlap).
+    # ceil(overlap/w) + 1 segments: 2 at the production width, more
+    # only when a test shrinks w below the overlap).
     assigned = rows.select(
         "pos",
         "ch",
@@ -605,7 +779,7 @@ def _slice_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(
                 F.greatest(
                     F.lit(0),
-                    F.expr(f"CAST((pos - {SPAN_L - 1}) div {w} AS INT)"),
+                    F.expr(f"CAST((pos - {overlap}) div {w} AS INT)"),
                 ),
                 F.expr(f"CAST(pos div {w} AS INT)"),
             )
@@ -618,9 +792,12 @@ def _slice_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "",
     )
-    return assigned.groupBy("seg_id").agg(
-        F.encode(stitched, "UTF-8").alias("seg")
+    _SEG_CACHE[key] = (
+        assigned.groupBy("seg_id")
+        .agg(F.encode(stitched, "UTF-8").alias("seg"))
+        .localCheckpoint(eager=True)
     )
+    return _SEG_CACHE[key]
 
 
 @query(
@@ -656,67 +833,16 @@ def d25_segmented_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     its two segments by seg_id (plain shuffle joins on an int key —
     co-partitioned at scale, AQE-sized here), and the {SPAN_L}-byte
     windows slice OUT OF THE SEGMENT at local offsets (same O(1)
-    binary arithmetic as d22's broadcast lane). The overlap padding
-    guarantees any window STARTING inside a segment reads entirely
-    from it, so no cross-segment span is missed; the SA itself is
-    rank-only (no strings) and needs no segmentation. Output and
-    oracle are d22's verbatim — tests/test_suffixes.py additionally
-    pins row-set equality between the two lanes."""
-    sa = build_suffix_array(spark, sf_dir)
-    nxt = sa.select(
-        (F.col("sa_rank") - 1).alias("sa_rank"),
-        F.col("pos").alias("pos_b"),
-    )
-    # pin: both seg joins read this frame (ADVICE r14 — unpinned, the
-    # collect_list slice agg behind it ran once per join side)
-    segs = pin(_slice_segments(spark, sf_dir))
-    # integer `div`, not float `/` + floor: exact for every int64
-    # position, the pk1 rationale (double division is exact only
-    # below 2^53) — ADVICE r14
-    adj = (
-        sa.join(nxt, "sa_rank")
-        .select(F.col("pos").alias("pos_a"), "pos_b")
-        .withColumn(
-            "seg_a",
-            F.expr(f"CAST(pos_a div {SA_SEG_BYTES} AS INT)"),
-        )
-        .withColumn(
-            "seg_b",
-            F.expr(f"CAST(pos_b div {SA_SEG_BYTES} AS INT)"),
-        )
-        .join(
-            segs.select(
-                F.col("seg_id").alias("seg_a"),
-                F.col("seg").alias("bytes_a"),
-            ),
-            "seg_a",
-        )
-        .join(
-            segs.select(
-                F.col("seg_id").alias("seg_b"),
-                F.col("seg").alias("bytes_b"),
-            ),
-            "seg_b",
-        )
-    )
-    span_a = F.substring(
-        F.col("bytes_a"),
-        F.col("pos_a") - F.col("seg_a") * SA_SEG_BYTES + 1,
-        SPAN_L,
-    )
-    span_b = F.substring(
-        F.col("bytes_b"),
-        F.col("pos_b") - F.col("seg_b") * SA_SEG_BYTES + 1,
-        SPAN_L,
-    )
-    return adj.filter(
-        (F.length(span_a) == SPAN_L)
-        & (span_a == span_b)
-        & (F.instr(F.decode(span_a, "UTF-8"), SA_SEP) == 0)
-        & (F.instr(F.decode(span_b, "UTF-8"), SA_SEP) == 0)
-    ).select(
-        "pos_a", "pos_b", F.decode(span_a, "UTF-8").alias("span")
-    )
+    binary arithmetic as the legacy broadcast lane). The overlap
+    padding guarantees any window STARTING inside a segment reads
+    entirely from it, so no cross-segment span is missed; the SA
+    itself is rank-only (no strings) and needs no segmentation.
+
+    Since r15 this IS d22's default implementation (the twin
+    graduated, exactly as d21's two-pass re-rank did in r14) — both
+    names serve ``_spans_segmented``; ``_spans_broadcast`` survives as
+    the pytest equality pin. Output and oracle are d22's verbatim."""
+    return _spans_segmented(spark, sf_dir)
 
 
 #: d24's oracle composes d22's adjacent-pair CTE with the offset table
@@ -956,34 +1082,62 @@ def d23_lcp_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     two DIFFERENT boundaries (same doc-suffix after both) would
     stitch an LCP across documents and a consumer reading
     lcp >= SPAN_L as a within-document repeat would over-count
-    (ADVICE r13; d22 excludes separator windows the same way)."""
-    sa = build_suffix_array(spark, sf_dir)
-    nxt = sa.select(
-        (F.col("sa_rank") - 1).alias("sa_rank"),
-        F.col("pos").alias("pos_b"),
+    (ADVICE r13; d22 excludes separator windows the same way).
+
+    DEFAULT LANE = segmented (r15): each side's LCP_CAP-byte window
+    comes from the overlap segments (overlap = LCP_CAP - 1, so one
+    segment join per side suffices — the parameterized width the r14
+    VERDICT asked for), and the staircase compares PREFIXES OF THE
+    TWO WINDOWS — for L <= LCP_CAP, substring(win, 1, L) equals the
+    global substring(s, pos + 1, L) exactly, including truncation at
+    the slice end, so the indicator sum is unchanged. No corpus
+    broadcast; ``_lcp_broadcast`` is the equality-pinned legacy."""
+    return _lcp_from_windows(
+        _segment_windows(
+            spark, sf_dir, _adjacent_pairs(spark, sf_dir), LCP_CAP
+        )
     )
-    sl_bin = corpus_slice(spark, sf_dir).select(
-        F.encode("s", "UTF-8").alias("s_bin")
-    )
-    adj = (
-        sa.join(nxt, "sa_rank")
-        .select("sa_rank", F.col("pos").alias("pos_a"), "pos_b")
-        .crossJoin(F.broadcast(sl_bin))
-    )
-    def _slice_a(L: int):
-        return F.substring(F.col("s_bin"), F.col("pos_a") + 1, L)
+
+
+def _lcp_from_windows(adj: DataFrame) -> DataFrame:
+    """The capped-LCP indicator staircase over win_a/win_b columns
+    (windows of LCP_CAP bytes starting at pos_a/pos_b, however they
+    were fetched — segment join or broadcast slice)."""
+    def _pa(L: int):
+        return F.substring(F.col("win_a"), 1, L)
 
     lcp = sum(
         (
-            (_slice_a(L)
-             == F.substring(F.col("s_bin"), F.col("pos_b") + 1, L))
-            & (F.instr(F.decode(_slice_a(L), "UTF-8"), SA_SEP) == 0)
+            (_pa(L) == F.substring(F.col("win_b"), 1, L))
+            & (F.instr(F.decode(_pa(L), "UTF-8"), SA_SEP) == 0)
         ).cast("int")
         for L in range(1, LCP_CAP + 1)
     )
     return adj.select(
         "sa_rank", "pos_a", "pos_b", lcp.cast("int").alias("lcp")
     )
+
+
+def _lcp_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEGACY broadcast LCP projection — the global-slice windows
+    feeding the same staircase. Kept only as the equality pin for the
+    segmented default (tests/test_suffixes.py)."""
+    sl_bin = corpus_slice(spark, sf_dir).select(
+        F.encode("s", "UTF-8").alias("s_bin")
+    )
+    adj = (
+        _adjacent_pairs(spark, sf_dir)
+        .crossJoin(F.broadcast(sl_bin))
+        .withColumn(
+            "win_a",
+            F.substring(F.col("s_bin"), F.col("pos_a") + 1, LCP_CAP),
+        )
+        .withColumn(
+            "win_b",
+            F.substring(F.col("s_bin"), F.col("pos_b") + 1, LCP_CAP),
+        )
+    )
+    return _lcp_from_windows(adj)
 
 
 @query(

@@ -334,8 +334,14 @@ def main() -> None:
                         headline_passes[hname].append(tp)
                     try:
                         registry.release_pinned()
-                    except Exception:  # noqa: BLE001
-                        pass
+                    except Exception as e:  # noqa: BLE001
+                        # recorded like the pass-1 loop's failures — a
+                        # persist leak surfacing only in the warm
+                        # passes would otherwise silently inflate
+                        # later med3 timings (ADVICE r14)
+                        errors[f"release:{hname}#pass{p}"] = (
+                            f"{type(e).__name__}: {str(e)[:120]}"
+                        )
                 probe_calib(done)
         elif done < len(to_time) and done % CALIB_EVERY == 0:
             probe_calib(done)

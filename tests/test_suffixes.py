@@ -64,11 +64,11 @@ def _planted_corpus(spark, tmp_path):
 
 def test_d22_finds_planted_cross_doc_span(spark, tmp_path):
     sf_dir = _planted_corpus(spark, tmp_path)
-    SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear()  # keyed by sf_dir, but keep the test hermetic
+    SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear(); SX._SEG_CACHE.clear()  # keyed by sf_dir, but keep the test hermetic
     rows = registry.all_queries()["d22_exact_substring_spans"](
         spark, sf_dir
     ).collect()
-    SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear()
+    SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear(); SX._SEG_CACHE.clear()
     spans = {r["span"] for r in rows}
     # every reported span really is SPAN_L chars of the planted repeat
     s = SX.corpus_slice(spark, sf_dir).first()["s"]
@@ -93,7 +93,7 @@ def test_d22_zero_false_negatives_on_planted(spark, tmp_path):
     recoverable from d22's adjacent-pair output via span equality —
     the Lee et al. completeness property at test scale."""
     sf_dir = _planted_corpus(spark, tmp_path)
-    SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear()
+    SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear(); SX._SEG_CACHE.clear()
     s = SX.corpus_slice(spark, sf_dir).first()["s"]
     windows: dict[str, list[int]] = {}
     for p in range(len(s) - SX.SPAN_L + 1):
@@ -105,7 +105,7 @@ def test_d22_zero_false_negatives_on_planted(spark, tmp_path):
     rows = registry.all_queries()["d22_exact_substring_spans"](
         spark, sf_dir
     ).collect()
-    SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear()
+    SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear(); SX._SEG_CACHE.clear()
     got_spans = {r["span"] for r in rows}
     assert dup_spans == got_spans, (
         dup_spans - got_spans,
@@ -114,7 +114,7 @@ def test_d22_zero_false_negatives_on_planted(spark, tmp_path):
 
 
 def test_sa_cache_shared_between_queries(spark):
-    SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear()
+    SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear(); SX._SEG_CACHE.clear()
     registry.all_queries()["d21_suffix_array"](spark, SF0001).count()
     assert len(SX._SA_CACHE) == 1
     registry.all_queries()["d22_exact_substring_spans"](
@@ -151,31 +151,62 @@ def test_d23_lcp_matches_python_ground_truth(spark):
 
 
 def test_d25_segmented_equals_broadcast_lane(spark, tmp_path):
-    """d25 (segment-join span extraction, no corpus broadcast) returns
-    exactly d22's row set — on sf0.001 AND on the planted corpus with
-    a segment width shrunk so spans straddle segment boundaries (the
-    overlap-padding case the 100-TB story leans on)."""
+    """The segmented span projection (d22's AND d25's DEFAULT since
+    r15) returns exactly the legacy broadcast lane's row set — on
+    sf0.001 AND on the planted corpus with a segment width shrunk so
+    spans straddle segment boundaries (the overlap-padding case the
+    100-TB story leans on). _spans_broadcast exists ONLY for this
+    pin."""
     qs = registry.all_queries()
 
-    def rows(name, sf_dir):
+    def rows(df):
         return sorted(
-            (r["pos_a"], r["pos_b"], r["span"])
-            for r in qs[name](spark, sf_dir).collect()
+            (r["pos_a"], r["pos_b"], r["span"]) for r in df.collect()
         )
 
-    assert rows("d25_segmented_spans", SF0001) == rows(
-        "d22_exact_substring_spans", SF0001
+    assert rows(qs["d25_segmented_spans"](spark, SF0001)) == rows(
+        SX._spans_broadcast(spark, SF0001)
     )
     sf_dir = _planted_corpus(spark, tmp_path)
-    SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear()
+    SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear(); SX._SEG_CACHE.clear()
     old_seg = SX.SA_SEG_BYTES
     SX.SA_SEG_BYTES = 16  # < SPAN_L: every window crosses a boundary
     try:
-        got = rows("d25_segmented_spans", sf_dir)
-        want = rows("d22_exact_substring_spans", sf_dir)
+        got = rows(qs["d22_exact_substring_spans"](spark, sf_dir))
+        want = rows(SX._spans_broadcast(spark, sf_dir))
     finally:
         SX.SA_SEG_BYTES = old_seg
-        SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear()
+        SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear(); SX._SEG_CACHE.clear()
+    assert got == want and len(got) > 0
+
+
+def test_d23_segmented_equals_broadcast_lane(spark, tmp_path):
+    """The segmented LCP staircase (d23's DEFAULT since r15, overlap
+    = LCP_CAP - 1) returns exactly the legacy broadcast lane's rows —
+    on sf0.001 AND with SA_SEG_BYTES shrunk BELOW the 64-byte cap so
+    every window straddles several segment boundaries and reads
+    entirely from its overlap padding."""
+    qs = registry.all_queries()
+
+    def rows(df):
+        return sorted(
+            (r["sa_rank"], r["pos_a"], r["pos_b"], r["lcp"])
+            for r in df.collect()
+        )
+
+    assert rows(qs["d23_lcp_array"](spark, SF0001)) == rows(
+        SX._lcp_broadcast(spark, SF0001)
+    )
+    sf_dir = _planted_corpus(spark, tmp_path)
+    SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear(); SX._SEG_CACHE.clear()
+    old_seg = SX.SA_SEG_BYTES
+    SX.SA_SEG_BYTES = 24  # < LCP_CAP: every 64-byte window straddles
+    try:
+        got = rows(qs["d23_lcp_array"](spark, sf_dir))
+        want = rows(SX._lcp_broadcast(spark, sf_dir))
+    finally:
+        SX.SA_SEG_BYTES = old_seg
+        SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear(); SX._SEG_CACHE.clear()
     assert got == want and len(got) > 0
 
 
@@ -187,7 +218,7 @@ def test_d24_cut_matches_python_reference(spark, tmp_path):
     earliest occurrence of the planted repeat survives, the later one
     is cut."""
     sf_dir = _planted_corpus(spark, tmp_path)
-    SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear()
+    SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear(); SX._SEG_CACHE.clear()
     s = SX.corpus_slice(spark, sf_dir).first()["s"]
     L = SX.SPAN_L
     sa = _python_suffix_array(s)
@@ -223,7 +254,7 @@ def test_d24_cut_matches_python_reference(spark, tmp_path):
     rows = registry.all_queries()["d24_sa_span_cut"](
         spark, sf_dir
     ).collect()
-    SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear()
+    SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear(); SX._SEG_CACHE.clear()
     got = {
         r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_cut"])
         for r in rows
@@ -261,14 +292,25 @@ def test_segments_reconstruct_slice_bytes(spark):
             r["seg_id"]: bytes(r["seg"])
             for r in SX._slice_segments(spark, SF0001).collect()
         }
+        # the parameterized overlap (r15): d23's LCP_CAP-1-wide padding
+        segs_lcp = {
+            r["seg_id"]: bytes(r["seg"])
+            for r in SX._slice_segments(
+                spark, SF0001, overlap=SX.LCP_CAP - 1
+            ).collect()
+        }
     finally:
         SX.SA_SEG_BYTES = old_seg
+        SX._SEG_CACHE.clear()
     w = 257
     import math
 
     assert set(segs) == set(range(math.ceil(len(s) / w)))
     for i, seg in segs.items():
         assert seg == s[i * w : (i + 1) * w + SX.SPAN_L - 1], i
+    assert set(segs_lcp) == set(segs)
+    for i, seg in segs_lcp.items():
+        assert seg == s[i * w : (i + 1) * w + SX.LCP_CAP - 1], i
 
 
 def test_two_pass_rerank_equals_global_window(spark):
@@ -276,7 +318,7 @@ def test_two_pass_rerank_equals_global_window(spark):
     path) is BIT-EQUAL to the legacy single-partition global-window
     build on the same slice — every (sa_rank, pos) row identical
     (VERDICT r13 ask #2's equality pin)."""
-    SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear()
+    SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear(); SX._SEG_CACHE.clear()
     fast = sorted(
         (r["sa_rank"], r["pos"])
         for r in SX.build_suffix_array(spark, SF0001, two_pass=True)
@@ -287,7 +329,7 @@ def test_two_pass_rerank_equals_global_window(spark):
         for r in SX.build_suffix_array(spark, SF0001, two_pass=False)
         .collect()
     )
-    SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear()
+    SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear(); SX._SEG_CACHE.clear()
     assert fast == legacy
     assert len(fast) == len({p for _, p in fast})  # ranks are a bijection
 

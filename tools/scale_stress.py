@@ -1537,7 +1537,11 @@ def main() -> None:
     # offsets are, see d25).
     old_mod = SX.SA_DOC_MOD
     SX.SA_DOC_MOD = 15
-    SX._SA_CACHE.clear()
+    # clear ALL the family's memos, not just _SA_CACHE: correctness is
+    # key-safe (SA_DOC_MOD is in every key) but mod-15 checkpoint
+    # blocks in _ROWS_CACHE/_SEG_CACHE would stay resident for the
+    # rest of a long stress session (ADVICE r14)
+    SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear(); SX._SEG_CACHE.clear()
     try:
         slice_len = len(SX.corpus_slice(spark, sf_dir).first()["s"])
         walls = {}
@@ -1566,7 +1570,7 @@ def main() -> None:
         assert n_diff == 0
     finally:
         SX.SA_DOC_MOD = old_mod
-        SX._SA_CACHE.clear()
+        SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear(); SX._SEG_CACHE.clear()
     spark.stop()
 
 
