@@ -252,17 +252,24 @@ def release_shingle_stage() -> None:
 #: and production materializes the bucket table once per corpus
 #: snapshot, written bucketed by (band, sig), so the nightly probe
 #: partition-prunes instead of recomputing 32 hashes over the corpus.
+#: Since r15 the stage holds the RAW (pre-cap) rows — d4's scratch
+#: write needs them, and the cap is one window pass over the persisted
+#: frame — consumers apply _cap_buckets on read.
 _BUCKET_STAGE: dict[tuple[str, str], DataFrame] = {}
 
 
-def staged_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def staged_raw_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (session_token(spark), sf_dir)
     _evict_dead_entries(_BUCKET_STAGE, unpersist=True)
     if key not in _BUCKET_STAGE:
-        _BUCKET_STAGE[key] = minhash_band_buckets(
+        _BUCKET_STAGE[key] = minhash_raw_buckets(
             staged_shingles(spark, sf_dir)
         ).persist(StorageLevel.MEMORY_AND_DISK)
     return _BUCKET_STAGE[key]
+
+
+def staged_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cap_buckets(staged_raw_buckets(spark, sf_dir))
 
 
 def release_bucket_stage() -> None:
@@ -318,19 +325,12 @@ def d3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_band_buckets(ex: DataFrame) -> DataFrame:
+def minhash_raw_buckets(ex: DataFrame) -> DataFrame:
     """(doc_id, band, sig) LSH bucket rows from (doc_id, shingle) rows:
-    32 seeded minhashes -> 16 bands of 2, with the super-bucket cap
-    applied. Shared by d4 (full self-join) and d11 (incremental probe).
-
-    Super-bucket guard: a bucket of s docs emits s^2 candidate pairs,
-    so one boilerplate cluster (cookie banners, templated pages — or
-    plain exact copies, which belong to d1's ladder rung anyway) can
-    quadratically explode the join. Cap the bucket size; a window
-    count over (band, sig) costs one pass over the already-shuffled
-    bucket rows. Near-dups lost to the cap in ONE band still collide
-    in the other 15.
-    """
+    32 seeded minhashes -> 16 bands of 2 — BEFORE the super-bucket cap
+    (the cap is `_cap_buckets`, split out in r15 so d4 can materialize
+    the raw signature rows to scratch and both engines replay the cap
+    + collision + verification chain from the same table)."""
     # xxhash64(seed, shingle) is Spark-deterministic across sessions.
     mins = ex.groupBy("doc_id").agg(
         *[
@@ -350,9 +350,19 @@ def minhash_band_buckets(ex: DataFrame) -> DataFrame:
             for b in range(MINHASH_BANDS)
         ]
     )
-    buckets = mins.select(
+    return mins.select(
         "doc_id", F.explode(band_sigs).alias("bs")
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+
+def _cap_buckets(buckets: DataFrame) -> DataFrame:
+    """Super-bucket guard: a bucket of s docs emits s^2 candidate
+    pairs, so one boilerplate cluster (cookie banners, templated pages
+    — or plain exact copies, which belong to d1's ladder rung anyway)
+    can quadratically explode the join. Cap the bucket size; a window
+    count over (band, sig) costs one pass over the already-shuffled
+    bucket rows. Near-dups lost to the cap in ONE band still collide
+    in the other 15."""
     w_bucket = Window.partitionBy("band", "sig")
     return (
         buckets.withColumn("_bsize", F.count("*").over(w_bucket))
@@ -361,7 +371,70 @@ def minhash_band_buckets(ex: DataFrame) -> DataFrame:
     )
 
 
-@query("d4_minhash_lsh", oracle=None)
+def minhash_band_buckets(ex: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) LSH bucket rows with the super-bucket cap
+    applied. Shared by d4 (full self-join) and d11 (incremental
+    probe)."""
+    return _cap_buckets(minhash_raw_buckets(ex))
+
+
+#: d4's band-signature scratch (r15 — d5's exact recipe one rung up
+#: the ladder): the (doc_id, band, sig) rows are the ONLY
+#: engine-specific step (32 seeded xxhash64 minhashes + per-band
+#: xxhash64 fold); they materialize to fingerprinted scratch, and BOTH
+#: engines independently replay everything downstream — super-bucket
+#: cap, bucket collisions, candidate pairs, and the exact-Jaccard
+#: verification join (DuckDB against its OWN shingle derivation, the
+#: same CTEs d3's oracle uses). The SELECTION is value-attested;
+#: only xxhash64 itself stays pytest-attested via the d3 containment
+#: contract (d4 ⊆ d3, equal jaccard) and the d4_containment_audit row.
+_D4_SIG_SCRATCH = run_scratch("d4_band_sigs")
+
+#: shingle-derivation CTEs shared with d3's oracle, minus its
+#: quadratic all-pairs join: d4's oracle verifies CANDIDATES only —
+#: the same work profile as the Spark side.
+_D4_VERIFY_CTES = f"""words AS (
+      SELECT doc_id, {_SQL_TOKS} AS w FROM documents
+    ), sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS s FROM words
+    ), ex AS (
+      SELECT doc_id, unnest(s) AS shingle FROM sh
+    ), cnt AS (
+      SELECT doc_id, len(s) AS n FROM sh
+    )"""
+
+
+def _d4_oracle() -> str:
+    return f"""
+    WITH {_D4_VERIFY_CTES}, raw AS (
+      SELECT doc_id, band, sig
+      FROM read_parquet('{_D4_SIG_SCRATCH}/*.parquet')
+      WHERE {fingerprint_where('documents', 'doc_id')}
+    ), capped AS (
+      SELECT doc_id, band, sig FROM raw
+      QUALIFY count(*) OVER (PARTITION BY band, sig)
+              <= {MAX_BUCKET_DOCS}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ), common AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS cm
+      FROM cand c
+      JOIN ex ea ON ea.doc_id = c.doc_a
+      JOIN ex eb ON eb.doc_id = c.doc_b AND eb.shingle = ea.shingle
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           {half_up_sql('CAST(cm AS DOUBLE) / (ca.n + cb.n - cm)')} AS jaccard
+    FROM common
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE CAST(cm AS DOUBLE) / (ca.n + cb.n - cm) >= {JACCARD_THRESHOLD}
+    """
+
+
+@query("d4_minhash_lsh", oracle=_d4_oracle())
 def d4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dup: shingle -> 32 minhashes -> 16 bands
     of 2 -> candidate pairs from band-bucket collisions -> exact-Jaccard
@@ -369,8 +442,19 @@ def d4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the 100 TB dedup path: the shuffle is on (band, signature)
     buckets, so work scales with collisions, not with n^2. Recall at the
-    0.3 threshold is probabilistic (~78%) — no SQL oracle (hash-seed
-    specific); rows-only check + pytest against d3's exact pairs.
+    0.3 threshold is probabilistic (~78%).
+
+    ORACLE-BACKED since r15 (was the longest-standing rows-only
+    flagship): the raw band-signature rows — the only seed-internal
+    step — materialize to stamped scratch (see _D4_SIG_SCRATCH), and
+    both engines independently replay cap -> collisions -> candidate
+    pairs -> exact-Jaccard verification; DuckDB's verification uses
+    its OWN shingle sets, so a pair the LSH proposes only survives
+    both sides if ground truth agrees on its jaccard. Audit-scale
+    note: the scratch is 16 rows per doc — far smaller than d5's
+    per-token scratch; the production path writes the same bucket
+    table per corpus snapshot anyway (the _BUCKET_STAGE note), so
+    the materialization IS the production shape, not an audit tax.
     """
     # The shingle frame feeds the minhash agg, the candidate pruning and
     # the exact verification; without persist, Spark INLINES the whole
@@ -382,10 +466,15 @@ def d4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deduping BEFORE the 32-hash agg measured faster than skipping the
     # shuffle (fewer rows to hash 32x beats one saved exchange).
     ex = staged_shingles(spark, sf_dir)
-    # staged_band_buckets: the signature/bucket table is memoized per
+    # staged_raw_buckets: the signature table is memoized per
     # (session, sf_dir) and SHARED with d11's nightly probe — computing
     # the 32-hash agg once per corpus snapshot is the production shape.
-    buckets = staged_band_buckets(spark, sf_dir)
+    fp = src_fingerprint(table(spark, sf_dir, "documents"), "doc_id")
+    staged_raw_buckets(spark, sf_dir).crossJoin(
+        F.broadcast(fp)
+    ).coalesce(1).write.mode("overwrite").parquet(_D4_SIG_SCRATCH)
+    back = spark.read.parquet(_D4_SIG_SCRATCH).drop("n_src", "src_ck")
+    buckets = _cap_buckets(back)
     # Candidate pairs WITHOUT a bucket self-join: collect each bucket's
     # doc list and explode its pairs in place. The bucket-cap window
     # already hash-partitioned rows by (band, sig), so the groupBy adds

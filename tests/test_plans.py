@@ -138,8 +138,10 @@ def test_minhash_signature_stage_shared_and_bounded(spark, qs):
     run, staged = PI.exchange_counts(d4)
     assert run <= 5, (run, staged)
     # the memo hands back the same staged frame — shared, not rebuilt
-    b = D.staged_band_buckets(spark, SF0001)
-    assert D.staged_band_buckets(spark, SF0001) is b
+    # (the stage holds RAW pre-cap rows since r15; the cap is a cheap
+    # window applied on read, so identity lives on the raw memo)
+    b = D.staged_raw_buckets(spark, SF0001)
+    assert D.staged_raw_buckets(spark, SF0001) is b
     d11 = qs["d11_incremental_lsh"](spark, SF0001)
     run11, _ = PI.exchange_counts(d11)
     assert run11 <= 6, run11
