@@ -134,9 +134,9 @@ def all_oracles() -> dict[str, str]:
 #: The round driver's correctness sweep is BOUNDED: it hash-checks only
 #: the alphabetically-first 50 exposed query names. CANONICAL curates one
 #: window covering every SURVEY §2 operator family with oracle-backed
-#: representatives (plus the rows-only flagships d4/mm2 — ml1 flipped
-#: to a scratch-backed oracle in r13 — whose
-#: families admit no stronger check). Entries outside the set are
+#: representatives (plus the rows-only flagship mm2 — ml1 flipped to a
+#: scratch-backed oracle in r13, d4 to a signature-scratch oracle in
+#: r15 — whose family admits no stronger check). Entries outside the set are
 #: depth/variant queries; exposure renames them with a "z_" prefix so
 #: they sort after the window. Nothing is hidden — all tiers are exposed,
 #: run by bench.py, and value-verified by tools/check_parity.py; the
@@ -157,19 +157,23 @@ CANONICAL = frozenset(
         # DECISION (fully SQL-replayed over dq4's hist CTE; dq4's
         # histogram plan is composed inside it — dq4 out green r12)
         "dq1_expectations", "dq5_drift_decision",
-        # dedup ladder: exact, MinHash+LSH flagship (rows-only),
-        # containment audit, r13's SimHash fingerprints (token-hash
-        # scratch oracle), and the r13 suffix-array rung — SA by
-        # distributed prefix doubling (d21), exact-substring spans
-        # (d22, the Lee et al. method itself), capped LCP array (d23),
-        # all with FIRST-PRINCIPLES brute-force-suffix-sort oracles.
-        # d9 pair-finder out green r13 (z_d9 — d5 carries the simhash
-        # machinery + scratch shape); d12 clusters out green r13
-        # (z_d12 — d1/d11 keep the dedup join shapes, d13 composes
-        # d12's chain in its z_ twin)
+        # dedup ladder: exact, MinHash+LSH (signature-scratch oracle
+        # since r15), containment audit, r13's SimHash fingerprints
+        # (token-hash scratch oracle), and the suffix-array rung — SA
+        # by distributed prefix doubling (d21), then the r14-earned
+        # completions rotated in r15: span CUT (d24, detect->cut),
+        # segmented no-broadcast spans (d25 — d22's DEFAULT lane since
+        # r15), five-integer repeat stats (d26, value-attesting the
+        # d21+d23 chain), all with FIRST-PRINCIPLES
+        # brute-force-suffix-sort oracles. Out green r15: d22 (z_d22 —
+        # d25 IS its implementation now) and d23 (z_d23 — d26 composes
+        # its full staircase plan). d9 pair-finder out green r13
+        # (z_d9); d12 clusters out green r13 (z_d12 — d1/d11 keep the
+        # dedup join shapes, d13 composes d12's chain in its z_ twin)
         "d1_exact_dedup", "d4_minhash_lsh", "d5_simhash",
         "d11_containment_audit",
-        "d21_suffix_array", "d22_exact_substring_spans", "d23_lcp_array",
+        "d21_suffix_array", "d24_sa_span_cut", "d25_segmented_spans",
+        "d26_repeat_stats",
         # scalar/text functions
         "f1_extract_keywords",
         # grouped-map Arrow surface
@@ -188,15 +192,17 @@ CANONICAL = frozenset(
         # multimodal: decode flagship (rows-only) + one representative
         # per distinct decode machinery — fixture-dir features (mm4),
         # modern formats (mm12), lossy VP8 (mm16, libwebp-oracle-
-        # pinned), resize contract (mm3) + its value-level attestation
-        # (mm19), animated WebP (mm18 — the ANIM/ANMF canvas state
-        # machine, which subsumes mm13's APNG compositor shape).
-        # Out green r13: mm13 (z_mm13 — mm18 drives the same frame
-        # compositor), mm15 (z_mm15 — mm4's scratch shape, ICO codec
-        # pytest-pinned), mm17 (z_mm17 — mm16 keeps the WebP lane,
-        # mm18 composites RGBA frames). mm5/mm6/mm14 stay z_ per the
-        # r13 triage in ROTATION.md.
-        "mm2_image_features", "mm3_resize_probe",
+        # pinned), resize value-attestation (mm19), animated WebP
+        # (mm18 — the ANIM/ANMF canvas state machine, which subsumes
+        # mm13's APNG compositor shape). Out green r15: mm3 (z_mm3 —
+        # its oracle is contract-tier; mm19 attests the SAME resize
+        # index math at value level, per the r14 tier-accounting
+        # note). Out green r13: mm13 (z_mm13 — mm18 drives the same
+        # frame compositor), mm15 (z_mm15 — mm4's scratch shape, ICO
+        # codec pytest-pinned), mm17 (z_mm17 — mm16 keeps the WebP
+        # lane, mm18 composites RGBA frames). mm5/mm6/mm14 stay z_
+        # per the r13 triage in ROTATION.md.
+        "mm2_image_features",
         "mm4_image_dir_features",
         "mm12_modern_format_features", "mm16_lossy_webp_features",
         "mm18_anim_webp_features", "mm19_resize_attested",
