@@ -918,6 +918,49 @@ def _d24_oracle() -> str:
     )
 
 
+def _doc_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, t, len, off): each sampled doc's normalized text and
+    its exclusive slice offset — the prefix of (len + 1 separator) in
+    doc_id order via the two-pass prefix sum, NOT a global window
+    (ADVICE r14). Shared by d24's cut and the SCALE harness."""
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % SA_DOC_MOD == 0
+    )
+    base = docs.select(
+        "doc_id", F.regexp_replace("text", _NORM_RE, "").alias("t")
+    ).select(
+        "doc_id",
+        "t",
+        F.length("t").alias("len"),
+        (F.length("t") + 1).cast("long").alias("_w"),
+    )
+    return _two_pass_prefix_sum(base, ["doc_id"], "_w").select(
+        "doc_id", "t", "len", F.col("psum").alias("off")
+    )
+
+
+def _span_cut_positions(
+    spark: SparkSession, sf_dir: str, offs: DataFrame
+) -> DataFrame:
+    """(doc_id, s0): doc-local start offsets of the cut windows — the
+    position-MAX member of each SA-adjacent duplicate pair, mapped
+    back through the offset table. d24's input to the islands merge,
+    exposed separately so the SCALE harness can probe the islands
+    window's partition distribution on the same frame."""
+    spans = (
+        d22_exact_substring_spans(spark, sf_dir)
+        .select(
+            F.greatest(F.col("pos_a"), F.col("pos_b")).alias("cpos")
+        )
+        .distinct()
+    )
+    return offs.join(
+        F.broadcast(spans),
+        (F.col("cpos") >= F.col("off"))
+        & (F.col("cpos") < F.col("off") + F.col("len")),
+    ).select("doc_id", (F.col("cpos") - F.col("off")).alias("s0"))
+
+
 @query("d24_sa_span_cut", oracle=_d24_oracle())
 def d24_sa_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialize the span-cleaned slice corpus from d22's
@@ -953,34 +996,8 @@ def d24_sa_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force suffix sort) with the same offset table and the same
     islands SQL d16 uses — nothing shared but the corpus, the
     constants, and the definition of the cut."""
-    spans = (
-        d22_exact_substring_spans(spark, sf_dir)
-        .select(
-            F.greatest(F.col("pos_a"), F.col("pos_b")).alias("cpos")
-        )
-        .distinct()
-    )
-    docs = table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % SA_DOC_MOD == 0
-    )
-    base = docs.select(
-        "doc_id", F.regexp_replace("text", _NORM_RE, "").alias("t")
-    ).select(
-        "doc_id",
-        "t",
-        F.length("t").alias("len"),
-        (F.length("t") + 1).cast("long").alias("_w"),
-    )
-    # exclusive prefix of (len + 1 separator) in doc_id order — the
-    # two-pass prefix sum, NOT a global window (ADVICE r14)
-    offs = _two_pass_prefix_sum(base, ["doc_id"], "_w").select(
-        "doc_id", "t", "len", F.col("psum").alias("off")
-    )
-    cuts = offs.join(
-        F.broadcast(spans),
-        (F.col("cpos") >= F.col("off"))
-        & (F.col("cpos") < F.col("off") + F.col("len")),
-    ).select("doc_id", (F.col("cpos") - F.col("off")).alias("s0"))
+    offs = _doc_offsets(spark, sf_dir)
+    cuts = _span_cut_positions(spark, sf_dir, offs)
     w_doc = Window.partitionBy("doc_id").orderBy("s0")
     prev_end = F.max(F.col("s0") + SPAN_L).over(
         w_doc.rowsBetween(Window.unboundedPreceding, -1)
