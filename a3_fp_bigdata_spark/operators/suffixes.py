@@ -143,6 +143,17 @@ _ROWS_CACHE: dict[tuple[str, str, int], DataFrame] = {}
 _SEG_CACHE: dict[tuple[str, str, int, int, int], DataFrame] = {}
 
 
+def release_caches() -> None:
+    """Clear every suffix-family memo (_SA_CACHE, _ROWS_CACHE,
+    _SEG_CACHE) — the one call sites that retune SA_DOC_MOD /
+    SA_SEG_BYTES must make, instead of reaching into three private
+    dicts by hand (ADVICE r15: the r14 stress-rung leak happened
+    precisely because a hand-rolled clear listed only one of them)."""
+    _SA_CACHE.clear()
+    _ROWS_CACHE.clear()
+    _SEG_CACHE.clear()
+
+
 def suffix_char_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(pos, ch) — the slice as DISTRIBUTED character rows, content-
     identical to ``corpus_slice``'s single string (equality-pinned in
@@ -421,7 +432,15 @@ def build_suffix_array(
         return _SA_CACHE[key]
     if two_pass:
         rows = suffix_char_rows(spark, sf_dir)
-        segs = _slice_segments(spark, sf_dir)
+        # overlap must cover the prefix window wherever it starts in a
+        # segment — max() guards a future SA_BASE_CHARS > SPAN_L
+        # retune instead of silently truncating rank keys (ADVICE
+        # r15); at the current constants this is the span table, so
+        # the memo entry is shared with d22/d25
+        segs = _slice_segments(
+            spark, sf_dir,
+            overlap=max(SPAN_L - 1, SA_BASE_CHARS - 1),
+        )
         w_seg = SA_SEG_BYTES
         # Pack the SA_BASE_CHARS-byte prefix into ONE int64 (r14
         # VERDICT watch #2): hex the binary window, right-pad the hex

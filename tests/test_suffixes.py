@@ -64,11 +64,11 @@ def _planted_corpus(spark, tmp_path):
 
 def test_d22_finds_planted_cross_doc_span(spark, tmp_path):
     sf_dir = _planted_corpus(spark, tmp_path)
-    SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear(); SX._SEG_CACHE.clear()  # keyed by sf_dir, but keep the test hermetic
+    SX.release_caches()  # keyed by sf_dir, but keep the test hermetic
     rows = registry.all_queries()["d22_exact_substring_spans"](
         spark, sf_dir
     ).collect()
-    SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear(); SX._SEG_CACHE.clear()
+    SX.release_caches()
     spans = {r["span"] for r in rows}
     # every reported span really is SPAN_L chars of the planted repeat
     s = SX.corpus_slice(spark, sf_dir).first()["s"]
@@ -93,7 +93,7 @@ def test_d22_zero_false_negatives_on_planted(spark, tmp_path):
     recoverable from d22's adjacent-pair output via span equality —
     the Lee et al. completeness property at test scale."""
     sf_dir = _planted_corpus(spark, tmp_path)
-    SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear(); SX._SEG_CACHE.clear()
+    SX.release_caches()
     s = SX.corpus_slice(spark, sf_dir).first()["s"]
     windows: dict[str, list[int]] = {}
     for p in range(len(s) - SX.SPAN_L + 1):
@@ -105,7 +105,7 @@ def test_d22_zero_false_negatives_on_planted(spark, tmp_path):
     rows = registry.all_queries()["d22_exact_substring_spans"](
         spark, sf_dir
     ).collect()
-    SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear(); SX._SEG_CACHE.clear()
+    SX.release_caches()
     got_spans = {r["span"] for r in rows}
     assert dup_spans == got_spans, (
         dup_spans - got_spans,
@@ -114,7 +114,7 @@ def test_d22_zero_false_negatives_on_planted(spark, tmp_path):
 
 
 def test_sa_cache_shared_between_queries(spark):
-    SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear(); SX._SEG_CACHE.clear()
+    SX.release_caches()
     registry.all_queries()["d21_suffix_array"](spark, SF0001).count()
     assert len(SX._SA_CACHE) == 1
     registry.all_queries()["d22_exact_substring_spans"](
@@ -168,7 +168,7 @@ def test_d25_segmented_equals_broadcast_lane(spark, tmp_path):
         SX._spans_broadcast(spark, SF0001)
     )
     sf_dir = _planted_corpus(spark, tmp_path)
-    SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear(); SX._SEG_CACHE.clear()
+    SX.release_caches()
     old_seg = SX.SA_SEG_BYTES
     SX.SA_SEG_BYTES = 16  # < SPAN_L: every window crosses a boundary
     try:
@@ -176,7 +176,7 @@ def test_d25_segmented_equals_broadcast_lane(spark, tmp_path):
         want = rows(SX._spans_broadcast(spark, sf_dir))
     finally:
         SX.SA_SEG_BYTES = old_seg
-        SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear(); SX._SEG_CACHE.clear()
+        SX.release_caches()
     assert got == want and len(got) > 0
 
 
@@ -198,7 +198,7 @@ def test_d23_segmented_equals_broadcast_lane(spark, tmp_path):
         SX._lcp_broadcast(spark, SF0001)
     )
     sf_dir = _planted_corpus(spark, tmp_path)
-    SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear(); SX._SEG_CACHE.clear()
+    SX.release_caches()
     old_seg = SX.SA_SEG_BYTES
     SX.SA_SEG_BYTES = 24  # < LCP_CAP: every 64-byte window straddles
     try:
@@ -206,7 +206,7 @@ def test_d23_segmented_equals_broadcast_lane(spark, tmp_path):
         want = rows(SX._lcp_broadcast(spark, sf_dir))
     finally:
         SX.SA_SEG_BYTES = old_seg
-        SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear(); SX._SEG_CACHE.clear()
+        SX.release_caches()
     assert got == want and len(got) > 0
 
 
@@ -218,7 +218,7 @@ def test_d24_cut_matches_python_reference(spark, tmp_path):
     earliest occurrence of the planted repeat survives, the later one
     is cut."""
     sf_dir = _planted_corpus(spark, tmp_path)
-    SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear(); SX._SEG_CACHE.clear()
+    SX.release_caches()
     s = SX.corpus_slice(spark, sf_dir).first()["s"]
     L = SX.SPAN_L
     sa = _python_suffix_array(s)
@@ -254,7 +254,7 @@ def test_d24_cut_matches_python_reference(spark, tmp_path):
     rows = registry.all_queries()["d24_sa_span_cut"](
         spark, sf_dir
     ).collect()
-    SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear(); SX._SEG_CACHE.clear()
+    SX.release_caches()
     got = {
         r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_cut"])
         for r in rows
@@ -301,7 +301,7 @@ def test_segments_reconstruct_slice_bytes(spark):
         }
     finally:
         SX.SA_SEG_BYTES = old_seg
-        SX._SEG_CACHE.clear()
+        SX.release_caches()
     w = 257
     import math
 
@@ -318,7 +318,7 @@ def test_two_pass_rerank_equals_global_window(spark):
     path) is BIT-EQUAL to the legacy single-partition global-window
     build on the same slice — every (sa_rank, pos) row identical
     (VERDICT r13 ask #2's equality pin)."""
-    SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear(); SX._SEG_CACHE.clear()
+    SX.release_caches()
     fast = sorted(
         (r["sa_rank"], r["pos"])
         for r in SX.build_suffix_array(spark, SF0001, two_pass=True)
@@ -329,7 +329,7 @@ def test_two_pass_rerank_equals_global_window(spark):
         for r in SX.build_suffix_array(spark, SF0001, two_pass=False)
         .collect()
     )
-    SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear(); SX._SEG_CACHE.clear()
+    SX.release_caches()
     assert fast == legacy
     assert len(fast) == len({p for _, p in fast})  # ranks are a bijection
 

@@ -1541,7 +1541,7 @@ def main() -> None:
     # key-safe (SA_DOC_MOD is in every key) but mod-15 checkpoint
     # blocks in _ROWS_CACHE/_SEG_CACHE would stay resident for the
     # rest of a long stress session (ADVICE r14)
-    SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear(); SX._SEG_CACHE.clear()
+    SX.release_caches()
     try:
         slice_len = len(SX.corpus_slice(spark, sf_dir).first()["s"])
         walls = {}
@@ -1570,7 +1570,7 @@ def main() -> None:
         assert n_diff == 0
     finally:
         SX.SA_DOC_MOD = old_mod
-        SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear(); SX._SEG_CACHE.clear()
+        SX.release_caches()
 
     # ---- suffix cut rung (r15, VERDICT ask #6): d24 composes spans ->
     # offset join -> gaps-and-islands -> positional-lambda char cut;
@@ -1589,7 +1589,7 @@ def main() -> None:
     share_by_mod = {}
     for mod in (150, 15):
         SX.SA_DOC_MOD = mod
-        SX._SA_CACHE.clear(); SX._ROWS_CACHE.clear(); SX._SEG_CACHE.clear()
+        SX.release_caches()
         try:
             n_chars = SX.suffix_char_rows(spark, sf_dir).count()
             t0 = time.perf_counter()
@@ -1634,9 +1634,7 @@ def main() -> None:
             )
         finally:
             SX.SA_DOC_MOD = old_mod
-            SX._SA_CACHE.clear()
-            SX._ROWS_CACHE.clear()
-            SX._SEG_CACHE.clear()
+            SX.release_caches()
     print()
     n10, p10, s10, d10 = share_by_mod[15]
     d1x = share_by_mod[150][3]
