@@ -64,10 +64,12 @@ part of the engine's LLM-training-data extension alongside d1-d20.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from a3_fp_bigdata_spark.data import table
+from a3_fp_bigdata_spark.data import run_scratch, table
 from a3_fp_bigdata_spark.registry import query
 from a3_fp_bigdata_spark.session import session_token
 
@@ -866,8 +868,9 @@ def d25_segmented_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: d24's oracle composes d22's adjacent-pair CTE with the offset table
 #: and d16's gaps-and-islands merge — rendered from the SAME constants
-#: so the two rungs can never drift apart.
-def _d24_oracle() -> str:
+#: so the two rungs can never drift apart. Split into the CTE body +
+#: final select so d27's effectiveness audit can extend the chain.
+def _d24_ctes() -> str:
     L = SPAN_L
     return (
         _slice_sql()
@@ -928,7 +931,14 @@ def _d24_oracle() -> str:
       SELECT doc_id, string_agg(ch, '' ORDER BY i) AS clean_text,
              count(*) AS n_kept
       FROM keptc GROUP BY doc_id
+    )"""
     )
+
+
+def _d24_oracle() -> str:
+    return (
+        _d24_ctes()
+        + """
     SELECT o.doc_id, coalesce(k.clean_text, '') AS clean_text,
            CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
            CAST(o.len - coalesce(k.n_kept, 0) AS BIGINT) AS n_cut
@@ -1217,4 +1227,128 @@ def d26_repeat_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("lcp").cast("long").alias("sum_lcp"),
         F.sum((F.col("lcp") >= SPAN_L).cast("long")).alias("n_ge_span"),
         F.sum((F.col("lcp") >= LCP_CAP).cast("long")).alias("n_at_cap"),
+    )
+
+
+#: d27's cleaned-corpus scratch: d24's output docs land here AS a
+#: documents table, and the detector re-runs ON the cleaned corpus by
+#: pointing the ordinary d22 path at this directory. Per-process
+#: (run_scratch) + per-source-sf (subdir), so the suffix memos keyed
+#: by the scratch path can never serve one source's cleaned corpus to
+#: another's audit. NO fingerprint stamping is needed: the oracle
+#: never reads this scratch — it replays the cut AND re-sorts the
+#: cleaned suffixes entirely from its own `documents` view.
+_D27_SCRATCH = run_scratch("d27_cleaned_docs")
+
+
+def _d27_cleaned_dir(sf_dir: str) -> str:
+    safe = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
+    return f"{_D27_SCRATCH}/{safe}"
+
+
+def _d27_oracle() -> str:
+    L = SPAN_L
+    pair_filter = f"""length(span) = {L}
+        AND span = substring(s, pos_b + 1, {L})
+        AND position(chr(1) IN span) = 0
+        AND position(chr(1) IN substring(s, pos_b + 1, {L})) = 0"""
+    return (
+        _d24_ctes()
+        + f"""
+    , cleaned AS (
+      SELECT o.doc_id, coalesce(k.clean_text, '') AS t
+      FROM offs o LEFT JOIN kagg k USING (doc_id)
+    ), sl2 AS (
+      SELECT string_agg(t, chr(1) ORDER BY doc_id) AS s FROM cleaned
+    ), pos2 AS (
+      SELECT CAST(unnest(range(length(s))) AS INT) AS p, s FROM sl2
+    ), keep2 AS (
+      SELECT p, s FROM pos2 WHERE substring(s, p + 1, 1) != chr(1)
+    ), sa2 AS (
+      SELECT p, s,
+             row_number() OVER (ORDER BY substring(s, p + 1)) AS r
+      FROM keep2
+    ), adj2 AS (
+      SELECT a.p AS pos_a, b.p AS pos_b,
+             substring(a.s, a.p + 1, {L}) AS span, a.s AS s
+      FROM sa2 a JOIN sa2 b ON b.r = a.r + 1
+    )
+    SELECT
+      CAST((SELECT count(*) FROM adj WHERE {pair_filter}) AS BIGINT)
+        AS n_spans_before,
+      CAST((SELECT count(*) FROM adj2 WHERE {pair_filter}) AS BIGINT)
+        AS n_spans_after,
+      CAST((SELECT count(*) FROM offs) AS BIGINT) AS n_docs,
+      CAST((SELECT coalesce(sum(o.len - coalesce(k.n_kept, 0)), 0)
+            FROM offs o LEFT JOIN kagg k USING (doc_id)) AS BIGINT)
+        AS n_chars_cut
+    """
+    )
+
+
+@query("d27_cut_effectiveness_audit", oracle=_d27_oracle())
+def d27_cut_effectiveness_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Did the cut WORK? Re-run the exact-substring detector ON the
+    corpus d24 produced and report the residual — the end-to-end
+    value-attest of the whole suffix pipeline (build -> spans -> cut
+    -> re-build -> re-detect) in one row: (n_spans_before,
+    n_spans_after, n_docs, n_chars_cut). The Lee et al. tooling's own
+    acceptance check is exactly this second pass.
+
+    n_spans_after is NOT asserted to be zero, by design: d24's
+    pair-local policy keeps every position-local minimum of a k-fold
+    SA run (so >= the earliest occurrence survives without a global
+    per-group pass), which can leave survivor pairs still duplicating
+    each other, and splicing text around a removed span can create
+    NEW {SPAN_L}-char windows. This audit MEASURES that residual
+    instead of hand-waving it — the honesty column, like d26's
+    n_at_cap.
+
+    Mechanics: the cleaned docs land in a per-process, per-source
+    scratch directory shaped like a testdata sf dir, and the ordinary
+    d22 path runs against it — the audit exercises the REAL segmented
+    production lane on the cleaned corpus, not a special-cased twin
+    (doc_ids are SA_DOC_MOD multiples, so the sample filter keeps
+    every cleaned doc). The oracle shares nothing but the documents
+    view and the constants: DuckDB replays the cut chain (d24's CTEs)
+    and then brute-force-sorts the CLEANED corpus's suffixes itself —
+    a second first-principles derivation on a corpus Spark
+    constructed, which a cut-policy bug, an offset slip, or a splice
+    error each turn into a red value mismatch.
+
+    Scale: one extra SA build on the already-deduplicated (smaller)
+    corpus — same O(log n) rounds, same segmented projections; the
+    audit tier runs on samples at 100 TB exactly like d4's
+    containment audit."""
+    before = d22_exact_substring_spans(spark, sf_dir)
+    cleaned = d24_sa_span_cut(spark, sf_dir)
+    out_dir = _d27_cleaned_dir(sf_dir)
+    cleaned.select(
+        "doc_id",
+        F.col("clean_text").alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("sa_cut").alias("source"),
+    ).coalesce(1).write.mode("overwrite").parquet(
+        out_dir + "/documents.parquet"
+    )
+    after = d22_exact_substring_spans(spark, out_dir)
+    return (
+        before.agg(
+            F.count("*").cast("long").alias("n_spans_before")
+        )
+        .crossJoin(
+            after.agg(
+                F.count("*").cast("long").alias("n_spans_after")
+            )
+        )
+        .crossJoin(
+            cleaned.agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.coalesce(F.sum("n_cut"), F.lit(0))
+                .cast("long")
+                .alias("n_chars_cut"),
+            )
+        )
     )

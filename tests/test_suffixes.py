@@ -420,3 +420,69 @@ def test_d26_stats_agree_with_d23_rows(spark):
     assert got["sum_lcp"] == sum(lcps)
     assert got["n_ge_span"] == sum(1 for x in lcps if x >= SX.SPAN_L)
     assert got["n_at_cap"] == sum(1 for x in lcps if x >= SX.LCP_CAP)
+
+
+def test_d27_effectiveness_matches_python_replay(spark, tmp_path):
+    """d27's four integers equal a full python replay on the planted
+    corpus: python derives its own SA, the qualifying adjacent pairs,
+    the cut set, the cleaned docs, and then RE-derives the SA of the
+    cleaned slice to count residual spans — the same end-to-end chain,
+    third-implementation style. Also pins the planted scenario: spans
+    exist before, and cutting the single planted pair leaves zero."""
+    sf_dir = _planted_corpus(spark, tmp_path)
+    SX.release_caches()
+    s = SX.corpus_slice(spark, sf_dir).first()["s"]
+    L = SX.SPAN_L
+
+    def qualifying(slice_s):
+        sa = _python_suffix_array(slice_s)
+        n = 0
+        cut: set[int] = set()
+        for (_, p1), (_, p2) in zip(sa, sa[1:]):
+            w1 = slice_s[p1 : p1 + L]
+            w2 = slice_s[p2 : p2 + L]
+            if (
+                len(w1) == L
+                and w1 == w2
+                and SX.SA_SEP not in w1
+                and SX.SA_SEP not in w2
+            ):
+                n += 1
+                cut.add(max(p1, p2))
+        return n, cut
+
+    n_before, cut = qualifying(s)
+    covered = {i for p in cut for i in range(p, p + L)}
+    docs = sorted(
+        (r["doc_id"], r["t"])
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % SX.SA_DOC_MOD == 0)
+        .selectExpr(
+            "doc_id", "regexp_replace(text, '[^ -~]', '') AS t"
+        )
+        .collect()
+    )
+    cleaned_texts = []
+    total_cut = 0
+    off = 0
+    for _, t in docs:
+        kept = "".join(
+            ch for i, ch in enumerate(t) if (off + i) not in covered
+        )
+        cleaned_texts.append(kept)
+        total_cut += len(t) - len(kept)
+        off += len(t) + 1
+    n_after, _ = qualifying(SX.SA_SEP.join(cleaned_texts))
+    row = registry.all_queries()["d27_cut_effectiveness_audit"](
+        spark, sf_dir
+    ).first()
+    SX.release_caches()
+    got = (
+        row["n_spans_before"],
+        row["n_spans_after"],
+        row["n_docs"],
+        row["n_chars_cut"],
+    )
+    assert got == (n_before, n_after, len(docs), total_cut)
+    assert n_before > 0  # the planted repeat really produced spans
+    assert n_after == 0  # one planted pair -> the cut removes it all
