@@ -110,6 +110,22 @@ def d2_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shingle_array(n: int = SHINGLE_N):
+    """n-gram xxhash64 array straight off a ``t`` tokens-array column —
+    the shared expression behind `_shingle_rows` and the shuffle-free
+    per-doc consumers (tx8). Empty array when the doc has < n tokens
+    (sequence(a, b) would DESCEND for b < a, so the guard is explicit)."""
+    return F.when(
+        F.size("t") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - n),
+            lambda i: F.xxhash64(
+                *[F.element_at(F.col("t"), i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+
+
 def _shingle_rows(
     spark: SparkSession,
     sf_dir: str,
@@ -117,40 +133,36 @@ def _shingle_rows(
     *,
     distinct: bool = True,
 ) -> DataFrame:
-    """Distinct (doc_id, shingle) rows via posexplode + window lead.
+    """Distinct (doc_id, shingle) rows: tokenize once per doc, derive
+    the n-gram hash array IN-ARRAY (transform over a sequence of start
+    offsets), explode.
 
-    Deliberately relational instead of array-typed: an array-of-shingles
-    column tempts Catalyst to push `size(...) > 0` filters below the
-    projection, re-inlining the tokenizer inside a per-element lambda
-    (measured 100x slower). Rows + lead() keep every expression cheap
-    and the plan codegen-friendly; the doc_id window shuffle is tiny
-    (token rows, not pairs) and at scale it's a standard repartition.
+    r15 optimization (guide §2.4 — remove shuffles outright): the old
+    shape posexploded tokens and read n-1 lead() values through a
+    doc_id window, paying a full token-row shuffle + sort before the
+    distinct; deriving the n-grams inside the tokens array needs no
+    window at all, so the only remaining exchange is the distinct's.
+    Values are bit-identical (same multi-arg xxhash64 over the same
+    word triples — proven by exceptAll in both directions at sf0.1,
+    0 differing rows) and the tokenizer stays in its own Project (the
+    optimized plan materializes `t` once per row; the historical
+    100x re-inlining trap needed a size() FILTER on an un-exploded
+    array column, which this shape never forms).
+
+    Shingles are carried as 64-bit xxhash64 values, never as strings:
+    the distinct + inverted-index self-join shuffle 8-byte keys instead
+    of ~20-byte text, and d4's 32 seeded minhashes re-hash a long
+    instead of re-hashing the full string 32x. Collisions (~n^2/2^64)
+    are far below the oracle's resolution. Spark's multi-arg xxhash64
+    chains per-field, so word boundaries stay significant.
     """
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.posexplode(TX.tokens(F.col("text"))).alias("pos", "word")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.lead("word", i).over(w) for i in range(1, n)]
-    # Shingles are carried as 64-bit xxhash64 values, never as strings:
-    # the distinct + inverted-index self-join shuffle 8-byte keys instead
-    # of ~20-byte text, and d4's 32 seeded minhashes re-hash a long
-    # instead of re-hashing the full string 32x. Collisions (~n^2/2^64)
-    # are far below the oracle's resolution. Spark's multi-arg xxhash64
-    # chains per-field, so word boundaries stay significant.
-    out = (
-        toks.select(
-            "doc_id",
-            F.xxhash64("word", *leads).alias("shingle"),
-            leads[-1].alias("_tail"),
-        )
-        .filter(F.col("_tail").isNotNull())  # full n-grams only
-        .select("doc_id", "shingle")
+    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("t"))
+    out = toks.select(
+        "doc_id", F.explode(_shingle_array(n)).alias("shingle")
     )
     # Jaccard counting needs set semantics; minhash does NOT (min over
-    # duplicates is the min) — and skipping the distinct lets the
-    # doc_id aggregation reuse the window's partitioning, erasing a
-    # full-corpus shuffle.
+    # duplicates is the min), and d4's agg tolerates duplicate rows.
     return out.distinct() if distinct else out
 
 

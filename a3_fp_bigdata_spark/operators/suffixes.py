@@ -85,6 +85,10 @@ SA_SEP = "\x01"
 #: chars is the same order on this corpus's short synthetic docs)
 SPAN_L = 20
 
+#: LCP cap for d23/d26's staircase (defined up here, next to SPAN_L,
+#: because the unified segment overlap below derives from both)
+LCP_CAP = 64
+
 #: the slice normalization BOTH engines apply before concatenation:
 #: printable ASCII only, so Spark's UTF-16 and DuckDB's UTF-8 orders
 #: provably agree (the corpus is ASCII already — this is the guard)
@@ -434,15 +438,11 @@ def build_suffix_array(
         return _SA_CACHE[key]
     if two_pass:
         rows = suffix_char_rows(spark, sf_dir)
-        # overlap must cover the prefix window wherever it starts in a
-        # segment — max() guards a future SA_BASE_CHARS > SPAN_L
-        # retune instead of silently truncating rank keys (ADVICE
-        # r15); at the current constants this is the span table, so
-        # the memo entry is shared with d22/d25
-        segs = _slice_segments(
-            spark, sf_dir,
-            overlap=max(SPAN_L - 1, SA_BASE_CHARS - 1),
-        )
+        # the unified SA_SEG_OVERLAP table (its derivation maxes over
+        # SA_BASE_CHARS, so a wider-base retune can never silently
+        # truncate rank keys — ADVICE r15); ONE memo entry now serves
+        # the build, d22/d25's spans and d23/d26's staircase
+        segs = _slice_segments(spark, sf_dir)
         w_seg = SA_SEG_BYTES
         # Pack the SA_BASE_CHARS-byte prefix into ONE int64 (r14
         # VERDICT watch #2): hex the binary window, right-pad the hex
@@ -660,7 +660,15 @@ def _segment_windows(
     truncated identically to a global substring). Integer ``div`` for
     the segment ids — exact for every int64 position (pk1's
     rationale)."""
-    segs = _slice_segments(spark, sf_dir, overlap=win_len - 1)
+    if win_len - 1 > SA_SEG_OVERLAP:
+        # loud, not silent truncation: a retune that widens a consumer
+        # window past the shared table's overlap would otherwise cut
+        # rank keys / spans at segment boundaries (ADVICE r15)
+        raise ValueError(
+            f"window {win_len} needs overlap {win_len - 1} > "
+            f"SA_SEG_OVERLAP {SA_SEG_OVERLAP}"
+        )
+    segs = _slice_segments(spark, sf_dir)
     w = SA_SEG_BYTES
     return (
         adj.withColumn("seg_a", F.expr(f"CAST(pos_a div {w} AS INT)"))
@@ -751,9 +759,23 @@ def _spans_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: segment always reads entirely from it.
 SA_SEG_BYTES = 8192
 
+#: Unified default segment overlap (r15): the WIDEST window any
+#: default-lane consumer slices out of a segment — span windows need
+#: SPAN_L-1, the LCP staircase LCP_CAP-1, the build's packed prefix
+#: SA_BASE_CHARS-1. One table at the max width serves all three (a
+#: wider overlap is a superset guarantee: any window of length
+#: <= overlap+1 starting inside a segment still reads entirely from
+#: it), so a session builds ONE stitched segment table instead of one
+#: per width — before this, d22/build shared a SPAN_L-1 table and
+#: d23/d26 built a second LCP_CAP-1 table, paying the char-row
+#: fan-out + stitch + checkpoint twice per session (guide §2.4: the
+#: second build was a removable full pass). +44 tail bytes per 8 KiB
+#: segment is the entire memory cost.
+SA_SEG_OVERLAP = max(SPAN_L, LCP_CAP, SA_BASE_CHARS) - 1
+
 
 def _slice_segments(
-    spark: SparkSession, sf_dir: str, overlap: int = SPAN_L - 1
+    spark: SparkSession, sf_dir: str, overlap: int = SA_SEG_OVERLAP
 ) -> DataFrame:
     """(seg_id, seg binary): the slice cut into SA_SEG_BYTES segments,
     each padded with the next ``overlap`` bytes, so projection stages
@@ -1073,9 +1095,6 @@ def d24_sa_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: LCP cap: repeats are interesting from SPAN_L up; 64 bounds the
 #: per-pair work (64 O(1) binary slices) whatever the true overlap.
-LCP_CAP = 64
-
-
 def _lcp_terms_sql() -> str:
     """Sum of monotone prefix-equality indicators == the capped LCP
     (equality at L implies equality at every l < L, so the indicator
@@ -1146,18 +1165,42 @@ def d23_lcp_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lcp_from_windows(adj: DataFrame) -> DataFrame:
-    """The capped-LCP indicator staircase over win_a/win_b columns
-    (windows of LCP_CAP bytes starting at pos_a/pos_b, however they
-    were fetched — segment join or broadcast slice)."""
-    def _pa(L: int):
-        return F.substring(F.col("win_a"), 1, L)
+    """Capped LCP over win_a/win_b columns (windows of LCP_CAP bytes
+    starting at pos_a/pos_b, however they were fetched — segment join
+    or broadcast slice).
 
-    lcp = sum(
-        (
-            (_pa(L) == F.substring(F.col("win_b"), 1, L))
-            & (F.instr(F.decode(_pa(L), "UTF-8"), SA_SEP) == 0)
-        ).cast("int")
-        for L in range(1, LCP_CAP + 1)
+    r15 optimization (guide §1.2 per-task work): one O(LCP_CAP)
+    aggregate over per-CHAR equality replaces the 64-term indicator
+    staircase, whose term at L re-sliced and compared L-byte prefixes
+    (O(LCP_CAP^2) byte work per row, ~2k byte-compares + 64 UTF-8
+    decodes) and whose 64-way expression tree was a giant codegen
+    unit. Equivalence (exceptAll-proven both directions at sf0.1,
+    35,590 pairs, 0 differing rows): prefix equality at L ⟺ chars
+    1..L all equal, so the count of leading positions with
+    (char_a == char_b AND char_a != SEP) IS the monotone indicator
+    sum — including the degenerate both-windows-exhausted tail, where
+    '' == '' keeps counting exactly as the staircase's
+    equal-full-prefix terms did. The a-side-only separator clamp is
+    preserved verbatim (equality makes both sides identical — the
+    ADVICE r13 rationale). The DuckDB oracle keeps the staircase
+    rendering, so the two engines reach the same integer by different
+    routes — a stronger cross-check, same values."""
+    sep = F.lit(SA_SEP.encode())
+
+    def _merge(acc, pos):
+        ca = F.substring(F.col("win_a"), pos, F.lit(1))
+        cb = F.substring(F.col("win_b"), pos, F.lit(1))
+        cont = (acc["go"] == 1) & (ca == cb) & (ca != sep)
+        return F.struct(
+            F.when(cont, F.lit(1)).otherwise(F.lit(0)).alias("go"),
+            F.when(cont, acc["n"] + 1).otherwise(acc["n"]).alias("n"),
+        )
+
+    lcp = F.aggregate(
+        F.sequence(F.lit(1), F.lit(LCP_CAP)),
+        F.struct(F.lit(1).alias("go"), F.lit(0).alias("n")),
+        _merge,
+        lambda acc: acc["n"],
     )
     return adj.select(
         "sa_rank", "pos_a", "pos_b", lcp.cast("int").alias("lcp")

@@ -321,10 +321,16 @@ def tx8_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     and gets dropped by a downstream threshold; the score itself stays
     a pure per-doc aggregate so the filter composes with any pipeline.
 
-    Scale: one map-side-combinable aggregation over the shingle rows
-    the dedup ladder already stages — no new shuffle shape anywhere;
-    at 100 TB this rides the same (doc_id-partitioned) pass that
-    builds minhashes."""
+    Scale: one map-side-combinable aggregation over the gram rows the
+    dedup ladder already derives — no new shuffle shape anywhere. A
+    shuffle-free per-row variant (size / size∘array_distinct over the
+    un-exploded gram array) was prototyped in r15 and REJECTED: the
+    `size(g) > 0` row filter on an un-exploded array column is the
+    documented Catalyst re-inlining trap (the gram transform and the
+    tokenizer get duplicated across the pushed filter and every
+    projection reference — measured 38.9 s vs ~1 s at sf0.1). The
+    exploded-rows + groupBy form keeps every expression evaluated
+    once."""
     from a3_fp_bigdata_spark.operators.dedup import _shingle_rows
 
     ex_all = _shingle_rows(spark, sf_dir, REP_NGRAM, distinct=False)

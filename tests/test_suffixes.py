@@ -288,15 +288,18 @@ def test_segments_reconstruct_slice_bytes(spark):
     old_seg = SX.SA_SEG_BYTES
     SX.SA_SEG_BYTES = 257  # force several segments + a short tail
     try:
+        # the unified default (r15 optimization round): ONE table at
+        # SA_SEG_OVERLAP = max(SPAN_L, LCP_CAP, SA_BASE_CHARS) - 1
+        # serves the build, the span windows and the LCP staircase
         segs = {
             r["seg_id"]: bytes(r["seg"])
             for r in SX._slice_segments(spark, SF0001).collect()
         }
-        # the parameterized overlap (r15): d23's LCP_CAP-1-wide padding
-        segs_lcp = {
+        # the overlap stays parameterized for narrower explicit widths
+        segs_span = {
             r["seg_id"]: bytes(r["seg"])
             for r in SX._slice_segments(
-                spark, SF0001, overlap=SX.LCP_CAP - 1
+                spark, SF0001, overlap=SX.SPAN_L - 1
             ).collect()
         }
     finally:
@@ -307,10 +310,10 @@ def test_segments_reconstruct_slice_bytes(spark):
 
     assert set(segs) == set(range(math.ceil(len(s) / w)))
     for i, seg in segs.items():
+        assert seg == s[i * w : (i + 1) * w + SX.SA_SEG_OVERLAP], i
+    assert set(segs_span) == set(segs)
+    for i, seg in segs_span.items():
         assert seg == s[i * w : (i + 1) * w + SX.SPAN_L - 1], i
-    assert set(segs_lcp) == set(segs)
-    for i, seg in segs_lcp.items():
-        assert seg == s[i * w : (i + 1) * w + SX.LCP_CAP - 1], i
 
 
 def test_two_pass_rerank_equals_global_window(spark):
