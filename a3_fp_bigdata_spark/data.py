@@ -246,6 +246,39 @@ def src_fingerprint(df: DataFrame, key_col: str) -> DataFrame:
     )
 
 
+#: table_fingerprint's memo — the collected (n_src, src_ck) pair per
+#: (session, sf_dir, table, key). Two ints per entry; dead-session
+#: entries are harmless (the token never recurs).
+_FP_CACHE: dict[tuple[str, str, str, str], tuple[int, int]] = {}
+
+
+def table_fingerprint(
+    spark: SparkSession, sf_dir: str, table_name: str, key_col: str
+) -> DataFrame:
+    """Memoized ``src_fingerprint`` over a named driver table: the
+    1-row (n_src, src_ck) stamp is collected ONCE per (session,
+    sf_dir, table) and re-attached as a literal LocalRelation.
+
+    r15 optimization (guide §2.4 — don't recompute what can't have
+    changed): every audit-scratch write used to re-run the stamp's
+    source scan + aggregate as the broadcast build of its crossJoin —
+    18 call sites, one redundant full-table pass per write. The
+    corpus snapshot is immutable within a session (and production
+    stamps a snapshot once when it lands), so the fingerprint is
+    session-constant by construction. This memoizes a 2-int STAMP,
+    never query results; callers fingerprinting synthetic/derived
+    frames (none today) keep src_fingerprint itself. The bounded
+    1-row collect is the same class as the engine's other probes."""
+    from a3_fp_bigdata_spark.session import session_token
+
+    key = (session_token(spark), sf_dir, table_name, key_col)
+    if key not in _FP_CACHE:
+        row = src_fingerprint(table(spark, sf_dir, table_name), key_col).first()
+        _FP_CACHE[key] = (row["n_src"], row["src_ck"])
+    n, ck = _FP_CACHE[key]
+    return spark.createDataFrame([(n, ck)], "n_src long, src_ck long")
+
+
 def fingerprint_where(table_name: str, key_col: str) -> str:
     """The DuckDB WHERE fragment matching ``src_fingerprint``: filters
     scratch rows to those whose stamped (n_src, src_ck) equal the

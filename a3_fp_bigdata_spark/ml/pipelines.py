@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 from a3_fp_bigdata_spark.data import (
     fingerprint_where,
     run_scratch,
-    src_fingerprint,
+    table_fingerprint,
     table,
 )
 from a3_fp_bigdata_spark.registry import query
@@ -267,11 +267,11 @@ def _write_fingerprinted(df: DataFrame, spark, sf_dir: str, scratch: str):
     fingerprint and overwrite the scratch — stale/foreign scratch
     yields an empty oracle side and a red mismatch, never a false
     PASS. Returns the read-back with the stamp dropped."""
-    fp = src_fingerprint(table(spark, sf_dir, "customer"), "c_custkey")
+    fp = table_fingerprint(spark, sf_dir, "customer", "c_custkey")
     # no pin: the frame feeds exactly ONE write (the read-back is a
     # fresh scan of the scratch) — persisting a single-consumer frame
     # just burns executor memory (ADVICE r13)
-    df.crossJoin(F.broadcast(fp)).coalesce(1).write.mode(
+    df.crossJoin(F.broadcast(fp)).repartition(1).write.mode(
         "overwrite"
     ).parquet(scratch)
     return spark.read.parquet(scratch).drop("n_src", "src_ck")

@@ -142,7 +142,7 @@ def ml4_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derive the confusion cells (exact int64 counts + micro-sum, one
     shared division construction, half_up to 2 decimals). The fit
     itself stays pinned by pytest's holdout-accuracy floor."""
-    from a3_fp_bigdata_spark.data import src_fingerprint, table
+    from a3_fp_bigdata_spark.data import table, table_fingerprint
 
     scored, _ = fit_score(spark, sf_dir)
     rows = scored.select(
@@ -154,8 +154,8 @@ def ml4_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p_micro"),
     )
-    fp = src_fingerprint(table(spark, sf_dir, "documents"), "doc_id")
-    rows.crossJoin(F.broadcast(fp)).coalesce(1).write.mode(
+    fp = table_fingerprint(spark, sf_dir, "documents", "doc_id")
+    rows.crossJoin(F.broadcast(fp)).repartition(1).write.mode(
         "overwrite"
     ).parquet(_ML4_SCORE_SCRATCH)
     back = spark.read.parquet(_ML4_SCORE_SCRATCH).drop("n_src", "src_ck")
@@ -276,7 +276,7 @@ def ml5_calibration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p_u"),
     )
     stamp = holdout.agg(F.count("*").cast("long").alias("n_src"))
-    holdout.crossJoin(F.broadcast(stamp)).coalesce(1).write.mode(
+    holdout.crossJoin(F.broadcast(stamp)).repartition(1).write.mode(
         "overwrite"
     ).parquet(_ML5_SCRATCH)
     s = (

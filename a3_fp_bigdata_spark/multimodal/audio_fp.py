@@ -178,7 +178,7 @@ def mm9_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scratch rows (without it the mapInPandas decode runs twice)
     hashes = pin(audio_fp_features(media).select("media_id", "afp"))
     stamp = hashes.agg(F.count("*").cast("long").alias("n_src"))
-    hashes.crossJoin(F.broadcast(stamp)).coalesce(1).write.mode(
+    hashes.crossJoin(F.broadcast(stamp)).repartition(1).write.mode(
         "overwrite"
     ).parquet(_MM9_AFP_SCRATCH)
     fps = pin(

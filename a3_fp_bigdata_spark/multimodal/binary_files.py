@@ -109,7 +109,7 @@ def _write_stamped(df: DataFrame, scratch: str) -> None:
     """Stamp every row with the frame's total count and overwrite the
     scratch (the mm7 protocol: a torn/stale read disagrees loudly)."""
     stamp = df.agg(F.count("*").cast("long").alias("n_src"))
-    df.crossJoin(F.broadcast(stamp)).coalesce(1).write.mode(
+    df.crossJoin(F.broadcast(stamp)).repartition(1).write.mode(
         "overwrite"
     ).parquet(scratch)
 

@@ -195,7 +195,7 @@ def mm7_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scratch rows (without it the mapInPandas decode runs twice)
     hashes = pin(phash_features(media).select("media_id", "dhash"))
     stamp = hashes.agg(F.count("*").cast("long").alias("n_src"))
-    hashes.crossJoin(F.broadcast(stamp)).coalesce(1).write.mode(
+    hashes.crossJoin(F.broadcast(stamp)).repartition(1).write.mode(
         "overwrite"
     ).parquet(_MM7_PHASH_SCRATCH)
     fps = pin(

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from a3_fp_bigdata_spark.data import (
     fingerprint_where,
     run_scratch,
-    src_fingerprint,
+    table_fingerprint,
     table,
 )
 from a3_fp_bigdata_spark.functions.rounding import half_up, half_up_sql
@@ -312,11 +312,9 @@ def a19_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    fp = src_fingerprint(
-        table(spark, sf_dir, "events"), "event_id"
-    )
+    fp = table_fingerprint(spark, sf_dir, "events", "event_id")
     approx = approx.crossJoin(F.broadcast(fp))
-    approx.coalesce(1).write.mode("overwrite").parquet(_A19_SCRATCH)
+    approx.repartition(1).write.mode("overwrite").parquet(_A19_SCRATCH)
     back = spark.read.parquet(_A19_SCRATCH).drop("n_src", "src_ck")
     exact = (
         table(spark, sf_dir, "events")
@@ -402,8 +400,8 @@ def a20_quantile_rank_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_val",
         )
     )
-    fp = src_fingerprint(ev, "event_id")
-    ap.crossJoin(F.broadcast(fp)).coalesce(1).write.mode(
+    fp = table_fingerprint(spark, sf_dir, "events", "event_id")
+    ap.crossJoin(F.broadcast(fp)).repartition(1).write.mode(
         "overwrite"
     ).parquet(_A20_SCRATCH)
     back = spark.read.parquet(_A20_SCRATCH).drop("n_src", "src_ck")

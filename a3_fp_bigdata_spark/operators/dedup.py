@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from a3_fp_bigdata_spark.data import (
     fingerprint_where,
     run_scratch,
-    src_fingerprint,
+    table_fingerprint,
     table,
 )
 from a3_fp_bigdata_spark.functions import text as TX
@@ -481,10 +481,10 @@ def d4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # staged_raw_buckets: the signature table is memoized per
     # (session, sf_dir) and SHARED with d11's nightly probe — computing
     # the 32-hash agg once per corpus snapshot is the production shape.
-    fp = src_fingerprint(table(spark, sf_dir, "documents"), "doc_id")
+    fp = table_fingerprint(spark, sf_dir, "documents", "doc_id")
     staged_raw_buckets(spark, sf_dir).crossJoin(
         F.broadcast(fp)
-    ).coalesce(1).write.mode("overwrite").parquet(_D4_SIG_SCRATCH)
+    ).repartition(1).write.mode("overwrite").parquet(_D4_SIG_SCRATCH)
     back = spark.read.parquet(_D4_SIG_SCRATCH).drop("n_src", "src_ck")
     buckets = _cap_buckets(back)
     # Candidate pairs WITHOUT a bucket self-join: collect each bucket's
@@ -619,15 +619,13 @@ def d4_containment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     protocol), not the full table; the audit query itself adds one
     tiny write + two counting joins on top of the shared staged
     shingle/bucket tables."""
-    fp = src_fingerprint(
-        table(spark, sf_dir, "documents"), "doc_id"
-    )
+    fp = table_fingerprint(spark, sf_dir, "documents", "doc_id")
     pairs = (
         d4_minhash_lsh(spark, sf_dir)
         .select("doc_a", "doc_b")
         .crossJoin(F.broadcast(fp))
     )
-    pairs.coalesce(1).write.mode("overwrite").parquet(_D4_AUDIT_SCRATCH)
+    pairs.repartition(1).write.mode("overwrite").parquet(_D4_AUDIT_SCRATCH)
     back = spark.read.parquet(_D4_AUDIT_SCRATCH).drop("n_src", "src_ck")
     exact = d3_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     outside = back.join(exact, ["doc_a", "doc_b"], "left_anti")
@@ -734,11 +732,11 @@ def d5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     count) — proportionate for attestation tiers; the production path
     is the fused simhash_frame aggregate with no materialization."""
     th = _token_hash_frame(spark, sf_dir)
-    fp = src_fingerprint(table(spark, sf_dir, "documents"), "doc_id")
+    fp = table_fingerprint(spark, sf_dir, "documents", "doc_id")
     # no pin: th feeds exactly one write; the aggregation reads the
     # scratch back, not th (d9 pins its READ-BACK because it feeds
     # both self-join sides — different shape)
-    th.crossJoin(F.broadcast(fp)).coalesce(1).write.mode(
+    th.crossJoin(F.broadcast(fp)).repartition(1).write.mode(
         "overwrite"
     ).parquet(_D5_TOK_SCRATCH)
     back = spark.read.parquet(_D5_TOK_SCRATCH).drop("n_src", "src_ck")
@@ -1035,11 +1033,11 @@ def d9_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     directly; the audit row keeps attesting the set-difference contract
     on top. The quadratic side lives in the ORACLE only — the Spark
     plan stays work-proportional-to-collisions."""
-    fp = src_fingerprint(table(spark, sf_dir, "documents"), "doc_id")
+    fp = table_fingerprint(spark, sf_dir, "documents", "doc_id")
     sh = simhash_frame(spark, sf_dir, SIMHASH_PAIR_BITS).select(
         "doc_id", "simhash"
     )
-    sh.crossJoin(F.broadcast(fp)).coalesce(1).write.mode(
+    sh.crossJoin(F.broadcast(fp)).repartition(1).write.mode(
         "overwrite"
     ).parquet(_D9_FP_SCRATCH)
     # the read-back feeds BOTH self-join sides: pin it, or the scan
@@ -1239,13 +1237,11 @@ def d9_pigeonhole_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the quadratic re-derivation is the AUDIT rung, run on
     corpus samples (like d4's containment audit over d3) — d9 itself
     stays work-proportional-to-collisions."""
-    fp = src_fingerprint(
-        table(spark, sf_dir, "documents"), "doc_id"
-    )
+    fp = table_fingerprint(spark, sf_dir, "documents", "doc_id")
     sh = simhash_frame(spark, sf_dir, SIMHASH_PAIR_BITS).select(
         "doc_id", "simhash"
     )
-    sh.crossJoin(F.broadcast(fp)).coalesce(1).write.mode(
+    sh.crossJoin(F.broadcast(fp)).repartition(1).write.mode(
         "overwrite"
     ).parquet(_D9_AUDIT_FP_SCRATCH)
     # the pairs under audit derive from the MATERIALIZED fingerprints
@@ -1259,7 +1255,7 @@ def d9_pigeonhole_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _pairs_from_simhash(fps).crossJoin(
         F.broadcast(fp)
-    ).coalesce(1).write.mode("overwrite").parquet(
+    ).repartition(1).write.mode("overwrite").parquet(
         _D9_AUDIT_PAIRS_SCRATCH
     )
     prs = spark.read.parquet(_D9_AUDIT_PAIRS_SCRATCH).drop(
@@ -1524,12 +1520,10 @@ def d11_containment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_predicate,
     )
 
-    fp = src_fingerprint(
-        table(spark, sf_dir, "documents"), "doc_id"
-    )
+    fp = table_fingerprint(spark, sf_dir, "documents", "doc_id")
     d11_incremental_lsh(spark, sf_dir).crossJoin(
         F.broadcast(fp)
-    ).coalesce(1).write.mode("overwrite").parquet(_D11_AUDIT_SCRATCH)
+    ).repartition(1).write.mode("overwrite").parquet(_D11_AUDIT_SCRATCH)
     back = pin(
         spark.read.parquet(_D11_AUDIT_SCRATCH).drop("n_src", "src_ck")
     )

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from a3_fp_bigdata_spark.data import (
     read_stamped_scratch,
     run_scratch,
-    src_fingerprint,
+    table_fingerprint,
     table,
 )
 from a3_fp_bigdata_spark.functions import text as TX
@@ -2564,8 +2564,8 @@ def pk16_bestfit_pack_audit(
             schema="doc_id long, shard long, bin_id long, cost long",
         )
     )
-    fp = src_fingerprint(table(spark, sf_dir, "documents"), "doc_id")
-    assignment.crossJoin(F.broadcast(fp)).coalesce(1).write.mode(
+    fp = table_fingerprint(spark, sf_dir, "documents", "doc_id")
+    assignment.crossJoin(F.broadcast(fp)).repartition(1).write.mode(
         "overwrite"
     ).parquet(_PK16_SCRATCH)
     back = read_stamped_scratch(spark, _PK16_SCRATCH).drop("src_ck")

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from a3_fp_bigdata_spark.data import (
     fingerprint_where,
     run_scratch,
-    src_fingerprint,
+    table_fingerprint,
     table,
 )
 from a3_fp_bigdata_spark.functions.rounding import half_up, half_up_sql
@@ -135,16 +135,53 @@ def _planes(emb: DataFrame) -> DataFrame:
     ).select(F.col("vec_id").alias("pid"), F.col("embedding").alias("p_emb"))
 
 
+def _attach_bucket(vecs: DataFrame, planes: DataFrame) -> DataFrame:
+    """``vecs`` plus its random-hyperplane LSH ``bucket`` column:
+    bit i = sign of the dot with plane i.
+
+    r15 optimization (guide §2.4 — remove shuffles outright): the
+    bucket id is ONE per-row expression over a broadcast 1-row array
+    of the N_PLANES hyperplanes (collect_list of (pid, p_emb) structs,
+    pid-sorted). The old shape crossJoin-exploded every vector into
+    N_PLANES rows, paid a full groupBy(vec_id) exchange to sum the
+    bits, and then a second vec_id join to re-attach the bucket to the
+    vector row — two shuffles of the whole corpus for a value that
+    never needed to leave its row. sim2's plan ran that subtree TWICE
+    (query side + candidate side, unshared DAG): 14 Exchanges -> the
+    candidate path now has none. Values are bit-identical: the same
+    dot expression per plane (f64 widening, index order), the same
+    when/pow bit, and a long sum (exact, order-free)."""
+    pa = planes.select(
+        F.sort_array(F.collect_list(F.struct("pid", "p_emb"))).alias(
+            "_planes"
+        )
+    )
+
+    def _bit(p):
+        return F.when(
+            dot(F.col("embedding"), p["p_emb"]) > 0,
+            F.pow(F.lit(2.0), p["pid"] - 1).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+
+    return (
+        vecs.crossJoin(F.broadcast(pa))
+        .withColumn(
+            "bucket",
+            F.aggregate(
+                "_planes",
+                F.lit(0).cast("long"),
+                lambda acc, p: acc + _bit(p),
+            ),
+        )
+        .drop("_planes")
+    )
+
+
 def _buckets(emb: DataFrame, planes: DataFrame) -> DataFrame:
-    """Random-hyperplane LSH bucket id per vector: bit i = sign of the
-    dot with plane i. planes is a tiny broadcast side (N_PLANES rows)."""
-    crossed = emb.crossJoin(F.broadcast(planes))
-    bit = F.when(
-        dot(F.col("embedding"), F.col("p_emb")) > 0,
-        F.pow(F.lit(2.0), F.col("pid") - 1).cast("long"),
-    ).otherwise(F.lit(0))
-    return crossed.groupBy("vec_id").agg(
-        F.sum(bit).cast("long").alias("bucket")
+    """(vec_id, bucket) rows — `_attach_bucket` projected to the id.
+    Kept for callers/tests that want the bucket frame alone."""
+    return _attach_bucket(emb.select("vec_id", "embedding"), planes).select(
+        "vec_id", "bucket"
     )
 
 
@@ -170,9 +207,7 @@ def sim2_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket. At scale the bucket id is a partition key — the candidate
     scan touches ~corpus/2^planes vectors instead of all of them."""
     emb = table(spark, sf_dir, "embeddings")
-    planes = _planes(emb)
-    buckets = _buckets(emb, planes)
-    with_bucket = emb.join(buckets, "vec_id")
+    with_bucket = _attach_bucket(emb, _planes(emb))
     qside = with_bucket.filter(F.col("vec_id") == 0).select(
         F.col("bucket").alias("qbucket"), F.col("embedding").alias("q_emb")
     )
@@ -202,8 +237,7 @@ def build_bucketed_ann_index(
     for k in [k for k in _SIM4_IDX_DF if k[1] == out_dir]:
         _SIM4_IDX_DF.pop(k)
     emb = table(spark, sf_dir, "embeddings")
-    planes = _planes(emb)
-    with_bucket = emb.join(_buckets(emb, planes), "vec_id")
+    with_bucket = _attach_bucket(emb, _planes(emb))
     # cluster rows by bucket BEFORE the partitioned write: without it
     # every shuffle partition writes a sliver into every bucket dir
     # (up to 2^planes x shuffle.partitions files); with it each bucket
@@ -257,7 +291,7 @@ def probe_bucketed_ann(
         # same _buckets expression the index was built with -> the
         # computed bucket is bit-identical to the stored partition key
         qrow = (
-            qdf.join(_buckets(qdf, _planes(emb)), "vec_id")
+            _attach_bucket(qdf, _planes(emb))
             .select("bucket", "embedding")
             .first()
         )
@@ -465,13 +499,13 @@ def sim3_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector — the production path keeps the assignment as the vector
     table's partition key with no extra materialization."""
     assigned, probe_cells = _sim3_assignments(spark, sf_dir)
-    fp = src_fingerprint(table(spark, sf_dir, "embeddings"), "vec_id")
+    fp = table_fingerprint(spark, sf_dir, "embeddings", "vec_id")
     scr = assigned.select(
         "vec_id",
         "cell",
         F.col("cell").isin(probe_cells).alias("probed"),
     )
-    scr.crossJoin(F.broadcast(fp)).coalesce(1).write.mode(
+    scr.crossJoin(F.broadcast(fp)).repartition(1).write.mode(
         "overwrite"
     ).parquet(_SIM3_SCRATCH)
     back = spark.read.parquet(_SIM3_SCRATCH).drop("n_src", "src_ck")
@@ -688,7 +722,7 @@ def d6_gemm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus samples like d4/d9's; d6 itself stays blocked (B(B+1)/2
     tasks, each one BLAS matmul)."""
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    fp = src_fingerprint(emb, "vec_id")
+    fp = table_fingerprint(spark, sf_dir, "embeddings", "vec_id")
     _d6_gemm_candidates(emb).crossJoin(F.broadcast(fp)).coalesce(
         1
     ).write.mode("overwrite").parquet(_D6_AUDIT_SCRATCH)
@@ -867,8 +901,7 @@ def sim7_batch_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = table(spark, sf_dir, "embeddings")
-    planes = _planes(emb)
-    with_bucket = emb.join(_buckets(emb, planes), "vec_id")
+    with_bucket = _attach_bucket(emb, _planes(emb))
     qside = with_bucket.filter(
         F.col("vec_id").isin(list(BATCH_QUERY_IDS))
     ).select(
@@ -1078,8 +1111,7 @@ def append_to_bucketed_index(
     for k in [k for k in _SIM4_IDX_DF if k[1] == index_dir]:
         _SIM4_IDX_DF.pop(k)  # cached listing is stale after append
     emb = table(spark, sf_dir, "embeddings")
-    planes = _planes(emb)
-    with_bucket = new_vectors.join(_buckets(new_vectors, planes), "vec_id")
+    with_bucket = _attach_bucket(new_vectors, _planes(emb))
     (
         with_bucket.repartition("bucket")
         .write.mode("append")
@@ -1183,15 +1215,13 @@ def sim11_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF probe never touched (the sim8 pattern for sim2, extended to
     the seed-specific path via the d4-audit scratch protocol).
     tests/test_similarity.py separately pins recall >= 0.8."""
-    fp = src_fingerprint(
-        table(spark, sf_dir, "embeddings"), "vec_id"
-    )
+    fp = table_fingerprint(spark, sf_dir, "embeddings", "vec_id")
     hits = (
         sim3_ivf_ann(spark, sf_dir)
         .select("vec_id")
         .crossJoin(F.broadcast(fp))
     )
-    hits.coalesce(1).write.mode("overwrite").parquet(_SIM11_SCRATCH)
+    hits.repartition(1).write.mode("overwrite").parquet(_SIM11_SCRATCH)
     back = spark.read.parquet(_SIM11_SCRATCH).drop("n_src", "src_ck")
     exact = sim1_cosine_topk(spark, sf_dir).limit(ANN_TOPK).select("vec_id")
     n_hit = exact.join(back, "vec_id", "left_semi").agg(
@@ -1429,8 +1459,8 @@ def sim12_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the shortlist to fingerprinted scratch; the rerank
     # below (and the oracle) read it back, so the attested selection
     # is exactly the bytes the quantizer produced
-    fp = src_fingerprint(table(spark, sf_dir, "embeddings"), "vec_id")
-    shortlist.crossJoin(F.broadcast(fp)).coalesce(1).write.mode(
+    fp = table_fingerprint(spark, sf_dir, "embeddings", "vec_id")
+    shortlist.crossJoin(F.broadcast(fp)).repartition(1).write.mode(
         "overwrite"
     ).parquet(_SIM12_SL_SCRATCH)
     back = spark.read.parquet(_SIM12_SL_SCRATCH).drop("n_src", "src_ck")
@@ -1486,11 +1516,11 @@ def sim12_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage, a shortlist that captures the true top-k yields n_hit = k
     exactly; any quantization loss shows up identically on both
     engines. tests/test_similarity.py separately pins recall >= 0.8."""
-    fp = src_fingerprint(table(spark, sf_dir, "embeddings"), "vec_id")
+    fp = table_fingerprint(spark, sf_dir, "embeddings", "vec_id")
     hits = (
         sim12_pq_ann(spark, sf_dir).select("vec_id").crossJoin(F.broadcast(fp))
     )
-    hits.coalesce(1).write.mode("overwrite").parquet(_SIM12_SCRATCH)
+    hits.repartition(1).write.mode("overwrite").parquet(_SIM12_SCRATCH)
     back = spark.read.parquet(_SIM12_SCRATCH).drop("n_src", "src_ck")
     exact = sim1_cosine_topk(spark, sf_dir).limit(ANN_TOPK).select("vec_id")
     n_hit = exact.join(back, "vec_id", "left_semi").agg(
@@ -1640,12 +1670,10 @@ def d17_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment as the IVF index's own materialized artifact."""
     # already localCheckpoint-backed by the stage memo — no pin needed
     assigned = _semdedup_cells(spark, sf_dir)
-    fp = src_fingerprint(
-        table(spark, sf_dir, "embeddings"), "vec_id"
-    )
+    fp = table_fingerprint(spark, sf_dir, "embeddings", "vec_id")
     assigned.select("vec_id", "cell").crossJoin(
         F.broadcast(fp)
-    ).coalesce(1).write.mode("overwrite").parquet(_D17_CELLS_SCRATCH)
+    ).repartition(1).write.mode("overwrite").parquet(_D17_CELLS_SCRATCH)
     back = pin(
         spark.read.parquet(_D17_CELLS_SCRATCH)
         .drop("n_src", "src_ck")
@@ -1692,7 +1720,7 @@ def materialize_d17_verdict(
     oracles take the CELLS as given from the scratch bytes and
     re-derive the keep rule independently."""
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    fp = src_fingerprint(emb, "vec_id")
+    fp = table_fingerprint(spark, sf_dir, "embeddings", "vec_id")
     d17_semantic_dedup(spark, sf_dir).crossJoin(F.broadcast(fp)).coalesce(
         1
     ).write.mode("overwrite").parquet(_D17_SCRATCH)
@@ -1999,8 +2027,7 @@ def sim14_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F  # local alias for clarity
 
     emb = table(spark, sf_dir, "embeddings")
-    planes = _planes(emb)
-    with_bucket = emb.join(_buckets(emb, planes), "vec_id")
+    with_bucket = _attach_bucket(emb, _planes(emb))
     qside = with_bucket.filter(
         F.col("vec_id").isin(list(BATCH_QUERY_IDS))
     ).select(

@@ -1373,7 +1373,7 @@ def d27_cut_effectiveness_audit(
         F.col("clean_text").alias("text"),
         F.lit("en").alias("lang"),
         F.lit("sa_cut").alias("source"),
-    ).coalesce(1).write.mode("overwrite").parquet(
+    ).repartition(1).write.mode("overwrite").parquet(
         out_dir + "/documents.parquet"
     )
     after = d22_exact_substring_spans(spark, out_dir)

@@ -166,7 +166,7 @@ def st13_stream_hot_keys(
         .select("tok", (F.col("s") - F.col("dec2")).alias("est"))
     )
     stamp = final.agg(F.count("*").cast("long").alias("n_src"))
-    final.crossJoin(F.broadcast(stamp)).coalesce(1).write.mode(
+    final.crossJoin(F.broadcast(stamp)).repartition(1).write.mode(
         "overwrite"
     ).parquet(_ST13_SCRATCH)
     back = spark.read.parquet(_ST13_SCRATCH).drop("n_src")
