@@ -1032,12 +1032,17 @@ def pk10_interleave_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id.
 
     Scale: one window per source partition (hash-partitioned by
-    source) + the global position. The global row_number IS a single-
-    partition sort here — the honest cost of a total order; at 100 TB
-    a pipeline keeps (rank_in_source, source) as a SORT KEY and lets
-    the writer range-partition on it instead of materializing a
-    global ordinal (zero extra cost), which this query demonstrates
-    by construction: global_pos is derivable from the key alone."""
+    source) + the global position via the suffix family's two-pass
+    rank (r15 — guide §2.5: this was the engine's last corpus-sized
+    single-partition window; range shards + per-partition row_number
+    + a broadcast <= SA_RERANK_PARTS-row offset prefix replace the
+    one-task global sort, values identical because the key triple is
+    a total order). At 100 TB a pipeline can also keep
+    (rank_in_source, source) as a SORT KEY and let the writer
+    range-partition on it — global_pos stays derivable from the key
+    alone."""
+    from a3_fp_bigdata_spark.operators.suffixes import _two_pass_rank
+
     docs = table(spark, sf_dir, "documents")
     w_src = Window.partitionBy("source").orderBy("doc_id")
     ranked = docs.select(
@@ -1045,9 +1050,13 @@ def pk10_interleave_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.row_number().over(w_src).cast("long").alias("rank_in_source"),
     )
-    w_all = Window.orderBy("rank_in_source", "source", "doc_id")
-    return ranked.withColumn(
-        "global_pos", F.row_number().over(w_all).cast("long")
+    return _two_pass_rank(
+        ranked, ["rank_in_source", "source", "doc_id"], dense=False
+    ).select(
+        "doc_id",
+        "source",
+        "rank_in_source",
+        F.col("rnk").cast("long").alias("global_pos"),
     )
 
 
