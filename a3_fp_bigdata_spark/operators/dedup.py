@@ -1973,38 +1973,30 @@ def d15_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated run >= K tokens, and is what corpus pipelines actually
     deploy at scale.
 
-    Spark shape, three bounded shuffles: (1) tokens shuffle by doc_id
-    for the lead() window that forms positioned gram hashes (same
-    pattern + rationale as _shingle_rows: rows + lead keep the
-    tokenizer out of per-element lambdas); (2) gram rows shuffle by
-    the 8-byte xxhash64 gram key for a windowed count(*) — one pass
-    marks every duplicated occurrence in place, no groupBy + re-join
-    of two corpus-sized sides; (3) only the HIT rows (duplicated
-    windows, a small fraction of the corpus) shuffle back by doc_id
-    for the gaps-and-islands merge: new island when pos > running
+    Spark shape, two bounded shuffles (r15 — guide §2.4; was three):
+    (1) positioned gram hashes come straight off the tokens array
+    (posexplode of `_shingle_array`, index == token position — the
+    in-array derivation that replaced the shingle stage's lead()
+    window; the old shape paid a tokens-by-doc_id shuffle + sort
+    first), then gram rows shuffle by the 8-byte xxhash64 gram key
+    for a windowed count(*) — one pass marks every duplicated
+    occurrence in place, no groupBy + re-join of two corpus-sized
+    sides; (2) only the HIT rows (duplicated windows, a small
+    fraction of the corpus) shuffle back by doc_id for the
+    gaps-and-islands merge: new island when pos > running
     max(pos + K) over preceding rows, island id = running sum of
     breaks, then one aggregation to (min, max + K, count) — which
     reuses the window's doc_id partitioning (HashPartitioning(doc_id)
-    satisfies the (doc_id, island) clustering), so no fourth
+    satisfies the (doc_id, island) clustering), so no third
     exchange. Grams are compared by xxhash64 like d3's shingles —
     collisions (~n^2/2^64) are far below the oracle's resolution; the
     oracle groups by the gram STRING and must agree."""
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.posexplode(TX.tokens(F.col("text"))).alias("pos", "word")
+    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("t"))
+    grams = toks.select(
+        "doc_id", F.posexplode(_shingle_array(DUPSPAN_K)).alias("pos", "h")
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.lead("word", i).over(w) for i in range(1, DUPSPAN_K)]
-    grams = (
-        toks.select(
-            "doc_id",
-            "pos",
-            F.xxhash64("word", *leads).alias("h"),
-            leads[-1].alias("_tail"),
-        )
-        .filter(F.col("_tail").isNotNull())  # full K-grams only
-        .drop("_tail")
-    )
     hits = (
         grams.withColumn("c", F.count("*").over(Window.partitionBy("h")))
         .filter(F.col("c") >= 2)
@@ -2359,28 +2351,18 @@ def d20_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     the score is integer basis points of novel instances. Documents
     too short to form a full gram score 10000 (nothing borrowed).
 
-    Shares d15's gram machinery: lead-chain grams hashed to 8-byte
-    keys (the oracle independently re-derives ownership over the gram
-    STRINGS, so a hash collision or window bug is a red mismatch);
-    one map-side-combinable min per gram key + a gram-keyed join back
-    + one doc agg — the d15 shuffle family, wire bytes one row per
-    gram instance, zero Python."""
+    Shares d15's gram machinery: in-array grams hashed to 8-byte
+    keys (r15 — the lead()-window derivation and its doc_id shuffle
+    replaced by `_shingle_rows(distinct=False)`, values identical;
+    the oracle independently re-derives ownership over the gram
+    STRINGS, so a hash collision or derivation bug is a red
+    mismatch); one map-side-combinable min per gram key + a
+    gram-keyed join back + one doc agg — the d15 shuffle family,
+    wire bytes one row per gram instance, zero Python."""
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(TX.tokens(F.col("text"))).alias("pos", "word"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.lead("word", i).over(w) for i in range(1, DUPSPAN_K)]
-    grams = (
-        toks.select(
-            "doc_id",
-            F.xxhash64("word", *leads).alias("h"),
-            leads[-1].alias("_tail"),
-        )
-        .filter(F.col("_tail").isNotNull())
-        .drop("_tail")
-    )
+    grams = _shingle_rows(
+        spark, sf_dir, DUPSPAN_K, distinct=False
+    ).withColumnRenamed("shingle", "h")
     owner = grams.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
     per_doc = (
         grams.join(owner, "h")
