@@ -247,17 +247,22 @@ def src_fingerprint(df: DataFrame, key_col: str) -> DataFrame:
 
 
 #: table_fingerprint's memo — the collected (n_src, src_ck) pair per
-#: (session, sf_dir, table, key). Two ints per entry; dead-session
-#: entries are harmless (the token never recurs).
-_FP_CACHE: dict[tuple[str, str, str, str], tuple[int, int]] = {}
+#: (session, sf_dir, table, key, plan-semantic-hash). Two ints per
+#: entry; dead-session entries are harmless (the token never recurs).
+_FP_CACHE: dict[tuple, tuple[int, int]] = {}
 
 
 def table_fingerprint(
-    spark: SparkSession, sf_dir: str, table_name: str, key_col: str
+    spark: SparkSession,
+    sf_dir: str,
+    table_name: str,
+    key_col: str,
+    table_fn=None,
 ) -> DataFrame:
     """Memoized ``src_fingerprint`` over a named driver table: the
     1-row (n_src, src_ck) stamp is collected ONCE per (session,
-    sf_dir, table) and re-attached as a literal LocalRelation.
+    sf_dir, table, source-plan) and re-attached as a literal
+    LocalRelation.
 
     r15 optimization (guide §2.4 — don't recompute what can't have
     changed): every audit-scratch write used to re-run the stamp's
@@ -266,17 +271,35 @@ def table_fingerprint(
     corpus snapshot is immutable within a session (and production
     stamps a snapshot once when it lands), so the fingerprint is
     session-constant by construction. This memoizes a 2-int STAMP,
-    never query results; callers fingerprinting synthetic/derived
-    frames (none today) keep src_fingerprint itself. The bounded
-    1-row collect is the same class as the engine's other probes."""
+    never query results. Two test-reality guards: ``table_fn`` lets
+    call sites route through their MODULE-LOCAL ``table`` name, so
+    monkeypatched corpora keep working (the edge-case suite patches
+    D.table with synthetic docs over both fake and REAL sf dirs); and
+    the memo key includes the source frame's ``semanticHash()``, so a
+    patched frame can never poison — or be poisoned by — the real
+    table's cached stamp. The bounded 1-row collect is the same class
+    as the engine's other probes."""
     from a3_fp_bigdata_spark.session import session_token
 
-    key = (session_token(spark), sf_dir, table_name, key_col)
+    src = (table_fn or table)(spark, sf_dir, table_name)
+    key = (
+        session_token(spark),
+        sf_dir,
+        table_name,
+        key_col,
+        src.semanticHash(),
+    )
     if key not in _FP_CACHE:
-        row = src_fingerprint(table(spark, sf_dir, table_name), key_col).first()
+        row = src_fingerprint(src, key_col).first()
         _FP_CACHE[key] = (row["n_src"], row["src_ck"])
     n, ck = _FP_CACHE[key]
     return spark.createDataFrame([(n, ck)], "n_src long, src_ck long")
+
+
+def release_fingerprints() -> None:
+    """Clear table_fingerprint's stamp memo (test hygiene hook, the
+    release_shingle_stage pattern)."""
+    _FP_CACHE.clear()
 
 
 def fingerprint_where(table_name: str, key_col: str) -> str:

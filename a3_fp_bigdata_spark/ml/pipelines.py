@@ -267,7 +267,7 @@ def _write_fingerprinted(df: DataFrame, spark, sf_dir: str, scratch: str):
     fingerprint and overwrite the scratch — stale/foreign scratch
     yields an empty oracle side and a red mismatch, never a false
     PASS. Returns the read-back with the stamp dropped."""
-    fp = table_fingerprint(spark, sf_dir, "customer", "c_custkey")
+    fp = table_fingerprint(spark, sf_dir, "customer", "c_custkey", table_fn=table)
     # no pin: the frame feeds exactly ONE write (the read-back is a
     # fresh scan of the scratch) — persisting a single-consumer frame
     # just burns executor memory (ADVICE r13)

@@ -154,7 +154,7 @@ def ml4_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p_micro"),
     )
-    fp = table_fingerprint(spark, sf_dir, "documents", "doc_id")
+    fp = table_fingerprint(spark, sf_dir, "documents", "doc_id", table_fn=table)
     rows.crossJoin(F.broadcast(fp)).repartition(1).write.mode(
         "overwrite"
     ).parquet(_ML4_SCORE_SCRATCH)

@@ -312,7 +312,7 @@ def a19_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    fp = table_fingerprint(spark, sf_dir, "events", "event_id")
+    fp = table_fingerprint(spark, sf_dir, "events", "event_id", table_fn=table)
     approx = approx.crossJoin(F.broadcast(fp))
     approx.repartition(1).write.mode("overwrite").parquet(_A19_SCRATCH)
     back = spark.read.parquet(_A19_SCRATCH).drop("n_src", "src_ck")
@@ -400,7 +400,7 @@ def a20_quantile_rank_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_val",
         )
     )
-    fp = table_fingerprint(spark, sf_dir, "events", "event_id")
+    fp = table_fingerprint(spark, sf_dir, "events", "event_id", table_fn=table)
     ap.crossJoin(F.broadcast(fp)).repartition(1).write.mode(
         "overwrite"
     ).parquet(_A20_SCRATCH)

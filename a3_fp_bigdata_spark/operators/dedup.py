@@ -481,7 +481,7 @@ def d4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # staged_raw_buckets: the signature table is memoized per
     # (session, sf_dir) and SHARED with d11's nightly probe — computing
     # the 32-hash agg once per corpus snapshot is the production shape.
-    fp = table_fingerprint(spark, sf_dir, "documents", "doc_id")
+    fp = table_fingerprint(spark, sf_dir, "documents", "doc_id", table_fn=table)
     staged_raw_buckets(spark, sf_dir).crossJoin(
         F.broadcast(fp)
     ).repartition(1).write.mode("overwrite").parquet(_D4_SIG_SCRATCH)
@@ -619,7 +619,7 @@ def d4_containment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     protocol), not the full table; the audit query itself adds one
     tiny write + two counting joins on top of the shared staged
     shingle/bucket tables."""
-    fp = table_fingerprint(spark, sf_dir, "documents", "doc_id")
+    fp = table_fingerprint(spark, sf_dir, "documents", "doc_id", table_fn=table)
     pairs = (
         d4_minhash_lsh(spark, sf_dir)
         .select("doc_a", "doc_b")
@@ -732,7 +732,7 @@ def d5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     count) — proportionate for attestation tiers; the production path
     is the fused simhash_frame aggregate with no materialization."""
     th = _token_hash_frame(spark, sf_dir)
-    fp = table_fingerprint(spark, sf_dir, "documents", "doc_id")
+    fp = table_fingerprint(spark, sf_dir, "documents", "doc_id", table_fn=table)
     # no pin: th feeds exactly one write; the aggregation reads the
     # scratch back, not th (d9 pins its READ-BACK because it feeds
     # both self-join sides — different shape)
@@ -1033,7 +1033,7 @@ def d9_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     directly; the audit row keeps attesting the set-difference contract
     on top. The quadratic side lives in the ORACLE only — the Spark
     plan stays work-proportional-to-collisions."""
-    fp = table_fingerprint(spark, sf_dir, "documents", "doc_id")
+    fp = table_fingerprint(spark, sf_dir, "documents", "doc_id", table_fn=table)
     sh = simhash_frame(spark, sf_dir, SIMHASH_PAIR_BITS).select(
         "doc_id", "simhash"
     )
@@ -1237,7 +1237,7 @@ def d9_pigeonhole_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the quadratic re-derivation is the AUDIT rung, run on
     corpus samples (like d4's containment audit over d3) — d9 itself
     stays work-proportional-to-collisions."""
-    fp = table_fingerprint(spark, sf_dir, "documents", "doc_id")
+    fp = table_fingerprint(spark, sf_dir, "documents", "doc_id", table_fn=table)
     sh = simhash_frame(spark, sf_dir, SIMHASH_PAIR_BITS).select(
         "doc_id", "simhash"
     )
@@ -1520,7 +1520,7 @@ def d11_containment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_predicate,
     )
 
-    fp = table_fingerprint(spark, sf_dir, "documents", "doc_id")
+    fp = table_fingerprint(spark, sf_dir, "documents", "doc_id", table_fn=table)
     d11_incremental_lsh(spark, sf_dir).crossJoin(
         F.broadcast(fp)
     ).repartition(1).write.mode("overwrite").parquet(_D11_AUDIT_SCRATCH)

@@ -2573,7 +2573,7 @@ def pk16_bestfit_pack_audit(
             schema="doc_id long, shard long, bin_id long, cost long",
         )
     )
-    fp = table_fingerprint(spark, sf_dir, "documents", "doc_id")
+    fp = table_fingerprint(spark, sf_dir, "documents", "doc_id", table_fn=table)
     assignment.crossJoin(F.broadcast(fp)).repartition(1).write.mode(
         "overwrite"
     ).parquet(_PK16_SCRATCH)

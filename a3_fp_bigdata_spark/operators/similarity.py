@@ -499,7 +499,7 @@ def sim3_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector — the production path keeps the assignment as the vector
     table's partition key with no extra materialization."""
     assigned, probe_cells = _sim3_assignments(spark, sf_dir)
-    fp = table_fingerprint(spark, sf_dir, "embeddings", "vec_id")
+    fp = table_fingerprint(spark, sf_dir, "embeddings", "vec_id", table_fn=table)
     scr = assigned.select(
         "vec_id",
         "cell",
@@ -722,7 +722,7 @@ def d6_gemm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus samples like d4/d9's; d6 itself stays blocked (B(B+1)/2
     tasks, each one BLAS matmul)."""
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    fp = table_fingerprint(spark, sf_dir, "embeddings", "vec_id")
+    fp = table_fingerprint(spark, sf_dir, "embeddings", "vec_id", table_fn=table)
     _d6_gemm_candidates(emb).crossJoin(F.broadcast(fp)).coalesce(
         1
     ).write.mode("overwrite").parquet(_D6_AUDIT_SCRATCH)
@@ -1215,7 +1215,7 @@ def sim11_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF probe never touched (the sim8 pattern for sim2, extended to
     the seed-specific path via the d4-audit scratch protocol).
     tests/test_similarity.py separately pins recall >= 0.8."""
-    fp = table_fingerprint(spark, sf_dir, "embeddings", "vec_id")
+    fp = table_fingerprint(spark, sf_dir, "embeddings", "vec_id", table_fn=table)
     hits = (
         sim3_ivf_ann(spark, sf_dir)
         .select("vec_id")
@@ -1459,7 +1459,7 @@ def sim12_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the shortlist to fingerprinted scratch; the rerank
     # below (and the oracle) read it back, so the attested selection
     # is exactly the bytes the quantizer produced
-    fp = table_fingerprint(spark, sf_dir, "embeddings", "vec_id")
+    fp = table_fingerprint(spark, sf_dir, "embeddings", "vec_id", table_fn=table)
     shortlist.crossJoin(F.broadcast(fp)).repartition(1).write.mode(
         "overwrite"
     ).parquet(_SIM12_SL_SCRATCH)
@@ -1516,7 +1516,7 @@ def sim12_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage, a shortlist that captures the true top-k yields n_hit = k
     exactly; any quantization loss shows up identically on both
     engines. tests/test_similarity.py separately pins recall >= 0.8."""
-    fp = table_fingerprint(spark, sf_dir, "embeddings", "vec_id")
+    fp = table_fingerprint(spark, sf_dir, "embeddings", "vec_id", table_fn=table)
     hits = (
         sim12_pq_ann(spark, sf_dir).select("vec_id").crossJoin(F.broadcast(fp))
     )
@@ -1670,7 +1670,7 @@ def d17_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment as the IVF index's own materialized artifact."""
     # already localCheckpoint-backed by the stage memo — no pin needed
     assigned = _semdedup_cells(spark, sf_dir)
-    fp = table_fingerprint(spark, sf_dir, "embeddings", "vec_id")
+    fp = table_fingerprint(spark, sf_dir, "embeddings", "vec_id", table_fn=table)
     assigned.select("vec_id", "cell").crossJoin(
         F.broadcast(fp)
     ).repartition(1).write.mode("overwrite").parquet(_D17_CELLS_SCRATCH)
@@ -1720,7 +1720,7 @@ def materialize_d17_verdict(
     oracles take the CELLS as given from the scratch bytes and
     re-derive the keep rule independently."""
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    fp = table_fingerprint(spark, sf_dir, "embeddings", "vec_id")
+    fp = table_fingerprint(spark, sf_dir, "embeddings", "vec_id", table_fn=table)
     d17_semantic_dedup(spark, sf_dir).crossJoin(F.broadcast(fp)).coalesce(
         1
     ).write.mode("overwrite").parquet(_D17_SCRATCH)
