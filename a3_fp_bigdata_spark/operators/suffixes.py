@@ -224,11 +224,20 @@ def suffix_char_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 SA_RERANK_PARTS = 32
 
 #: Manber-Myers base: the initial rank covers this many characters in
-#: ONE binary-prefix dense rank, replacing log2(SA_BASE_CHARS) early
-#: doubling rounds (each round is fixed stage overhead at audit
-#: scale). Must be a power of two so the doubling sequence stays
-#: aligned (8 -> 16 -> 32 ...).
-SA_BASE_CHARS = 8
+#: ONE binary-prefix dense rank, replacing log2(SA_BASE_CHARS/1) early
+#: doubling rounds (each round is a full-frame shuffle + partitioned
+#: window + checkpoint + a driver probe — fixed stage overhead at
+#: audit scale, a full extra pass at 100 TB). Must be a power of two
+#: so the doubling sequence stays aligned (32 -> 64 -> 128 ...).
+#: r15 optimization: 8 -> 32 (packed into ceil(32/8) = 4 int64 rank
+#: keys) — at the audit slices a 32-byte prefix is already a total
+#: order, so the build usually converges with ZERO doubling rounds
+#: (measured: 35,697 suffixes at sf0.1 -> 7,446 distinct 8-byte
+#: prefixes but 35,697 distinct 32-byte ones); corpora with >= 32-char
+#: repeats (planted-dup SCALE rungs, boilerplate crawls) still double
+#: from 32 as before. The wider initial key costs 24 extra bytes per
+#: row in ONE shuffle and saves two full-frame rounds.
+SA_BASE_CHARS = 32
 
 
 def _two_pass_rank(
@@ -444,23 +453,34 @@ def build_suffix_array(
         # the build, d22/d25's spans and d23/d26's staircase
         segs = _slice_segments(spark, sf_dir)
         w_seg = SA_SEG_BYTES
-        # Pack the SA_BASE_CHARS-byte prefix into ONE int64 (r14
-        # VERDICT watch #2): hex the binary window, right-pad the hex
-        # string with '0' (== right-padding the bytes with 0x00, which
-        # sorts below every slice byte — min real byte is SA_SEP 0x01 —
-        # so a shorter tail prefix still sorts first), and conv base-16.
-        # Big-endian byte order makes integer order == memcmp order,
-        # and the top byte is <= 0x7E (printable ASCII), so the packed
-        # value is a POSITIVE signed int64. With a numeric key the
-        # initial rank takes _bucket_rank's sampling-free arithmetic
-        # shard — same as every doubling round — instead of paying
-        # _two_pass_rank's RangePartitioner pass + pid-pinning
-        # checkpoint on the coldest, largest frame of the build. The
-        # shard maps the top 15 bits (first byte + 7 more) through the
-        # same monotone formula; ASCII text concentrates first bytes
-        # in [0x20, 0x7E] so shards skew toward letter buckets — at
-        # 100 TB widen SA_RERANK_PARTS or shard on a sampled histogram
-        # (one reservoir pass), the same remedy as any range shard.
+        # Pack the SA_BASE_CHARS-byte prefix into ceil(/8) int64 rank
+        # keys (r14 VERDICT watch #2, widened in r15): hex each 8-byte
+        # slice of the binary window, right-pad the hex string with
+        # '0' (== right-padding the bytes with 0x00, which sorts below
+        # every slice byte — min real byte is SA_SEP 0x01 — so a
+        # shorter tail prefix still sorts first), and conv base-16.
+        # Big-endian byte order makes per-key integer order == memcmp
+        # order, so the key TUPLE's lexicographic order == memcmp of
+        # the zero-padded SA_BASE_CHARS bytes; the top byte is <= 0x7E
+        # (printable ASCII), so every packed value is a POSITIVE
+        # signed int64. With numeric keys the initial rank takes
+        # _bucket_rank's sampling-free arithmetic shard — same as
+        # every doubling round — instead of paying _two_pass_rank's
+        # RangePartitioner pass + pid-pinning checkpoint on the
+        # coldest, largest frame of the build. The shard maps k1's top
+        # 15 bits (first byte + 7 more) through the same monotone
+        # formula; ASCII text concentrates first bytes in [0x20, 0x7E]
+        # so shards skew toward letter buckets — at 100 TB widen
+        # SA_RERANK_PARTS or shard on a sampled histogram (one
+        # reservoir pass), the same remedy as any range shard.
+        n_keys = (SA_BASE_CHARS + 7) // 8
+        key_cols = [
+            F.expr(
+                f"CAST(conv(rpad(hex(substring(kb, {8 * j + 1}, 8)),"
+                " 16, '0'), 16, 10) AS BIGINT)"
+            ).alias(f"k{j + 1}")
+            for j in range(n_keys)
+        ]
         pref = (
             rows.select(
                 "pos",
@@ -475,20 +495,18 @@ def build_suffix_array(
                     SA_BASE_CHARS,
                 ).alias("kb"),
             )
-            .select(
-                "pos",
-                F.expr(
-                    f"CAST(conv(rpad(hex(kb), {2 * SA_BASE_CHARS}, '0'),"
-                    " 16, 10) AS BIGINT)"
-                ).alias("k"),
-            )
+            .select("pos", *key_cols)
         )
         top_bucket = F.expr(
-            f"CAST(((k div {1 << 48}) * {SA_RERANK_PARTS})"
+            f"CAST(((k1 div {1 << 48}) * {SA_RERANK_PARTS})"
             f" div {1 << 15} AS INT)"
         )
         first = _bucket_rank(
-            pref, ["k"], n=0, dense=True, bucket=top_bucket
+            pref,
+            [f"k{j + 1}" for j in range(n_keys)],
+            n=0,
+            dense=True,
+            bucket=top_bucket,
         )
         keep_src = rows
     else:
