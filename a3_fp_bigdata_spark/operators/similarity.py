@@ -212,10 +212,21 @@ def sim2_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").alias("qbucket"), F.col("embedding").alias("q_emb")
     )
     cos = half_up(cosine(F.col("embedding"), F.col("q_emb")))
+    # eqNullSafe, not ==: the bucket is never null by construction
+    # (every per-plane bit lands in an otherwise(0)), but a plain
+    # equi-join makes Catalyst infer IsNotNull(bucket) and push it into
+    # the candidate side's join condition — re-evaluating the whole
+    # 8-plane interpreted aggregate a SECOND time for every corpus row
+    # (r16, guide §4.4's duplication pattern on a native expression:
+    # measured 1.3-1.8 s -> 0.8-1.1 s at sf0.1/32 cores, and a 2x
+    # map-side saving at scale). Null-safe equality on provably
+    # non-null keys is the same join.
     return (
         with_bucket.filter(F.col("vec_id") != 0)
         .join(
-            F.broadcast(qside), F.col("bucket") == F.col("qbucket"), "inner"
+            F.broadcast(qside),
+            F.col("bucket").eqNullSafe(F.col("qbucket")),
+            "inner",
         )
         .select("vec_id", cos.alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -723,7 +734,7 @@ def d6_gemm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tasks, each one BLAS matmul)."""
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     fp = table_fingerprint(spark, sf_dir, "embeddings", "vec_id", table_fn=table)
-    _d6_gemm_candidates(emb).crossJoin(F.broadcast(fp)).coalesce(
+    _d6_gemm_candidates(emb).crossJoin(F.broadcast(fp)).repartition(
         1
     ).write.mode("overwrite").parquet(_D6_AUDIT_SCRATCH)
     # pin: cand feeds five aggregates and exact feeds two (the d9/d11
@@ -910,10 +921,14 @@ def sim7_batch_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("q_emb"),
     )
     cos = half_up(cosine(F.col("embedding"), F.col("q_emb")))
+    # eqNullSafe on the bucket key: see sim2 — blocks the inferred
+    # IsNotNull(bucket) pushdown that re-evaluates the per-row plane
+    # aggregate a second time on every corpus row. Buckets are never
+    # null by construction, so the join is unchanged.
     scored = (
         with_bucket.join(
             F.broadcast(qside),
-            (F.col("bucket") == F.col("qbucket"))
+            F.col("bucket").eqNullSafe(F.col("qbucket"))
             & (F.col("vec_id") != F.col("query_id")),
         )
         .select("query_id", "vec_id", cos.alias("cosine"))
@@ -1721,7 +1736,7 @@ def materialize_d17_verdict(
     re-derive the keep rule independently."""
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     fp = table_fingerprint(spark, sf_dir, "embeddings", "vec_id", table_fn=table)
-    d17_semantic_dedup(spark, sf_dir).crossJoin(F.broadcast(fp)).coalesce(
+    d17_semantic_dedup(spark, sf_dir).crossJoin(F.broadcast(fp)).repartition(
         1
     ).write.mode("overwrite").parquet(_D17_SCRATCH)
     return pin(spark.read.parquet(_D17_SCRATCH).drop("n_src", "src_ck"))
@@ -2036,10 +2051,13 @@ def sim14_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("q_emb"),
     )
     cos = half_up(cosine(F.col("embedding"), F.col("q_emb")))
+    # eqNullSafe on the bucket key: see sim2 — blocks the inferred
+    # IsNotNull(bucket) pushdown that re-evaluates the per-row plane
+    # aggregate a second time on every corpus row.
     return (
         with_bucket.join(
             F.broadcast(qside),
-            (F.col("bucket") == F.col("qbucket"))
+            F.col("bucket").eqNullSafe(F.col("qbucket"))
             & (F.col("vec_id") != F.col("query_id")),
         )
         .select("query_id", "vec_id", cos.alias("cosine"))
