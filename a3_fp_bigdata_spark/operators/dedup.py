@@ -486,20 +486,28 @@ def d4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(fp)
     ).repartition(1).write.mode("overwrite").parquet(_D4_SIG_SCRATCH)
     back = spark.read.parquet(_D4_SIG_SCRATCH).drop("n_src", "src_ck")
-    buckets = _cap_buckets(back)
     # Candidate pairs WITHOUT a bucket self-join: collect each bucket's
-    # doc list and explode its pairs in place. The bucket-cap window
-    # already hash-partitioned rows by (band, sig), so the groupBy adds
-    # NO exchange — and referencing `buckets` once (instead of as two
-    # join sides) keeps the minhash subtree out of the plan twice
-    # (round 3's audit measured 11 shuffles here; the join-free shape
-    # drops the static plan to the irreducible set). The cap bounds the
-    # explosion: a bucket of s <= MAX_BUCKET_DOCS docs emits s(s-1)/2
-    # pairs, so collect_list is O(cap) per group, never O(corpus).
+    # doc list and explode its pairs in place. The super-bucket cap is
+    # applied at GROUP level (size(ds) <= MAX_BUCKET_DOCS) instead of
+    # routing the read-back through _cap_buckets' count window: the
+    # window partitioned by exactly the groupBy keys added a full sort
+    # + WindowExec pass over the same exchange for a predicate the
+    # grouped row answers for free — bucket size IS size(ds). Values
+    # identical (exceptAll-proven at sf0.1, and the oracle's QUALIFY
+    # replay is unchanged); r16 measured 0.76 -> 0.53 s warm on the
+    # readback+cap+pairs leg, one sort pass gone at any scale.
+    # Referencing the read-back once (instead of as two join sides)
+    # keeps the minhash subtree out of the plan twice (round 3's audit
+    # measured 11 shuffles here; the join-free shape drops the static
+    # plan to the irreducible set). collect_list is bounded by the
+    # groupBy's input — a pathological super-bucket is collected once
+    # and dropped by the size filter before the O(s^2) pair explode.
     bucket_docs = (
-        buckets.groupBy("band", "sig")
+        back.groupBy("band", "sig")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .filter(F.size("ds") >= 2)
+        .filter(
+            (F.size("ds") >= 2) & (F.size("ds") <= MAX_BUCKET_DOCS)
+        )
     )
     # sorted list -> generated pairs are already doc_a < doc_b
     pair_expr = F.expr(
@@ -541,7 +549,12 @@ def _verify_candidate_pairs(
         .union(candidates.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    doc_sets = (
+    # pin: doc_sets feeds BOTH join sides (a and b) below, and Spark
+    # inlines the semi-join + collect_set subtree at every reference —
+    # without the persist each broadcast build re-runs the aggregate
+    # (r16 measured: verify leg 2.4-3.3 -> 1.8-1.9 s warm at sf0.1).
+    # Bounded: one row per candidate doc, the audit-scale contract.
+    doc_sets = pin(
         ex.join(F.broadcast(cand_docs), "doc_id", "left_semi")
         .groupBy("doc_id")
         .agg(F.collect_set("shingle").alias("sh"), F.count("*").alias("n"))
@@ -1422,17 +1435,19 @@ def d11_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = staged_shingles(spark, sf_dir)
     # the staged signature table d4 built (memoized per session/sf):
     # the nightly probe reads it instead of re-hashing the corpus
-    buckets = staged_band_buckets(spark, sf_dir)
+    buckets = staged_raw_buckets(spark, sf_dir)
     # d4's join-free in-bucket pair explode, with a new-member filter
     # (r11 rework; the previous shape probe-JOINED the bucket table
     # against itself per band and planned 26 broadcast joins / 81 in
     # the printed static plan — planning-time cost at nightly cadence).
     # New-ness is a PURE doc_id predicate (the deterministic id-hash
-    # split), so it rides along as a struct field: no probe join, no
-    # second reference to the bucket table, and the groupBy keys match
-    # the bucket-cap window's partitioning, so candidate generation
-    # adds NO exchange. Corpus-vs-corpus pairs are dropped inside the
-    # per-bucket pair transform before they ever become rows.
+    # split), so it rides along as a struct field: no probe join and no
+    # second reference to the bucket table. The super-bucket cap is
+    # applied at GROUP level like d4's (r16): size(ds) <= MAX_BUCKET_DOCS
+    # is exactly _cap_buckets' per-bucket count predicate, without the
+    # count window's sort pass over the same exchange. Corpus-vs-corpus
+    # pairs are dropped inside the per-bucket pair transform before
+    # they ever become rows.
     is_new = sample_predicate(F.col("doc_id"), INCR_BATCH_PCT)
     bucket_docs = (
         buckets.groupBy("band", "sig")
@@ -1441,7 +1456,11 @@ def d11_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.collect_list(F.struct(F.col("doc_id"), is_new.alias("new")))
             ).alias("ds")
         )
-        .filter((F.size("ds") >= 2) & F.exists("ds", lambda d: d["new"]))
+        .filter(
+            (F.size("ds") >= 2)
+            & (F.size("ds") <= MAX_BUCKET_DOCS)
+            & F.exists("ds", lambda d: d["new"])
+        )
     )
     # sorted list -> generated pairs are already doc_a < doc_b; pairs
     # with no new member never materialize
