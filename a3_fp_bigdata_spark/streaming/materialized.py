@@ -130,7 +130,15 @@ def merge_batch_into(
     os.makedirs(out_dir, exist_ok=True)
     _write_meta(out_dir, n)
     (
-        merged.write.mode("overwrite")
+        # cluster by bucket BEFORE the partitioned write (r16, guide
+        # §6 small files): without it every upstream partition writes
+        # a sliver into every touched bucket dir (tasks x buckets
+        # files per batch — a drained st10 view held 251 files for 64
+        # buckets), inflating the commit's rename count and every
+        # later batch's base-read listing/open cost. With it each
+        # touched bucket is exactly one file.
+        merged.repartition(_BUCKET_COL)
+        .write.mode("overwrite")
         # replace only the partitions present in `merged` (the touched
         # buckets); untouched partition dirs are left as-is
         .option("partitionOverwriteMode", "dynamic")
