@@ -278,7 +278,16 @@ def table_fingerprint(
     the memo key includes the source frame's ``semanticHash()``, so a
     patched frame can never poison — or be poisoned by — the real
     table's cached stamp. The bounded 1-row collect is the same class
-    as the engine's other probes."""
+    as the engine's other probes.
+
+    Known limit (ADVICE r15): ``semanticHash()`` keys the PLAN, not
+    the file bytes — rewriting the parquet at the same sf_dir path
+    mid-session would reuse the stale stamp. The failure mode is loud
+    (the oracle's ``fingerprint_where`` then matches zero scratch rows
+    and the query goes red, never silently green), and in-session
+    corpus immutability is this engine's documented contract; a flow
+    that regenerates a corpus in place must call
+    ``release_fingerprints()`` (and the stage releases) first."""
     from a3_fp_bigdata_spark.session import session_token
 
     src = (table_fn or table)(spark, sf_dir, table_name)

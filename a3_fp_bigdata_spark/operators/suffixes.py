@@ -70,7 +70,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from a3_fp_bigdata_spark.data import run_scratch, table
-from a3_fp_bigdata_spark.registry import query
+from a3_fp_bigdata_spark.registry import pin, query
 from a3_fp_bigdata_spark.session import session_token
 
 #: deterministic doc sample for the audit slice (~1/47 of the corpus —
@@ -799,12 +799,15 @@ def _slice_segments(
     each padded with the next ``overlap`` bytes, so projection stages
     join positions to segments instead of broadcasting the whole
     corpus — the 100-TB lane where the slice outgrows a broadcast
-    variable. The overlap parameterizes per consumer (r15 VERDICT
-    ask): span windows need SPAN_L-1, the LCP staircase needs
-    LCP_CAP-1, the build's prefix keys need SA_BASE_CHARS-1 (covered
-    by the SPAN_L-1 default) — each width guarantees any window of
-    the matching length STARTING inside a segment reads entirely
-    from it.
+    variable. Every default-lane consumer reads the ONE table built at
+    ``SA_SEG_OVERLAP`` (= max(SPAN_L, LCP_CAP, SA_BASE_CHARS) - 1, the
+    widest window any of them slices: span windows SPAN_L-1, the LCP
+    staircase LCP_CAP-1, the build's packed prefix SA_BASE_CHARS-1) —
+    a wider overlap is a superset guarantee, so one stitched table
+    serves all three per session. The ``overlap`` parameter remains
+    for tests/callers that need a custom width; ``_segment_windows``
+    raises loudly if a consumer's window outgrows the table it was
+    handed.
 
     Built from the DISTRIBUTED char rows (r14): each char assigns to
     its home segment (pos div W) plus, when it falls in the first
@@ -1384,7 +1387,11 @@ def d27_cut_effectiveness_audit(
     audit tier runs on samples at 100 TB exactly like d4's
     containment audit."""
     before = d22_exact_substring_spans(spark, sf_dir)
-    cleaned = d24_sa_span_cut(spark, sf_dir)
+    # pin: the cleaned frame feeds BOTH the scratch write and the
+    # (n_docs, n_chars_cut) aggregate below, and d24's splice chain
+    # re-executes per action without it (r16: full d27 6.0 -> ~4.4 s
+    # at sf0.1 with the write leg no longer re-deriving the cuts)
+    cleaned = pin(d24_sa_span_cut(spark, sf_dir))
     out_dir = _d27_cleaned_dir(sf_dir)
     cleaned.select(
         "doc_id",
